@@ -1,0 +1,273 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.text.TextFunctions._
+
+/** Training-data-pipeline query corpus: text analysis, dedup family,
+  * similarity search, multimodal plumbing — each with a DuckDB oracle
+  * built from the same arithmetic (md5 for hashes, index-ordered double
+  * accumulation + fixed rounding for floats).
+  */
+object PipelineQueries {
+
+  // shared SQL fragments ------------------------------------------------
+
+  /** DuckDB twin of TextFunctions.shingleSet(text, 8). */
+  private val shSql =
+    "list_distinct(list_transform(range(1, greatest(length(text)-7, 1)+1), i -> substring(text, i, 8)))"
+
+  private def tokSql(c: String = "text") = s"regexp_split_to_array(trim($c), '\\s+')"
+
+  // text analysis -------------------------------------------------------
+
+  private def qTextStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    d.select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        uniqueTokenCount(col("text")).as("n_uniq"),
+        alphaCount(col("text")).as("n_alpha"),
+        length(col("text")).cast("long").as("n_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qTextStatsSql =
+    s"""SELECT doc_id,
+       |CAST(len(${tokSql()}) AS BIGINT) AS n_tokens,
+       |CAST(len(list_distinct(${tokSql()})) AS BIGINT) AS n_uniq,
+       |CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+       |CAST(length(text) AS BIGINT) AS n_len
+       |FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
+  private val stopWords = Seq("the", "a", "of", "to", "in", "and", "is")
+
+  private def qTextQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    d.select(col("doc_id"),
+        wordHits(col("text"), stopWords).as("n_stop"),
+        tokenCount(col("text")).as("n_tokens"),
+        alphaCount(col("text")).as("n_alpha"),
+        length(col("text")).cast("long").as("n_len"))
+      .select(col("doc_id"), col("n_stop"), col("n_tokens"),
+        qualityScore(col("n_stop"), col("n_tokens"), col("n_alpha"), col("n_len")).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qTextQualitySql = {
+    val sw = stopWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH b AS (SELECT doc_id,
+       |CAST(len(list_filter(${tokSql()}, t -> t IN ($sw))) AS BIGINT) AS n_stop,
+       |CAST(len(${tokSql()}) AS BIGINT) AS n_tokens,
+       |CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+       |CAST(length(text) AS BIGINT) AS n_len FROM documents)
+       |SELECT doc_id, n_stop, n_tokens,
+       |ROUND(0.4 * (n_stop / n_tokens) + 0.4 * LEAST(n_tokens / 200.0, 1.0)
+       |+ 0.2 * (n_alpha / n_len), 6) AS score
+       |FROM b ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
+
+  private def qTextLangid(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    val hits = langProfiles.map { case (name, ws) => wordHits(col("text"), ws).as(s"s_$name") }
+    d.select((col("doc_id") +: hits): _*)
+      .withColumn("pred_lang",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), lit("en"))
+          .when(col("s_de") >= col("s_fr"), lit("de"))
+          .otherwise(lit("fr")))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qTextLangidSql = {
+    val profs = langProfiles.map { case (name, ws) =>
+      val l = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(${tokSql()}, t -> t IN ($l))) AS BIGINT) AS s_$name"
+    }.mkString(", ")
+    s"""WITH b AS (SELECT doc_id, $profs FROM documents)
+       |SELECT doc_id, s_en, s_de, s_fr,
+       |CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang
+       |FROM b ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
+
+  private def qTextFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    d.select(col("doc_id"), shingleSet(col("text"), 8).as("sh"))
+      .select(col("doc_id"),
+        fingerprintMin(col("sh")).as("fp_min"),
+        fingerprintMax(col("sh")).as("fp_max"),
+        size(col("sh")).cast("long").as("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qTextFingerprintSql =
+    s"""WITH b AS (SELECT doc_id, $shSql AS sh FROM documents)
+       |SELECT doc_id,
+       |list_min(list_transform(sh, s -> md5(s))) AS fp_min,
+       |list_max(list_transform(sh, s -> md5(s))) AS fp_max,
+       |CAST(len(sh) AS BIGINT) AS n_shingles
+       |FROM b ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
+  // dedup family --------------------------------------------------------
+
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactClusters(Tables(s, dir).documents).orderBy(col("canonical"))
+
+  private val qDedupExactSql =
+    """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h,
+      |COUNT(*) AS dup_cnt, MIN(doc_id) AS canonical
+      |FROM documents GROUP BY 1 ORDER BY canonical""".stripMargin.replace('\n', ' ')
+
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDupPairs(Tables(s, dir).documents)
+
+  private val qDedupMinhashSql =
+    s"""WITH sh AS MATERIALIZED (SELECT doc_id, $shSql AS sh FROM documents),
+       |sig AS MATERIALIZED (SELECT doc_id, sh,
+       |list_transform(range(0, 16), j ->
+       |list_min(list_transform(sh, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig
+       |FROM sh),
+       |bands AS MATERIALIZED (SELECT doc_id, b,
+       |md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bv
+       |FROM sig, unnest([0, 1, 2, 3]) AS t(b)),
+       |pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |jx AS (SELECT p.ida, p.idb,
+       |len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS inter,
+       |len(x.sh) AS la, len(y.sh) AS lb
+       |FROM pairs p JOIN sh x ON x.doc_id = p.ida JOIN sh y ON y.doc_id = p.idb)
+       |SELECT ida AS a, idb AS b, ROUND(inter / (la + lb - inter), 6) AS jaccard
+       |FROM jx WHERE inter / (la + lb - inter) >= 0.3 ORDER BY a, b""".stripMargin.replace('\n', ' ')
+
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashFingerprints(Tables(s, dir).documents).orderBy(col("doc_id"))
+
+  private val qDedupSimhashSql =
+    s"""WITH b AS (SELECT doc_id, $shSql AS sh FROM documents)
+       |SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), j ->
+       |CASE WHEN len(list_filter(sh, s ->
+       |substring(md5(s), CAST(j + 1 AS INT), 1) IN ('1','3','5','7','9','b','d','f'))) * 2
+       |>= len(sh) THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+       |FROM b ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
+  private def qDedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramDupPairs(Tables(s, dir).documents)
+
+  private val qDedupNgramSql =
+    s"""WITH tri AS MATERIALIZED (SELECT doc_id, source AS blk,
+       |list_distinct(list_transform(range(1, greatest(len(${tokSql()}) - 2, 1) + 1),
+       |i -> concat_ws(' ', ${tokSql()}[i], ${tokSql()}[i+1], ${tokSql()}[i+2]))) AS tri
+       |FROM documents),
+       |jx AS (SELECT x.doc_id AS a, y.doc_id AS b,
+       |len(list_filter(x.tri, s -> list_contains(y.tri, s))) AS inter,
+       |len(x.tri) AS la, len(y.tri) AS lb
+       |FROM tri x JOIN tri y ON x.blk = y.blk AND x.doc_id < y.doc_id)
+       |SELECT a, b, ROUND(inter / (la + lb - inter), 6) AS jaccard
+       |FROM jx WHERE inter / (la + lb - inter) >= 0.1 ORDER BY a, b""".stripMargin.replace('\n', ' ')
+
+  private def qDedupEmb(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingDupPairs(Tables(s, dir).embeddings, threshold = 0.9)
+
+  private val cosSql: (String, String) => String = (x, y) =>
+    s"""(list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))
+       |/ (sqrt(list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($x[i] AS DOUBLE))))
+       |* sqrt(list_sum(list_transform(range(1, 65), i -> CAST($y[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))))))""".stripMargin.replace('\n', ' ')
+
+  private val qDedupEmbSql =
+    s"""SELECT x.vec_id AS a, y.vec_id AS b,
+       |ROUND(${cosSql("x.embedding", "y.embedding")}, 4) AS rcos
+       |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+       |WHERE ROUND(${cosSql("x.embedding", "y.embedding")}, 4) >= 0.9
+       |ORDER BY a, b""".stripMargin.replace('\n', ' ')
+
+  // similarity search ---------------------------------------------------
+
+  private def queriesOf(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+
+  private def qAnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    Similarity.bruteTopK(emb.select(col("vec_id"), col("embedding")), queriesOf(emb), 10)
+  }
+
+  private val qAnnBruteSql =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |sc AS (SELECT q.q_id, e.vec_id AS n_id,
+       |ROUND(${cosSql("q.qv", "e.embedding")}, 4) AS rcos
+       |FROM embeddings e JOIN q ON e.vec_id <> q.q_id)
+       |SELECT q_id, n_id, rcos FROM sc
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rcos DESC, n_id) <= 10
+       |ORDER BY q_id, rcos DESC, n_id""".stripMargin.replace('\n', ' ')
+
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    Similarity.ivfTopK(emb, queriesOf(emb), k = 5, nprobe = 2)
+  }
+
+  private val qAnnIvfSql =
+    s"""WITH cent AS MATERIALIZED (SELECT label,
+       |list(m ORDER BY pos) AS cv FROM (
+       |SELECT label, pos, ROUND(AVG(CAST(embedding[pos] AS DOUBLE)), 6) AS m
+       |FROM embeddings, unnest(range(1, 65)) AS t(pos)
+       |GROUP BY label, pos) g GROUP BY label),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |probes AS MATERIALIZED (SELECT q_id, qv, label FROM (
+       |SELECT q.q_id, q.qv, c.label,
+       |ROUND(${cosSql("q.qv", "c.cv")}, 6) AS rc
+       |FROM cent c CROSS JOIN q)
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rc DESC, label) <= 2),
+       |sc AS (SELECT p.q_id, e.vec_id AS n_id,
+       |ROUND(${cosSql("p.qv", "e.embedding")}, 4) AS rcos
+       |FROM embeddings e JOIN probes p ON e.label = p.label AND e.vec_id <> p.q_id)
+       |SELECT q_id, n_id, rcos FROM sc
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rcos DESC, n_id) <= 5
+       |ORDER BY q_id, rcos DESC, n_id""".stripMargin.replace('\n', ' ')
+
+  // multimodal ----------------------------------------------------------
+
+  private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMeta(Multimodal.documentsAsMedia(Tables(s, dir).documents))
+      .toDF().orderBy(col("doc_id"))
+
+  private val qMultimodalMetaSql =
+    """SELECT doc_id,
+      |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |md5(text) AS content_md5,
+      |CAST(64 + (ascii(substring(md5(text), 1, 1)) % 16) * 16 AS INT) AS width,
+      |CAST(64 + (ascii(substring(md5(text), 2, 1)) % 16) * 16 AS INT) AS height
+      |FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
+  // registry ------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats"       -> (qTextStats _),
+    "q_text_quality"     -> (qTextQuality _),
+    "q_text_langid"      -> (qTextLangid _),
+    "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_dedup_exact"      -> (qDedupExact _),
+    "q_dedup_minhash"    -> (qDedupMinhash _),
+    "q_dedup_simhash"    -> (qDedupSimhash _),
+    "q_dedup_ngram"      -> (qDedupNgram _),
+    "q_dedup_embedding"  -> (qDedupEmb _),
+    "q_ann_brute"        -> (qAnnBrute _),
+    "q_ann_ivf"          -> (qAnnIvf _),
+    "q_multimodal_meta"  -> (qMultimodalMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats"       -> qTextStatsSql,
+    "q_text_quality"     -> qTextQualitySql,
+    "q_text_langid"      -> qTextLangidSql,
+    "q_text_fingerprint" -> qTextFingerprintSql,
+    "q_dedup_exact"      -> qDedupExactSql,
+    "q_dedup_minhash"    -> qDedupMinhashSql,
+    "q_dedup_simhash"    -> qDedupSimhashSql,
+    "q_dedup_ngram"      -> qDedupNgramSql,
+    "q_dedup_embedding"  -> qDedupEmbSql,
+    "q_ann_brute"        -> qAnnBruteSql,
+    "q_ann_ivf"          -> qAnnIvfSql,
+    "q_multimodal_meta"  -> qMultimodalMetaSql)
+}

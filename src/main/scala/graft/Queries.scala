@@ -1,0 +1,300 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.graph.{Algos, Prep}
+import graft.sql.OracleGen
+
+/** The engine's declared query corpus: every entry has a Spark plan and —
+  * where SQL-expressible — a DuckDB oracle producing identical rows
+  * (same column names, same ordering, floats rounded identically).
+  *
+  * Determinism rules: every query ends in ORDER BY on its keys; every
+  * float column is ROUND()ed to a fixed precision in BOTH engines;
+  * iterative algorithms are either unique-fixpoint (WCC/SSSP/BFS/MIS/SCC,
+  * oracle unrolls ≥ convergence rounds) or fixed-iteration (PageRank,
+  * oracle unrolls exactly the same count).
+  */
+object Queries {
+
+  // ------------------------------------------------------------------
+  // relational corpus (Giraph itself has none — SURVEY §2.10 — but the
+  // engine inherits full SQL from Spark; these double as bench headliners)
+  // ------------------------------------------------------------------
+
+  private def q01(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.lineitem
+      .filter(col("l_shipdate") <= to_timestamp(lit("2000-12-01")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |ROUND(SUM(l_quantity), 2) AS sum_qty,
+      |ROUND(SUM(l_extendedprice), 2) AS sum_base,
+      |ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+      |ROUND(AVG(l_quantity), 6) AS avg_qty,
+      |COUNT(*) AS cnt
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin.replace('\n', ' ')
+
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .join(t.orders.filter(col("o_orderdate") < to_timestamp(lit("1998-06-01"))),
+        col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem.filter(col("l_shipdate") > to_timestamp(lit("1998-06-01"))),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  private val q03Sql =
+    """SELECT o_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      |AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin.replace('\n', ' ')
+
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("cnt"))
+  }
+
+  private val q06Sql =
+    """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue, COUNT(*) AS cnt
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin.replace('\n', ' ')
+
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t.supplier),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  private val q05Sql =
+    """SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin.replace('\n', ' ')
+
+  private def qRollup(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.lineitem.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  private val qRollupSql =
+    """SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS cnt
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin.replace('\n', ' ')
+
+  // `ts` is read as a BIGINT of epoch nanoseconds (see Tables.events doc):
+  // integral arithmetic on it is exactly reproducible in the oracle.
+  private def qSessions(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t.events
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("ts") - col("prev") > lit(1800000000000L), 1)
+          .otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_s")).as("sessions"), count(lit(1)).as("events_cnt"))
+      .orderBy(col("user_id"))
+  }
+
+  private val qSessionsSql =
+    """SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS sessions, COUNT(*) AS events_cnt FROM (
+      |SELECT user_id,
+      |CASE WHEN lag_ns IS NULL OR epoch_ns(ts) - lag_ns > 1800000000000
+      |THEN 1 ELSE 0 END AS new_s FROM (
+      |SELECT user_id, ts,
+      |LAG(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_ns
+      |FROM events) a ) b
+      |GROUP BY user_id ORDER BY user_id""".stripMargin.replace('\n', ' ')
+
+  private def qTumbling(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.events
+      .groupBy(expr("ts div 3600000000000").as("hour_idx"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("hour_idx"), col("event_type"))
+  }
+
+  private val qTumblingSql =
+    """SELECT epoch_ns(ts) // 3600000000000 AS hour_idx,
+      |event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_idx, event_type""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // graph corpus (SURVEY §2.9) on graphs derived from the tables
+  // ------------------------------------------------------------------
+
+  private def qDegrees(s: SparkSession, dir: String): DataFrame =
+    Algos.degrees(custSuppE(s, dir)).orderBy(col("id"))
+
+  private val qDegreesSql =
+    s"""WITH ce AS (${TestGraphs.custSuppSql}),
+       |o AS (SELECT src AS id, COUNT(*) AS out_deg FROM ce GROUP BY 1),
+       |i AS (SELECT dst AS id, COUNT(*) AS in_deg FROM ce GROUP BY 1)
+       |SELECT COALESCE(o.id, i.id) AS id, COALESCE(out_deg, 0) AS out_deg,
+       |COALESCE(in_deg, 0) AS in_deg
+       |FROM o FULL OUTER JOIN i ON o.id = i.id ORDER BY id""".stripMargin.replace('\n', ' ')
+
+  private def custSuppE(s: SparkSession, dir: String): DataFrame =
+    TestGraphs.custSupp(Tables(s, dir))
+
+  private def custSuppSymE(s: SparkSession, dir: String): DataFrame =
+    TestGraphs.custSuppSym(Tables(s, dir))
+
+  private def qWcc(s: SparkSession, dir: String): DataFrame =
+    Algos.wcc(custSuppSymE(s, dir).select("src", "dst")).orderBy(col("id"))
+
+  private def qSssp(s: SparkSession, dir: String): DataFrame = {
+    val e = custSuppSymE(s, dir).select("src", "dst", "w")
+    val source = e.agg(min(col("src"))).first().getLong(0)
+    Algos.sssp(e, source).orderBy(col("id"))
+  }
+
+  private def qBfs(s: SparkSession, dir: String): DataFrame = {
+    val e = custSuppSymE(s, dir).select("src", "dst")
+    val source = e.agg(min(col("src"))).first().getLong(0)
+    Algos.bfs(e, Seq(source)).orderBy(col("id"))
+  }
+
+  private def qPagerank(s: SparkSession, dir: String): DataFrame =
+    Algos.pagerank(custSuppSymE(s, dir), iterations = 5)
+      .select(col("id"), round(col("pr"), 6).as("pr"))
+      .orderBy(col("id"))
+
+  private def qMaxProp(s: SparkSession, dir: String): DataFrame =
+    Algos.maxProp(custSuppSymE(s, dir).select("src", "dst")).orderBy(col("id"))
+
+  private def qCcEvents(s: SparkSession, dir: String): DataFrame =
+    Algos.wcc(Prep.makeSymmetric(TestGraphs.eventChain(Tables(s, dir))))
+      .orderBy(col("id"))
+
+  private val qCcEventsSql =
+    """SELECT event_id AS id, MIN(event_id) OVER (PARTITION BY user_id) AS component
+      |FROM events
+      |WHERE user_id IN (SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) >= 2)
+      |ORDER BY id""".stripMargin.replace('\n', ' ')
+
+  private def qTriCount(s: SparkSession, dir: String): DataFrame =
+    Algos.triangleCount(TestGraphs.suppCoPairs(Tables(s, dir)))
+
+  private val qTriCountSql =
+    s"""WITH cp AS (${TestGraphs.suppCoPairsSql})
+       |SELECT COUNT(*) AS triangles
+       |FROM cp a JOIN cp b ON b.u = a.u AND b.v > a.v
+       |JOIN cp c ON c.u = a.v AND c.v = b.v""".stripMargin.replace('\n', ' ')
+
+  private def qTriClosing(s: SparkSession, dir: String): DataFrame =
+    Algos.triangleClosing(custSuppE(s, dir), topK = 20)
+
+  private val qTriClosingSql =
+    s"""WITH ce AS (${TestGraphs.custSuppSql})
+       |SELECT a.src AS u, b.src AS v, COUNT(*) AS common
+       |FROM ce a JOIN ce b ON a.dst = b.dst AND a.src < b.src
+       |GROUP BY 1, 2 ORDER BY common DESC, u, v LIMIT 20""".stripMargin.replace('\n', ' ')
+
+  private def qMis(s: SparkSession, dir: String): DataFrame =
+    Algos.independentSet(TestGraphs.suppCoSym(Tables(s, dir))).orderBy(col("id"))
+
+  private def qScc(s: SparkSession, dir: String): DataFrame =
+    Algos.scc(TestGraphs.suppRing(Tables(s, dir))).orderBy(col("id"))
+
+  private def qPrepStats(s: SparkSession, dir: String): DataFrame =
+    Prep.cleanSymmetric(custSuppE(s, dir))
+      .groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).as("n_vertices"), sum(col("d")).as("n_edges"),
+        max(col("d")).as("max_degree"))
+
+  private val qPrepStatsSql =
+    s"""WITH ce AS (${TestGraphs.custSuppSql}),
+       |cln AS (SELECT src, dst FROM (
+       |SELECT DISTINCT src, dst FROM ce UNION SELECT DISTINCT dst, src FROM ce) t
+       |WHERE src <> dst),
+       |d AS (SELECT src, COUNT(*) AS d FROM cln GROUP BY src)
+       |SELECT COUNT(*) AS n_vertices, CAST(SUM(d) AS BIGINT) AS n_edges,
+       |MAX(d) AS max_degree FROM d""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // registry
+  // ------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg"          -> (q01 _),
+    "q03_topn"         -> (q03 _),
+    "q05_nation_rev"   -> (q05 _),
+    "q06_filter_sum"   -> (q06 _),
+    "q_rollup"         -> (qRollup _),
+    "q_sessions"       -> (qSessions _),
+    "q_tumbling"       -> (qTumbling _),
+    "q_graph_degrees"  -> (qDegrees _),
+    "q_graph_wcc"      -> (qWcc _),
+    "q_graph_sssp"     -> (qSssp _),
+    "q_graph_bfs"      -> (qBfs _),
+    "q_graph_pagerank" -> (qPagerank _),
+    "q_graph_maxprop"  -> (qMaxProp _),
+    "q_graph_cc_events" -> (qCcEvents _),
+    "q_graph_tri_count" -> (qTriCount _),
+    "q_graph_tri_closing" -> (qTriClosing _),
+    "q_graph_mis"      -> (qMis _),
+    "q_graph_scc"      -> (qScc _),
+    "q_graph_prep_stats" -> (qPrepStats _)) ++ PipelineQueries.all
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg"          -> q01Sql,
+    "q03_topn"         -> q03Sql,
+    "q05_nation_rev"   -> q05Sql,
+    "q06_filter_sum"   -> q06Sql,
+    "q_rollup"         -> qRollupSql,
+    "q_sessions"       -> qSessionsSql,
+    "q_tumbling"       -> qTumblingSql,
+    "q_graph_degrees"  -> qDegreesSql,
+    "q_graph_wcc"      -> OracleGen.labelPropSql(TestGraphs.custSuppSymSql, 12, isMin = true, "component"),
+    "q_graph_sssp"     -> OracleGen.ssspSql(TestGraphs.custSuppSymSql, 16),
+    "q_graph_bfs"      -> OracleGen.bfsMinSourceSql(TestGraphs.custSuppSymSql, 12),
+    "q_graph_pagerank" -> OracleGen.pagerankSql(TestGraphs.custSuppSymSql, 5, 0.85, 0.15, 6),
+    "q_graph_maxprop"  -> OracleGen.labelPropSql(TestGraphs.custSuppSymSql, 12, isMin = false, "max_id"),
+    "q_graph_cc_events" -> qCcEventsSql,
+    "q_graph_tri_count" -> qTriCountSql,
+    "q_graph_tri_closing" -> qTriClosingSql,
+    "q_graph_mis"      -> OracleGen.misSql(TestGraphs.suppCoSymSql, 10),
+    "q_graph_scc"      -> OracleGen.sccSql(s"e AS MATERIALIZED (${TestGraphs.suppRingSql})", 8),
+    "q_graph_prep_stats" -> qPrepStatsSql) ++ PipelineQueries.oracles
+}

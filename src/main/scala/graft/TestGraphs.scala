@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic graphs derived from the driver's TPC-H-ish tables
+  * (FIXTURES.md §B). Every builder has a `...Sql` twin — the *same*
+  * derivation in ANSI SQL — so the DuckDB oracle replays the exact graph.
+  * All weights are integral (float-free oracle matching).
+  */
+object TestGraphs {
+
+  /** Namespace offset so supplier ids don't collide with customer ids. */
+  val SuppOffset = 1000000L
+
+  /** Directed bipartite customer → supplier edges: one edge per
+    * (customer, supplier) pair that co-occurs in an order; cnt = number of
+    * lineitems, w = min integral quantity (≥ 1). */
+  def custSupp(tb: Tables): DataFrame =
+    tb.orders.join(tb.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("src"), (col("l_suppkey") + SuppOffset).as("dst"))
+      .agg(count(lit(1)).as("cnt"), min(floor(col("l_quantity")).cast("long")).as("w"))
+
+  val custSuppSql: String =
+    s"""SELECT o_custkey AS src, l_suppkey + $SuppOffset AS dst,
+       |COUNT(*) AS cnt, MIN(CAST(FLOOR(l_quantity) AS BIGINT)) AS w
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY 1, 2""".stripMargin.replace('\n', ' ')
+
+  /** Symmetric (undirected) version of [[custSupp]]. The graph is
+    * bipartite, so the union introduces no duplicate pairs. */
+  def custSuppSym(tb: Tables): DataFrame = {
+    val e = custSupp(tb)
+    e.union(e.select(col("dst"), col("src"), col("cnt"), col("w")))
+  }
+
+  val custSuppSymSql: String =
+    s"ce AS MATERIALIZED ($custSuppSql), e AS MATERIALIZED (SELECT src, dst, cnt, w FROM ce UNION ALL SELECT dst, src, cnt, w FROM ce)"
+
+  /** Undirected supplier co-purchase pairs (u < v): suppliers that ship
+    * the same part. Dense small-world graph for triangle/MIS queries. */
+  def suppCoPairs(tb: Tables): DataFrame = {
+    val li = tb.lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+    li.as("a").join(li.as("b"),
+        col("a.l_partkey") === col("b.l_partkey") && col("a.l_suppkey") < col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .distinct()
+  }
+
+  val suppCoPairsSql: String =
+    """SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) a
+      |JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+      |ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey""".stripMargin.replace('\n', ' ')
+
+  /** Both-direction edge frame of [[suppCoPairs]] (for propagation algos). */
+  def suppCoSym(tb: Tables): DataFrame = {
+    val p = suppCoPairs(tb)
+    p.select(col("u").as("src"), col("v").as("dst"))
+      .union(p.select(col("v").as("src"), col("u").as("dst")))
+  }
+
+  val suppCoSymSql: String =
+    s"cp AS MATERIALIZED ($suppCoPairsSql), e AS MATERIALIZED (SELECT u AS src, v AS dst FROM cp UNION ALL SELECT v AS src, u AS dst FROM cp)"
+
+  /** Per-user event chains: consecutive events (by ts, event_id) of the
+    * same user. Path-heavy graph exercising WCC at bench scale
+    * (FIXTURES.md §B recipe 5). */
+  def eventChain(tb: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    tb.events
+      .select(col("event_id").as("src"), lead(col("event_id"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+  }
+
+  val eventChainSql: String =
+    """SELECT src, dst FROM (
+      |SELECT event_id AS src,
+      |LEAD(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |FROM events) t WHERE dst IS NOT NULL""".stripMargin.replace('\n', ' ')
+
+  /** Deterministic directed functional graph over suppliers (0-based keys):
+    * s → (3s+1) mod n and s → (s+7) mod n. Contains nontrivial cycles —
+    * the SCC fixture. */
+  def suppRing(tb: Tables): DataFrame = {
+    val n = tb.supplier.count()
+    tb.supplier.select(col("s_suppkey").as("src"), ((col("s_suppkey") * 3 + 1) % n).as("dst"))
+      .union(tb.supplier.select(col("s_suppkey").as("src"), ((col("s_suppkey") + 7) % n).as("dst")))
+      .filter(col("src") =!= col("dst"))
+  }
+
+  val suppRingSql: String =
+    """SELECT src, dst FROM (
+      |SELECT s_suppkey AS src, (s_suppkey * 3 + 1) % (SELECT COUNT(*) FROM supplier) AS dst FROM supplier
+      |UNION ALL
+      |SELECT s_suppkey AS src, (s_suppkey + 7) % (SELECT COUNT(*) FROM supplier) AS dst FROM supplier
+      |) t WHERE src <> dst""".stripMargin.replace('\n', ' ')
+}

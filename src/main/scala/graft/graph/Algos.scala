@@ -1,0 +1,336 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The reference's algorithm corpus (giraph-examples, SURVEY §2.9)
+  * re-expressed as declarative Spark plans driven by [[Pregel]].
+  *
+  * Conventions: an edge frame has columns (src BIGINT, dst BIGINT[, w
+  * BIGINT, cnt ...]); "symmetric" means every (u,v) has its (v,u) mirror
+  * (the reference's makeSymmetric prep,
+  * giraph-block-app-8 .../prepare_graph/PrepareGraphPieces.java:165-200).
+  * All results are deterministic: integral where the reference is
+  * integral, ties broken by id — so a SQL oracle can hash-match them.
+  */
+object Algos {
+
+  /** Distinct vertex ids appearing as an endpoint. */
+  def verticesOf(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+
+  /** In/out degree per vertex, 0-filled.
+    * Reference: EX/Simple{In,Out}DegreeCountComputation.java — a whole
+    * message round there, a single shuffle-free-after-scan agg here. */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
+    val in  = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  /** Connected components — converges to the component-wide min id, the
+    * same unique fixpoint as the reference's min-propagation HCC
+    * (EX/ConnectedComponentsComputation.java:49-110), but computed
+    * FastSV-style: each round takes the min of (own label, neighbors'
+    * labels, grandparent label f(f(v))). The pointer-jumping term halves
+    * label-tree depth per round, so convergence is O(log n) rounds even
+    * on path graphs where plain propagation needs O(diameter) — the
+    * difference between 17 and 100,000 shuffles on a 100k-long event
+    * chain. Per round: one edge⋈label shuffle + one label self-join. */
+  def wcc(symEdges: DataFrame, opts: PregelOptions = PregelOptions(maxSupersteps = 100)): DataFrame = {
+    val e = symEdges.select("src", "dst").repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nbrMin0 = e.groupBy(col("src").as("id")).agg(min(col("dst")).as("nm"))
+    var f = verticesOf(e).join(nbrMin0, Seq("id"), "left")
+      .select(col("id"), least(col("id"), col("nm")).as("f"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var step = 0
+    while (changed > 0 && step < opts.maxSupersteps) {
+      val m1 = e.join(f.select(col("id").as("src"), col("f").as("fs")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("fs")).as("m1"))
+      val gp = f.select(col("id").as("gid"), col("f").as("gf"))
+      var next = f
+        .join(m1, Seq("id"), "left")
+        .join(gp, col("f") === col("gid"), "left")
+        .select(col("id"), col("f").as("f_old"),
+          least(col("f"), col("m1"), col("gf")).as("f"))
+      next =
+        if ((step + 1) % opts.checkpointEvery == 0) next.localCheckpoint()
+        else next.persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter(col("f") < col("f_old")).count()
+      f.unpersist()
+      f = next.select("id", "f")
+      step += 1
+    }
+    e.unpersist()
+    f.select(col("id"), col("f").as("component"))
+  }
+
+  /** Per-component max-id propagation.
+    * Reference: EX/MaxComputation.java:30-45. */
+  def maxProp(symEdges: DataFrame, opts: PregelOptions = PregelOptions()): DataFrame =
+    labelProp(symEdges, isMin = false, opts).withColumnRenamed("lbl", "max_id")
+
+  private def labelProp(edges: DataFrame, isMin: Boolean, opts: PregelOptions): DataFrame = {
+    val init = verticesOf(edges)
+      .select(col("id"), col("id").as("lbl"), lit(true).as("active"))
+    val agg = if (isMin) min(col("msg")) else max(col("msg"))
+    val res = Pregel.run(
+      init, edges.select("src", "dst"),
+      sendMsg = j => j.select(col("dst").as("id"), col("lbl").as("msg")),
+      combineMsg = agg,
+      vprog = (verts, msgs) => {
+        val better =
+          if (isMin) col("msg").isNotNull && col("msg") < col("lbl")
+          else col("msg").isNotNull && col("msg") > col("lbl")
+        verts.join(msgs, Seq("id"), "left").select(
+          col("id"),
+          when(better, col("msg")).otherwise(col("lbl")).as("lbl"),
+          coalesce(better, lit(false)).as("active"))
+      },
+      opts = opts)
+    res.select("id", "lbl")
+  }
+
+  /** Single-source shortest paths (Bellman-Ford flavored BSP relaxation).
+    * Unreached vertices are absent from the result (the reference leaves
+    * them at MAX_VALUE). Reference:
+    * EX/SimpleShortestPathsComputation.java:39-87 — superstep 0 seeds the
+    * source at 0, each round relaxes min(msgs) and fans `dist+w` out on
+    * improvement, voteToHalt otherwise. */
+  def sssp(edges: DataFrame, source: Long,
+           opts: PregelOptions = PregelOptions(maxSupersteps = 64)): DataFrame = {
+    val init = verticesOf(edges).select(
+      col("id"),
+      when(col("id") === source, lit(0L)).otherwise(lit(null).cast("long")).as("dist"),
+      (col("id") === source).as("active"))
+    val res = Pregel.run(
+      init, edges.select("src", "dst", "w"),
+      sendMsg = j => j.select(col("dst").as("id"), (col("dist") + col("w")).as("msg")),
+      combineMsg = min(col("msg")),
+      vprog = (verts, msgs) => {
+        val better = col("msg").isNotNull && (col("dist").isNull || col("msg") < col("dist"))
+        verts.join(msgs, Seq("id"), "left").select(
+          col("id"),
+          when(better, col("msg")).otherwise(col("dist")).as("dist"),
+          coalesce(better, lit(false)).as("active"))
+      },
+      opts = opts)
+    res.filter(col("dist").isNotNull).select("id", "dist")
+  }
+
+  /** Multi-source BFS hop levels.
+    * Reference: BLOCK8 .../algo/BreadthFirstSearch.java:58-123. */
+  def bfs(edges: DataFrame, sources: Seq[Long],
+          opts: PregelOptions = PregelOptions(maxSupersteps = 64)): DataFrame = {
+    val e = edges.select("src", "dst")
+    val init = verticesOf(e).select(
+      col("id"),
+      when(col("id").isInCollection(sources), lit(0L)).otherwise(lit(null).cast("long")).as("dist"),
+      col("id").isInCollection(sources).as("active"))
+    Pregel.run(
+      init, e,
+      sendMsg = j => j.select(col("dst").as("id"), (col("dist") + 1L).as("msg")),
+      combineMsg = min(col("msg")),
+      vprog = (verts, msgs) => {
+        val better = col("msg").isNotNull && (col("dist").isNull || col("msg") < col("dist"))
+        verts.join(msgs, Seq("id"), "left").select(
+          col("id"),
+          when(better, col("msg")).otherwise(col("dist")).as("dist"),
+          coalesce(better, lit(false)).as("active"))
+      }, opts = opts)
+      .filter(col("dist").isNotNull)
+      .select(col("id"), col("dist").as("level"))
+  }
+
+  /** PageRank with teleport `resetProb` and dangling-mass redistribution,
+    * fixed iteration count (deterministic — the oracle replays it).
+    * Reference: EX/PageRankComputation.java:32-57 (random-walk form with
+    * dangling redistribution via aggregators),
+    * EX/SimplePageRankComputation.java (fixed-iteration form).
+    * Scale: per iteration one shuffle (contrib groupBy dst) + one
+    * broadcast scalar (dangling mass); vertex count collected once. */
+  def pagerank(edges: DataFrame, iterations: Int,
+               damping: Double = 0.85, resetProb: Double = 0.15,
+               opts: PregelOptions = PregelOptions()): DataFrame = {
+    val e = edges.select("src", "dst").repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val v = verticesOf(e).persist(StorageLevel.MEMORY_AND_DISK)
+    val n = v.count().toDouble
+    val deg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("double").as("outdeg"))
+    val init = v.join(deg, Seq("id"), "left")
+      .select(col("id"), lit(1.0 / n).as("pr"),
+        coalesce(col("outdeg"), lit(0.0)).as("outdeg"))
+    val res = Pregel.iterate(init, iterations, opts) { (verts, _) =>
+      val sums = verts.filter(col("outdeg") > 0)
+        .join(e, col("id") === col("src"))
+        .select(col("dst"), (col("pr") / col("outdeg")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      val dang = verts.filter(col("outdeg") === 0)
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dsum"))
+      verts.drop("pr")
+        .join(sums, col("id") === col("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("id"),
+          (lit(resetProb / n) +
+            lit(damping) * (coalesce(col("s"), lit(0.0)) + col("dsum") / n)).as("pr"),
+          col("outdeg"))
+    }
+    e.unpersist(); v.unpersist()
+    res.select("id", "pr")
+  }
+
+  /** Total triangle count over an undirected graph given as canonical
+    * pairs (u < v). Classic wedge-join plan; Catalyst shuffles on the
+    * join keys, AQE handles skewed hub vertices.
+    * Reference: EX/SimpleTriangleClosingComputation.java (the 2-superstep
+    * friends-of-friends exchange). */
+  def triangleCount(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("u"), col("v"))
+    val wedges = e.as("a").join(e.as("b"),
+      col("a.u") === col("b.u") && col("a.v") < col("b.v"))
+      .select(col("a.u").as("w0"), col("a.v").as("w1"), col("b.v").as("w2"))
+    wedges.join(e.as("c"),
+      col("w1") === col("c.u") && col("w2") === col("c.v"))
+      .agg(count(lit(1)).as("triangles"))
+  }
+
+  /** "People you may know": for a bipartite src→dst graph, rank src pairs
+    * by shared-neighbor count (candidates are never existing edges in a
+    * bipartite graph). Returns the global top-k with (cnt desc, u, v)
+    * deterministic ordering. */
+  def triangleClosing(edges: DataFrame, topK: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    e.as("a").join(e.as("b"), col("a.dst") === col("b.dst") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("u"), col("b.src").as("v"))
+      .agg(count(lit(1)).as("common"))
+      .orderBy(col("common").desc, col("u"), col("v"))
+      .limit(topK)
+  }
+
+  /** Maximal independent set, deterministic id-priority variant of the
+    * reference's DistributedIndependentSet
+    * (BLOCK8 .../algo/DistributedIndependentSet.java:53-118): a vertex
+    * enters the set when its id is smaller than every still-undecided
+    * neighbor; its neighbors then leave. st: 0=undecided, 1=in, 2=out. */
+  def independentSet(symEdges: DataFrame,
+                     opts: PregelOptions = PregelOptions(maxSupersteps = 40)): DataFrame = {
+    val e = symEdges.select("src", "dst").repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var verts = verticesOf(e).select(col("id"), lit(0).as("st"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var undecided = verts.count()
+    var step = 0
+    while (undecided > 0 && step < opts.maxSupersteps) {
+      val unk = verts.filter(col("st") === 0)
+      val minNbr = e.join(unk.select(col("id").as("dst")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("dst")).as("min_unk_nbr"))
+      val ins = unk.join(minNbr, Seq("id"), "left")
+        .filter(col("min_unk_nbr").isNull || col("id") < col("min_unk_nbr"))
+        .select(col("id"))
+      val outs = e.join(ins.select(col("id").as("src")), Seq("src"))
+        .select(col("dst").as("id")).distinct()
+      var next = verts
+        .join(ins.withColumn("is_in", lit(1)), Seq("id"), "left")
+        .join(outs.withColumn("is_out", lit(1)), Seq("id"), "left")
+        .select(col("id"),
+          when(col("st") =!= 0, col("st"))
+            .when(col("is_in") === 1, lit(1))
+            .when(col("is_out") === 1, lit(2))
+            .otherwise(lit(0)).as("st"))
+      next =
+        if ((step + 1) % opts.checkpointEvery == 0) next.localCheckpoint()
+        else next.persist(StorageLevel.MEMORY_AND_DISK)
+      undecided = next.filter(col("st") === 0).count()
+      verts.unpersist()
+      verts = next
+      step += 1
+    }
+    e.unpersist()
+    verts.select(col("id"), (col("st") === 1).cast("int").as("in_set"))
+  }
+
+  /** Strongly connected components via forward-backward coloring (the
+    * scalable label-propagation SCC; the reference runs a 4-phase master
+    * state machine, EX/scc/SccComputation.java +
+    * SccPhaseMasterCompute.java:54-98 TRANSPOSE→TRIM→FWD→BWD).
+    * Each round: (1) forward max-id color fixpoint on the unassigned
+    * subgraph; (2) backward sweep from each root r = {v: color v == v}
+    * along reversed edges restricted to color-r vertices; matched
+    * vertices form SCC(r) (labeled r = max id in the SCC) and leave the
+    * graph. Outer rounds ≤ #distinct SCC "levels"; all per-round work is
+    * joins/aggs — nothing driver-side but scalar counts. */
+  def scc(edges: DataFrame, opts: PregelOptions = PregelOptions()): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var remEdges = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    var remVerts = verticesOf(remEdges).persist(StorageLevel.MEMORY_AND_DISK)
+    var remaining = remVerts.count()
+    var result: DataFrame = Seq.empty[(Long, Long)].toDF("id", "comp")
+    var round = 0
+    while (remaining > 0 && round < 64) {
+      // (1) forward max-id color propagation to fixpoint
+      val colorInit = remVerts.select(col("id"), col("id").as("lbl"), lit(true).as("active"))
+      val colors = Pregel.run(
+        colorInit, remEdges,
+        sendMsg = j => j.select(col("dst").as("id"), col("lbl").as("msg")),
+        combineMsg = max(col("msg")),
+        vprog = (verts, msgs) => {
+          val better = col("msg").isNotNull && col("msg") > col("lbl")
+          verts.join(msgs, Seq("id"), "left").select(
+            col("id"),
+            when(better, col("msg")).otherwise(col("lbl")).as("lbl"),
+            coalesce(better, lit(false)).as("active"))
+        }, opts = opts)
+        .select(col("id"), col("lbl").as("color"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // (2) backward sweep within same-color subgraph, seeded at roots
+      val colored = remEdges
+        .join(colors.select(col("id").as("src"), col("color").as("c_src")), Seq("src"))
+        .join(colors.select(col("id").as("dst"), col("color").as("c_dst")), Seq("dst"))
+        .filter(col("c_src") === col("c_dst"))
+        // reversed: membership flows from dst (closer to root) to src
+        .select(col("dst").as("src"), col("src").as("dst"))
+      val seedInit = colors.select(col("id"),
+        when(col("id") === col("color"), col("id")).otherwise(lit(null).cast("long")).as("scc"),
+        (col("id") === col("color")).as("active"))
+      val assigned = Pregel.run(
+        seedInit, colored,
+        sendMsg = j => j.select(col("dst").as("id"), col("scc").as("msg")),
+        combineMsg = max(col("msg")),
+        vprog = (verts, msgs) => {
+          val take = col("scc").isNull && col("msg").isNotNull
+          verts.join(msgs, Seq("id"), "left").select(
+            col("id"),
+            when(take, col("msg")).otherwise(col("scc")).as("scc"),
+            coalesce(take, lit(false)).as("active"))
+        }, opts = opts)
+        .filter(col("scc").isNotNull)
+        .select(col("id"), col("scc").as("comp"))
+        .localCheckpoint()
+      result = result.union(assigned).localCheckpoint()
+      val newVerts = remVerts.join(assigned.select("id"), Seq("id"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val newEdges = remEdges
+        .join(newVerts.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(newVerts.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      remaining = newVerts.count()
+      remVerts.unpersist(); remEdges.unpersist(); colors.unpersist()
+      remVerts = newVerts
+      remEdges = newEdges
+      round += 1
+    }
+    remVerts.unpersist(); remEdges.unpersist()
+    result
+  }
+}

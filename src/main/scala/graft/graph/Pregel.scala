@@ -1,0 +1,125 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Options for the BSP superstep loop.
+  *
+  * @param maxSupersteps   hard cap, mirrors giraph's max-superstep config
+  * @param checkpointEvery truncate lineage every N supersteps. Iterative
+  *                        DataFrame plans grow per iteration; without eager
+  *                        checkpointing the optimizer re-analyzes an
+  *                        exponentially growing tree (SURVEY §7.4 risk #1).
+  * @param storageLevel    MEMORY_AND_DISK replaces the reference's whole
+  *                        out-of-core engine (giraph-core ooc/, ~7k LoC):
+  *                        Spark spills partitions natively.
+  */
+final case class PregelOptions(
+    maxSupersteps: Int = 50,
+    checkpointEvery: Int = 6,
+    storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+
+/** Pregel-style Bulk-Synchronous-Parallel loop on DataFrames.
+  *
+  * Re-expresses the reference's superstep machinery
+  * (giraph-core .../graph/GraphTaskManager.java:309-382 worker loop,
+  * .../master/BspServiceMaster.java:1571-1741 master coordination) as a
+  * driver-side loop over declarative Spark plans:
+  *
+  *  - "send messages along out-edges" = join of the active vertex frame
+  *    with the edge frame on `id = src` (the shuffle IS the message
+  *    routing; both sides are hash-partitioned on the join key, exactly
+  *    Giraph's id-hash worker assignment,
+  *    .../partition/HashPartitionerFactory.java:31-37);
+  *  - the MessageCombiner (.../combiner/MessageCombiner.java:32-47) =
+  *    `groupBy(id).agg(combine)` — Catalyst's HashAggregate already
+  *    performs the sender-side (partial) + receiver-side (final) split;
+  *  - `voteToHalt`/wake-on-message (.../graph/Vertex.java:85,184) = the
+  *    boolean `active` column maintained by the vertex program; global
+  *    termination = zero active vertices (BspServiceMaster.java:1681-1684);
+  *  - checkpointing (.../worker/BspServiceWorker.java:1340-1460) =
+  *    `localCheckpoint` cadence (also mandatory here to cut lineage).
+  *
+  * Scale posture: per superstep the only driver-side data is the active
+  * count (a scalar) — vertex/edge/message frames never leave the cluster.
+  * Edges are shuffled once to their `src` hash partition and reused by
+  * every superstep's join, so each iteration shuffles only the (combined)
+  * message frame.
+  */
+object Pregel {
+
+  /** Run a BSP loop.
+    *
+    * @param vertices   (id BIGINT, ..state.., active BOOLEAN)
+    * @param edges      (src BIGINT, dst BIGINT, ..attrs..); names must not
+    *                   collide with vertex state columns
+    * @param sendMsg    active-vertices ⋈ edges (all vertex cols + edge cols)
+    *                   → message frame with columns (id, msg); `id` is the
+    *                   destination vertex
+    * @param combineMsg aggregate over `msg` applied per destination, e.g.
+    *                   `min(col("msg"))` — the MessageCombiner
+    * @param vprog      (vertices, combinedMsgs(id, msg)) → new vertex frame
+    *                   with the same schema incl. a fresh `active` column
+    * @return the converged vertex frame (caller should select/unpersist)
+    */
+  def run(
+      vertices: DataFrame,
+      edges: DataFrame,
+      sendMsg: DataFrame => DataFrame,
+      combineMsg: Column,
+      vprog: (DataFrame, DataFrame) => DataFrame,
+      opts: PregelOptions = PregelOptions()): DataFrame = {
+
+    val spark = vertices.sparkSession
+    val e = edges.repartition(col("src")).persist(opts.storageLevel)
+
+    var verts = vertices.persist(opts.storageLevel)
+    var active = verts.filter(col("active")).count()
+    var step = 0
+    while (active > 0L && step < opts.maxSupersteps) {
+      val msgs = sendMsg(verts.filter(col("active")).join(e, col("id") === col("src")))
+        .groupBy("id").agg(combineMsg.as("msg"))
+      var newVerts = vprog(verts, msgs)
+      newVerts =
+        if ((step + 1) % opts.checkpointEvery == 0) newVerts.localCheckpoint()
+        else newVerts.persist(opts.storageLevel)
+      active = newVerts.filter(col("active")).count()
+      verts.unpersist()
+      verts = newVerts
+      step += 1
+    }
+    e.unpersist()
+    verts
+  }
+
+  /** Fixed-iteration variant with a per-iteration driver hook ("master
+    * compute", giraph-core .../master/MasterCompute.java:49-294): `master`
+    * sees the superstep number and the current vertex frame and may halt
+    * early by returning false (e.g. on a collected convergence aggregate —
+    * scalars only, never per-vertex data).
+    */
+  def iterate(
+      vertices: DataFrame,
+      iterations: Int,
+      opts: PregelOptions = PregelOptions())(
+      step: (DataFrame, Int) => DataFrame,
+      master: (DataFrame, Int) => Boolean = (_, _) => true): DataFrame = {
+    var verts = vertices.persist(opts.storageLevel)
+    verts.count()
+    var i = 0
+    var go = true
+    while (i < iterations && go) {
+      var next = step(verts, i)
+      next =
+        if ((i + 1) % opts.checkpointEvery == 0) next.localCheckpoint()
+        else next.persist(opts.storageLevel)
+      next.count()
+      verts.unpersist()
+      verts = next
+      go = master(verts, i)
+      i += 1
+    }
+    verts
+  }
+}

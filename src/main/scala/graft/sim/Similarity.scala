@@ -1,0 +1,76 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Two tiers, mirroring what a 100 TB pipeline needs:
+  *  - [[bruteTopK]]: exact cosine top-k — the baseline; the query side is
+  *    broadcast, the corpus side streams, so it scales to any corpus size
+  *    (but O(corpus) work per query).
+  *  - [[ivfTopK]]: inverted-file ANN — corpus pre-bucketed by a cluster
+  *    id (here the `label` column; in production a trained k-means
+  *    assignment), queries probe only the nprobe nearest centroids. The
+  *    probe join is an equi-join on the cluster id, so Catalyst prunes
+  *    all non-probed buckets.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, accumulated in double
+    * in index order (reproducible across engines). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k neighbors for each query row.
+    * @param corpus  (vec_id, embedding)
+    * @param queries (q_id, qv) — small; broadcast
+    * Output: (q_id, n_id, rcos) with rcos = round(cosine, 4), ranked by
+    * (rcos desc, n_id) — rounding first makes the ordering reproducible. */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("rcos", round(cosine(col("qv"), col("embedding")), 4))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rcos").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rcos"))
+      .orderBy(col("q_id"), col("rcos").desc, col("n_id"))
+  }
+
+  /** Centroids as the elementwise mean per cluster column, components
+    * rounded to 6 decimals (pins cross-engine float drift). */
+  def centroids(corpus: DataFrame, clusterCol: String = "label"): DataFrame =
+    corpus.select(col(clusterCol), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col(clusterCol), col("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("m"))
+      .groupBy(col(clusterCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("cv"))
+
+  /** IVF-style ANN: probe the `nprobe` closest centroids per query, exact
+    * search within probed buckets only. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+              clusterCol: String = "label"): DataFrame = {
+    val cent = centroids(corpus, clusterCol)
+    val probes = cent.join(broadcast(queries), lit(true))
+      .withColumn("rc", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rc").desc, col(clusterCol))))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("qv"), col(clusterCol))
+    corpus.join(probes, Seq(clusterCol))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rcos", round(cosine(col("qv"), col("embedding")), 4))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rcos").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rcos"))
+      .orderBy(col("q_id"), col("rcos").desc, col("n_id"))
+  }
+}

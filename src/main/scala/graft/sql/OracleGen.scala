@@ -1,0 +1,122 @@
+package graft.sql
+
+/** Generators for the DuckDB oracle side of iterative graph queries.
+  *
+  * Fixed-point algorithms (WCC, SSSP, BFS, max-prop, MIS, SCC) converge to
+  * a *unique* answer, so the oracle simply unrolls enough relaxation
+  * rounds as chained CTEs; fixed-iteration algorithms (PageRank) are
+  * unrolled exactly as many times as the Spark side runs. Each generator
+  * takes a `withBody` fragment that must define an edge CTE `e`
+  * (see graft.TestGraphs.*Sql).
+  */
+object OracleGen {
+
+  /** K rounds of Bellman-Ford relaxation from the minimum `src` vertex.
+    * Result: (id, dist) for reached vertices, ordered by id. */
+  def ssspSql(withBody: String, k: Int): String = {
+    val steps = (1 to k).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT id, MIN(dist) AS dist FROM (
+         |SELECT id, dist FROM d${i - 1}
+         |UNION ALL
+         |SELECT e.dst AS id, d.dist + e.w AS dist FROM d${i - 1} d JOIN e ON d.id = e.src
+         |) t GROUP BY id)""".stripMargin.replace('\n', ' ')
+    }
+    (s"WITH $withBody, " +
+      "d0 AS MATERIALIZED (SELECT (SELECT MIN(src) FROM e) AS id, CAST(0 AS BIGINT) AS dist), " +
+      steps.mkString(", ") +
+      s" SELECT id, dist FROM d$k ORDER BY id")
+  }
+
+  /** K rounds of unweighted hop relaxation from the minimum `src` vertex
+    * (mirrors the engine's min-id source pick). */
+  def bfsMinSourceSql(withBody: String, k: Int): String =
+    bfsSeededSql(withBody, "SELECT (SELECT MIN(src) FROM e) AS id, CAST(0 AS BIGINT) AS level", k)
+
+  /** K rounds of unweighted hop relaxation from a given source set. */
+  def bfsSql(withBody: String, sources: Seq[Long], k: Int): String =
+    bfsSeededSql(withBody,
+      sources.map(s => s"SELECT CAST($s AS BIGINT) AS id, CAST(0 AS BIGINT) AS level")
+        .mkString(" UNION ALL "), k)
+
+  private def bfsSeededSql(withBody: String, seed: String, k: Int): String = {
+    val steps = (1 to k).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT id, MIN(level) AS level FROM (
+         |SELECT id, level FROM d${i - 1}
+         |UNION ALL
+         |SELECT e.dst AS id, d.level + 1 AS level FROM d${i - 1} d JOIN e ON d.id = e.src
+         |) t GROUP BY id)""".stripMargin.replace('\n', ' ')
+    }
+    s"WITH $withBody, d0 AS MATERIALIZED ($seed), " + steps.mkString(", ") +
+      s" SELECT id, level FROM d$k ORDER BY id"
+  }
+
+  /** K rounds of min- or max-label propagation over all vertices of `e`.
+    * outName: result column name (component / max_id). */
+  def labelPropSql(withBody: String, k: Int, isMin: Boolean, outName: String): String = {
+    val f = if (isMin) "MIN" else "MAX"
+    val steps = (1 to k).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT id, $f(lbl) AS lbl FROM (
+         |SELECT id, lbl FROM l${i - 1}
+         |UNION ALL
+         |SELECT e.dst AS id, l.lbl AS lbl FROM l${i - 1} l JOIN e ON l.id = e.src
+         |) t GROUP BY id)""".stripMargin.replace('\n', ' ')
+    }
+    (s"WITH $withBody, v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), " +
+      "l0 AS MATERIALIZED (SELECT id, id AS lbl FROM v), " + steps.mkString(", ") +
+      s" SELECT id, lbl AS $outName FROM l$k ORDER BY id")
+  }
+
+  /** K PageRank iterations with teleport resetProb/n over a graph with no
+    * dangling vertices (symmetric e). Mirrors graft.graph.Algos.pagerank
+    * arithmetic exactly; final values rounded to `digits`. */
+  def pagerankSql(withBody: String, k: Int, damping: Double, resetProb: Double,
+                  digits: Int): String = {
+    val steps = (1 to k).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT v.id AS id,
+         |(SELECT $resetProb / n FROM nn) + $damping * COALESCE(s.c, 0) AS pr
+         |FROM v LEFT JOIN (
+         |SELECT e.dst AS id, SUM(p.pr / d.outdeg) AS c
+         |FROM p${i - 1} p JOIN e ON p.id = e.src JOIN deg d ON d.id = p.id
+         |GROUP BY e.dst) s ON v.id = s.id)""".stripMargin.replace('\n', ' ')
+    }
+    (s"WITH $withBody, v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e), " +
+      "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v), " +
+      "deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM e GROUP BY src), " +
+      "p0 AS MATERIALIZED (SELECT id, (SELECT 1.0 / n FROM nn) AS pr FROM v), " +
+      steps.mkString(", ") +
+      s" SELECT id, ROUND(pr, $digits) AS pr FROM p$k ORDER BY id")
+  }
+
+  /** K rounds of deterministic id-priority maximal-independent-set:
+    * a vertex enters (st=1) when smaller than all undecided neighbors;
+    * neighbors leave (st=2). */
+  def misSql(withBody: String, k: Int): String = {
+    val steps = (1 to k).map { i =>
+      s"""ni$i AS MATERIALIZED (SELECT a.id FROM s${i - 1} a WHERE a.st = 0 AND NOT EXISTS (
+         |SELECT 1 FROM e JOIN s${i - 1} b ON e.dst = b.id
+         |WHERE e.src = a.id AND b.st = 0 AND b.id < a.id)),
+         |no$i AS MATERIALIZED (SELECT DISTINCT e.dst AS id FROM ni$i n JOIN e ON e.src = n.id),
+         |s$i AS MATERIALIZED (SELECT s.id,
+         |CASE WHEN s.st <> 0 THEN s.st
+         |WHEN s.id IN (SELECT id FROM ni$i) THEN 1
+         |WHEN s.id IN (SELECT id FROM no$i) THEN 2
+         |ELSE 0 END AS st FROM s${i - 1} s)""".stripMargin.replace('\n', ' ')
+    }
+    (s"WITH $withBody, v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), " +
+      "s0 AS MATERIALIZED (SELECT id, 0 AS st FROM v), " + steps.mkString(", ") +
+      s" SELECT id, CAST(st = 1 AS INT) AS in_set FROM s$k ORDER BY id")
+  }
+
+  /** SCC labels (comp = max id in the component) via K-fold path-doubling
+    * transitive closure — oracle-only; the engine uses FB-coloring. */
+  def sccSql(withBody: String, k: Int): String = {
+    val steps = (1 to k).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT DISTINCT x.a, y.b FROM c${i - 1} x JOIN c${i - 1} y ON x.b = y.a)"""
+    }
+    (s"WITH $withBody, v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), " +
+      "c0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION SELECT id AS a, id AS b FROM v), " +
+      steps.mkString(", ") +
+      s" SELECT f.a AS id, MAX(f.b) AS comp FROM c$k f JOIN c$k r ON f.a = r.b AND f.b = r.a" +
+      " GROUP BY f.a ORDER BY id")
+  }
+}

@@ -1,0 +1,105 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for training-data pipelines, as pure
+  * Column expressions (whole-stage-codegen friendly; no UDFs — every
+  * function here compiles into Catalyst expressions that run inside the
+  * generated code, which is what keeps a 100 TB scan CPU-bound instead of
+  * serialization-bound).
+  *
+  * Everything is engine-portable: the DuckDB oracle reproduces each
+  * function with the same arithmetic (see graft.Queries / PipelineQueries).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  def uniqueTokenCount(c: Column): Column =
+    size(array_distinct(tokens(c))).cast("long")
+
+  /** Count of lowercase-alpha characters (quality signal). */
+  def alphaCount(c: Column): Column =
+    length(regexp_replace(c, "[^a-z]", "")).cast("long")
+
+  /** Tokens found in `words` (stopword density / language evidence). */
+  def wordHits(c: Column, words: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isin(words: _*))).cast("long")
+
+  /** Character k-shingles (sliding window), deduplicated.
+    * Short texts yield their own (single) truncated shingle. */
+  def shingleSet(c: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(c) - lit(k - 1), lit(1))),
+      i => c.substr(i, lit(k))))
+
+  /** Deduplicated word n-grams joined with single spaces. */
+  def wordNgrams(tok: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(tok) - lit(n - 1), lit(1))),
+      i => concat_ws(" ", (0 until n).map(o => element_at(tok, i + lit(o))): _*)))
+
+  /** Rolling-hash document fingerprint: lexicographic min/max of md5 over
+    * the k-shingle set (md5 is identical across engines, and string min =
+    * unsigned numeric min for fixed-width lowercase hex). */
+  def fingerprintMin(shingles: Column): Column =
+    array_min(transform(shingles, s => md5(s)))
+
+  def fingerprintMax(shingles: Column): Column =
+    array_max(transform(shingles, s => md5(s)))
+
+  /** Composite quality score in [0,1]: stopword density, length prior,
+    * alpha ratio. Deterministic double arithmetic (left-assoc sum). */
+  def qualityScore(nStop: Column, nTokens: Column, nAlpha: Column, nChars: Column): Column =
+    round(
+      lit(0.4) * (nStop / nTokens) +
+        lit(0.4) * least(nTokens / lit(200.0), lit(1.0)) +
+        lit(0.2) * (nAlpha / nChars), 6)
+
+  /** MinHash signature: `numHashes` permutations approximated by seeded
+    * md5 (hash_j(s) = md5(j || ':' || s)); entry j = min over shingles. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(shingles,
+        s => md5(concat(j.cast("string"), lit(":"), s)))))
+
+  /** 32-bit SimHash from the hex-digit parity of each shingle's md5:
+    * bit j is set when the majority of shingles have an odd hex digit at
+    * position j. Returned as BIGINT. */
+  def simhash32(shingles: Column): Column = {
+    val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    aggregate(
+      sequence(lit(0), lit(31)), lit(0L),
+      (acc, j) => acc + when(
+        size(filter(shingles,
+          s => md5(s).substr(j + lit(1), lit(1)).isin(oddHex: _*))) * 2 >= size(shingles),
+        pow(lit(2.0), j).cast("long")).otherwise(lit(0L)))
+  }
+
+  /** Jaccard similarity of two (deduplicated) array columns, as the exact
+    * double |∩| / (|a|+|b|-|∩|). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** n-gram-heuristic language id: argmax of evidence-token hits across
+    * language profiles, first profile wins ties. Returns (scores…, lang)
+    * via a CASE cascade mirrored by the oracle. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  def langId(c: Column): Column = {
+    val hits = langProfiles.map { case (_, ws) => wordHits(c, ws) }
+    val Seq(en, de, fr) = hits
+    when(en >= de && en >= fr, lit("en"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+  }
+}
