@@ -1,0 +1,70 @@
+package graft.blocks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The Block framework (SURVEY §2.8): Giraph's composable per-superstep
+  * operator algebra (giraph-block-app .../framework/block) re-expressed
+  * as plain function combinators over the vertex frame. A `Step` is one
+  * logical superstep — the send-half / master / receive-half of a Piece
+  * (BLOCK/framework/piece/AbstractPiece.java:55-131) collapses into a
+  * DataFrame → DataFrame transform; control flow (sequence / repeat /
+  * repeat-until / if) is ordinary driver code, which is exactly how the
+  * reference's MasterCompute drives phases (SURVEY §2.6).
+  */
+object Blocks {
+
+  /** One composable superstep: vertex frame in, vertex frame out. */
+  type Step = DataFrame => DataFrame
+
+  /** SequenceBlock (BLOCK/framework/block/SequenceBlock.java:33). */
+  def sequence(steps: Step*): Step =
+    steps.reduceOption(_ andThen _).getOrElse(empty)
+
+  /** RepeatBlock (RepeatBlock.java:33). */
+  def repeat(n: Int)(s: Step): Step =
+    df => (0 until n).foldLeft(df)((d, _) => s(d))
+
+  /** RepeatUntilBlock (RepeatUntilBlock.java:37): repeat until `halt`
+    * (fed by a driver-collected aggregate — the reducer-supplied
+    * `Supplier<Boolean>` of the reference) or maxIter. */
+  def repeatUntil(maxIter: Int)(s: Step)(halt: DataFrame => Boolean): Step = { df =>
+    var cur = df
+    var i = 0
+    while (i < maxIter && !halt(cur)) { cur = s(cur); i += 1 }
+    cur
+  }
+
+  /** IfBlock (IfBlock.java:30). */
+  def when(cond: => Boolean)(s: Step): Step =
+    df => if (cond) s(df) else df
+
+  /** FilteringBlock (BLOCK/framework/block/FilteringBlock.java): run the
+    * inner block only on vertices passing the predicate; pass the rest
+    * through untouched. */
+  def filtering(pred: Column)(s: Step): Step =
+    df => s(df.filter(pred)).unionByName(df.filter(!pred))
+
+  /** EmptyBlock (EmptyBlock.java:30). */
+  val empty: Step = identity
+
+  /** Pieces.forAllVertices (BLOCK/library/Pieces.java:65-92): per-vertex
+    * column rewrite. */
+  def forAllVertices(colName: String, value: Column): Step =
+    _.withColumn(colName, value)
+
+  /** Pieces.removeVertices (Pieces.java:140). */
+  def removeVertices(pred: Column): Step = _.filter(!pred)
+
+  /** Pieces.reduce / reduceWithMaster (Pieces.java:192-339): collect a
+    * scalar aggregate to the driver and hand it to the master function. */
+  def reduceWithMaster[T](agg: Column, master: T => Unit): Step = { df =>
+    master(df.agg(agg).first().getAs[T](0))
+    df
+  }
+
+  /** IterationCounterPiece (BLOCK/library/iteration): fold with the
+    * iteration index exposed. */
+  def repeatIndexed(n: Int)(s: (DataFrame, Int) => DataFrame): Step =
+    df => (0 until n).foldLeft(df)(s)
+}

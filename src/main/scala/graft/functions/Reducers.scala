@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Global aggregation operators: the reference's Aggregator /
+  * ReduceOperation monoids (SURVEY §2.5).
+  *
+  * Most built-ins (Int/Long/Float/Double × {Min,Max,Sum}, Boolean
+  * And/Or — giraph-core aggregators package) map directly onto Spark SQL
+  * aggregate functions; [[columnFor]] gives that mapping. The ones Spark
+  * lacks natively (product, pair-max, elementwise vector sum) are typed
+  * `Aggregator[IN,BUF,OUT]`s — the exact Spark analog of
+  * `ReduceOperation.createInitialValue/reduce/reduceMerge`
+  * (CORE/reducers/ReduceOperation.java:36-63). Spark runs them
+  * partial+final over the shuffle, which is precisely the reference's
+  * sharded-aggregator design (src/site/xdoc/aggregators.xml:70-71) —
+  * nothing to hand-build.
+  */
+object Reducers {
+
+  /** Column-level mapping for the 25 built-in aggregators
+    * (CORE/aggregators): name → aggregate expression. */
+  def columnFor(name: String, c: Column): Column = name match {
+    case "min"     => min(c)
+    case "max"     => max(c)
+    case "sum"     => sum(c)
+    case "and"     => bool_and(c)
+    case "or"      => bool_or(c)
+    case "xor"     => bit_xor(c)
+    case "overwrite" => last(c)
+    case "append"  => concat_ws("", collect_list(c))   // TextAppendAggregator
+    case "product" => productCol(c)
+    case other     => throw new IllegalArgumentException(s"unknown reducer: $other")
+  }
+
+  /** Product of a double column via exp∘sum∘ln with sign/zero handling
+    * (DoubleProductAggregator, CORE/aggregators/DoubleProductAggregator). */
+  def productCol(c: Column): Column = {
+    val zeros = sum(when(c === 0.0, 1).otherwise(0))
+    val negs = sum(when(c < 0.0, 1).otherwise(0))
+    val mag = exp(sum(log(abs(nullif(c, lit(0.0))))))
+    when(zeros > 0, lit(0.0))
+      .otherwise(when(pmod(negs, lit(2)) === 1, -mag).otherwise(mag))
+  }
+
+  /** ReduceOperation analog: product over Long (LongProduct reducer). */
+  object LongProduct extends Aggregator[Long, Long, Long] {
+    def zero: Long = 1L
+    def reduce(b: Long, a: Long): Long = b * a
+    def merge(b1: Long, b2: Long): Long = b1 * b2
+    def finish(r: Long): Long = r
+    def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** LongXorReduce (CORE/reducers/impl/LongXorReduce.java). */
+  object LongXor extends Aggregator[Long, Long, Long] {
+    def zero: Long = 0L
+    def reduce(b: Long, a: Long): Long = b ^ a
+    def merge(b1: Long, b2: Long): Long = b1 ^ b2
+    def finish(r: Long): Long = r
+    def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** MaxPairReducer (CORE/reducers/impl/MaxPairReducer.java): keep the
+    * (id, value) pair with max value; min id breaks ties
+    * deterministically. */
+  object MaxPair extends Aggregator[(Long, Double), (Long, Double), (Long, Double)] {
+    def zero: (Long, Double) = (Long.MaxValue, Double.NegativeInfinity)
+    def reduce(b: (Long, Double), a: (Long, Double)): (Long, Double) = pick(b, a)
+    def merge(b1: (Long, Double), b2: (Long, Double)): (Long, Double) = pick(b1, b2)
+    private def pick(x: (Long, Double), y: (Long, Double)) =
+      if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x
+    def finish(r: (Long, Double)): (Long, Double) = r
+    def bufferEncoder: Encoder[(Long, Double)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    def outputEncoder: Encoder[(Long, Double)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+  }
+
+  /** Dense vector sum (aggregators/matrix/dense family): elementwise sum
+    * of equal-length arrays. */
+  final class VectorSum(dim: Int) extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+    def zero: Array[Double] = Array.fill(dim)(0.0)
+    def reduce(b: Array[Double], a: Seq[Double]): Array[Double] = {
+      var i = 0; while (i < dim) { b(i) += a(i); i += 1 }; b
+    }
+    def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+      var i = 0; while (i < dim) { b1(i) += b2(i); i += 1 }; b1
+    }
+    def finish(r: Array[Double]): Seq[Double] = r.toSeq
+    def bufferEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** Column-expression elementwise vector sum (codegen path — preferred
+    * over the typed Aggregator when the vector is an array column):
+    * aggregate over zip_with. */
+  def vectorSumCol(c: Column, dim: Int): Column =
+    aggregate(collect_list(c),
+      array((0 until dim).map(_ => lit(0.0)): _*),
+      (acc, v) => zip_with(acc, v, (x, y) => x + y))
+}

@@ -48,7 +48,7 @@ object Algos {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nbrMin0 = e.groupBy(col("src").as("id")).agg(min(col("dst")).as("nm"))
     var f = verticesOf(e).join(nbrMin0, Seq("id"), "left")
-      .select(col("id"), least(col("id"), col("nm")).as("f"))
+      .select(col("id"), col("id").as("f_old"), least(col("id"), col("nm")).as("f"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     var step = 0
@@ -56,17 +56,15 @@ object Algos {
       val m1 = e.join(f.select(col("id").as("src"), col("f").as("fs")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("fs")).as("m1"))
       val gp = f.select(col("id").as("gid"), col("f").as("gf"))
-      var next = f
+      val next = f
         .join(m1, Seq("id"), "left")
         .join(gp, col("f") === col("gid"), "left")
         .select(col("id"), col("f").as("f_old"),
           least(col("f"), col("m1"), col("gf")).as("f"))
-      next =
-        if ((step + 1) % opts.checkpointEvery == 0) next.localCheckpoint()
-        else next.persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       changed = next.filter(col("f") < col("f_old")).count()
       f.unpersist()
-      f = next.select("id", "f")
+      f = next // carries a stale f_old column; joins above project it away
       step += 1
     }
     e.unpersist()
@@ -238,7 +236,7 @@ object Algos {
         .select(col("id"))
       val outs = e.join(ins.select(col("id").as("src")), Seq("src"))
         .select(col("dst").as("id")).distinct()
-      var next = verts
+      val next = verts
         .join(ins.withColumn("is_in", lit(1)), Seq("id"), "left")
         .join(outs.withColumn("is_out", lit(1)), Seq("id"), "left")
         .select(col("id"),
@@ -246,9 +244,7 @@ object Algos {
             .when(col("is_in") === 1, lit(1))
             .when(col("is_out") === 1, lit(2))
             .otherwise(lit(0)).as("st"))
-      next =
-        if ((step + 1) % opts.checkpointEvery == 0) next.localCheckpoint()
-        else next.persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       undecided = next.filter(col("st") === 0).count()
       verts.unpersist()
       verts = next

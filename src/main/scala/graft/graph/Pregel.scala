@@ -80,10 +80,11 @@ object Pregel {
     while (active > 0L && step < opts.maxSupersteps) {
       val msgs = sendMsg(verts.filter(col("active")).join(e, col("id") === col("src")))
         .groupBy("id").agg(combineMsg.as("msg"))
-      var newVerts = vprog(verts, msgs)
-      newVerts =
-        if ((step + 1) % opts.checkpointEvery == 0) newVerts.localCheckpoint()
-        else newVerts.persist(opts.storageLevel)
+      // eager localCheckpoint: materializes AND truncates the logical
+      // plan — without it the plan tree grows exponentially with the
+      // superstep count (each step references the previous frame 2-3
+      // times) and analysis alone OOMs (SURVEY §7.4 risk #1)
+      val newVerts = vprog(verts, msgs).localCheckpoint()
       active = newVerts.filter(col("active")).count()
       verts.unpersist()
       verts = newVerts
@@ -110,11 +111,7 @@ object Pregel {
     var i = 0
     var go = true
     while (i < iterations && go) {
-      var next = step(verts, i)
-      next =
-        if ((i + 1) % opts.checkpointEvery == 0) next.localCheckpoint()
-        else next.persist(opts.storageLevel)
-      next.count()
+      val next = step(verts, i).localCheckpoint()
       verts.unpersist()
       verts = next
       go = master(verts, i)

@@ -1,0 +1,140 @@
+package graft.io
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph sources/sinks mirroring the reference's io/formats family
+  * (SURVEY §2.1-2.2) as Spark readers/writers.
+  *
+  * Conventions: a "vertex frame" is (id BIGINT, value …), an "edge frame"
+  * is (src BIGINT, dst BIGINT[, w]). Text formats parse with pure Column
+  * expressions (codegen'd, no per-line UDF); the JSON vertex format uses
+  * from_json with an explicit schema.
+  */
+object GraphFormats {
+
+  /** AdjacencyListTextVertexInputFormat
+    * (CORE/io/formats/AdjacencyListTextVertexInputFormat.java:31-47):
+    * line = `id<d>value<d>dst1<d>w1<d>dst2<d>w2…`, delimiter configurable.
+    * Returns (vertices(id, value), edges(src, dst, w)). */
+  def readAdjacencyList(spark: SparkSession, path: String,
+                        delimiter: String = "\t"): (DataFrame, DataFrame) = {
+    val arr = split(col("value"), Pattern.quote(delimiter))
+    val parsed = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(arr.as("a"))
+      .select(
+        element_at(col("a"), 1).cast("long").as("id"),
+        element_at(col("a"), 2).cast("double").as("value"),
+        when(size(col("a")) > 2,
+          transform(sequence(lit(3), size(col("a")) - 1, lit(2)),
+            i => struct(
+              element_at(col("a"), i).cast("long").as("dst"),
+              element_at(col("a"), i + 1).cast("double").as("w"))))
+          .otherwise(array().cast("array<struct<dst:bigint,w:double>>")).as("adj"))
+    val vertices = parsed.select(col("id"), col("value"))
+    val edges = parsed.select(col("id").as("src"), explode(col("adj")).as("e"))
+      .select(col("src"), col("e.dst").as("dst"), col("e.w").as("w"))
+    (vertices, edges)
+  }
+
+  /** JsonLongDoubleFloatDoubleVertexInputFormat
+    * (CORE/io/formats/JsonLongDoubleFloatDoubleVertexInputFormat.java:55-61):
+    * line = `[id, value, [[dst, w], …]]`. */
+  def readJsonVertexLines(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    parseJsonVertexLines(spark.read.text(path).select(col("value").as("line")))
+
+  /** Same, from an in-memory frame with a `line` column (test fixture path,
+    * mirroring InternalVertexRunner's text-lines entry, SURVEY §3.3). */
+  def parseJsonVertexLines(lines: DataFrame): (DataFrame, DataFrame) = {
+    // JSON array of mixed types: parse id/value scalars + nested edge array
+    val parsed = lines
+      .select(from_json(col("line"), lit("array<string>")).as("a"))
+      .select(
+        element_at(col("a"), 1).cast("long").as("id"),
+        element_at(col("a"), 2).cast("double").as("value"),
+        from_json(element_at(col("a"), 3), lit("array<array<double>>")).as("adj"))
+    val vertices = parsed.select(col("id"), col("value"))
+    val edges = parsed.select(col("id").as("src"), explode(col("adj")).as("e"))
+      .select(col("src"),
+        element_at(col("e"), 1).cast("long").as("dst"),
+        element_at(col("e"), 2).cast("double").as("w"))
+    (vertices, edges)
+  }
+
+  /** IntNullTextEdgeInputFormat (CORE/io/formats/IntNullTextEdgeInputFormat
+    * .java): `src<TAB>dst` per line; optional third weight column. */
+  def readEdgeList(spark: SparkSession, path: String,
+                   delimiter: String = "\t"): DataFrame = {
+    val arr = split(col("value"), Pattern.quote(delimiter))
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(
+        element_at(arr, 1).cast("long").as("src"),
+        element_at(arr, 2).cast("long").as("dst"),
+        when(size(arr) > 2, element_at(arr, 3).cast("double"))
+          .otherwise(lit(null).cast("double")).as("w"))
+  }
+
+  /** ReverseEdgeDuplicator (CORE/io/ReverseEdgeDuplicator.java): emit each
+    * edge in both directions at load. */
+  def withReverseEdges(edges: DataFrame): DataFrame = {
+    val cols = edges.columns
+    edges.union(
+      edges.withColumnRenamed("src", "t_").withColumnRenamed("dst", "src")
+        .withColumnRenamed("t_", "dst").select(cols.map(col).toSeq: _*))
+  }
+
+  /** IdWithValueTextOutputFormat
+    * (CORE/io/formats/IdWithValueTextOutputFormat.java:40-100):
+    * `id<TAB>value` per line, sorted by id for stable file hashes. */
+  def writeIdWithValue(vertices: DataFrame, path: String,
+                       idCol: String = "id", valueCol: String = "value",
+                       delimiter: String = "\t"): Unit =
+    vertices.orderBy(col(idCol))
+      .select(concat_ws(delimiter, col(idCol), col(valueCol)).as("value"))
+      .write.mode("overwrite").text(path)
+
+  /** AdjacencyListTextVertexOutputFormat: full adjacency line round-trip. */
+  def writeAdjacencyList(vertices: DataFrame, edges: DataFrame, path: String,
+                         delimiter: String = "\t"): Unit = {
+    val adj = edges.orderBy(col("src"), col("dst"))
+      .groupBy(col("src").as("id"))
+      .agg(flatten(collect_list(array(col("dst").cast("string"),
+        col("w").cast("string")))).as("adj"))
+    vertices.join(adj, Seq("id"), "left").orderBy(col("id"))
+      .select(concat_ws(delimiter,
+        (Seq(col("id"), col("value")) :+ concat_ws(delimiter, col("adj"))): _*).as("value"))
+      .write.mode("overwrite").text(path)
+  }
+
+  /** SrcIdDstIdEdgeValueTextOutputFormat: one `src<TAB>dst<TAB>w` line per
+    * edge. */
+  def writeEdgeList(edges: DataFrame, path: String, delimiter: String = "\t"): Unit =
+    edges.orderBy(col("src"), col("dst"))
+      .select(concat_ws(delimiter, col("src"), col("dst"), col("w")).as("value"))
+      .write.mode("overwrite").text(path)
+
+  /** GraphvizOutputFormat (CORE/io/formats/GraphvizOutputFormat.java):
+    * digraph in .dot syntax. */
+  def writeGraphviz(edges: DataFrame, path: String): Unit = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val body = edges.orderBy(col("src"), col("dst"))
+      .select(concat(lit("  "), col("src"), lit(" -> "), col("dst"), lit(";")).as("value"))
+    Seq("digraph g {").toDF("value")
+      .unionByName(body)
+      .unionByName(Seq("}").toDF("value"))
+      .coalesce(1).write.mode("overwrite").text(path)
+  }
+
+  /** SequenceFileVertexInput/OutputFormat equivalent: the binary format of
+    * choice here is parquet. */
+  def writeVerticesParquet(vertices: DataFrame, path: String): Unit =
+    vertices.write.mode("overwrite").parquet(path)
+
+  def readVerticesParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface. The reference has no streaming at all
+  * (SURVEY §2.10) — this is the forward-looking half of the engine: the
+  * same event-table queries (tumbling windows, sessionization) expressed
+  * incrementally, so a 100 TB/day event feed is processed as it lands
+  * instead of re-scanned.
+  *
+  * Batch/stream parity: `tumblingCounts` over a bounded frame equals the
+  * batch q_tumbling aggregation; `Sessionize.run` equals q_sessions —
+  * the specs assert this with MemoryStream fixtures.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class SessionState(sessionCount: Long, eventCount: Long, lastTs: Long)
+
+  final case class UserSessions(user_id: Long, sessions: Long, events_cnt: Long)
+
+  /** Tumbling-window counts with a watermark: the streaming twin of the
+    * batch hourly aggregation. */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+
+  /** Gap-based sessionization via mapGroupsWithState — the engine's
+    * KeyValueGroupedDataset custom-state path. Gap in ns to mirror the
+    * batch query's integral arithmetic. */
+  object Sessionize {
+    val GapNs: Long = 1800L * 1000000000L
+
+    def updateState(userId: Long, rows: Iterator[Event],
+                    state: GroupState[SessionState]): UserSessions = {
+      var st = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
+      // deterministic order within the micro-batch
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val tsNs = e.ts.getTime * 1000000L
+        val newSession = st.lastTs == Long.MinValue || tsNs - st.lastTs > GapNs
+        st = SessionState(st.sessionCount + (if (newSession) 1 else 0),
+          st.eventCount + 1, tsNs)
+      }
+      state.update(st)
+      UserSessions(userId, st.sessionCount, st.eventCount)
+    }
+
+    def run(events: Dataset[Event]): Dataset[UserSessions] = {
+      val spark = events.sparkSession
+      import spark.implicits._
+      events.groupByKey(_.user_id)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(updateState)
+    }
+  }
+
+  /** File-source → parquet-sink wiring: watch a directory of event
+    * parquet drops, maintain the tumbling aggregate. */
+  def streamDirectoryToParquet(spark: org.apache.spark.sql.SparkSession,
+                               inDir: String, outDir: String,
+                               checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val in = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .parquet(inDir)
+    tumblingCounts(in).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+}

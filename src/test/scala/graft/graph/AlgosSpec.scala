@@ -1,0 +1,92 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Golden fixtures replicated from the reference's own tests
+  * (FIXTURES.md §A). */
+class AlgosSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** SSSP fixture of SimpleShortestPathsComputationTest.java:139-201:
+    * source 1, expected distances 1→0, 2→1, 3→2, 4→4 (integral weights). */
+  test("sssp matches the reference golden fixture") {
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 3L), (2L, 3L, 1L), (2L, 4L, 10L), (3L, 4L, 2L))
+      .toDF("src", "dst", "w")
+    val got = Algos.sssp(edges, source = 1L).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 4L)))
+  }
+
+  /** CC fixture of FIXTURES.md §A3: components {1,2,3} and {4,5}. */
+  test("wcc labels components with their min id") {
+    val e = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val got = Algos.wcc(Prep.makeSymmetric(e)).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L)))
+  }
+
+  test("wcc converges on a long path graph (pointer jumping)") {
+    val n = 300
+    val e = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("src", "dst")
+    val got = Algos.wcc(Prep.makeSymmetric(e))
+    assert(got.filter(col("component") =!= 0L).count() == 0)
+    assert(got.count() == n)
+  }
+
+  test("bfs levels are hop counts") {
+    val e = Prep.makeSymmetric(Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst"))
+    val got = Algos.bfs(e, Seq(1L)).orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L)))
+  }
+
+  test("pagerank mass sums to 1 and ranks the hub highest") {
+    // star: 1..5 all point to 0 and back (symmetric)
+    val e = Prep.makeSymmetric((1 to 5).map(i => (i.toLong, 0L)).toDF("src", "dst"))
+    val pr = Algos.pagerank(e, iterations = 10)
+    val total = pr.agg(sum("pr")).first().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9)
+    val top = pr.orderBy(col("pr").desc).first().getLong(0)
+    assert(top == 0L)
+  }
+
+  test("pagerank redistributes dangling mass (sum stays 1)") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst") // 3 is dangling
+    val pr = Algos.pagerank(e, iterations = 8)
+    val total = pr.agg(sum("pr")).first().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9)
+  }
+
+  test("degrees counts in/out with 0-fill") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val got = Algos.degrees(e).orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0L), (2L, 1L, 1L), (3L, 0L, 2L)))
+  }
+
+  test("triangleCount on K4 finds 4 triangles") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
+    assert(Algos.triangleCount(pairs).first().getLong(0) == 4L)
+  }
+
+  test("independentSet picks a maximal independent set by id priority") {
+    // path 1-2-3-4-5: id-priority MIS = {1,3,5}
+    val e = Prep.makeSymmetric(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst"))
+    val got = Algos.independentSet(e).filter(col("in_set") === 1)
+      .orderBy("id").as[(Long, Int)].collect().map(_._1).toSeq
+    assert(got == Seq(1L, 3L, 5L))
+  }
+
+  test("scc separates a cycle from a tail") {
+    // cycle 1→2→3→1 plus tail 3→4 (4 alone)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val got = Algos.scc(e).orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 4L)))
+  }
+
+  test("maxProp propagates the component max") {
+    val e = Prep.makeSymmetric(Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("src", "dst"))
+    val got = Algos.maxProp(e).orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (7L, 9L), (9L, 9L)))
+  }
+}

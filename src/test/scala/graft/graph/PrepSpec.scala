@@ -1,0 +1,53 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("makeSymmetric adds exactly the missing mirrors") {
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+    val s = Prep.makeSymmetric(e)
+    assert(s.count() == 4)
+    assert(Prep.isSymmetric(s))
+  }
+
+  test("removeAsymEdges keeps only bidirectional pairs") {
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+    val got = Prep.removeAsymEdges(e).orderBy("src").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("removeStandAloneVertices drops degree-0 ids") {
+    val v = Seq(1L, 2L, 9L).toDF("id")
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    assert(Prep.removeStandAloneVertices(v, e).as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("normalizeEdgeWeights makes out-weights sum to 1") {
+    val e = Seq((1L, 2L, 1L), (1L, 3L, 3L), (2L, 3L, 5L)).toDF("src", "dst", "w")
+    val sums = Prep.normalizeEdgeWeights(e).groupBy("src").agg(sum("w").as("s"))
+      .select("s").as[Double].collect()
+    assert(sums.forall(s => math.abs(s - 1.0) < 1e-12))
+  }
+
+  test("property: makeSymmetric is idempotent and symmetric (seeded random graphs)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val pairs = Seq.fill(30)((rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
+      val e = pairs.toDF("src", "dst")
+      val s = Prep.makeSymmetric(e)
+      assert(Prep.isSymmetric(s))
+      assert(Prep.makeSymmetric(s).count() == s.count())
+    }
+  }
+
+  test("cleanSymmetric drops self-loops and parallel edges") {
+    val e = Seq((1L, 1L), (1L, 2L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val c = Prep.cleanSymmetric(e)
+    assert(c.filter(col("src") === col("dst")).count() == 0)
+    assert(c.count() == 4) // (1,2),(2,1),(2,3),(3,2)
+  }
+}

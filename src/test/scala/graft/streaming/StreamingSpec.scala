@@ -1,0 +1,47 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.EventStreams.{Event, Sessionize}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, sec: Long, user: Long) =
+    Event(id, new Timestamp(sec * 1000L), user, "click", 1.0)
+
+  test("streaming sessionization matches the batch gap rule") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = Sessionize.run(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    // user 1: two events 10s apart (1 session), then one 40min later (2nd)
+    input.addData(ev(1, 0, 1), ev(2, 10, 1), ev(3, 2500, 1), ev(4, 0, 2))
+    query.processAllAvailable()
+    val got = spark.table("sessions").as[EventStreams.UserSessions]
+      .collect().map(u => u.user_id -> (u.sessions, u.events_cnt)).toMap
+    assert(got(1L) == ((2L, 3L)))
+    assert(got(2L) == ((1L, 1L)))
+    query.stop()
+  }
+
+  test("streaming tumbling counts equal the batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.tumblingCounts(input.toDS().toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("update").start()
+    input.addData(ev(1, 100, 1), ev(2, 200, 1), ev(3, 4000, 2))
+    query.processAllAvailable()
+    val got = spark.table("tumbling")
+      .select(col("window.start").cast("long"), col("cnt")).as[(Long, Long)]
+      .collect().toMap
+    assert(got(0L) == 2L && got(3600L) == 1L)
+    query.stop()
+  }
+}
