@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.sim.Similarity
+import graft.sql.Exact.{e4, e6}
 import graft.text.TextFunctions._
 
 /** Training-data-pipeline query corpus: text analysis, dedup family,
@@ -53,7 +54,7 @@ object PipelineQueries {
         alphaCount(col("text")).as("n_alpha"),
         length(col("text")).cast("long").as("n_len"))
       .select(col("doc_id"), col("n_stop"), col("n_tokens"),
-        qualityScore(col("n_stop"), col("n_tokens"), col("n_alpha"), col("n_len")).as("score"))
+        e6(qualityScore(col("n_stop"), col("n_tokens"), col("n_alpha"), col("n_len"))).as("score_e6"))
       .orderBy(col("doc_id"))
   }
 
@@ -65,8 +66,8 @@ object PipelineQueries {
        |CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
        |CAST(length(text) AS BIGINT) AS n_len FROM documents)
        |SELECT doc_id, n_stop, n_tokens,
-       |ROUND(0.4 * (n_stop / n_tokens) + 0.4 * LEAST(n_tokens / 200.0, 1.0)
-       |+ 0.2 * (n_alpha / n_len), 6) AS score
+       |CAST(FLOOR((0.4 * (n_stop / n_tokens) + 0.4 * LEAST(n_tokens / 200.0, 1.0)
+       |+ 0.2 * (n_alpha / n_len)) * 1000000) AS BIGINT) AS score_e6
        |FROM b ORDER BY doc_id""".stripMargin.replace('\n', ' ')
   }
 
@@ -139,7 +140,7 @@ object PipelineQueries {
        |len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS inter,
        |len(x.sh) AS la, len(y.sh) AS lb
        |FROM pairs p JOIN sh x ON x.doc_id = p.ida JOIN sh y ON y.doc_id = p.idb)
-       |SELECT ida AS a, idb AS b, ROUND(inter / (la + lb - inter), 6) AS jaccard
+       |SELECT ida AS a, idb AS b, CAST(FLOOR(inter / (la + lb - inter) * 1000000) AS BIGINT) AS jac_e6
        |FROM jx WHERE inter / (la + lb - inter) >= 0.3 ORDER BY a, b""".stripMargin.replace('\n', ' ')
 
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
@@ -165,7 +166,7 @@ object PipelineQueries {
        |len(list_filter(x.tri, s -> list_contains(y.tri, s))) AS inter,
        |len(x.tri) AS la, len(y.tri) AS lb
        |FROM tri x JOIN tri y ON x.blk = y.blk AND x.doc_id < y.doc_id)
-       |SELECT a, b, ROUND(inter / (la + lb - inter), 6) AS jaccard
+       |SELECT a, b, CAST(FLOOR(inter / (la + lb - inter) * 1000000) AS BIGINT) AS jac_e6
        |FROM jx WHERE inter / (la + lb - inter) >= 0.1 ORDER BY a, b""".stripMargin.replace('\n', ' ')
 
   private def qDedupEmb(s: SparkSession, dir: String): DataFrame =
@@ -178,9 +179,9 @@ object PipelineQueries {
 
   private val qDedupEmbSql =
     s"""SELECT x.vec_id AS a, y.vec_id AS b,
-       |ROUND(${cosSql("x.embedding", "y.embedding")}, 4) AS rcos
+       |CAST(FLOOR(${cosSql("x.embedding", "y.embedding")} * 10000) AS BIGINT) AS rcos_e4
        |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
-       |WHERE ROUND(${cosSql("x.embedding", "y.embedding")}, 4) >= 0.9
+       |WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.9
        |ORDER BY a, b""".stripMargin.replace('\n', ' ')
 
   // similarity search ---------------------------------------------------
@@ -197,11 +198,11 @@ object PipelineQueries {
   private val qAnnBruteSql =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
        |sc AS (SELECT q.q_id, e.vec_id AS n_id,
-       |ROUND(${cosSql("q.qv", "e.embedding")}, 4) AS rcos
+       |CAST(FLOOR(${cosSql("q.qv", "e.embedding")} * 10000) AS BIGINT) AS rcos_e4
        |FROM embeddings e JOIN q ON e.vec_id <> q.q_id)
-       |SELECT q_id, n_id, rcos FROM sc
-       |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rcos DESC, n_id) <= 10
-       |ORDER BY q_id, rcos DESC, n_id""".stripMargin.replace('\n', ' ')
+       |SELECT q_id, n_id, rcos_e4 FROM sc
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rcos_e4 DESC, n_id) <= 10
+       |ORDER BY q_id, rcos_e4 DESC, n_id""".stripMargin.replace('\n', ' ')
 
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir).embeddings
@@ -211,21 +212,21 @@ object PipelineQueries {
   private val qAnnIvfSql =
     s"""WITH cent AS MATERIALIZED (SELECT label,
        |list(m ORDER BY pos) AS cv FROM (
-       |SELECT label, pos, ROUND(AVG(CAST(embedding[pos] AS DOUBLE)), 6) AS m
+       |SELECT label, pos, FLOOR(AVG(CAST(embedding[pos] AS DOUBLE)) * 1000000) / 1000000 AS m
        |FROM embeddings, unnest(range(1, 65)) AS t(pos)
        |GROUP BY label, pos) g GROUP BY label),
        |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
        |probes AS MATERIALIZED (SELECT q_id, qv, label FROM (
        |SELECT q.q_id, q.qv, c.label,
-       |ROUND(${cosSql("q.qv", "c.cv")}, 6) AS rc
+       |CAST(FLOOR(${cosSql("q.qv", "c.cv")} * 1000000) AS BIGINT) AS rc
        |FROM cent c CROSS JOIN q)
        |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rc DESC, label) <= 2),
        |sc AS (SELECT p.q_id, e.vec_id AS n_id,
-       |ROUND(${cosSql("p.qv", "e.embedding")}, 4) AS rcos
+       |CAST(FLOOR(${cosSql("p.qv", "e.embedding")} * 10000) AS BIGINT) AS rcos_e4
        |FROM embeddings e JOIN probes p ON e.label = p.label AND e.vec_id <> p.q_id)
-       |SELECT q_id, n_id, rcos FROM sc
-       |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rcos DESC, n_id) <= 5
-       |ORDER BY q_id, rcos DESC, n_id""".stripMargin.replace('\n', ' ')
+       |SELECT q_id, n_id, rcos_e4 FROM sc
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rcos_e4 DESC, n_id) <= 5
+       |ORDER BY q_id, rcos_e4 DESC, n_id""".stripMargin.replace('\n', ' ')
 
   // multimodal ----------------------------------------------------------
 

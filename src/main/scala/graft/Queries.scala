@@ -5,14 +5,15 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.graph.{Algos, Prep}
-import graft.sql.OracleGen
+import graft.sql.{Exact, OracleGen}
+import graft.sql.Exact.{e2, e4, e6}
 
 /** The engine's declared query corpus: every entry has a Spark plan and —
-  * where SQL-expressible — a DuckDB oracle producing identical rows
-  * (same column names, same ordering, floats rounded identically).
+  * where SQL-expressible — a DuckDB oracle producing identical rows.
   *
   * Determinism rules: every query ends in ORDER BY on its keys; every
-  * float column is ROUND()ed to a fixed precision in BOTH engines;
+  * float output is emitted as a floor-scaled BIGINT via [[graft.sql.Exact]]
+  * (ROUND() tie-breaking differs across engines — see Exact's doc);
   * iterative algorithms are either unique-fixpoint (WCC/SSSP/BFS/MIS/SCC,
   * oracle unrolls ≥ convergence rounds) or fixed-iteration (PageRank,
   * oracle unrolls exactly the same count).
@@ -30,20 +31,20 @@ object Queries {
       .filter(col("l_shipdate") <= to_timestamp(lit("2000-12-01")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        e2(sum(col("l_quantity"))).as("sum_qty_e2"),
+        e2(sum(col("l_extendedprice"))).as("sum_base_e2"),
+        e2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_e2"),
+        e6(avg(col("l_quantity"))).as("avg_qty_e6"),
         count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   private val q01Sql =
     """SELECT l_returnflag, l_linestatus,
-      |ROUND(SUM(l_quantity), 2) AS sum_qty,
-      |ROUND(SUM(l_extendedprice), 2) AS sum_base,
-      |ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
-      |ROUND(AVG(l_quantity), 6) AS avg_qty,
+      |CAST(FLOOR(SUM(l_quantity) * 100) AS BIGINT) AS sum_qty_e2,
+      |CAST(FLOOR(SUM(l_extendedprice) * 100) AS BIGINT) AS sum_base_e2,
+      |CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_disc_e2,
+      |CAST(FLOOR(AVG(l_quantity) * 1000000) AS BIGINT) AS avg_qty_e6,
       |COUNT(*) AS cnt
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
@@ -57,19 +58,19 @@ object Queries {
       .join(t.lineitem.filter(col("l_shipdate") > to_timestamp(lit("1998-06-01"))),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .agg(e2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_e2"))
+      .orderBy(col("revenue_e2").desc, col("o_orderkey"))
       .limit(10)
   }
 
   private val q03Sql =
-    """SELECT o_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    """SELECT o_orderkey, CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_e2
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON o_orderkey = l_orderkey
       |WHERE c_mktsegment = 'BUILDING'
       |AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
       |AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
-      |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin.replace('\n', ' ')
+      |GROUP BY o_orderkey ORDER BY revenue_e2 DESC, o_orderkey LIMIT 10""".stripMargin.replace('\n', ' ')
 
   private def q06(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
@@ -77,12 +78,12 @@ object Queries {
       .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
         col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+      .agg(e2(sum(col("l_extendedprice") * col("l_discount"))).as("revenue_e2"),
         count(lit(1)).as("cnt"))
   }
 
   private val q06Sql =
-    """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue, COUNT(*) AS cnt
+    """SELECT CAST(FLOOR(SUM(l_extendedprice * l_discount) * 100) AS BIGINT) AS revenue_e2, COUNT(*) AS cnt
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -97,12 +98,12 @@ object Queries {
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(e2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_e2"))
       .orderBy(col("n_name"))
   }
 
   private val q05Sql =
-    """SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    """SELECT n_name, CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_e2
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON o_orderkey = l_orderkey
       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -112,12 +113,12 @@ object Queries {
   private def qRollup(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     t.lineitem.rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .agg(e2(sum(col("l_quantity"))).as("sum_qty_e2"), count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
   private val qRollupSql =
-    """SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS cnt
+    """SELECT l_returnflag, l_linestatus, CAST(FLOOR(SUM(l_quantity) * 100) AS BIGINT) AS sum_qty_e2, COUNT(*) AS cnt
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin.replace('\n', ' ')
 
@@ -150,13 +151,13 @@ object Queries {
     val t = Tables(s, dir)
     t.events
       .groupBy(expr("ts div 3600000000000").as("hour_idx"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"), e4(sum(col("value"))).as("sum_value_e4"))
       .orderBy(col("hour_idx"), col("event_type"))
   }
 
   private val qTumblingSql =
     """SELECT epoch_ns(ts) // 3600000000000 AS hour_idx,
-      |event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value
+      |event_type, COUNT(*) AS cnt, CAST(FLOOR(SUM(value) * 10000) AS BIGINT) AS sum_value_e4
       |FROM events GROUP BY 1, 2 ORDER BY hour_idx, event_type""".stripMargin.replace('\n', ' ')
 
   // ------------------------------------------------------------------
@@ -197,7 +198,7 @@ object Queries {
 
   private def qPagerank(s: SparkSession, dir: String): DataFrame =
     Algos.pagerank(custSuppSymE(s, dir), iterations = 5)
-      .select(col("id"), round(col("pr"), 6).as("pr"))
+      .select(col("id"), e6(col("pr")).as("pr_e6"))
       .orderBy(col("id"))
 
   private def qMaxProp(s: SparkSession, dir: String): DataFrame =
@@ -237,6 +238,38 @@ object Queries {
   private def qScc(s: SparkSession, dir: String): DataFrame =
     Algos.scc(TestGraphs.suppRing(Tables(s, dir))).orderBy(col("id"))
 
+  private def qNorm(s: SparkSession, dir: String): DataFrame =
+    Prep.normalizeEdgeWeights(custSuppE(s, dir).select("src", "dst", "w"))
+      .select(col("src"), col("dst"), e6(col("w")).as("wn_e6"))
+      .orderBy(col("src"), col("dst"))
+
+  private val qNormSql =
+    s"""WITH ce AS MATERIALIZED (${TestGraphs.custSuppSql})
+       |SELECT src, dst, CAST(FLOOR(w / CAST(SUM(w) OVER (PARTITION BY src) AS DOUBLE) * 1000000) AS BIGINT) AS wn_e6
+       |FROM ce ORDER BY src, dst""".stripMargin.replace('\n', ' ')
+
+  private def qWPagerank(s: SparkSession, dir: String): DataFrame =
+    Algos.pagerankWeighted(custSuppSymE(s, dir), iterations = 5)
+      .select(col("id"), e6(col("pr")).as("pr_e6"))
+      .orderBy(col("id"))
+
+  private def qRwr(s: SparkSession, dir: String): DataFrame = {
+    val e = custSuppSymE(s, dir).select("src", "dst")
+    val source = e.agg(min(col("src"))).first().getLong(0)
+    Algos.randomWalkWithRestart(e, source, iterations = 5)
+      .select(col("id"), e6(col("pr")).as("pr_e6"))
+      .orderBy(col("id"))
+  }
+
+  private def qDegStats(s: SparkSession, dir: String): DataFrame =
+    Algos.degreeStats(custSuppE(s, dir))
+
+  private val qDegStatsSql =
+    s"""WITH ce AS MATERIALIZED (${TestGraphs.custSuppSql}),
+       |d AS (SELECT src, COUNT(*) AS d FROM ce GROUP BY src)
+       |SELECT COUNT(*) AS n_vertices, MIN(d) AS min_deg, MAX(d) AS max_deg,
+       |CAST(FLOOR(AVG(d) * 10000) AS BIGINT) AS avg_deg_e4, median(d) AS median_deg FROM d""".stripMargin.replace('\n', ' ')
+
   private def qPrepStats(s: SparkSession, dir: String): DataFrame =
     Prep.cleanSymmetric(custSuppE(s, dir))
       .groupBy(col("src")).agg(count(lit(1)).as("d"))
@@ -275,6 +308,10 @@ object Queries {
     "q_graph_tri_closing" -> (qTriClosing _),
     "q_graph_mis"      -> (qMis _),
     "q_graph_scc"      -> (qScc _),
+    "q_graph_norm"     -> (qNorm _),
+    "q_graph_wpagerank" -> (qWPagerank _),
+    "q_graph_rwr"      -> (qRwr _),
+    "q_graph_deg_stats" -> (qDegStats _),
     "q_graph_prep_stats" -> (qPrepStats _)) ++ PipelineQueries.all
 
   val oracles: Map[String, String] = Map(
@@ -289,12 +326,16 @@ object Queries {
     "q_graph_wcc"      -> OracleGen.labelPropSql(TestGraphs.custSuppSymSql, 12, isMin = true, "component"),
     "q_graph_sssp"     -> OracleGen.ssspSql(TestGraphs.custSuppSymSql, 16),
     "q_graph_bfs"      -> OracleGen.bfsMinSourceSql(TestGraphs.custSuppSymSql, 12),
-    "q_graph_pagerank" -> OracleGen.pagerankSql(TestGraphs.custSuppSymSql, 5, 0.85, 0.15, 6),
+    "q_graph_pagerank" -> OracleGen.pagerankSql(TestGraphs.custSuppSymSql, 5, 0.85, 0.15),
     "q_graph_maxprop"  -> OracleGen.labelPropSql(TestGraphs.custSuppSymSql, 12, isMin = false, "max_id"),
     "q_graph_cc_events" -> qCcEventsSql,
     "q_graph_tri_count" -> qTriCountSql,
     "q_graph_tri_closing" -> qTriClosingSql,
     "q_graph_mis"      -> OracleGen.misSql(TestGraphs.suppCoSymSql, 10),
     "q_graph_scc"      -> OracleGen.sccSql(s"e AS MATERIALIZED (${TestGraphs.suppRingSql})", 8),
+    "q_graph_norm"     -> qNormSql,
+    "q_graph_wpagerank" -> OracleGen.pagerankWeightedSql(TestGraphs.custSuppSymSql, 5, 0.85, 0.15),
+    "q_graph_rwr"      -> OracleGen.rwrSql(TestGraphs.custSuppSymSql, 5, 0.85, 0.15),
+    "q_graph_deg_stats" -> qDegStatsSql,
     "q_graph_prep_stats" -> qPrepStatsSql) ++ PipelineQueries.oracles
 }

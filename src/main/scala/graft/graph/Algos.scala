@@ -186,6 +186,74 @@ object Algos {
     res.select("id", "pr")
   }
 
+  /** Weighted PageRank: contributions proportional to edge weight
+    * (pr · w / Σw_out). Reference: WeightedPageRankBenchmark +
+    * RandomWalkComputation's weighted transition probabilities
+    * (EX/RandomWalkComputation.java:38-141). No dangling handling —
+    * callers pass a symmetric graph (every vertex has out-edges). */
+  def pagerankWeighted(edges: DataFrame, iterations: Int,
+                       damping: Double = 0.85, resetProb: Double = 0.15,
+                       opts: PregelOptions = PregelOptions()): DataFrame = {
+    val e = edges.select("src", "dst", "w").repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val v = verticesOf(e).persist(StorageLevel.MEMORY_AND_DISK)
+    val n = v.count().toDouble
+    val wdeg = e.groupBy(col("src").as("id")).agg(sum(col("w")).cast("double").as("wsum"))
+    val init = v.join(wdeg, Seq("id"))
+      .select(col("id"), lit(1.0 / n).as("pr"), col("wsum"))
+    val res = Pregel.iterate(init, iterations, opts) { (verts, _) =>
+      val sums = verts.join(e, col("id") === col("src"))
+        .select(col("dst"), (col("pr") * col("w") / col("wsum")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      verts.drop("pr")
+        .join(sums, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(resetProb / n) + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"),
+          col("wsum"))
+    }
+    e.unpersist(); v.unpersist()
+    res.select("id", "pr")
+  }
+
+  /** Random walk with restart (personalized PageRank to a single source).
+    * Reference: EX/RandomWalkWithRestartComputation.java — restart mass
+    * (1-d) returns to the source instead of being spread uniformly. */
+  def randomWalkWithRestart(edges: DataFrame, source: Long, iterations: Int,
+                            damping: Double = 0.85, resetProb: Double = 0.15,
+                            opts: PregelOptions = PregelOptions()): DataFrame = {
+    val e = edges.select("src", "dst").repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val v = verticesOf(e).persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).cast("double").as("outdeg"))
+    val init = v.join(deg, Seq("id"))
+      .select(col("id"),
+        when(col("id") === source, lit(1.0)).otherwise(lit(0.0)).as("pr"),
+        col("outdeg"))
+    val res = Pregel.iterate(init, iterations, opts) { (verts, _) =>
+      val sums = verts.join(e, col("id") === col("src"))
+        .select(col("dst"), (col("pr") / col("outdeg")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      verts.drop("pr")
+        .join(sums, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (when(col("id") === source, lit(resetProb)).otherwise(lit(0.0)) +
+            lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"),
+          col("outdeg"))
+    }
+    e.unpersist(); v.unpersist()
+    res.select("id", "pr")
+  }
+
+  /** Degree-distribution summary (DirectedGraphStats,
+    * BLOCK8 .../stats/DirectedGraphStats.java): one row of scalars. */
+  def degreeStats(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).as("n_vertices"),
+        min(col("d")).as("min_deg"),
+        max(col("d")).as("max_deg"),
+        floor(avg(col("d")) * 10000).cast("long").as("avg_deg_e4"),
+        expr("percentile(d, 0.5)").as("median_deg"))
+
   /** Total triangle count over an undirected graph given as canonical
     * pairs (u < v). Classic wedge-join plan; Catalyst shuffles on the
     * join keys, AQE handles skewed hub vertices.

@@ -18,37 +18,39 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, accumulated in double
-    * in index order (reproducible across engines). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two float-array columns, accumulated in double in
+    * index order (reproducible across engines). */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity of two float-array columns. */
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
 
   /** Exact top-k neighbors for each query row.
     * @param corpus  (vec_id, embedding)
     * @param queries (q_id, qv) — small; broadcast
-    * Output: (q_id, n_id, rcos) with rcos = round(cosine, 4), ranked by
-    * (rcos desc, n_id) — rounding first makes the ordering reproducible. */
+    * Output: (q_id, n_id, rcos_e4) with rcos_e4 = floor(cosine·10⁴) as
+    * BIGINT, ranked by (rcos_e4 desc, n_id) — integral scaling first
+    * makes the ordering reproducible across engines. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-      .withColumn("rcos", round(cosine(col("qv"), col("embedding")), 4))
+      .withColumn("rcos_e4", graft.sql.Exact.e4(cosine(col("qv"), col("embedding"))))
     scored
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("rcos").desc, col("vec_id"))))
+        Window.partitionBy(col("q_id")).orderBy(col("rcos_e4").desc, col("vec_id"))))
       .filter(col("rn") <= k)
-      .select(col("q_id"), col("vec_id").as("n_id"), col("rcos"))
-      .orderBy(col("q_id"), col("rcos").desc, col("n_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rcos_e4"))
+      .orderBy(col("q_id"), col("rcos_e4").desc, col("n_id"))
   }
 
   /** Centroids as the elementwise mean per cluster column, components
-    * rounded to 6 decimals (pins cross-engine float drift). */
+    * floor-scaled to 6 decimals (pins cross-engine float drift). */
   def centroids(corpus: DataFrame, clusterCol: String = "label"): DataFrame =
     corpus.select(col(clusterCol), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col(clusterCol), col("pos"))
-      .agg(round(avg(col("v").cast("double")), 6).as("m"))
+      .agg((floor(avg(col("v").cast("double")) * 1000000) / 1000000.0).as("m"))
       .groupBy(col(clusterCol))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("cv"))
@@ -59,18 +61,18 @@ object Similarity {
               clusterCol: String = "label"): DataFrame = {
     val cent = centroids(corpus, clusterCol)
     val probes = cent.join(broadcast(queries), lit(true))
-      .withColumn("rc", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rc", graft.sql.Exact.e6(cosine(col("qv"), col("cv"))))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("rc").desc, col(clusterCol))))
       .filter(col("rn") <= nprobe)
       .select(col("q_id"), col("qv"), col(clusterCol))
     corpus.join(probes, Seq(clusterCol))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("rcos", round(cosine(col("qv"), col("embedding")), 4))
+      .withColumn("rcos_e4", graft.sql.Exact.e4(cosine(col("qv"), col("embedding"))))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("rcos").desc, col("vec_id"))))
+        Window.partitionBy(col("q_id")).orderBy(col("rcos_e4").desc, col("vec_id"))))
       .filter(col("rn") <= k)
-      .select(col("q_id"), col("vec_id").as("n_id"), col("rcos"))
-      .orderBy(col("q_id"), col("rcos").desc, col("n_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rcos_e4"))
+      .orderBy(col("q_id"), col("rcos_e4").desc, col("n_id"))
   }
 }

@@ -69,8 +69,7 @@ object OracleGen {
   /** K PageRank iterations with teleport resetProb/n over a graph with no
     * dangling vertices (symmetric e). Mirrors graft.graph.Algos.pagerank
     * arithmetic exactly; final values rounded to `digits`. */
-  def pagerankSql(withBody: String, k: Int, damping: Double, resetProb: Double,
-                  digits: Int): String = {
+  def pagerankSql(withBody: String, k: Int, damping: Double, resetProb: Double): String = {
     val steps = (1 to k).map { i =>
       s"""p$i AS MATERIALIZED (SELECT v.id AS id,
          |(SELECT $resetProb / n FROM nn) + $damping * COALESCE(s.c, 0) AS pr
@@ -84,7 +83,47 @@ object OracleGen {
       "deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM e GROUP BY src), " +
       "p0 AS MATERIALIZED (SELECT id, (SELECT 1.0 / n FROM nn) AS pr FROM v), " +
       steps.mkString(", ") +
-      s" SELECT id, ROUND(pr, $digits) AS pr FROM p$k ORDER BY id")
+      s" SELECT id, CAST(FLOOR(pr * 1000000) AS BIGINT) AS pr_e6 FROM p$k ORDER BY id")
+  }
+
+  /** K weighted-PageRank iterations (contribution pr·w/Σw). Mirrors
+    * graft.graph.Algos.pagerankWeighted arithmetic exactly. */
+  def pagerankWeightedSql(withBody: String, k: Int, damping: Double, resetProb: Double): String = {
+    val steps = (1 to k).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT v.id AS id,
+         |(SELECT $resetProb / n FROM nn) + $damping * COALESCE(s.c, 0) AS pr
+         |FROM v LEFT JOIN (
+         |SELECT e.dst AS id, SUM(p.pr * e.w / d.wsum) AS c
+         |FROM p${i - 1} p JOIN e ON p.id = e.src JOIN deg d ON d.id = p.id
+         |GROUP BY e.dst) s ON v.id = s.id)""".stripMargin.replace('\n', ' ')
+    }
+    (s"WITH $withBody, v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e), " +
+      "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v), " +
+      "deg AS MATERIALIZED (SELECT src AS id, CAST(SUM(w) AS DOUBLE) AS wsum FROM e GROUP BY src), " +
+      "p0 AS MATERIALIZED (SELECT id, (SELECT 1.0 / n FROM nn) AS pr FROM v), " +
+      steps.mkString(", ") +
+      s" SELECT id, CAST(FLOOR(pr * 1000000) AS BIGINT) AS pr_e6 FROM p$k ORDER BY id")
+  }
+
+  /** K random-walk-with-restart iterations: restart mass resetProb goes
+    * to the min-src source vertex only (personalized PageRank). Mirrors
+    * graft.graph.Algos.randomWalkWithRestart. */
+  def rwrSql(withBody: String, k: Int, damping: Double, resetProb: Double): String = {
+    val steps = (1 to k).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT v.id AS id,
+         |CASE WHEN v.id = (SELECT s FROM sv) THEN CAST($resetProb AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+         |+ $damping * COALESCE(s.c, 0) AS pr
+         |FROM v LEFT JOIN (
+         |SELECT e.dst AS id, SUM(p.pr / d.outdeg) AS c
+         |FROM p${i - 1} p JOIN e ON p.id = e.src JOIN deg d ON d.id = p.id
+         |GROUP BY e.dst) s ON v.id = s.id)""".stripMargin.replace('\n', ' ')
+    }
+    (s"WITH $withBody, v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e), " +
+      "sv AS (SELECT MIN(src) AS s FROM e), " +
+      "deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM e GROUP BY src), " +
+      "p0 AS MATERIALIZED (SELECT id, CASE WHEN id = (SELECT s FROM sv) THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS pr FROM v), " +
+      steps.mkString(", ") +
+      s" SELECT id, CAST(FLOOR(pr * 1000000) AS BIGINT) AS pr_e6 FROM p$k ORDER BY id")
   }
 
   /** K rounds of deterministic id-priority maximal-independent-set:

@@ -55,10 +55,9 @@ object TextFunctions {
   /** Composite quality score in [0,1]: stopword density, length prior,
     * alpha ratio. Deterministic double arithmetic (left-assoc sum). */
   def qualityScore(nStop: Column, nTokens: Column, nAlpha: Column, nChars: Column): Column =
-    round(
-      lit(0.4) * (nStop / nTokens) +
-        lit(0.4) * least(nTokens / lit(200.0), lit(1.0)) +
-        lit(0.2) * (nAlpha / nChars), 6)
+    lit(0.4) * (nStop / nTokens) +
+      lit(0.4) * least(nTokens / lit(200.0), lit(1.0)) +
+      lit(0.2) * (nAlpha / nChars)
 
   /** MinHash signature: `numHashes` permutations approximated by seeded
     * md5 (hash_j(s) = md5(j || ':' || s)); entry j = min over shingles. */

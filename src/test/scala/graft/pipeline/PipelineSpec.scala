@@ -25,12 +25,12 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("minhash LSH finds near-duplicate pair and exact pair") {
-    val pairs = Dedup.minhashDupPairs(docs).as[(Long, Long, Double)].collect().toSeq
+    val pairs = Dedup.minhashDupPairs(docs).as[(Long, Long, Long)].collect().toSeq
     val keys = pairs.map(p => (p._1, p._2)).toSet
     assert(keys.contains((1L, 4L)))    // identical → jaccard 1.0
     assert(keys.contains((1L, 2L)))    // near dup
     assert(!keys.exists(p => p._1 == 3L || p._2 == 3L))
-    assert(pairs.find(p => (p._1, p._2) == ((1L, 4L))).get._3 == 1.0)
+    assert(pairs.find(p => (p._1, p._2) == ((1L, 4L))).get._3 == 1000000L)
   }
 
   test("simhash is equal for identical docs, different for unrelated") {
@@ -41,7 +41,7 @@ class PipelineSpec extends SparkSpec {
 
   test("ngram jaccard blocks by source") {
     val pairs = Dedup.ngramDupPairs(docs, n = 2, threshold = 0.1)
-      .as[(Long, Long, Double)].collect().toSeq
+      .as[(Long, Long, Long)].collect().toSeq
     assert(pairs.map(p => (p._1, p._2)).contains((1L, 2L)))
     // 1 and 4 are in different sources → blocked apart
     assert(!pairs.map(p => (p._1, p._2)).contains((1L, 4L)))
@@ -54,9 +54,9 @@ class PipelineSpec extends SparkSpec {
       (3L, Seq(0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
     val q = e.filter(col("vec_id") === 1).select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     val top = Similarity.bruteTopK(e.select("vec_id", "embedding"), q, 2)
-      .as[(Long, Long, Double)].collect().toSeq
-    assert(top.head == ((1L, 2L, 1.0)))
-    assert(top(1) == ((1L, 3L, 0.0)))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(top.head == ((1L, 2L, 10000L)))
+    assert(top(1) == ((1L, 3L, 0L)))
   }
 
   test("ivf probes restrict search to nearest clusters") {
@@ -65,7 +65,7 @@ class PipelineSpec extends SparkSpec {
       (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(0.1f, 0.9f), 1)).toDF("vec_id", "embedding", "label")
     val q = e.filter(col("vec_id") === 1).select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     val got = Similarity.ivfTopK(e, q, k = 1, nprobe = 1)
-      .as[(Long, Long, Double)].collect().toSeq
+      .as[(Long, Long, Long)].collect().toSeq
     assert(got.map(_._2) == Seq(2L)) // only cluster 0 probed
   }
 
