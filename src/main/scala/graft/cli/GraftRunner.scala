@@ -1,0 +1,95 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph.{Algos, Prep}
+import graft.io.GraphFormats
+
+/** CLI entry point — the Spark-native analog of `GiraphRunner`
+  * (giraph-core .../GiraphRunner.java:69-94; quick-start invocation
+  * `hadoop jar … GiraphRunner <Computation> -vif … -vip … -op … -w N`,
+  * src/site/xdoc/quick_start.xml:215). spark-submit-able:
+  *
+  *   spark-submit --class graft.cli.GraftRunner graft.jar \
+  *     <algo> --edges <path> --format parquet|edgelist|adjacency|json \
+  *     --out <path> [--source N] [--iters N] [--symmetric] [--parallelism N]
+  *
+  * algo ∈ pagerank | wpagerank | sssp | bfs | wcc | scc | degrees | mis |
+  * triangles. Output is written as parquet (default) — pair with
+  * GraphFormats writers for text sinks.
+  */
+object GraftRunner {
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 1) { usage(); sys.exit(2) }
+    val algo = args(0)
+    val opts = parseFlags(args.drop(1).toList, Map.empty)
+    val required = Seq("edges", "out").filterNot(opts.contains)
+    if (required.nonEmpty) {
+      System.err.println(s"missing: ${required.map("--" + _).mkString(" ")}"); usage(); sys.exit(2)
+    }
+
+    val builder = SparkSession.builder()
+      .appName(s"graft-$algo")
+      .config("spark.sql.shuffle.partitions",
+        opts.getOrElse("parallelism", "32"))
+    // local default for dev; spark-submit's --master wins when set
+    val spark = (if (sys.env.contains("SPARK_MASTER")) builder
+      else builder.master(s"local[${opts.getOrElse("parallelism", "*")}]")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    try {
+      var edges = readEdges(spark, opts.getOrElse("format", "parquet"), opts("edges"))
+      if (opts.contains("symmetric")) edges = Prep.makeSymmetric(edges)
+      val iters = opts.getOrElse("iters", "10").toInt
+      val source = opts.get("source").map(_.toLong)
+
+      val result: DataFrame = algo match {
+        case "pagerank"  => Algos.pagerank(edges, iters)
+        case "wpagerank" => Algos.pagerankWeighted(edges, iters)
+        case "sssp"      => Algos.sssp(edges, source.getOrElse(minSrc(edges)))
+        case "bfs"       => Algos.bfs(edges, Seq(source.getOrElse(minSrc(edges))))
+        case "wcc"       => Algos.wcc(edges)
+        case "scc"       => Algos.scc(edges)
+        case "degrees"   => Algos.degrees(edges)
+        case "mis"       => Algos.independentSet(edges)
+        case "triangles" =>
+          Algos.triangleCount(edges.filter(col("src") < col("dst"))
+            .select(col("src").as("u"), col("dst").as("v")).distinct())
+        case other => System.err.println(s"unknown algo: $other"); usage(); sys.exit(2); null
+      }
+      result.write.mode("overwrite").parquet(opts("out"))
+      println(s"[graft] $algo done -> ${opts("out")}")
+    } finally spark.stop()
+  }
+
+  private def minSrc(edges: DataFrame): Long =
+    edges.agg(min(col("src"))).first().getLong(0)
+
+  private def readEdges(spark: SparkSession, format: String, path: String): DataFrame =
+    format match {
+      case "parquet"   => spark.read.parquet(path)
+      case "edgelist"  => GraphFormats.readEdgeList(spark, path)
+      case "adjacency" => GraphFormats.readAdjacencyList(spark, path)._2
+      case "json"      => GraphFormats.readJsonVertexLines(spark, path)._2
+      case other => throw new IllegalArgumentException(s"unknown format: $other")
+    }
+
+  @annotation.tailrec
+  private def parseFlags(args: List[String], acc: Map[String, String]): Map[String, String] =
+    args match {
+      case Nil => acc
+      case "--symmetric" :: rest => parseFlags(rest, acc + ("symmetric" -> "true"))
+      case flag :: value :: rest if flag.startsWith("--") =>
+        parseFlags(rest, acc + (flag.stripPrefix("--") -> value))
+      case other :: _ =>
+        throw new IllegalArgumentException(s"unexpected argument: $other")
+    }
+
+  private def usage(): Unit = System.err.println(
+    """usage: GraftRunner <algo> --edges <path> --out <path>
+      |  [--format parquet|edgelist|adjacency|json] [--source N]
+      |  [--iters N] [--symmetric] [--parallelism N]
+      |  algo: pagerank wpagerank sssp bfs wcc scc degrees mis triangles""".stripMargin)
+}
