@@ -61,4 +61,23 @@ object Prep {
   def cleanSymmetric(edges: DataFrame): DataFrame =
     makeSymmetric(removeDuplicateEdges(edges.select("src", "dst")))
       .filter(col("src") =!= col("dst"))
+
+  /** Merge duplicate vertex values at load time with a caller-chosen
+    * aggregate (min/max/last…). Ref: VertexValueCombiner,
+    * giraph-core .../graph/DefaultVertexValueCombiner.java. */
+  def combineVertexValues(vertices: DataFrame,
+                          combine: org.apache.spark.sql.Column): DataFrame =
+    vertices.groupBy(col("id")).agg(combine.as("value"))
+
+  /** Contract a graph by a vertex→cluster assignment: edges between
+    * clusters with multiplicities, intra-cluster edges dropped.
+    * Ref: coarsening utilities,
+    * giraph-block-app-8 .../coarsening/CoarseningUtils.java. */
+  def coarsen(edges: DataFrame, assignment: DataFrame): DataFrame =
+    edges.select("src", "dst")
+      .join(assignment.select(col("id").as("src"), col("cluster").as("c_src")), Seq("src"))
+      .join(assignment.select(col("id").as("dst"), col("cluster").as("c_dst")), Seq("dst"))
+      .filter(col("c_src") =!= col("c_dst"))
+      .groupBy(col("c_src").as("src"), col("c_dst").as("dst"))
+      .agg(count(lit(1)).as("multiplicity"))
 }

@@ -1,0 +1,44 @@
+package graft.graph
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PregelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ssspRun(opts: PregelOptions): DataFrame = {
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 3L), (2L, 3L, 1L), (2L, 4L, 10L), (3L, 4L, 2L))
+      .toDF("src", "dst", "w")
+    Algos.sssp(edges, source = 1L, opts)
+  }
+
+  test("superstep output hook observes every superstep") {
+    var steps = Vector.empty[(Int, Long)]
+    val opts = PregelOptions(maxSupersteps = 64,
+      onSuperstep = (df, i) => steps :+= (i, df.filter(col("active")).count()))
+    ssspRun(opts).count()
+    assert(steps.nonEmpty)
+    assert(steps.map(_._1) == steps.indices.toVector) // in order, every step
+    assert(steps.last._2 == 0L)                       // final step converged
+  }
+
+  test("reliable checkpoint dir produces the same result") {
+    val dir = Files.createTempDirectory("graft-ckpt").toString
+    val opts = PregelOptions(maxSupersteps = 64, checkpointEvery = 1,
+      checkpointDir = Some(dir))
+    val got = ssspRun(opts).orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 4L)))
+    // reliable checkpoint actually wrote state
+    assert(new java.io.File(dir).listFiles().nonEmpty)
+  }
+
+  test("maxSupersteps caps the loop") {
+    val got = ssspRun(PregelOptions(maxSupersteps = 1))
+    // only the source's direct neighbors reached after one superstep
+    assert(got.count() == 3) // 1, 2, 3 (source + two direct)
+  }
+}

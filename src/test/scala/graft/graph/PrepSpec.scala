@@ -44,6 +44,21 @@ class PrepSpec extends SparkSpec {
     }
   }
 
+  test("coarsen contracts clusters and counts multiplicities") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val asg = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L)).toDF("id", "cluster")
+    val got = Prep.coarsen(e, asg).orderBy("src", "dst")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 20L, 2L))) // 1→3 and 2→3 contract; 3→4 intra
+  }
+
+  test("combineVertexValues merges duplicate ids") {
+    val v = Seq((1L, 5.0), (1L, 3.0), (2L, 7.0)).toDF("id", "value")
+    val got = Prep.combineVertexValues(v, min(col("value")))
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3.0), (2L, 7.0)))
+  }
+
   test("cleanSymmetric drops self-loops and parallel edges") {
     val e = Seq((1L, 1L), (1L, 2L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
     val c = Prep.cleanSymmetric(e)
