@@ -67,4 +67,12 @@ object Blocks {
     * iteration index exposed. */
   def repeatIndexed(n: Int)(s: (DataFrame, Int) => DataFrame): Step =
     df => (0 until n).foldLeft(df)(s)
+
+  /** StripingUtils (BLOCK/library/striping/StripingUtils.java): split the
+    * work into k id-hash stripes processed independently and re-unioned —
+    * caps the peak footprint of an expensive step at 1/k of the frame. */
+  def striped(k: Int, idCol: String = "id")(s: Step): Step = df =>
+    (0 until k).map(i =>
+        s(df.filter(pmod(hash(col(idCol)), lit(k)) === i)))
+      .reduce(_ unionByName _)
 }

@@ -260,10 +260,16 @@ object Algos {
     * Reference: EX/SimpleTriangleClosingComputation.java (the 2-superstep
     * friends-of-friends exchange). */
   def triangleCount(pairs: DataFrame): DataFrame = {
+    // canonical-pair wedge join. Deliberately NOT persisted: the three
+    // references to `e` are identical subtrees, so Catalyst's
+    // ReuseExchange computes the scan+shuffle once — persisting was
+    // measured slower (breaks whole-stage fusion), as was compact-forward
+    // degree orientation (these co-purchase graphs are near-regular, so
+    // the extra degree joins cost more than the wedge reduction buys).
     val e = pairs.select(col("u"), col("v"))
     val wedges = e.as("a").join(e.as("b"),
       col("a.u") === col("b.u") && col("a.v") < col("b.v"))
-      .select(col("a.u").as("w0"), col("a.v").as("w1"), col("b.v").as("w2"))
+      .select(col("a.v").as("w1"), col("b.v").as("w2"))
     wedges.join(e.as("c"),
       col("w1") === col("c.u") && col("w2") === col("c.v"))
       .agg(count(lit(1)).as("triangles"))
