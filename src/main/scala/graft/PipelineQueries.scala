@@ -12,7 +12,7 @@ import graft.text.TextFunctions._
 /** Training-data-pipeline query corpus: text analysis, dedup family,
   * similarity search, multimodal plumbing — each with a DuckDB oracle
   * built from the same arithmetic (md5 for hashes, index-ordered double
-  * accumulation + fixed rounding for floats).
+  * accumulation, floor-scaled BIGINT float outputs per graft.sql.Exact).
   */
 object PipelineQueries {
 
