@@ -46,6 +46,22 @@ object PipelineQueries {
 
   private val stopWords = Seq("the", "a", "of", "to", "in", "and", "is")
 
+  private def qTextBpe(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    d.select(col("doc_id"),
+        tokenCount(col("text")).as("ws_tokens"),
+        bpeishTokenCount(col("text")).as("bpe_tokens"),
+        punctCount(col("text")).as("punct_cnt"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qTextBpeSql =
+    s"""SELECT doc_id,
+       |CAST(len(${tokSql()}) AS BIGINT) AS ws_tokens,
+       |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+       |CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS punct_cnt
+       |FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
   private def qTextQuality(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir).documents
     d.select(col("doc_id"),
@@ -246,6 +262,7 @@ object PipelineQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats"       -> (qTextStats _),
+    "q_text_bpe"         -> (qTextBpe _),
     "q_text_quality"     -> (qTextQuality _),
     "q_text_langid"      -> (qTextLangid _),
     "q_text_fingerprint" -> (qTextFingerprint _),
@@ -260,6 +277,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q_text_stats"       -> qTextStatsSql,
+    "q_text_bpe"         -> qTextBpeSql,
     "q_text_quality"     -> qTextQualitySql,
     "q_text_langid"      -> qTextLangidSql,
     "q_text_fingerprint" -> qTextFingerprintSql,

@@ -17,6 +17,20 @@ object TextFunctions {
   /** Whitespace tokenization. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** BPE-ish pre-tokenization pattern (letter runs | single digits |
+    * single non-alnum-non-space) — ASCII-only so the Java-regex and
+    * RE2 (DuckDB) dialects agree. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  /** Token count under the BPE-ish pre-tokenizer (the unit a real BPE
+    * vocabulary would be trained over). */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeishPattern), lit(0))).cast("long")
+
+  /** Punctuation-ish character count (ASCII non-alnum, non-space). */
+  def punctCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
   def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
 
   def uniqueTokenCount(c: Column): Column =

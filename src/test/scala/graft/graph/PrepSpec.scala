@@ -59,6 +59,16 @@ class PrepSpec extends SparkSpec {
     assert(got == Seq((1L, 3.0), (2L, 7.0)))
   }
 
+  test("saltedJoin equals the plain join on a skewed key") {
+    val skewed = (Seq.fill(200)((1L, "hot")) ++ Seq((2L, "cold"), (3L, "cold")))
+      .toDF("k", "payload")
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "unused")).toDF("k", "side")
+    val plain = skewed.join(dim, Seq("k"))
+    val salted = graft.graph.Skew.saltedJoin(skewed, dim, "k", salt = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("cleanSymmetric drops self-loops and parallel edges") {
     val e = Seq((1L, 1L), (1L, 2L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
     val c = Prep.cleanSymmetric(e)
