@@ -270,6 +270,9 @@ object Queries {
        |SELECT COUNT(*) AS n_vertices, MIN(d) AS min_deg, MAX(d) AS max_deg,
        |CAST(FLOOR(AVG(d) * 10000) AS BIGINT) AS avg_deg_e4, median(d) AS median_deg FROM d""".stripMargin.replace('\n', ' ')
 
+  private def qDeadlock(s: SparkSession, dir: String): DataFrame =
+    Algos.deadlock(TestGraphs.waitFor(Tables(s, dir))).orderBy(col("id"))
+
   private def qPrepStats(s: SparkSession, dir: String): DataFrame =
     Prep.cleanSymmetric(custSuppE(s, dir))
       .groupBy(col("src")).agg(count(lit(1)).as("d"))
@@ -308,6 +311,7 @@ object Queries {
     "q_graph_tri_closing" -> (qTriClosing _),
     "q_graph_mis"      -> (qMis _),
     "q_graph_scc"      -> (qScc _),
+    "q_graph_deadlock" -> (qDeadlock _),
     "q_graph_norm"     -> (qNorm _),
     "q_graph_wpagerank" -> (qWPagerank _),
     "q_graph_rwr"      -> (qRwr _),
@@ -333,6 +337,7 @@ object Queries {
     "q_graph_tri_closing" -> qTriClosingSql,
     "q_graph_mis"      -> OracleGen.misSql(TestGraphs.suppCoSymSql, 10),
     "q_graph_scc"      -> OracleGen.sccSql(s"e AS MATERIALIZED (${TestGraphs.suppRingSql})", 8),
+    "q_graph_deadlock" -> OracleGen.deadlockSql(TestGraphs.waitForSql, 8),
     "q_graph_norm"     -> qNormSql,
     "q_graph_wpagerank" -> OracleGen.pagerankWeightedSql(TestGraphs.custSuppSymSql, 5, 0.85, 0.15),
     "q_graph_rwr"      -> OracleGen.rwrSql(TestGraphs.custSuppSymSql, 5, 0.85, 0.15),

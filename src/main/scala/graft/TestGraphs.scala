@@ -90,6 +90,16 @@ object TestGraphs {
       .filter(col("src") =!= col("dst"))
   }
 
+  /** Mixed wait-for graph: customer→supplier dependencies plus the
+    * supplier-id ring (vertex ids 0..n-1 deliberately collide with the
+    * low customer ids, so those customers both wait on suppliers and on
+    * each other in cycles) — the deadlock-detection fixture. */
+  def waitFor(tb: Tables): DataFrame =
+    custSupp(tb).select("src", "dst").union(suppRing(tb))
+
+  def waitForSql: String =
+    s"e AS MATERIALIZED (SELECT src, dst FROM ($custSuppSql) t1 UNION ALL SELECT src, dst FROM ($suppRingSql) t2)"
+
   val suppRingSql: String =
     """SELECT src, dst FROM (
       |SELECT s_suppkey AS src, (s_suppkey * 3 + 1) % (SELECT COUNT(*) FROM supplier) AS dst FROM supplier

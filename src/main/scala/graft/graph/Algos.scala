@@ -328,6 +328,41 @@ object Algos {
     verts.select(col("id"), (col("st") === 1).cast("int").as("in_set"))
   }
 
+  /** AND-model deadlock detection on a wait-for graph: a vertex is
+    * deadlocked iff it can reach a cycle (every dependency chain from it
+    * is stuck). Computed as: SCC → cyclic core (components of size ≥ 2 +
+    * self-loops) → backward reachability from the core. The reference's
+    * analog is EX/BrachaTouegDeadlockComputation.java (the OR/N-of-M
+    * model); the AND model is the classic wait-for special case.
+    * Returns (id, deadlocked INT). */
+  def deadlock(edges: DataFrame, opts: PregelOptions = PregelOptions()): DataFrame = {
+    val e = edges.select("src", "dst")
+    val comp = scc(e, opts)
+    val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+    val cyclic = comp.join(sizes, Seq("comp")).filter(col("sz") >= 2).select(col("id"))
+      .union(e.filter(col("src") === col("dst")).select(col("src").as("id")))
+      .distinct()
+    val init = verticesOf(e)
+      .join(cyclic.withColumn("c", lit(1)), Seq("id"), "left")
+      .select(col("id"), (col("c") === 1).as("dl"), coalesce(col("c") === 1, lit(false)).as("active"))
+      .select(col("id"), coalesce(col("dl"), lit(false)).as("dl"), col("active"))
+    // membership flows backward: edge v→u means v waits on u, so u's
+    // deadlock reaches v via the reversed edge
+    val reversed = e.select(col("dst").as("src"), col("src").as("dst"))
+    Pregel.run(
+      init, reversed,
+      sendMsg = j => j.select(col("dst").as("id"), lit(1).as("msg")),
+      combineMsg = max(col("msg")),
+      vprog = (verts, msgs) => {
+        val newly = !col("dl") && col("msg").isNotNull
+        verts.join(msgs, Seq("id"), "left").select(
+          col("id"),
+          (col("dl") || col("msg").isNotNull).as("dl"),
+          coalesce(newly, lit(false)).as("active"))
+      }, opts = opts)
+      .select(col("id"), col("dl").cast("int").as("deadlocked"))
+  }
+
   /** Strongly connected components via forward-backward coloring (the
     * scalable label-propagation SCC; the reference runs a 4-phase master
     * state machine, EX/scc/SccComputation.java +

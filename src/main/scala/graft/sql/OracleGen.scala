@@ -146,6 +146,23 @@ object OracleGen {
       s" SELECT id, CAST(st = 1 AS INT) AS in_set FROM s$k ORDER BY id")
   }
 
+  /** AND-model deadlock: deadlocked(v) ⟺ v reaches a cycle. Oracle via
+    * K-fold path-doubling closure (mirrors graft.graph.Algos.deadlock's
+    * SCC + backward-reach result). */
+  def deadlockSql(withBody: String, k: Int): String = {
+    val steps = (1 to k).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT DISTINCT x.a, y.b FROM c${i - 1} x JOIN c${i - 1} y ON x.b = y.a)"""
+    }
+    (s"WITH $withBody, v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), " +
+      "c0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION SELECT id AS a, id AS b FROM v), " +
+      steps.mkString(", ") +
+      s" , cyc AS MATERIALIZED (SELECT DISTINCT f.a AS id FROM c$k f JOIN c$k r ON f.a = r.b AND f.b = r.a AND f.a <> f.b" +
+      "  UNION SELECT src FROM e WHERE src = dst), " +
+      s"dl AS MATERIALIZED (SELECT DISTINCT c.a AS id FROM c$k c JOIN cyc ON c.b = cyc.id) " +
+      "SELECT v.id, CAST(CASE WHEN v.id IN (SELECT id FROM dl) THEN 1 ELSE 0 END AS INT) AS deadlocked " +
+      "FROM v ORDER BY id")
+  }
+
   /** SCC labels (comp = max id in the component) via K-fold path-doubling
     * transitive closure — oracle-only; the engine uses FB-coloring. */
   def sccSql(withBody: String, k: Int): String = {

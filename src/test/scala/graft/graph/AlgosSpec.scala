@@ -84,6 +84,14 @@ class AlgosSpec extends SparkSpec {
     assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 4L)))
   }
 
+  test("deadlock marks cycle-reaching vertices only") {
+    // cycle 1→2→3→1; 4 waits on 1 (deadlocked); 3→5 sink; chain 6→7 free
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (3L, 5L), (6L, 7L))
+      .toDF("src", "dst")
+    val got = Algos.deadlock(e).orderBy("id").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 1), (2L, 1), (3L, 1), (4L, 1), (5L, 0), (6L, 0), (7L, 0)))
+  }
+
   test("maxProp propagates the component max") {
     val e = Prep.makeSymmetric(Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("src", "dst"))
     val got = Algos.maxProp(e).orderBy("id").as[(Long, Long)].collect().toSeq
