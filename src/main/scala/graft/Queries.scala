@@ -232,6 +232,26 @@ object Queries {
        |FROM ce a JOIN ce b ON a.dst = b.dst AND a.src < b.src
        |GROUP BY 1, 2 ORDER BY common DESC, u, v LIMIT 20""".stripMargin.replace('\n', ' ')
 
+  private def qClustering(s: SparkSession, dir: String): DataFrame =
+    Algos.clusteringCoefficient(TestGraphs.suppCoPairs(Tables(s, dir)))
+      .orderBy(col("id"))
+
+  private val qClusteringSql =
+    s"""WITH cp AS MATERIALIZED (${TestGraphs.suppCoPairsSql}),
+       |tri AS MATERIALIZED (SELECT a.u AS x, a.v AS y, b.v AS z
+       |FROM cp a JOIN cp b ON b.u = a.u AND b.v > a.v
+       |WHERE EXISTS (SELECT 1 FROM cp c WHERE c.u = a.v AND c.v = b.v)),
+       |tv AS (SELECT id, COUNT(*) AS tri_cnt FROM (
+       |SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) t
+       |GROUP BY id),
+       |deg AS (SELECT id, COUNT(*) AS d FROM (
+       |SELECT u AS id FROM cp UNION ALL SELECT v FROM cp) t GROUP BY id)
+       |SELECT deg.id, COALESCE(tv.tri_cnt, 0) AS tri_cnt,
+       |CASE WHEN deg.d >= 2
+       |THEN CAST(FLOOR((2 * COALESCE(tv.tri_cnt, 0) / (deg.d * (deg.d - 1))) * 1000000) AS BIGINT)
+       |ELSE 0 END AS cc_e6
+       |FROM deg LEFT JOIN tv ON deg.id = tv.id ORDER BY deg.id""".stripMargin.replace('\n', ' ')
+
   private def qMis(s: SparkSession, dir: String): DataFrame =
     Algos.independentSet(TestGraphs.suppCoSym(Tables(s, dir))).orderBy(col("id"))
 
@@ -311,6 +331,7 @@ object Queries {
     "q_graph_tri_closing" -> (qTriClosing _),
     "q_graph_mis"      -> (qMis _),
     "q_graph_scc"      -> (qScc _),
+    "q_graph_clustering" -> (qClustering _),
     "q_graph_deadlock" -> (qDeadlock _),
     "q_graph_norm"     -> (qNorm _),
     "q_graph_wpagerank" -> (qWPagerank _),
@@ -337,6 +358,7 @@ object Queries {
     "q_graph_tri_closing" -> qTriClosingSql,
     "q_graph_mis"      -> OracleGen.misSql(TestGraphs.suppCoSymSql, 10),
     "q_graph_scc"      -> OracleGen.sccSql(s"e AS MATERIALIZED (${TestGraphs.suppRingSql})", 8),
+    "q_graph_clustering" -> qClusteringSql,
     "q_graph_deadlock" -> OracleGen.deadlockSql(TestGraphs.waitForSql, 8),
     "q_graph_norm"     -> qNormSql,
     "q_graph_wpagerank" -> OracleGen.pagerankWeightedSql(TestGraphs.custSuppSymSql, 5, 0.85, 0.15),

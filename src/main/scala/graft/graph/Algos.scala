@@ -275,6 +275,31 @@ object Algos {
       .agg(count(lit(1)).as("triangles"))
   }
 
+  /** Per-vertex triangle participation + local clustering coefficient
+    * cc = 2·tri / (deg·(deg−1)) over an undirected graph given as
+    * canonical pairs (u < v). Completes the graph-stats family
+    * (BLOCK8 .../stats/DirectedGraphStats.java). cc emitted floor-scaled
+    * (graft.sql.Exact) for oracle matching; degree-1 vertices get cc 0. */
+  def clusteringCoefficient(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("u"), col("v"))
+    val triangles = e.as("a").join(e.as("b"),
+        col("a.u") === col("b.u") && col("a.v") < col("b.v"))
+      .select(col("a.u").as("x"), col("a.v").as("y"), col("b.v").as("z"))
+      .join(e.as("c"), col("y") === col("c.u") && col("z") === col("c.v"), "left_semi")
+    val triPerV = triangles
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("tri_cnt"))
+    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    deg.join(triPerV, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"),
+        when(col("d") >= 2,
+          graft.sql.Exact.e6(lit(2) * coalesce(col("tri_cnt"), lit(0L)) /
+            (col("d") * (col("d") - 1))))
+          .otherwise(lit(0L)).as("cc_e6"))
+  }
+
   /** "People you may know": for a bipartite src→dst graph, rank src pairs
     * by shared-neighbor count (candidates are never existing edges in a
     * bipartite graph). Returns the global top-k with (cnt desc, u, v)

@@ -84,6 +84,17 @@ class AlgosSpec extends SparkSpec {
     assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 4L)))
   }
 
+  test("clustering coefficient is 1 on K4 and 0 on a path") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
+    val got = Algos.clusteringCoefficient(k4).orderBy("id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.forall { case (_, tri, cc) => tri == 3L && cc == 1000000L })
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val p = Algos.clusteringCoefficient(path).orderBy("id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(p.forall(_._3 == 0L))
+  }
+
   test("deadlock marks cycle-reaching vertices only") {
     // cycle 1→2→3→1; 4 waits on 1 (deadlocked); 3→5 sink; chain 6→7 free
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (3L, 5L), (6L, 7L))
