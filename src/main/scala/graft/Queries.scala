@@ -232,6 +232,9 @@ object Queries {
        |FROM ce a JOIN ce b ON a.dst = b.dst AND a.src < b.src
        |GROUP BY 1, 2 ORDER BY common DESC, u, v LIMIT 20""".stripMargin.replace('\n', ' ')
 
+  private def qKcore(s: SparkSession, dir: String): DataFrame =
+    Algos.kCore(custSuppSymE(s, dir), k = 30)
+
   private def qClustering(s: SparkSession, dir: String): DataFrame =
     Algos.clusteringCoefficient(TestGraphs.suppCoPairs(Tables(s, dir)))
       .orderBy(col("id"))
@@ -331,6 +334,7 @@ object Queries {
     "q_graph_tri_closing" -> (qTriClosing _),
     "q_graph_mis"      -> (qMis _),
     "q_graph_scc"      -> (qScc _),
+    "q_graph_kcore"    -> (qKcore _),
     "q_graph_clustering" -> (qClustering _),
     "q_graph_deadlock" -> (qDeadlock _),
     "q_graph_norm"     -> (qNorm _),
@@ -358,6 +362,7 @@ object Queries {
     "q_graph_tri_closing" -> qTriClosingSql,
     "q_graph_mis"      -> OracleGen.misSql(TestGraphs.suppCoSymSql, 10),
     "q_graph_scc"      -> OracleGen.sccSql(s"e AS MATERIALIZED (${TestGraphs.suppRingSql})", 8),
+    "q_graph_kcore"    -> OracleGen.kCoreSql(TestGraphs.custSuppSymSql, 30, 12),
     "q_graph_clustering" -> qClusteringSql,
     "q_graph_deadlock" -> OracleGen.deadlockSql(TestGraphs.waitForSql, 8),
     "q_graph_norm"     -> qNormSql,

@@ -353,6 +353,33 @@ object Algos {
     verts.select(col("id"), (col("st") === 1).cast("int").as("in_set"))
   }
 
+  /** k-core: iteratively peel vertices of degree < k until stable
+    * (unique fixpoint). Input symmetric; returns surviving vertices with
+    * their in-core degree. The degenerate-graph-cleaning companion to
+    * Prep.removeStandAloneVertices (1-core). */
+  def kCore(symEdges: DataFrame, k: Int,
+            opts: PregelOptions = PregelOptions(maxSupersteps = 40)): DataFrame = {
+    var e = symEdges.select("src", "dst").localCheckpoint()
+    var edgeCount = e.count()
+    var changed = true
+    var step = 0
+    while (changed && step < opts.maxSupersteps && edgeCount > 0) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("id"))
+      val next = e
+        .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint()
+      val nextCount = next.count()
+      changed = nextCount != edgeCount
+      edgeCount = nextCount
+      e = next
+      step += 1
+    }
+    e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")).orderBy(col("id"))
+  }
+
   /** AND-model deadlock detection on a wait-for graph: a vertex is
     * deadlocked iff it can reach a cycle (every dependency chain from it
     * is stuck). Computed as: SCC → cyclic core (components of size ≥ 2 +

@@ -146,6 +146,19 @@ object OracleGen {
       s" SELECT id, CAST(st = 1 AS INT) AS in_set FROM s$k ORDER BY id")
   }
 
+  /** R peeling rounds of k-core over symmetric edges (unique fixpoint;
+    * R must cover convergence). Result: surviving (id, deg). */
+  def kCoreSql(withBody: String, k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""e$i AS MATERIALIZED (SELECT x.src, x.dst FROM e${i - 1} x
+         |JOIN (SELECT src FROM e${i - 1} GROUP BY src HAVING COUNT(*) >= $k) ks ON x.src = ks.src
+         |JOIN (SELECT src FROM e${i - 1} GROUP BY src HAVING COUNT(*) >= $k) kd ON x.dst = kd.src)""".stripMargin.replace('\n', ' ')
+    }
+    (s"WITH $withBody, e0 AS MATERIALIZED (SELECT src, dst FROM e), " +
+      steps.mkString(", ") +
+      s" SELECT src AS id, COUNT(*) AS deg FROM e$rounds GROUP BY src ORDER BY id")
+  }
+
   /** AND-model deadlock: deadlocked(v) ⟺ v reaches a cycle. Oracle via
     * K-fold path-doubling closure (mirrors graft.graph.Algos.deadlock's
     * SCC + backward-reach result). */

@@ -84,6 +84,16 @@ class AlgosSpec extends SparkSpec {
     assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 4L)))
   }
 
+  test("kCore peels low-degree vertices with cascade") {
+    // triangle 1-2-3 (all deg 2) + pendant 3-4: 2-core = the triangle
+    val e = Prep.makeSymmetric(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst"))
+    val got = Algos.kCore(e, k = 2).as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // k=3 kills everything (cascade to empty)
+    assert(Algos.kCore(e, k = 3).isEmpty)
+  }
+
   test("clustering coefficient is 1 on K4 and 0 on a path") {
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
     val got = Algos.clusteringCoefficient(k4).orderBy("id")
