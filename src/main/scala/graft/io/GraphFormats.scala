@@ -118,15 +118,20 @@ object GraphFormats {
       .write.mode("overwrite").text(path)
 
   /** GraphvizOutputFormat (CORE/io/formats/GraphvizOutputFormat.java):
-    * digraph in .dot syntax. */
+    * digraph in .dot syntax. An explicit (section, src, dst) sort keys
+    * the whole file — union partition order alone is not stable through
+    * write/read. */
   def writeGraphviz(edges: DataFrame, path: String): Unit = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val body = edges.orderBy(col("src"), col("dst"))
-      .select(concat(lit("  "), col("src"), lit(" -> "), col("dst"), lit(";")).as("value"))
-    Seq("digraph g {").toDF("value")
+    val body = edges.select(
+      concat(lit("  "), col("src"), lit(" -> "), col("dst"), lit(";")).as("value"),
+      lit(1).as("sect"), col("src").as("o1"), col("dst").as("o2"))
+    Seq(("digraph g {", 0, -1L, -1L), ("}", 2, -1L, -1L))
+      .toDF("value", "sect", "o1", "o2")
       .unionByName(body)
-      .unionByName(Seq("}").toDF("value"))
+      .orderBy(col("sect"), col("o1"), col("o2"))
+      .select("value")
       .coalesce(1).write.mode("overwrite").text(path)
   }
 

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.blocks.Blocks
+import graft.functions.Reducers
+import graft.io.GraphFormats
+import graft.text.TextFunctions
+
+/** Coverage for library surface not exercised by the oracle gate. */
+class CoverageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graphviz writer emits a well-formed digraph") {
+    val dir = Files.createTempDirectory("dot").toString
+    GraphFormats.writeGraphviz(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), dir)
+    val lines = spark.read.text(dir).as[String].collect().toSeq
+    assert(lines.head == "digraph g {" && lines.last == "}")
+    assert(lines.contains("  1 -> 2;") && lines.contains("  2 -> 3;"))
+  }
+
+  test("reducer column mapping covers the aggregator families") {
+    val df = Seq(3L, 1L, 2L).toDF("x")
+    def agg(name: String): Any = df.agg(Reducers.columnFor(name, col("x"))).first().get(0)
+    assert(agg("min") == 1L && agg("max") == 3L && agg("sum") == 6L)
+    assert(agg("xor") == (3L ^ 1L ^ 2L))
+    val b = Seq(true, false).toDF("x")
+    assert(b.agg(Reducers.columnFor("and", col("x"))).first().getBoolean(0) == false)
+    assert(b.agg(Reducers.columnFor("or", col("x"))).first().getBoolean(0) == true)
+    intercept[IllegalArgumentException] { Reducers.columnFor("nope", col("x")) }
+  }
+
+  test("striped block partitions the work and reunions losslessly") {
+    val df = (1L to 100L).toDF("id").withColumn("v", col("id"))
+    val doubled = Blocks.striped(4)(Blocks.forAllVertices("v", col("v") * 2))(df)
+    assert(doubled.count() == 100)
+    assert(doubled.agg(sum("v")).first().getLong(0) == 2 * (1L to 100L).sum)
+  }
+
+  test("langId returns the first profile on ties and tracks evidence") {
+    val d = Seq("the cat of the house", "der hund und die katze", "le chat et la table")
+      .toDF("text")
+    val got = d.select(TextFunctions.langId(col("text"))).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "fr"))
+  }
+
+  test("bpeish tokenizer splits punctuation and digit runs") {
+    val one = Seq("ab12, cd!").toDF("text")
+    // tokens: ab | 1 | 2 | , | cd | !  => 6
+    assert(one.select(TextFunctions.bpeishTokenCount(col("text"))).first().getLong(0) == 6L)
+    assert(one.select(TextFunctions.punctCount(col("text"))).first().getLong(0) == 2L)
+  }
+
+  test("entry point returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
