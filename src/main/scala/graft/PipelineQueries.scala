@@ -178,10 +178,20 @@ object PipelineQueries {
        |list_distinct(list_transform(range(1, greatest(len(${tokSql()}) - 2, 1) + 1),
        |i -> concat_ws(' ', ${tokSql()}[i], ${tokSql()}[i+1], ${tokSql()}[i+2]))) AS tri
        |FROM documents),
-       |jx AS (SELECT x.doc_id AS a, y.doc_id AS b,
+       |sig AS MATERIALIZED (SELECT doc_id, blk, tri,
+       |list_transform(range(0, 16), j ->
+       |list_min(list_transform(tri, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig
+       |FROM tri),
+       |bands AS MATERIALIZED (SELECT doc_id, blk, b,
+       |md5(array_to_string(sig[b*2+1 : b*2+2], '|')) AS bv
+       |FROM sig, unnest(range(0, 8)) AS t(b)),
+       |pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.blk = b.blk
+       |AND a.doc_id < b.doc_id),
+       |jx AS (SELECT p.ida AS a, p.idb AS b,
        |len(list_filter(x.tri, s -> list_contains(y.tri, s))) AS inter,
        |len(x.tri) AS la, len(y.tri) AS lb
-       |FROM tri x JOIN tri y ON x.blk = y.blk AND x.doc_id < y.doc_id)
+       |FROM pairs p JOIN tri x ON x.doc_id = p.ida JOIN tri y ON y.doc_id = p.idb)
        |SELECT a, b, CAST(FLOOR(inter / (la + lb - inter) * 1000000) AS BIGINT) AS jac_e6
        |FROM jx WHERE inter / (la + lb - inter) >= 0.1 ORDER BY a, b""".stripMargin.replace('\n', ' ')
 
@@ -193,12 +203,28 @@ object PipelineQueries {
        |/ (sqrt(list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($x[i] AS DOUBLE))))
        |* sqrt(list_sum(list_transform(range(1, 65), i -> CAST($y[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))))))""".stripMargin.replace('\n', ' ')
 
-  private val qDedupEmbSql =
-    s"""SELECT x.vec_id AS a, y.vec_id AS b,
-       |CAST(FLOOR(${cosSql("x.embedding", "y.embedding")} * 10000) AS BIGINT) AS rcos_e4
-       |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
-       |WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.9
+  private val qDedupEmbSql = {
+    import graft.sim.VectorLSH
+    val sm = VectorLSH.signsSqlLiteral(VectorLSH.signs(64, 64))
+    val dotXY =
+      "list_sum(list_transform(range(1, 65), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))"
+    s"""WITH sgn AS (SELECT $sm AS sm),
+       |e AS MATERIALIZED (SELECT vec_id, embedding,
+       |sqrt(list_sum(list_transform(range(1, 65), i ->
+       |CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm,
+       |list_transform(range(0, 8), b -> ${VectorLSH.bucketSql("embedding", 64, 8, "b")}) AS bk
+       |FROM embeddings, sgn),
+       |banded AS MATERIALIZED (SELECT vec_id, b AS band, bk[b + 1] AS bv
+       |FROM e, unnest(range(0, 8)) AS t(b)),
+       |cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+       |FROM banded a JOIN banded b ON a.band = b.band AND a.bv = b.bv
+       |AND a.vec_id < b.vec_id)
+       |SELECT ida AS a, idb AS b,
+       |CAST(FLOOR($dotXY / (x.nrm * y.nrm) * 10000) AS BIGINT) AS rcos_e4
+       |FROM cand JOIN e x ON x.vec_id = ida JOIN e y ON y.vec_id = idb
+       |WHERE $dotXY / (x.nrm * y.nrm) >= 0.9
        |ORDER BY a, b""".stripMargin.replace('\n', ' ')
+  }
 
   // similarity search ---------------------------------------------------
 

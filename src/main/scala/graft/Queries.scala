@@ -223,13 +223,17 @@ object Queries {
        |FROM cp a JOIN cp b ON b.u = a.u AND b.v > a.v
        |JOIN cp c ON c.u = a.v AND c.v = b.v""".stripMargin.replace('\n', ' ')
 
+  /** Candidate cap 128 per supplier (top by lineitem count, then src id):
+    * bounds the pair blowup at any hub — see Algos.triangleClosing. */
   private def qTriClosing(s: SparkSession, dir: String): DataFrame =
-    Algos.triangleClosing(custSuppE(s, dir), topK = 20)
+    Algos.triangleClosing(custSuppE(s, dir), topK = 20, maxFanIn = 128)
 
   private val qTriClosingSql =
-    s"""WITH ce AS (${TestGraphs.custSuppSql})
+    s"""WITH ce AS (${TestGraphs.custSuppSql}),
+       |cc AS MATERIALIZED (SELECT src, dst FROM ce
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY dst ORDER BY cnt DESC, src) <= 128)
        |SELECT a.src AS u, b.src AS v, COUNT(*) AS common
-       |FROM ce a JOIN ce b ON a.dst = b.dst AND a.src < b.src
+       |FROM cc a JOIN cc b ON a.dst = b.dst AND a.src < b.src
        |GROUP BY 1, 2 ORDER BY common DESC, u, v LIMIT 20""".stripMargin.replace('\n', ' ')
 
   private def qKcore(s: SparkSession, dir: String): DataFrame =

@@ -33,15 +33,20 @@ object Dedup {
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
 
   /** LSH banding: one row per (doc, band) with the band's hash; candidate
-    * pairs are docs sharing any (band, bandHash) bucket. */
+    * pairs are docs sharing any (band, bandHash) bucket — and, when
+    * `blockCols` is non-empty, the same block (candidates never cross
+    * blocks, mirroring blocked dedup). */
   def lshCandidates(withSig: DataFrame, bands: Int, rowsPerBand: Int,
-                    idCol: String = "doc_id"): DataFrame = {
-    val banded = withSig.select(col(idCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-        .as(Seq("band", "bv")))
+                    idCol: String = "doc_id",
+                    blockCols: Seq[String] = Nil): DataFrame = {
+    val banded = withSig.select(
+      (col(idCol) +: blockCols.map(col)) :+
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+          .as(Seq("band", "bv")): _*)
+    val keys = Seq("band", "bv") ++ blockCols
     banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+        keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("ida"), col(s"b.$idCol").as("idb"))
       .distinct()
@@ -75,39 +80,66 @@ object Dedup {
     docs.select(col("doc_id"),
       simhash32(shingleSet(col("text"), shingleLen)).as("simhash"))
 
-  /** Near-dup pairs by word n-gram Jaccard, blocked by a grouping column
-    * (e.g. source) to bound the pair space. */
+  /** Near-dup pairs by word n-gram Jaccard. Candidates come from MinHash
+    * LSH banding over the n-gram sets *within* each block (e.g. source) —
+    * an equi-join on (block, band, bandHash), so per-block cost is
+    * O(docs·bands) + per-bucket blowup, never the O(n²)-per-block
+    * all-pairs. True Jaccard verification runs on candidates only. */
   def ngramDupPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.1,
-                    blockCol: String = "source"): DataFrame = {
-    // persisted: both sides of the self-join would otherwise re-tokenize
+                    blockCol: String = "source",
+                    numHashes: Int = 16, bands: Int = 8): DataFrame = {
+    // persisted: candidate join + both verify joins reuse the n-gram sets
+    // and minhash signatures (the md5 minhash subtree is the most
+    // expensive expression in the engine — same rationale as minhash dedup)
     val tri = docs.select(col("doc_id"), col(blockCol).as("blk"),
       wordNgrams(tokens(col("text")), n).as("tri"))
+      .withColumn("sig", minhashSignature(col("tri"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    tri.as("x").join(tri.as("y"),
-        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
-      .withColumn("jac", jaccard(col("x.tri"), col("y.tri")))
+    val cands = lshCandidates(tri, bands, numHashes / bands, blockCols = Seq("blk"))
+    val sets = tri.select(col("doc_id"), col("tri"))
+    cands
+      .join(sets.select(col("doc_id").as("ida"), col("tri").as("ta")), Seq("ida"))
+      .join(sets.select(col("doc_id").as("idb"), col("tri").as("tb")), Seq("idb"))
+      .withColumn("jac", jaccard(col("ta"), col("tb")))
       .filter(col("jac") >= threshold)
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+      .select(col("ida").as("a"), col("idb").as("b"),
         graft.sql.Exact.e6(col("jac")).as("jac_e6"))
       .orderBy(col("a"), col("b"))
   }
 
-  /** Embedding-cosine near-duplicates: pairs whose rounded cosine ≥
-    * threshold. Brute-force within the frame — callers LSH/block first at
-    * scale (see graft.sim.Similarity). */
-  def embeddingDupPairs(emb: DataFrame, threshold: Double = 0.95): DataFrame = {
-    // precompute each vector's norm once — the naive per-pair cosine does
-    // 3 dot products; this does 1 (dot) + 2 lookups, and the persisted
-    // frame stops the self-join from recomputing the norm column
+  /** Embedding-cosine near-duplicates: candidate pairs from
+    * random-hyperplane LSH (graft.sim.VectorLSH — bucket = packed sign
+    * bits per band, candidates = equi-join on (band, bucket)), verified
+    * by exact cosine ≥ threshold. Candidate generation shuffles on the
+    * band key, so cost is O(vectors·bands) + per-bucket blowup — never
+    * the O(n²) all-pairs nested-loop.
+    *
+    * Norms are computed once per vector and the bucketed frame is
+    * persisted: the candidate self-join and both verify joins reuse it. */
+  def embeddingDupPairs(emb: DataFrame, threshold: Double = 0.95,
+                        numPlanes: Int = 64, bands: Int = 8,
+                        dim: Int = 64): DataFrame = {
+    val s = graft.sim.VectorLSH.signs(numPlanes, dim)
     val e = emb.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(graft.sim.Similarity.dot(col("embedding"), col("embedding"))))
+      .withColumn("bk", graft.sim.VectorLSH.bandBuckets(
+        col("embedding"), s, bands, numPlanes / bands))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+    val banded = e.select(col("vec_id"), posexplode(col("bk")).as(Seq("band", "bv")))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
+      .distinct()
+    cands
+      .join(e.select(col("vec_id").as("ida"), col("embedding").as("ea"),
+        col("nrm").as("na")), Seq("ida"))
+      .join(e.select(col("vec_id").as("idb"), col("embedding").as("eb"),
+        col("nrm").as("nb")), Seq("idb"))
       .withColumn("cos",
-        graft.sim.Similarity.dot(col("x.embedding"), col("y.embedding")) /
-          (col("x.nrm") * col("y.nrm")))
+        graft.sim.Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+      .select(col("ida").as("a"), col("idb").as("b"),
         graft.sql.Exact.e4(col("cos")).as("rcos_e4"))
       .orderBy(col("a"), col("b"))
   }

@@ -1,6 +1,7 @@
 package graft.graph
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -62,7 +63,10 @@ object Algos {
         .select(col("id"), col("f").as("f_old"),
           least(col("f"), col("m1"), col("gf")).as("f"))
         .localCheckpoint()
-      changed = next.filter(col("f") < col("f_old")).count()
+      // single pass over the (already materialized) checkpointed frame:
+      // count(when(...)) counts only the changed rows
+      changed = next.select(count(when(col("f") < col("f_old"), lit(1))).as("c"))
+        .first().getLong(0)
       f.unpersist()
       f = next // carries a stale f_old column; joins above project it away
       step += 1
@@ -254,38 +258,68 @@ object Algos {
         floor(avg(col("d")) * 10000).cast("long").as("avg_deg_e4"),
         expr("percentile(d, 0.5)").as("median_deg"))
 
-  /** Total triangle count over an undirected graph given as canonical
-    * pairs (u < v). Classic wedge-join plan; Catalyst shuffles on the
-    * join keys, AQE handles skewed hub vertices.
-    * Reference: EX/SimpleTriangleClosingComputation.java (the 2-superstep
-    * friends-of-friends exchange). */
-  def triangleCount(pairs: DataFrame): DataFrame = {
-    // canonical-pair wedge join. Deliberately NOT persisted: the three
-    // references to `e` are identical subtrees, so Catalyst's
-    // ReuseExchange computes the scan+shuffle once — persisting was
-    // measured slower (breaks whole-stage fusion), as was compact-forward
-    // degree orientation (these co-purchase graphs are near-regular, so
-    // the extra degree joins cost more than the wedge reduction buys).
+  /** Canonical pairs (u < v) re-oriented low-degree → high-degree
+    * endpoint (ties by id): the compact-forward / degree-ordered
+    * orientation (Chiba–Nishizeki; Schank–Wagner '05). Out-degrees in the
+    * oriented graph are bounded by O(√m) (more precisely the arboricity),
+    * so wedge enumeration at a hub costs O(√m·d) instead of O(d²) — the
+    * difference between a skewed 100×-scale graph finishing and not.
+    * Output: (src, dst, dd) where dd = dst's undirected degree, kept so
+    * wedge joins can order two out-neighbors by (degree, id) without
+    * another join. Fully deterministic, so triangle counts are unchanged
+    * and the SQL oracles still match. */
+  private def orientByDegree(pairs: DataFrame): DataFrame = {
     val e = pairs.select(col("u"), col("v"))
-    val wedges = e.as("a").join(e.as("b"),
-      col("a.u") === col("b.u") && col("a.v") < col("b.v"))
-      .select(col("a.v").as("w1"), col("b.v").as("w2"))
-    wedges.join(e.as("c"),
-      col("w1") === col("c.u") && col("w2") === col("c.v"))
+    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    e.join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst"),
+        when(fwd, col("dv")).otherwise(col("du")).as("dd"))
+  }
+
+  /** Wedge ordering inside the oriented graph: neighbor a strictly before
+    * neighbor b in (degree, id) order — each triangle is enumerated
+    * exactly once, at its lowest-(degree, id) corner. */
+  private def orientedWedge(a: String, b: String) =
+    col(s"$a.src") === col(s"$b.src") &&
+      (col(s"$a.dd") < col(s"$b.dd") ||
+        (col(s"$a.dd") === col(s"$b.dd") && col(s"$a.dst") < col(s"$b.dst")))
+
+  /** Total triangle count over an undirected graph given as canonical
+    * pairs (u < v), via degree-oriented (compact-forward) wedge join:
+    * wedges are generated only at each triangle's lowest-degree corner,
+    * so per-vertex work is bounded by the *oriented* out-degree — O(√m)
+    * even at a hub — and the closing join is a pure equi-join.
+    * Reference semantics: EX/SimpleTriangleClosingComputation.java (the
+    * 2-superstep friends-of-friends exchange). The oriented frame is
+    * localCheckpoint'd: it feeds three join inputs, and checkpointing
+    * beats both recomputation and ReuseExchange across the non-identical
+    * wedge/closure subtrees. */
+  def triangleCount(pairs: DataFrame): DataFrame = {
+    val o = orientByDegree(pairs).localCheckpoint()
+    o.as("a").join(o.as("b"), orientedWedge("a", "b"))
+      .select(col("a.dst").as("w1"), col("b.dst").as("w2"))
+      .join(o.as("c"), col("w1") === col("c.src") && col("w2") === col("c.dst"))
       .agg(count(lit(1)).as("triangles"))
   }
 
   /** Per-vertex triangle participation + local clustering coefficient
     * cc = 2·tri / (deg·(deg−1)) over an undirected graph given as
-    * canonical pairs (u < v). Completes the graph-stats family
-    * (BLOCK8 .../stats/DirectedGraphStats.java). cc emitted floor-scaled
-    * (graft.sql.Exact) for oracle matching; degree-1 vertices get cc 0. */
+    * canonical pairs (u < v). Same degree-oriented enumeration as
+    * [[triangleCount]] (each triangle surfaces once, then all three
+    * corners are credited), so per-vertex counts are identical to the
+    * unoriented definition and the oracle is unchanged. cc emitted
+    * floor-scaled (graft.sql.Exact); degree-1 vertices get cc 0. */
   def clusteringCoefficient(pairs: DataFrame): DataFrame = {
     val e = pairs.select(col("u"), col("v"))
-    val triangles = e.as("a").join(e.as("b"),
-        col("a.u") === col("b.u") && col("a.v") < col("b.v"))
-      .select(col("a.u").as("x"), col("a.v").as("y"), col("b.v").as("z"))
-      .join(e.as("c"), col("y") === col("c.u") && col("z") === col("c.v"), "left_semi")
+    val o = orientByDegree(pairs).localCheckpoint()
+    val triangles = o.as("a").join(o.as("b"), orientedWedge("a", "b"))
+      .select(col("a.src").as("x"), col("a.dst").as("y"), col("b.dst").as("z"))
+      .join(o.as("c"), col("y") === col("c.src") && col("z") === col("c.dst"), "left_semi")
     val triPerV = triangles
       .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("tri_cnt"))
@@ -303,9 +337,23 @@ object Algos {
   /** "People you may know": for a bipartite src→dst graph, rank src pairs
     * by shared-neighbor count (candidates are never existing edges in a
     * bipartite graph). Returns the global top-k with (cnt desc, u, v)
-    * deterministic ordering. */
-  def triangleClosing(edges: DataFrame, topK: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    * deterministic ordering.
+    *
+    * Scale control: a hub dst with c in-neighbors emits c² candidate
+    * pairs, so `maxFanIn` > 0 pre-prunes each dst to its top-`maxFanIn`
+    * in-neighbors by relationship strength (`cnt` desc, src asc — fully
+    * deterministic, replayable by a QUALIFY oracle). That bounds
+    * per-vertex work at maxFanIn² — the standard production PYMK
+    * candidate cap — while 0 keeps the exact unbounded semantics. */
+  def triangleClosing(edges: DataFrame, topK: Int, maxFanIn: Int = 0): DataFrame = {
+    val e =
+      if (maxFanIn > 0) {
+        val w = Window.partitionBy(col("dst")).orderBy(col("cnt").desc, col("src"))
+        edges.select(col("src"), col("dst"), col("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= maxFanIn)
+          .select(col("src"), col("dst"))
+      } else edges.select(col("src"), col("dst"))
     e.as("a").join(e.as("b"), col("a.dst") === col("b.dst") && col("a.src") < col("b.src"))
       .groupBy(col("a.src").as("u"), col("b.src").as("v"))
       .agg(count(lit(1)).as("common"))

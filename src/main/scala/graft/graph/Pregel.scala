@@ -122,8 +122,9 @@ object Pregel {
     var i = 0
     var go = true
     while (i < iterations && go) {
+      // materialize is eager (both checkpoint flavors) — it already ran
+      // the superstep's job, so no extra action is needed here
       val next = materialize(step(verts, i), i, opts)
-      next.count()
       opts.onSuperstep(next, i)
       verts.unpersist()
       verts = next
