@@ -19,11 +19,18 @@ final case class PregelOptions(
     maxSupersteps: Int = 50,
     checkpointEvery: Int = 6,
     storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
-    /** When set, every `checkpointEvery` supersteps use *reliable*
-      * `checkpoint()` into this dir (fault tolerance, the reference's
-      * checkpoint/restart, BspServiceWorker.java:1340-1460) instead of
-      * `localCheckpoint` (which only truncates lineage). */
+    /** When set, every `checkpointEvery` supersteps write a *reliable*,
+      * restartable snapshot (`<dir>/step_<N>` parquet) instead of only
+      * `localCheckpoint`-ing (which truncates lineage but dies with the
+      * app). Fault tolerance per the reference's checkpoint machinery,
+      * BspServiceWorker.java:1340-1460. */
     checkpointDir: Option[String] = None,
+    /** With `checkpointDir`: resume from the latest `step_<N>` snapshot
+      * instead of `vertices` — the reference's restart-on-failure,
+      * BspServiceMaster.java:1225 (`restartFromCheckpoint`) /
+      * :1118 (prepare checkpoint restart). No snapshot present → a
+      * normal from-scratch run. */
+    resume: Boolean = false,
     /** Superstep-output hook: called with (vertexFrame, superstep) after
       * each superstep — the reference's write-during-computation modes
       * (io/superstep_output, GiraphConstants DO_OUTPUT_DURING_COMPUTATION,
@@ -84,9 +91,10 @@ object Pregel {
     val spark = vertices.sparkSession
     val e = edges.repartition(col("src")).persist(opts.storageLevel)
 
-    var verts = vertices.persist(opts.storageLevel)
+    val resumed = resumePoint(spark, opts)
+    var verts = resumed.map(_._2).getOrElse(vertices).persist(opts.storageLevel)
     var active = verts.filter(col("active")).count()
-    var step = 0
+    var step = resumed.map(_._1 + 1).getOrElse(0)
     while (active > 0L && step < opts.maxSupersteps) {
       val msgs = sendMsg(verts.filter(col("active")).join(e, col("id") === col("src")))
         .groupBy("id").agg(combineMsg.as("msg"))
@@ -117,9 +125,10 @@ object Pregel {
       opts: PregelOptions = PregelOptions())(
       step: (DataFrame, Int) => DataFrame,
       master: (DataFrame, Int) => Boolean = (_, _) => true): DataFrame = {
-    var verts = vertices.persist(opts.storageLevel)
+    val resumed = resumePoint(vertices.sparkSession, opts)
+    var verts = resumed.map(_._2).getOrElse(vertices).persist(opts.storageLevel)
     verts.count()
-    var i = 0
+    var i = resumed.map(_._1 + 1).getOrElse(0)
     var go = true
     while (i < iterations && go) {
       // materialize is eager (both checkpoint flavors) — it already ran
@@ -135,13 +144,48 @@ object Pregel {
   }
 
   /** Eagerly materialize one superstep's frame with truncated lineage:
-    * reliable `checkpoint` on the configured cadence when a checkpoint
-    * dir is set, `localCheckpoint` otherwise. */
+    * on the configured cadence with a checkpoint dir set, a *restartable*
+    * parquet snapshot (`<dir>/step_<N>`) read straight back (the write is
+    * the materializing action; the read-back plan is a bare scan — both
+    * reliable and resumable, unlike `RDD.checkpoint` files which die with
+    * the SparkContext); `localCheckpoint` otherwise. */
   private def materialize(df: DataFrame, step: Int, opts: PregelOptions): DataFrame =
     opts.checkpointDir match {
       case Some(dir) if (step + 1) % opts.checkpointEvery == 0 =>
-        df.sparkSession.sparkContext.setCheckpointDir(dir)
-        df.checkpoint()
+        val path = s"$dir/step_$step"
+        df.write.mode("overwrite").parquet(path)
+        df.sparkSession.read.parquet(path)
       case _ => df.localCheckpoint()
     }
+
+  /** The latest completed snapshot under `dir`: (superstep, frame).
+    * Only `step_<N>` dirs holding a `_SUCCESS` marker count — a write
+    * that died mid-flight is invisible, exactly the reference's
+    * checkpoint-validity rule (BspServiceMaster.getLastGoodCheckpoint,
+    * BspServiceMaster.java:1190-1223). */
+  def latestCheckpoint(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Option[(Int, DataFrame)] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) None
+    else {
+      val stepRe = "step_(\\d+)".r
+      val steps = fs.listStatus(root).filter(_.isDirectory).flatMap { st =>
+        st.getPath.getName match {
+          case stepRe(n) if fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) =>
+            Some((n.toInt, st.getPath.toString))
+          case _ => None
+        }
+      }
+      if (steps.isEmpty) None
+      else {
+        val (n, path) = steps.maxBy(_._1)
+        Some((n, spark.read.parquet(path)))
+      }
+    }
+  }
+
+  private def resumePoint(spark: org.apache.spark.sql.SparkSession,
+                          opts: PregelOptions): Option[(Int, DataFrame)] =
+    if (opts.resume) opts.checkpointDir.flatMap(latestCheckpoint(spark, _)) else None
 }

@@ -36,6 +36,25 @@ class PregelSpec extends SparkSpec {
     assert(new java.io.File(dir).listFiles().nonEmpty)
   }
 
+  test("checkpoint restart resumes from the latest snapshot") {
+    val dir = Files.createTempDirectory("graft-restart").toString
+    val golden = ssspRun(PregelOptions(maxSupersteps = 64))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    // crash the job mid-run (superstep 1), after snapshots 0 and 1 landed
+    val boom = intercept[RuntimeException] {
+      ssspRun(PregelOptions(maxSupersteps = 64, checkpointEvery = 1,
+        checkpointDir = Some(dir),
+        onSuperstep = (_, i) => if (i == 1) sys.error("simulated worker death")))
+    }
+    assert(boom.getMessage.contains("simulated worker death"))
+    assert(Pregel.latestCheckpoint(spark, dir).map(_._1).contains(1))
+    // resume: picks up at superstep 2 and converges to the golden result
+    val got = ssspRun(PregelOptions(maxSupersteps = 64, checkpointEvery = 1,
+      checkpointDir = Some(dir), resume = true))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == golden)
+  }
+
   test("maxSupersteps caps the loop") {
     val got = ssspRun(PregelOptions(maxSupersteps = 1))
     // only the source's direct neighbors reached after one superstep
