@@ -300,6 +300,12 @@ object Queries {
   private def qDeadlock(s: SparkSession, dir: String): DataFrame =
     Algos.deadlock(TestGraphs.waitFor(Tables(s, dir))).orderBy(col("id"))
 
+  /** Bracha-Toueg OR/N-of-M deadlock on the tagged wait-for fixture;
+    * initiator = supplier 1 (offset id space). */
+  private def qBracha(s: SparkSession, dir: String): DataFrame =
+    Algos.brachaToueg(TestGraphs.taggedWaitFor(Tables(s, dir)),
+      initiator = TestGraphs.SuppOffset + 3, rounds = 20).orderBy(col("id"))
+
   private def qPrepStats(s: SparkSession, dir: String): DataFrame =
     Prep.cleanSymmetric(custSuppE(s, dir))
       .groupBy(col("src")).agg(count(lit(1)).as("d"))
@@ -341,6 +347,7 @@ object Queries {
     "q_graph_kcore"    -> (qKcore _),
     "q_graph_clustering" -> (qClustering _),
     "q_graph_deadlock" -> (qDeadlock _),
+    "q_graph_bracha"   -> (qBracha _),
     "q_graph_norm"     -> (qNorm _),
     "q_graph_wpagerank" -> (qWPagerank _),
     "q_graph_rwr"      -> (qRwr _),
@@ -369,6 +376,7 @@ object Queries {
     "q_graph_kcore"    -> OracleGen.kCoreSql(TestGraphs.custSuppSymSql, 30, 12),
     "q_graph_clustering" -> qClusteringSql,
     "q_graph_deadlock" -> OracleGen.deadlockSql(TestGraphs.waitForSql, 8),
+    "q_graph_bracha"   -> OracleGen.brachaTouegSql(TestGraphs.taggedWaitForSql, TestGraphs.SuppOffset + 3, 20),
     "q_graph_norm"     -> qNormSql,
     "q_graph_wpagerank" -> OracleGen.pagerankWeightedSql(TestGraphs.custSuppSymSql, 5, 0.85, 0.15),
     "q_graph_rwr"      -> OracleGen.rwrSql(TestGraphs.custSuppSymSql, 5, 0.85, 0.15),

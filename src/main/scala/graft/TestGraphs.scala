@@ -106,4 +106,59 @@ object TestGraphs {
       |UNION ALL
       |SELECT s_suppkey AS src, (s_suppkey + 7) % (SELECT COUNT(*) FROM supplier) AS dst FROM supplier
       |) t WHERE src <> dst""".stripMargin.replace('\n', ' ')
+
+  /** Tagged wait-for graph (N-of-M requests) — the Bracha-Toueg fixture:
+    *  - suppliers with s % 7 = 0 hold no locks (sinks — they can grant);
+    *  - "pocket" suppliers (s % 4 = 1, non-sink) wait ONLY on the next
+    *    pocket member, single tag, closing a pure cycle — deadlocked by
+    *    construction (no request of theirs can ever be satisfied);
+    *  - every other supplier waits on its two ring successors, each
+    *    under its OWN tag (OR semantics: either grant frees it);
+    *  - customers wait on their suppliers grouped by tag = supplier % 3
+    *    (every supplier in a tag group must grant — N-of-M), so a
+    *    customer is free iff some tag group avoids the pocket entirely.
+    * Duplicate (src, dst) pairs keep the minimum tag (one edge = one
+    * request, as in the reference's per-target edge map). */
+  def taggedWaitFor(tb: Tables): DataFrame = {
+    val n = tb.supplier.count()
+    val nonSink = tb.supplier.filter(col("s_suppkey") % 7 =!= 0).select(col("s_suppkey"))
+    val s = nonSink.filter(col("s_suppkey") % 4 =!= 1)
+    val ring = s.select((col("s_suppkey") + SuppOffset).as("src"),
+        (((col("s_suppkey") * 3 + 1) % n) + SuppOffset).as("dst"), lit(0L).as("tag"))
+      .union(s.select((col("s_suppkey") + SuppOffset).as("src"),
+        (((col("s_suppkey") + 7) % n) + SuppOffset).as("dst"), lit(1L).as("tag")))
+      .filter(col("src") =!= col("dst"))
+    // pocket cycle: each member waits on the next by key (wrap to min).
+    // Unpartitioned window is fine: the pocket is O(#suppliers/4) rows.
+    val wOrd = Window.orderBy(col("s_suppkey"))
+    val wAll = Window.partitionBy(lit(1))
+    val pocket = nonSink.filter(col("s_suppkey") % 4 === 1)
+      .select(col("s_suppkey"),
+        coalesce(lead(col("s_suppkey"), 1).over(wOrd),
+          min(col("s_suppkey")).over(wAll)).as("nxt"))
+      .filter(col("s_suppkey") =!= col("nxt"))
+      .select((col("s_suppkey") + SuppOffset).as("src"),
+        (col("nxt") + SuppOffset).as("dst"), lit(0L).as("tag"))
+    val cust = custSupp(tb).select(col("src"), col("dst"), (col("dst") % 3).as("tag"))
+    ring.union(pocket).union(cust)
+      .groupBy(col("src"), col("dst")).agg(min(col("tag")).as("tag"))
+  }
+
+  val taggedWaitForSql: String = {
+    val n = "(SELECT COUNT(*) FROM supplier)"
+    s"""e AS MATERIALIZED (SELECT src, dst, MIN(tag) AS tag FROM (
+       |SELECT s_suppkey + $SuppOffset AS src, ((s_suppkey * 3 + 1) % $n) + $SuppOffset AS dst, 0 AS tag
+       |FROM supplier WHERE s_suppkey % 7 <> 0 AND s_suppkey % 4 <> 1 AND s_suppkey <> (s_suppkey * 3 + 1) % $n
+       |UNION ALL
+       |SELECT s_suppkey + $SuppOffset, ((s_suppkey + 7) % $n) + $SuppOffset, 1
+       |FROM supplier WHERE s_suppkey % 7 <> 0 AND s_suppkey % 4 <> 1 AND s_suppkey <> (s_suppkey + 7) % $n
+       |UNION ALL
+       |SELECT k + $SuppOffset, nxt + $SuppOffset, 0 FROM (
+       |SELECT s_suppkey AS k, COALESCE(LEAD(s_suppkey) OVER (ORDER BY s_suppkey),
+       |MIN(s_suppkey) OVER ()) AS nxt FROM supplier
+       |WHERE s_suppkey % 7 <> 0 AND s_suppkey % 4 = 1) p WHERE k <> nxt
+       |UNION ALL
+       |SELECT src, dst, dst % 3 FROM ($custSuppSql) cs
+       |) t GROUP BY src, dst)""".stripMargin.replace('\n', ' ')
+  }
 }

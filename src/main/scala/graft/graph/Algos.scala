@@ -473,6 +473,84 @@ object Algos {
       .select(col("id"), col("dl").cast("int").as("deadlocked"))
   }
 
+  /** Bracha-Toueg deadlock detection — the OR / N-of-M request model
+    * (EX/BrachaTouegDeadlockComputation.java:61-178, message-passing form;
+    * EX/utils/BrachaTouegDeadlockVertexValue.java:204-250 for the
+    * per-tag request bookkeeping). The wait-for graph carries a `tag`
+    * per edge: a vertex's out-edges with one tag form ONE request that
+    * is satisfied only when ALL its targets grant (AND within a tag);
+    * the vertex is freed by ANY satisfied request (OR across tags).
+    *
+    * The async NOTIFY/GRANT/ACK/DONE message machinery exists to detect
+    * termination without a coordinator; under BSP the same result is the
+    * least fixpoint (each superstep = one synchronized message wave):
+    *   notified = forward reachability from the initiator (NOTIFY wave,
+    *     compute():101-114);
+    *   free(u)  = (notified(u) ∧ u holds no requests)         — the
+    *     notified-sink base case, notifyVertices():319-325 —
+    *     ∨ (∃ tag t: ∀ w ∈ targets(u, t): free(w))             — the
+    *     GRANT cascade, handleGrantMessage():398-416, which fires with
+    *     no notified check, so freeness crosses un-notified vertices.
+    * Both phases run ≤ `rounds` waves; the DuckDB oracle unrolls the
+    * identical recurrence, so partial fixpoints match round-for-round.
+    * Per round: one equi-join (grants onto edge targets) + one
+    * (src, tag) aggregate — shuffle-bound, scalars only on the driver.
+    *
+    * Returns (id, notified INT, free INT); the initiator is deadlocked
+    * iff its free = 0. */
+  def brachaToueg(edges: DataFrame, initiator: Long, rounds: Int = 20): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("tag"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = verticesOf(e).localCheckpoint()
+    // Phase 1 — NOTIFY wave: forward reachability from the initiator.
+    val notified = Pregel.run(
+      verts.select(col("id"), (col("id") === initiator).as("n"),
+        (col("id") === initiator).as("active")),
+      e.select("src", "dst"),
+      sendMsg = j => j.select(col("dst").as("id"), lit(1).as("msg")),
+      combineMsg = max(col("msg")),
+      vprog = (vs, msgs) => {
+        val newly = !col("n") && col("msg").isNotNull
+        vs.join(msgs, Seq("id"), "left").select(
+          col("id"), (col("n") || col("msg").isNotNull).as("n"),
+          coalesce(newly, lit(false)).as("active"))
+      },
+      opts = PregelOptions(maxSupersteps = rounds))
+      .filter(col("n")).select("id")
+      .localCheckpoint()
+    // Phase 2 — GRANT cascade to fixpoint: free grows monotonically from
+    // the notified sinks; each round satisfies (src, tag) groups whose
+    // targets are all free.
+    var free = notified
+      .join(e.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
+      .localCheckpoint()
+    var freeCount = free.count()
+    var changed = true
+    var i = 0
+    while (changed && i < rounds) {
+      val sat = e
+        .join(free.select(col("id").as("dst"), lit(1).as("g")), Seq("dst"), "left")
+        .groupBy(col("src"), col("tag"))
+        .agg((count(lit(1)) === count(col("g"))).as("ok"))
+        .filter(col("ok")).select(col("src").as("id")).distinct()
+      val next = free.union(sat).distinct().localCheckpoint()
+      val c = next.count()
+      changed = c != freeCount
+      free.unpersist()
+      free = next
+      freeCount = c
+      i += 1
+    }
+    val out = verts
+      .join(notified.withColumn("nn", lit(1)), Seq("id"), "left")
+      .join(free.withColumn("ff", lit(1)), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("nn"), lit(0)).cast("int").as("notified"),
+        coalesce(col("ff"), lit(0)).cast("int").as("free"))
+    e.unpersist()
+    out
+  }
+
   /** Strongly connected components via forward-backward coloring (the
     * scalable label-propagation SCC; the reference runs a 4-phase master
     * state machine, EX/scc/SccComputation.java +

@@ -176,6 +176,36 @@ object OracleGen {
       "FROM v ORDER BY id")
   }
 
+  /** Bracha-Toueg OR/N-of-M deadlock oracle: `rounds` unrolled NOTIFY
+    * hops (reachability from the initiator) then `rounds` unrolled GRANT
+    * rounds — f(i) adds every (src, tag) group whose targets are all in
+    * f(i-1). The exact recurrence graft.graph.Algos.brachaToueg runs, so
+    * even a partial (non-converged) fixpoint matches round-for-round.
+    * `withBody` must bind e(src, dst, tag). */
+  def brachaTouegSql(withBody: String, initiator: Long, rounds: Int): String = {
+    val notify = (1 to rounds).map { i =>
+      s"""n$i AS MATERIALIZED (SELECT id FROM n${i - 1} UNION
+         |SELECT e.dst AS id FROM e JOIN n${i - 1} p ON e.src = p.id)""".stripMargin.replace('\n', ' ')
+    }
+    val grant = (1 to rounds).map { i =>
+      s"""f$i AS MATERIALIZED (SELECT id FROM f${i - 1} UNION
+         |SELECT src AS id FROM (SELECT e.src, e.tag, COUNT(*) AS t, COUNT(f.id) AS g
+         |FROM e LEFT JOIN f${i - 1} f ON e.dst = f.id GROUP BY e.src, e.tag) s
+         |WHERE t = g)""".stripMargin.replace('\n', ' ')
+    }
+    (s"WITH $withBody, " +
+      "v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), " +
+      s"n0 AS MATERIALIZED (SELECT CAST($initiator AS BIGINT) AS id), " +
+      notify.mkString(", ") + ", " +
+      s"nn AS MATERIALIZED (SELECT id FROM n$rounds), " +
+      "f0 AS MATERIALIZED (SELECT id FROM nn WHERE id NOT IN (SELECT src FROM e)), " +
+      grant.mkString(", ") + " " +
+      "SELECT v.id, " +
+      "CAST(CASE WHEN v.id IN (SELECT id FROM nn) THEN 1 ELSE 0 END AS INT) AS notified, " +
+      s"CAST(CASE WHEN v.id IN (SELECT id FROM f$rounds) THEN 1 ELSE 0 END AS INT) AS free " +
+      "FROM v ORDER BY id")
+  }
+
   /** SCC labels (comp = max id in the component) via K-fold path-doubling
     * transitive closure — oracle-only; the engine uses FB-coloring. */
   def sccSql(withBody: String, k: Int): String = {

@@ -64,6 +64,32 @@ class AlgosSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 0L), (2L, 1L, 1L), (3L, 0L, 2L)))
   }
 
+  /** OR/N-of-M semantics of BrachaTouegDeadlockComputation.java:
+    * vertex 1 needs BOTH 2 and 3 (tag 0 — one N-of-M request) OR just 4
+    * (tag 1); 4 waits on 1 (cycle). 2 and 3 are sinks, so the tag-0
+    * request satisfies and everyone unwinds — no deadlock. */
+  test("brachaToueg frees an N-of-M request whose targets all grant") {
+    val edges = Seq((1L, 2L, 0L), (1L, 3L, 0L), (1L, 4L, 1L), (4L, 1L, 0L))
+      .toDF("src", "dst", "tag")
+    val got = Algos.brachaToueg(edges, initiator = 1L).orderBy("id")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(got == Seq((1L, 1, 1), (2L, 1, 1), (3L, 1, 1), (4L, 1, 1)))
+  }
+
+  /** Same shape but 3 is replaced by a 2-cycle member: tag 0 can never
+    * fully grant (one target is deadlocked), tag 1 waits on the cycle
+    * back to 1 — the initiator is deadlocked. 2 still grants (it is a
+    * notified sink). */
+  test("brachaToueg detects deadlock when every request hits a cycle") {
+    val edges = Seq((1L, 2L, 0L), (1L, 5L, 0L), (1L, 4L, 1L), (4L, 1L, 0L),
+      (5L, 6L, 0L), (6L, 5L, 0L))
+      .toDF("src", "dst", "tag")
+    val got = Algos.brachaToueg(edges, initiator = 1L).orderBy("id")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(got == Seq((1L, 1, 0), (2L, 1, 1), (3L, 1, 1), (4L, 1, 0),
+      (5L, 1, 0), (6L, 1, 0)).filter(_._1 != 3L))
+  }
+
   test("triangleCount on K4 finds 4 triangles") {
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
     assert(Algos.triangleCount(pairs).first().getLong(0) == 4L)
