@@ -75,4 +75,46 @@ object Blocks {
     (0 until k).map(i =>
         s(df.filter(pmod(hash(col(idCol)), lit(k)) === i)))
       .reduce(_ unionByName _)
+
+  /** SendMessageChain (BLOCK/library/SendMessageChain.java:80-145) — the
+    * block library's most-used ergonomic: a fluent chain where every link
+    * sends a message along out-edges and combines it per receiver, the
+    * combined value (`col("msg")`) feeds the next link's message
+    * expression, and `endConsume` folds the last combined value into the
+    * vertex frame. Each link is exactly one superstep: a join of the
+    * vertex frame with the (shared, pre-partitioned) edge frame plus one
+    * combine aggregation — the same physical shape as Pregel.run's loop
+    * body. Null messages are not sent (reference: a null
+    * messageSupplier result sends nothing). */
+  final class SendMessageChain private[Blocks] (
+      edges: DataFrame, links: Vector[(Column, Column)]) {
+
+    /** thenSendToNeighbors: add one more link; `msg` may reference vertex
+      * columns, edge columns, and — from link 2 on — `col("msg")`, the
+      * previous link's combined value. */
+    def thenSendToNeighbors(msg: Column, combine: Column): SendMessageChain =
+      new SendMessageChain(edges, links :+ (msg, combine))
+
+    /** endConsume (SendMessageChain.java:313): finish the chain with a
+      * consumer of (original vertex frame, combined messages(id, msg)). */
+    def endConsume(consume: (DataFrame, DataFrame) => DataFrame): Step = { verts0 =>
+      var verts = verts0
+      var msgs: DataFrame = null
+      links.foreach { case (msgExpr, comb) =>
+        msgs = verts.join(edges, col("id") === col("src"))
+          .select(col("dst").as("id"), msgExpr.as("m"))
+          .filter(col("m").isNotNull)
+          .groupBy(col("id")).agg(comb.as("msg"))
+        // bind the combined value for the next link's message expression
+        verts = verts0.drop("msg").join(msgs, Seq("id"), "left")
+      }
+      consume(verts0, msgs)
+    }
+  }
+
+  /** startSendToNeighbors (SendMessageChain.java:124-137): open a chain
+    * whose first link sends `msg` along every out-edge, combined per
+    * receiver with `combine` (e.g. `min(col("m"))`). */
+  def startSendToNeighbors(edges: DataFrame, msg: Column, combine: Column): SendMessageChain =
+    new SendMessageChain(edges, Vector((msg, combine)))
 }

@@ -103,4 +103,64 @@ object Reducers {
     aggregate(collect_list(c),
       array((0 until dim).map(_ => lit(0.0)): _*),
       (acc, v) => zip_with(acc, v, (x, y) => x + y))
+
+  /** Sparse vector sum (CORE/aggregators/matrix/sparse — the
+    * {Double,Float,Int,Long}SparseVectorSumAggregator family, one class
+    * per primitive there; one generic here): vectors are index→value
+    * maps, merge is entrywise sum, indices present on one side pass
+    * through — what you'd actually aggregate at scale, where dense
+    * dim-length arrays per vertex don't fit. Spark runs it
+    * partial+final over the shuffle like every typed Aggregator. */
+  final class SparseVectorSum[T](implicit num: Numeric[T],
+                                 tt: scala.reflect.runtime.universe.TypeTag[Map[Int, T]])
+    extends Aggregator[Map[Int, T], Map[Int, T], Map[Int, T]] {
+    def zero: Map[Int, T] = Map.empty
+    def reduce(b: Map[Int, T], a: Map[Int, T]): Map[Int, T] = merge(b, a)
+    def merge(b1: Map[Int, T], b2: Map[Int, T]): Map[Int, T] = {
+      val (small, large) = if (b1.size < b2.size) (b1, b2) else (b2, b1)
+      small.foldLeft(large) { case (m, (k, v)) =>
+        m.updated(k, num.plus(m.getOrElse(k, num.zero), v))
+      }
+    }
+    def finish(r: Map[Int, T]): Map[Int, T] = r
+    def bufferEncoder: Encoder[Map[Int, T]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Int, T]]()
+    def outputEncoder: Encoder[Map[Int, T]] = bufferEncoder
+  }
+
+  /** Sparse matrix sum (CORE/aggregators/matrix/sparse
+    * {Double,Float,Int,Long}SparseMatrixSumAggregator): row → sparse
+    * vector, merged row-wise — the reference registers one vector
+    * aggregator per row name; here the whole matrix is one monoid. */
+  final class SparseMatrixSum[T](implicit num: Numeric[T],
+                                 tt: scala.reflect.runtime.universe.TypeTag[Map[Int, Map[Int, T]]])
+    extends Aggregator[Map[Int, Map[Int, T]], Map[Int, Map[Int, T]], Map[Int, Map[Int, T]]] {
+    private def mergeRow(r1: Map[Int, T], r2: Map[Int, T]): Map[Int, T] = {
+      val (small, large) = if (r1.size < r2.size) (r1, r2) else (r2, r1)
+      small.foldLeft(large) { case (m, (k, v)) =>
+        m.updated(k, num.plus(m.getOrElse(k, num.zero), v))
+      }
+    }
+    def zero: Map[Int, Map[Int, T]] = Map.empty
+    def reduce(b: Map[Int, Map[Int, T]], a: Map[Int, Map[Int, T]]): Map[Int, Map[Int, T]] =
+      merge(b, a)
+    def merge(b1: Map[Int, Map[Int, T]], b2: Map[Int, Map[Int, T]]): Map[Int, Map[Int, T]] = {
+      val (small, large) = if (b1.size < b2.size) (b1, b2) else (b2, b1)
+      small.foldLeft(large) { case (m, (row, vec)) =>
+        m.updated(row, m.get(row).map(mergeRow(_, vec)).getOrElse(vec))
+      }
+    }
+    def finish(r: Map[Int, Map[Int, T]]): Map[Int, Map[Int, T]] = r
+    def bufferEncoder: Encoder[Map[Int, Map[Int, T]]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Int, Map[Int, T]]]()
+    def outputEncoder: Encoder[Map[Int, Map[Int, T]]] = bufferEncoder
+  }
+
+  /** DataFrame-native sparse vector sum — the scale path when sparse
+    * vectors are a map column: explode to (index, value) rows, sum per
+    * index (partial+final HashAggregate, no per-row map allocation).
+    * Returns (index INT, value) rows. */
+  def sparseVectorSumByExplode(df: org.apache.spark.sql.DataFrame, mapCol: String): org.apache.spark.sql.DataFrame =
+    df.select(explode(col(mapCol)).as(Seq("index", "value")))
+      .groupBy(col("index")).agg(sum(col("value")).as("value"))
 }

@@ -46,6 +46,31 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     PropertyGraph(v, e)
   }
 
+  /** Placement partitioning from a mapping side-input — the reference's
+    * MappingInputFormat (CORE/io/MappingInputFormat.java:46) +
+    * LongByteMappingStore (CORE/mapping/LongByteMappingStore.java) +
+    * LongMappingStorePartitionerFactory
+    * (CORE/partition/LongMappingStorePartitionerFactory.java:getPartition).
+    * `mapping` = (id, bucket): broadcast (the reference materializes it in
+    * every worker's LocalData), joined onto vertices and — by src, the
+    * message-routing key — onto edges, then both frames are
+    * placed with partition = bucket mod `numPartitions` — the exact
+    * `getPartition` contract (with `numPartitions` ≥ #buckets every
+    * bucket gets its own partition). Placement is an explicit
+    * `Partitioner` over the bucket key: one RDD pass at load time (the
+    * only point RDDs appear in the engine — hash/range repartition
+    * cannot express identity placement), exactly when the reference
+    * builds its mapping store. Unmapped ids group under bucket −1. */
+  def partitionByMapping(mapping: DataFrame, numPartitions: Int): PropertyGraph = {
+    val m = broadcast(mapping.select(col("id"), col("bucket")))
+    val v = vertices.join(m, Seq("id"), "left")
+      .withColumn("bucket", coalesce(col("bucket"), lit(-1L)))
+    val e = edges.join(m.select(col("id").as("src"), col("bucket")), Seq("src"), "left")
+      .withColumn("bucket", coalesce(col("bucket"), lit(-1L)))
+    PropertyGraph(PropertyGraph.placeByBucket(v, numPartitions),
+      PropertyGraph.placeByBucket(e, numPartitions))
+  }
+
   def degrees: DataFrame = Algos.degrees(edges)
   def wcc: DataFrame = Algos.wcc(edges)
   def scc: DataFrame = Algos.scc(edges)
@@ -66,5 +91,22 @@ object PropertyGraph {
   def fromEdges(edges: DataFrame): PropertyGraph = {
     val spark = edges.sparkSession
     PropertyGraph(Algos.verticesOf(edges), edges)
+  }
+
+  /** partition index = bucket mod n (floorMod: bucket −1 = unmapped ids
+    * land in the last partition), per
+    * LongMappingStorePartitionerFactory.getPartition. */
+  private class BucketPartitioner(n: Int) extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = n
+    override def getPartition(key: Any): Int =
+      math.floorMod(key.asInstanceOf[Long], n.toLong).toInt
+  }
+
+  private def placeByBucket(df: DataFrame, numPartitions: Int): DataFrame = {
+    val spark = df.sparkSession
+    val placed = df.rdd.keyBy(_.getAs[Long]("bucket"))
+      .partitionBy(new BucketPartitioner(numPartitions))
+      .values
+    spark.createDataFrame(placed, df.schema).drop("bucket")
   }
 }

@@ -2,7 +2,7 @@ package graft.io
 
 import java.util.regex.Pattern
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph sources/sinks mirroring the reference's io/formats family
@@ -142,4 +142,99 @@ object GraphFormats {
 
   def readVerticesParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** IntIntNullTextInputFormat
+    * (CORE/io/formats/IntIntNullTextInputFormat.java:38-76): line =
+    * `id nbr1 nbr2 …` ([\t ] separated), unweighted; the vertex value is
+    * its id. Returns (vertices(id, value), edges(src, dst)). */
+  def readIdNeighborsText(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val arr = split(trim(col("value")), "[\t ]")
+    val parsed = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(arr.as("a"))
+      .select(element_at(col("a"), 1).cast("long").as("id"),
+        slice(col("a"), lit(2), greatest(size(col("a")) - 1, lit(0))).as("nbrs"))
+    val vertices = parsed.select(col("id"), col("id").as("value"))
+    val edges = parsed.select(col("id").as("src"), explode(col("nbrs")).as("d"))
+      .select(col("src"), col("d").cast("long").as("dst"))
+    (vertices, edges)
+  }
+
+  /** IntIntTextVertexValueInputFormat
+    * (CORE/io/formats/IntIntTextVertexValueInputFormat.java:39-73):
+    * line = `id value` ([\t ] separated). Covers the typed id[+value]
+    * vertex family (IntIntNull / IntNullNull / LongLongNull …) — the id
+    * and value parse as BIGINT and cast wherever narrower types are
+    * needed. */
+  def readIdValueText(spark: SparkSession, path: String): DataFrame = {
+    val arr = split(trim(col("value")), "[\t ]")
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(element_at(arr, 1).cast("long").as("id"),
+        element_at(arr, 2).cast("long").as("value"))
+  }
+
+  // JsonBase64 ---------------------------------------------------------
+
+  /** 8-byte big-endian binary of a BIGINT column — LongWritable.write's
+    * exact wire bytes (DataOutput.writeLong is big-endian). */
+  private def beLong(c: Column): Column = unhex(lpad(hex(c), 16, "0"))
+
+  /** Inverse of [[beLong]], sign-correct: conv() parses hex unsigned, so
+    * values past Long.MaxValue wrap back by 2⁶⁴ through decimal. */
+  private def longFromBe(c: Column): Column = {
+    val u = conv(hex(c), 16, 10).cast(org.apache.spark.sql.types.DataTypes.createDecimalType(20, 0))
+    when(u > lit(Long.MaxValue),
+      u - lit(new java.math.BigDecimal("18446744073709551616")))
+      .otherwise(u).cast("long")
+  }
+
+  /** IEEE-754 bit pattern of a double column (DoubleWritable's wire
+    * long). reflect() is interpreted, not codegen'd — acceptable for a
+    * migration I/O format, still no UDF. */
+  private def doubleBits(c: Column): Column =
+    reflect(lit("java.lang.Double"), lit("doubleToLongBits"), c).cast("long")
+
+  private def doubleFromBits(c: Column): Column =
+    reflect(lit("java.lang.Double"), lit("longBitsToDouble"), c).cast("double")
+
+  /** JsonBase64VertexOutputFormat
+    * (CORE/io/formats/JsonBase64VertexOutputFormat.java:48-100 +
+    * JsonBase64VertexFormat.java:26-30 for the JSON keys): one JSON
+    * object per line, `vertexId`/`vertexValue`/`edgeArray` holding the
+    * base64 of the exact Writable wire bytes (id = 8-byte BE long,
+    * value = 8-byte BE double bits, edge = 16 bytes dst+weight) — data
+    * written here is byte-compatible with the reference's reader for the
+    * Long/Double/Double vertex family. */
+  def writeJsonBase64(vertices: DataFrame, edges: DataFrame, path: String): Unit = {
+    val adj = edges.orderBy(col("src"), col("dst"))
+      .select(col("src").as("id"),
+        base64(concat(beLong(col("dst")), beLong(doubleBits(col("w"))))).as("e"))
+      .groupBy(col("id")).agg(collect_list(col("e")).as("edgeArray"))
+    vertices.join(adj, Seq("id"), "left").orderBy(col("id"))
+      .select(to_json(struct(
+        base64(beLong(col("id"))).as("vertexId"),
+        base64(beLong(doubleBits(col("value")))).as("vertexValue"),
+        coalesce(col("edgeArray"), array().cast("array<string>")).as("edgeArray"))).as("value"))
+      .write.mode("overwrite").text(path)
+  }
+
+  /** JsonBase64VertexInputFormat
+    * (CORE/io/formats/JsonBase64VertexInputFormat.java): inverse of
+    * [[writeJsonBase64]]. */
+  def readJsonBase64(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val parsed = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(from_json(col("value"),
+        lit("struct<vertexId:string,vertexValue:string,edgeArray:array<string>>")).as("v"))
+      .select(longFromBe(unbase64(col("v.vertexId"))).as("id"),
+        doubleFromBits(longFromBe(unbase64(col("v.vertexValue")))).as("value"),
+        col("v.edgeArray").as("adj"))
+    val vertices = parsed.select(col("id"), col("value"))
+    val edges = parsed.select(col("id").as("src"), explode(col("adj")).as("e"))
+      .select(col("src"),
+        longFromBe(substring(unbase64(col("e")), 1, 8)).as("dst"),
+        doubleFromBits(longFromBe(substring(unbase64(col("e")), 9, 8))).as("w"))
+    (vertices, edges)
+  }
 }

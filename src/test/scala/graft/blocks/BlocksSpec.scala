@@ -44,4 +44,66 @@ class BlocksSpec extends SparkSpec {
       .select(new Reducers.VectorSum(2).toColumn).first()
     assert(got == Seq(4.0, 6.0))
   }
+
+  test("sparse vector sum merges disjoint and overlapping indices") {
+    // overlapping (index 2) + disjoint (0, 5, 9) entries across inputs
+    val got = Seq(Map(0 -> 1.0, 2 -> 2.0), Map(2 -> 3.0, 5 -> 4.0),
+      Map(9 -> 0.5), Map.empty[Int, Double]).toDS()
+      .select(new Reducers.SparseVectorSum[Double].toColumn).first()
+    assert(got == Map(0 -> 1.0, 2 -> 5.0, 5 -> 4.0, 9 -> 0.5))
+    // integral variant (LongSparseVectorSumAggregator analog)
+    val longs = Seq(Map(1 -> 10L), Map(1 -> 5L, 7 -> 1L)).toDS()
+      .select(new Reducers.SparseVectorSum[Long].toColumn).first()
+    assert(longs == Map(1 -> 15L, 7 -> 1L))
+  }
+
+  test("sparse matrix sum merges row-wise") {
+    val got = Seq(
+      Map(0 -> Map(0 -> 1.0, 3 -> 2.0)),            // row 0
+      Map(0 -> Map(3 -> 1.0), 4 -> Map(1 -> 7.0)),  // overlaps row 0, new row 4
+      Map(4 -> Map(1 -> 1.0, 2 -> 2.0))).toDS()
+      .select(new Reducers.SparseMatrixSum[Double].toColumn).first()
+    assert(got == Map(
+      0 -> Map(0 -> 1.0, 3 -> 3.0),
+      4 -> Map(1 -> 8.0, 2 -> 2.0)))
+  }
+
+  test("sendMessageChain expresses SSSP and matches the golden fixture") {
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 3L), (2L, 3L, 1L), (2L, 4L, 10L), (3L, 4L, 2L))
+      .toDF("src", "dst", "w")
+    // one relaxation superstep in chain form: send dist+w to neighbors,
+    // combine with min, consume by keeping the smaller of dist and msg
+    val relax = Blocks.startSendToNeighbors(edges,
+        msg = col("dist") + col("w"), combine = min(col("m")))
+      .endConsume((verts, msgs) =>
+        verts.join(msgs, Seq("id"), "left")
+          .select(col("id"), least(col("dist"), col("msg")).as("dist")))
+    val init = Seq((1L, Some(0L)), (2L, None), (3L, None), (4L, None))
+      .toDF("id", "dist")
+    val got = Blocks.repeat(4)(relax)(init)
+      .filter(col("dist").isNotNull).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 4L)))
+  }
+
+  test("sendMessageChain threads the combined value into the next link") {
+    // two-hop degree: link 1 sends 1 (combined = in-degree), link 2
+    // forwards the received in-degree, combined = sum over senders
+    val edges = Seq((1L, 2L), (3L, 2L), (2L, 4L)).toDF("src", "dst")
+    val verts = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val step = Blocks.startSendToNeighbors(edges, lit(1L), sum(col("m")))
+      .thenSendToNeighbors(col("msg"), sum(col("m")))
+      .endConsume((vs, msgs) => vs.join(msgs, Seq("id"), "left"))
+    val got = step(verts).orderBy("id")
+      .as[(Long, Option[Long])].collect().toSeq
+    // 4 receives 2's in-degree (2); everyone else receives nothing
+    assert(got == Seq((1L, None), (2L, None), (3L, None), (4L, Some(2L))))
+  }
+
+  test("sparse vector sum by explode matches the aggregator") {
+    val df = Seq(Map(0 -> 1.0, 2 -> 2.0), Map(2 -> 3.0, 5 -> 4.0)).toDF("m")
+    val got = Reducers.sparseVectorSumByExplode(df, "m")
+      .orderBy("index").as[(Int, Double)].collect().toSeq
+    assert(got == Seq((0, 1.0), (2, 5.0), (5, 4.0)))
+  }
 }

@@ -46,4 +46,25 @@ class PropertyGraphSpec extends SparkSpec {
     assert(math.abs(pr.agg(sum("pr")).first().getDouble(0) - 1.0) < 1e-9)
     assert(graph.symmetrize.wcc.select("component").distinct().count() == 1)
   }
+
+  test("partitionByMapping co-locates each bucket and preserves results") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 1L), (2L, 5L), (7L, 8L)).toDF("src", "dst")
+    val mapping = (1L to 8L).map(i => (i, i % 3)).toDF("id", "bucket")
+    val g = PropertyGraph.fromEdges(edges)
+    val p = g.partitionByMapping(mapping, numPartitions = 3)
+    // placement: every partition holds ids of exactly one bucket, and all
+    // 3 buckets are separated (one partition per bucket)
+    val placement = p.vertices
+      .select(spark_partition_id().as("pid"), col("id"))
+      .join(mapping, Seq("id"))
+      .groupBy("pid").agg(countDistinct("bucket").as("nb"))
+      .as[(Int, Long)].collect().toMap
+    assert(placement.size == 3)
+    assert(placement.values.forall(_ == 1L))
+    // results are placement-invariant
+    val base = g.symmetrize.wcc.orderBy("id").as[(Long, Long)].collect().toSeq
+    val part = p.symmetrize.wcc.orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(part == base)
+  }
 }

@@ -51,6 +51,37 @@ class FormatsSpec extends SparkSpec {
     assert(lines == Seq("1\t5.0", "2\t7.0"))
   }
 
+  test("jsonBase64 round-trips vertices and weighted edges byte-exactly") {
+    val dir = tmp("jb64")
+    // negative and fractional values exercise the sign bit of the IEEE
+    // pattern and the unsigned-hex wraparound in the decoder
+    val v = Seq((1L, 0.5), (2L, -3.25), (3L, 0.0)).toDF("id", "value")
+    val e = Seq((1L, 2L, 1.5), (1L, 3L, -2.0), (2L, 3L, 7.0)).toDF("src", "dst", "w")
+    GraphFormats.writeJsonBase64(v, e, dir)
+    val (rv, re) = GraphFormats.readJsonBase64(spark, dir)
+    assert(rv.orderBy("id").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 0.5), (2L, -3.25), (3L, 0.0)))
+    assert(re.orderBy("src", "dst").as[(Long, Long, Double)].collect().toSeq ==
+      Seq((1L, 2L, 1.5), (1L, 3L, -2.0), (2L, 3L, 7.0)))
+    // wire-byte check: LongWritable(1) is 8 big-endian bytes = AAAAAAAAAAE=
+    val line = spark.read.text(dir).as[String].collect().sorted.head
+    assert(line.contains("\"vertexId\":\"AAAAAAAAAAE=\""))
+  }
+
+  test("typed id-neighbors and id-value text formats parse") {
+    val dir = tmp("iin")
+    Files.write(java.nio.file.Paths.get(dir, "g.txt"), "1 2 3\n2 3\n3\n".getBytes)
+    val (v, e) = GraphFormats.readIdNeighborsText(spark, dir)
+    assert(v.orderBy("id").as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+    assert(e.orderBy("src", "dst").as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    val dir2 = tmp("iiv")
+    Files.write(java.nio.file.Paths.get(dir2, "g.txt"), "1\t10\n2 20\n".getBytes)
+    assert(GraphFormats.readIdValueText(spark, dir2).orderBy("id")
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 10L), (2L, 20L)))
+  }
+
   test("generators are deterministic and have exact out-degree") {
     val g1 = Generators.uniform(spark, 100, 3, seed = 7)
     val g2 = Generators.uniform(spark, 100, 3, seed = 7)
