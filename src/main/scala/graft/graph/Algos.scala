@@ -17,6 +17,45 @@ import org.apache.spark.storage.StorageLevel
   */
 object Algos {
 
+  /** Logical rounds chained per materialization job in the Bracha-Toueg
+    * delta-frontier loops: per-round stage work is conserved, but fixed
+    * per-job cost (scheduling, planning, codegen) — the dominant cost
+    * when round frames are small — is paid once per batch. */
+  private val WaveBatch = 4
+
+  /** Fresh-flag delta-frontier reachability: the ids reachable from
+    * `seeds` along `edges` within ≤ `maxHops` hops (seeds included), i.e.
+    * the partial fixpoint n_i = n_{i-1} ∪ {dst | src ∈ n_{i-1}} after
+    * maxHops rounds. Single state frame (id, fresh = first seen this
+    * wave); per wave ONE small groupBy+checkpoint job whose edge join
+    * carries an explicit broadcast hint on the frontier (checkpoint
+    * leaves have no stats, so Catalyst would otherwise sort-merge-shuffle
+    * all edges every wave). Convergence is checked every [[WaveBatch]]
+    * waves — post-fixpoint waves are no-ops, so the hop count honored is
+    * exact. Callers should pass persisted/cheap `edges`: they are scanned
+    * once per wave. */
+  private def reachable(seeds: DataFrame, edges: DataFrame, maxHops: Int): DataFrame = {
+    var reached = seeds.select(col("id")).distinct()
+      .withColumn("fresh", lit(true)).localCheckpoint()
+    var live = true
+    var h = 0
+    while (live && h < maxHops) {
+      val k = math.min(WaveBatch, maxHops - h)
+      (0 until k).foreach { _ =>
+        reached = reached.select(col("id"), lit(false).as("cand"))
+          .union(edges
+            .join(broadcast(reached.filter(col("fresh")).select(col("id").as("src"))),
+              Seq("src"))
+            .select(col("dst").as("id"), lit(true).as("cand")))
+          .groupBy(col("id")).agg(bool_and(col("cand")).as("fresh"))
+          .localCheckpoint()
+      }
+      h += k
+      live = reached.filter(col("fresh")).count() > 0
+    }
+    reached.select("id")
+  }
+
   /** Distinct vertex ids appearing as an endpoint. */
   def verticesOf(edges: DataFrame): DataFrame =
     edges.select(col("src").as("id"))
@@ -461,25 +500,18 @@ object Algos {
     val cyclic = comp.join(sizes, Seq("comp")).filter(col("sz") >= 2).select(col("id"))
       .union(e.filter(col("src") === col("dst")).select(col("src").as("id")))
       .distinct()
-    val init = verticesOf(e)
-      .join(cyclic.withColumn("c", lit(1)), Seq("id"), "left")
-      .select(col("id"), (col("c") === 1).as("dl"), coalesce(col("c") === 1, lit(false)).as("active"))
-      .select(col("id"), coalesce(col("dl"), lit(false)).as("dl"), col("active"))
     // membership flows backward: edge v→u means v waits on u, so u's
-    // deadlock reaches v via the reversed edge
+    // deadlock reaches v via the reversed edge. Delta-frontier
+    // reachability (one small job per wave) instead of a full-vertex
+    // Pregel loop — the reach is monotone-set, so the frontier shape
+    // applies exactly.
     val reversed = e.select(col("dst").as("src"), col("src").as("dst"))
-    Pregel.run(
-      init, reversed,
-      sendMsg = j => j.select(col("dst").as("id"), lit(1).as("msg")),
-      combineMsg = max(col("msg")),
-      vprog = (verts, msgs) => {
-        val newly = !col("dl") && col("msg").isNotNull
-        verts.join(msgs, Seq("id"), "left").select(
-          col("id"),
-          (col("dl") || col("msg").isNotNull).as("dl"),
-          coalesce(newly, lit(false)).as("active"))
-      }, opts = opts)
-      .select(col("id"), col("dl").cast("int").as("deadlocked"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dl = reachable(cyclic, reversed, opts.maxSupersteps)
+    reversed.unpersist()
+    verticesOf(e)
+      .join(dl.withColumn("d", lit(1)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("d") === 1, lit(false)).cast("int").as("deadlocked"))
   }
 
   /** Bracha-Toueg deadlock detection — the OR / N-of-M request model
@@ -502,82 +534,130 @@ object Algos {
     *     no notified check, so freeness crosses un-notified vertices.
     * Both phases run ≤ `rounds` waves; the DuckDB oracle unrolls the
     * identical recurrence, so partial fixpoints match round-for-round.
-    * Per round: one equi-join (grants onto edge targets) + one
-    * (src, tag) aggregate — shuffle-bound, scalars only on the driver.
+    * Both phases are delta-frontier loops (the SSSP shape): per round
+    * only the vertices that changed last round join their incident
+    * edges, so per-round work ∝ frontier degree, not graph size —
+    * shuffle-bound, scalars only on the driver.
     *
     * Returns (id, notified INT, free INT); the initiator is deadlocked
     * iff its free = 0. */
   def brachaToueg(edges: DataFrame, initiator: Long, rounds: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     val e = edges.select(col("src"), col("dst"), col("tag"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val verts = verticesOf(e).localCheckpoint()
-    // Phase 1 — NOTIFY wave: forward reachability from the initiator.
-    val notified = Pregel.run(
-      verts.select(col("id"), (col("id") === initiator).as("n"),
-        (col("id") === initiator).as("active")),
-      e.select("src", "dst"),
-      sendMsg = j => j.select(col("dst").as("id"), lit(1).as("msg")),
-      combineMsg = max(col("msg")),
-      vprog = (vs, msgs) => {
-        val newly = !col("n") && col("msg").isNotNull
-        vs.join(msgs, Seq("id"), "left").select(
-          col("id"), (col("n") || col("msg").isNotNull).as("n"),
-          coalesce(newly, lit(false)).as("active"))
-      },
-      opts = PregelOptions(maxSupersteps = rounds))
-      .filter(col("n")).select("id")
-      .localCheckpoint()
+    val srcIds = e.select(col("src").as("id")).distinct().localCheckpoint()
+    val dstIds = e.select(col("dst").as("id")).distinct().localCheckpoint()
+    // lazy: read exactly once, by the final output join (distinct over
+    // the two id sets, not over 2·|E| endpoint rows)
+    val verts = srcIds.union(dstIds).distinct()
+    // Peel pure requesters (in-degree 0 — nobody waits on them, nothing
+    // notifies them): their out-edges can never fire in either phase, so
+    // both waves iterate over the in-degree-≥1 core only. Their freeing
+    // can never trigger another grant either, so by monotonicity their
+    // f_rounds membership equals a ONE-SHOT evaluation against
+    // f_{rounds-1} after the loop. In a bipartite request graph (the
+    // common shape: clients waiting on resource holders) this shrinks the
+    // per-round state to the resource core — here 588k edges → 4k.
+    val eCore = e.join(broadcast(dstIds.select(col("id").as("src"))),
+        Seq("src"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ePeeled = e.join(broadcast(dstIds.select(col("id").as("src"))),
+      Seq("src"), "left_anti")
+    // the initiator may itself be a pure source; its out-edges still fire
+    val eNotify = eCore.select("src", "dst")
+      .union(e.filter(col("src") === initiator).select("src", "dst"))
+    // Phase 1 — NOTIFY wave: forward reachability from the initiator in
+    // ≤ `rounds` hops, in delta-frontier form (see [[reachable]]) — the
+    // same n_i recurrence the oracle's unrolled CTEs replay, one small
+    // job per wave instead of a full-vertex-frame Pregel superstep.
+    val notified = reachable(Seq(initiator).toDF("id"), eNotify, rounds)
     // Phase 2 — GRANT cascade to fixpoint, delta-frontier form: instead
     // of re-aggregating every (src, tag) group against the full free set
     // each round, keep a per-(src, tag) unmet-target counter and
     // decrement it with only the vertices freed in the *previous* round
     // (the SSSP shape — per-round work ∝ frontier in-degree, not graph
-    // size; at sf0.1 this cut the query 49.6s → well under the 25s bar).
+    // size).
     // The recurrence is unchanged — free_i = free_{i-1} ∪ {src | ∃ tag:
     // targets(src,tag) ⊆ free_{i-1}} — because free grows monotonically,
     // frontiers are disjoint, and (src, dst) pairs are unique (one edge =
     // one request), so every edge decrements its group exactly once.
-    val eByDst = e.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
-    var free = notified
-      .join(e.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
+    val f0 = notified
+      .join(srcIds, Seq("id"), "left_anti")
       .localCheckpoint()
-    var frontier = free
-    // ckpt: the materialized frame backing `cnt` (unpersist target);
-    // cnt itself may be a lazy satisfied-groups filter over it
-    var ckpt = e.groupBy(col("src"), col("tag")).agg(count(lit(1)).as("unmet"))
+    var frontier: DataFrame = f0
+    var freed = Vector[DataFrame](f0) // disjoint by construction
+    // cnt holds one (src, tag, unmet) row per still-unsatisfied request
+    // group; when a group hits 0 its src is newly-free, and ALL groups of
+    // that src are dropped — so a src is emitted exactly once and the
+    // loop never re-joins against the full free set. One checkpoint job
+    // per round: `newly` stays a lazy filter+distinct over the round's
+    // checkpointed counter frame, folding into the NEXT round's job (and
+    // the final output union) instead of paying its own; the convergence
+    // check runs every `WaveBatch` rounds (post-fixpoint rounds are
+    // no-ops, so the oracle's unrolled f_i CTEs still match). Frontier,
+    // decrement, and newly-freed frames are frontier-sized — explicit
+    // broadcast hints keep every per-round join shuffle-free on the big
+    // side (checkpoint leaves have no stats for Catalyst to see that).
+    var cnt = eCore.groupBy(col("src"), col("tag")).agg(count(lit(1)).as("unmet"))
       .localCheckpoint()
-    var cnt = ckpt
-    var frontierCount = frontier.count()
+    var granting = true
     var i = 0
-    while (frontierCount > 0 && i < rounds) {
-      val dec = eByDst.join(frontier.select(col("id").as("dst")), Seq("dst"))
-        .groupBy(col("src"), col("tag")).agg(count(lit(1)).as("d"))
-      val cntNext = cnt.join(dec, Seq("src", "tag"), "left")
-        .select(col("src"), col("tag"),
-          (col("unmet") - coalesce(col("d"), lit(0L))).as("unmet"))
-        .localCheckpoint()
-      val newly = cntNext.filter(col("unmet") === 0)
-        .select(col("src").as("id")).distinct()
-        .join(free, Seq("id"), "left_anti")
-        .localCheckpoint()
-      val nextFree = free.union(newly).localCheckpoint()
-      frontierCount = newly.count()
-      free.unpersist(); ckpt.unpersist(); frontier.unpersist()
-      free = nextFree
-      frontier = newly
-      ckpt = cntNext
-      // satisfied groups never fire again — drop them from the counter
-      cnt = cntNext.filter(col("unmet") > 0)
-      i += 1
+    while (granting && i < rounds) {
+      val k = math.min(WaveBatch, rounds - i)
+      (0 until k).foreach { _ =>
+        // left_semi: a frontier with duplicate ids (one src freed via two
+        // tags at once) must not double-decrement — semi matches each
+        // edge at most once, which also lets `newly` skip a distinct
+        // (free-set dedup happens once, at the final output)
+        val dec = eCore.join(broadcast(frontier.select(col("id").as("dst"))),
+            Seq("dst"), "left_semi")
+          .groupBy(col("src"), col("tag")).agg(count(lit(1)).as("d"))
+        val cntNext = cnt.join(broadcast(dec), Seq("src", "tag"), "left")
+          .select(col("src"), col("tag"),
+            (col("unmet") - coalesce(col("d"), lit(0L))).as("unmet"))
+          .localCheckpoint()
+        val newly = cntNext.filter(col("unmet") === 0)
+          .select(col("src").as("id"))
+        cnt = cntNext.filter(col("unmet") > 0)
+          .join(broadcast(newly.select(col("id").as("src"))), Seq("src"), "left_anti")
+        frontier = newly
+        freed :+= newly
+      }
+      i += k
+      granting = frontier.count() > 0
     }
-    eByDst.unpersist()
+    // Peeled-requester evaluation against f_{rounds-1}. Dropping the last
+    // appended frame is exact in both exit modes: on convergence the last
+    // frontier is empty (that emptiness ended the loop); on budget
+    // exhaustion (i == rounds) the peeled recurrence judges f_rounds
+    // membership against f_{rounds-1}, which is precisely freed minus the
+    // final round's newly-freed set.
+    // free = disjoint union of the per-round newly-freed frames plus the
+    // peeled requesters; only read once, by the final output join below
+    val free =
+      if (freed.size <= 1) freed.head // rounds == 0: f_0 = notified sinks
+      else {
+        // distinct: per-round newly frames may repeat a src (two tags
+        // zeroing at once) — deduped once here, not per round. The left
+        // join below counts matches per edge, so its build side must be
+        // unique ids.
+        val coreFreePrev = freed.dropRight(1).reduce(_ union _).distinct()
+        val peeledFree = ePeeled
+          .join(broadcast(coreFreePrev.select(col("id").as("dst"), lit(1).as("g"))),
+            Seq("dst"), "left")
+          .groupBy(col("src"), col("tag"))
+          .agg((count(lit(1)) === count(col("g"))).as("ok"))
+          .filter(col("ok")).select(col("src").as("id"))
+        (freed :+ peeledFree).reduce(_ union _).distinct()
+      }
     val out = verts
       .join(notified.withColumn("nn", lit(1)), Seq("id"), "left")
       .join(free.withColumn("ff", lit(1)), Seq("id"), "left")
       .select(col("id"),
         coalesce(col("nn"), lit(0)).cast("int").as("notified"),
         coalesce(col("ff"), lit(0)).cast("int").as("free"))
-    e.unpersist()
+    e.unpersist(); eCore.unpersist()
     out
   }
 
