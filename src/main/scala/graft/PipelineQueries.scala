@@ -292,19 +292,68 @@ object PipelineQueries {
        |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rcos_e4 DESC, n_id) <= 5
        |ORDER BY q_id, rcos_e4 DESC, n_id""".stripMargin.replace('\n', ' ')
 
+  /** IVF over TRAINED clusters: deterministic Lloyd's k-means (k=8,
+    * 2 iterations, seeds = 8 lowest vec_ids) assigns every vector, then
+    * ivfTopK probes the 2 nearest trained centroids per query. The
+    * oracle unrolls the identical assign/update chain. */
+  private def qAnnIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val assigned = Similarity.kmeansAssign(
+      emb.select(col("vec_id"), col("embedding")), k = 8, iters = 2)
+    val corpus = emb.select(col("vec_id"), col("embedding")).join(assigned, Seq("vec_id"))
+    Similarity.ivfTopK(corpus, queriesOf(emb), k = 5, nprobe = 2, clusterCol = "cluster")
+  }
+
+  private val qAnnIvfTrainedSql = {
+    def assignCte(t: Int) =
+      s"""a$t AS MATERIALIZED (SELECT vec_id, embedding, cid AS cluster FROM (
+         |SELECT e.vec_id, e.embedding, c.cid,
+         |ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |CAST(FLOOR(${cosSql("e.embedding", "c.cv")} * 1000000) AS BIGINT) DESC, c.cid) AS rn
+         |FROM embeddings e CROSS JOIN c${t - 1} c) z$t WHERE rn = 1)""".stripMargin.replace('\n', ' ')
+    def centCte(t: Int) =
+      s"""c$t AS MATERIALIZED (SELECT cluster AS cid, list(m ORDER BY pos) AS cv FROM (
+         |SELECT cluster, pos, FLOOR(AVG(CAST(embedding[pos] AS DOUBLE)) * 1000000) / 1000000 AS m
+         |FROM a$t, unnest(range(1, 65)) AS u$t(pos) GROUP BY cluster, pos) g$t GROUP BY cluster)""".stripMargin.replace('\n', ' ')
+    s"""WITH c0 AS MATERIALIZED (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+       |${assignCte(1)}, ${centCte(1)}, ${assignCte(2)}, ${centCte(2)}, ${assignCte(3)}, ${centCte(3)},
+       |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |probes AS MATERIALIZED (SELECT q_id, qv, cid FROM (
+       |SELECT q.q_id, q.qv, c.cid,
+       |CAST(FLOOR(${cosSql("q.qv", "c.cv")} * 1000000) AS BIGINT) AS rc
+       |FROM c3 c CROSS JOIN q) zp
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rc DESC, cid) <= 2),
+       |sc AS (SELECT p.q_id, e.vec_id AS n_id,
+       |CAST(FLOOR(${cosSql("p.qv", "e.embedding")} * 10000) AS BIGINT) AS rcos_e4
+       |FROM a3 e JOIN probes p ON e.cluster = p.cid AND e.vec_id <> p.q_id)
+       |SELECT q_id, n_id, rcos_e4 FROM sc
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rcos_e4 DESC, n_id) <= 5
+       |ORDER BY q_id, rcos_e4 DESC, n_id""".stripMargin.replace('\n', ' ')
+  }
+
   // multimodal ----------------------------------------------------------
 
+  /** Real-codec round trip: the Spark side WRAPS each doc in a binary
+    * PPM (P6) header and PARSES it back with Multimodal.decodePpm; the
+    * oracle constructs the identical payload but takes width/height from
+    * the construction formula — so a hash match proves the parser reads
+    * the header correctly (bytes, md5, and all three parsed fields). */
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
-    Multimodal.decodeMeta(Multimodal.documentsAsMedia(Tables(s, dir).documents))
+    Multimodal.decodeMeta(Multimodal.documentsAsPpm(Tables(s, dir).documents))
       .toDF().orderBy(col("doc_id"))
 
   private val qMultimodalMetaSql =
-    """SELECT doc_id,
-      |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      |md5(text) AS content_md5,
-      |CAST(64 + (ascii(substring(md5(text), 1, 1)) % 16) * 16 AS INT) AS width,
-      |CAST(64 + (ascii(substring(md5(text), 2, 1)) % 16) * 16 AS INT) AS height
-      |FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+    """WITH p AS (SELECT doc_id,
+      |1 + doc_id % 64 AS w, 1 + length(text) % 64 AS h,
+      |'P6' || chr(10) || CAST(1 + doc_id % 64 AS VARCHAR) || ' ' ||
+      |CAST(1 + length(text) % 64 AS VARCHAR) || chr(10) || '255' || chr(10) || text AS s
+      |FROM documents)
+      |SELECT doc_id,
+      |CAST(octet_length(encode(s)) AS BIGINT) AS n_bytes,
+      |md5(s) AS content_md5,
+      |CAST(w AS INT) AS width, CAST(h AS INT) AS height, CAST(255 AS INT) AS maxval
+      |FROM p ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
   // registry ------------------------------------------------------------
 
@@ -321,6 +370,7 @@ object PipelineQueries {
     "q_dedup_embedding"  -> (qDedupEmb _),
     "q_ann_brute"        -> (qAnnBrute _),
     "q_ann_ivf"          -> (qAnnIvf _),
+    "q_ann_ivf_trained"  -> (qAnnIvfTrained _),
     "q_multimodal_meta"  -> (qMultimodalMeta _))
 
   val oracles: Map[String, String] = Map(
@@ -336,5 +386,6 @@ object PipelineQueries {
     "q_dedup_embedding"  -> qDedupEmbSql,
     "q_ann_brute"        -> qAnnBruteSql,
     "q_ann_ivf"          -> qAnnIvfSql,
+    "q_ann_ivf_trained"  -> qAnnIvfTrainedSql,
     "q_multimodal_meta"  -> qMultimodalMetaSql)
 }

@@ -33,9 +33,23 @@ final case class PregelOptions(
     resume: Boolean = false,
     /** Superstep-output hook: called with (vertexFrame, superstep) after
       * each superstep — the reference's write-during-computation modes
-      * (io/superstep_output, GiraphConstants DO_OUTPUT_DURING_COMPUTATION,
-      * and the per-superstep AggregatorWriter). */
-    onSuperstep: (DataFrame, Int) => Unit = (_, _) => ())
+      * (io/superstep_output, GiraphConstants DO_OUTPUT_DURING_COMPUTATION). */
+    onSuperstep: (DataFrame, Int) => Unit = (_, _) => (),
+    /** Pre-superstep hook (reference Computation.preSuperstep,
+      * CORE/graph/Computation.java:78-84): called with the CURRENT vertex
+      * frame and the superstep number before that superstep's messages
+      * fly — symmetric to [[onSuperstep]]. */
+    onBeforeSuperstep: (DataFrame, Int) => Unit = (_, _) => (),
+    /** Named aggregator expressions (reference master/worker aggregators)
+      * evaluated over the post-superstep vertex frame — one aggregation
+      * job per superstep, scalars only on the driver. Values feed
+      * [[aggregatorWriter]]. */
+    aggregators: Map[String, Column] = Map.empty,
+    /** AggregatorWriter (reference aggregators/AggregatorWriter.java +
+      * TextAggregatorWriter): receives (superstep, name → value) after
+      * every superstep when `aggregators` is non-empty. See
+      * [[Pregel.textAggregatorWriter]] for the text-sink default. */
+    aggregatorWriter: Option[(Int, Map[String, Any]) => Unit] = None)
 
 /** Pregel-style Bulk-Synchronous-Parallel loop on DataFrames.
   *
@@ -96,6 +110,7 @@ object Pregel {
     var active = verts.filter(col("active")).count()
     var step = resumed.map(_._1 + 1).getOrElse(0)
     while (active > 0L && step < opts.maxSupersteps) {
+      opts.onBeforeSuperstep(verts, step)
       val msgs = sendMsg(verts.filter(col("active")).join(e, col("id") === col("src")))
         .groupBy("id").agg(combineMsg.as("msg"))
       // eager localCheckpoint: materializes AND truncates the logical
@@ -104,6 +119,7 @@ object Pregel {
       // times) and analysis alone OOMs (SURVEY §7.4 risk #1)
       val newVerts = materialize(vprog(verts, msgs), step, opts)
       active = newVerts.filter(col("active")).count()
+      writeAggregates(newVerts, step, opts)
       opts.onSuperstep(newVerts, step)
       verts.unpersist()
       verts = newVerts
@@ -131,9 +147,11 @@ object Pregel {
     var i = resumed.map(_._1 + 1).getOrElse(0)
     var go = true
     while (i < iterations && go) {
+      opts.onBeforeSuperstep(verts, i)
       // materialize is eager (both checkpoint flavors) — it already ran
       // the superstep's job, so no extra action is needed here
       val next = materialize(step(verts, i), i, opts)
+      writeAggregates(next, i, opts)
       opts.onSuperstep(next, i)
       verts.unpersist()
       verts = next
@@ -142,6 +160,30 @@ object Pregel {
     }
     verts
   }
+
+  /** A text-sink AggregatorWriter appending "superstep<TAB>name<TAB>value"
+    * lines to `path` — the reference's TextAggregatorWriter
+    * (CORE/aggregators/TextAggregatorWriter.java:95-113) default format.
+    * Driver-side file: aggregator values are master-side scalars. */
+  def textAggregatorWriter(path: String): (Int, Map[String, Any]) => Unit =
+    (step, values) => {
+      val w = new java.io.FileWriter(path, true)
+      try values.toSeq.sortBy(_._1)
+        .foreach { case (k, v) => w.write(s"$step\t$k\t$v\n") }
+      finally w.close()
+    }
+
+  /** Evaluate the configured aggregators over the (already materialized)
+    * superstep frame and hand the scalars to the writer — one extra
+    * aggregation job per superstep, only when aggregators are set. */
+  private def writeAggregates(verts: DataFrame, step: Int, opts: PregelOptions): Unit =
+    opts.aggregatorWriter.foreach { w =>
+      if (opts.aggregators.nonEmpty) {
+        val exprs = opts.aggregators.toSeq.map { case (nm, c) => c.as(nm) }
+        val row = verts.agg(exprs.head, exprs.tail: _*).first()
+        w(step, opts.aggregators.keys.map(nm => nm -> row.getAs[Any](nm)).toMap)
+      }
+    }
 
   /** Eagerly materialize one superstep's frame with truncated lineage:
     * on the configured cadence with a checkpoint dir set, a *restartable*

@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic synthetic graph generators, mirroring the reference's
@@ -20,15 +20,46 @@ import org.apache.spark.sql.functions._
   */
 object Generators {
 
+  /** Exact integer division on BIGINT columns (quotients < 2^53). */
+  private def idiv(a: Column, b: Long): Column =
+    ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+
   /** Uniform random digraph: n vertices, d out-edges each. Self-loops are
-    * remapped to (dst+1) mod n rather than dropped so out-degree is
-    * exactly d. */
-  def uniform(spark: SparkSession, n: Long, d: Int, seed: Long = 42L): DataFrame = {
-    val raw = spark.range(n).select(col("id").as("src"),
-        explode(sequence(lit(0), lit(d - 1))).as("i"))
-      .select(col("src"), pmod(xxhash64(col("src"), col("i"), lit(seed)), lit(n)).as("dst"))
-    raw.select(col("src"),
-      when(col("dst") === col("src"), pmod(col("dst") + 1, lit(n))).otherwise(col("dst")).as("dst"))
+    * remapped (within the local range for local draws) rather than
+    * dropped so out-degree is exactly d.
+    *
+    * `localRatioPermille` mirrors the reference's LOCAL_EDGES_MIN_RATIO
+    * (CORE/io/formats/PseudoRandomInputFormatConstants.java:32-35): at
+    * least that fraction of each vertex's edges target the vertex's own
+    * range partition (partition p(v) = ⌊v·P/n⌋ over `numPartitions`
+    * ranges — the locality dial the reference benchmarks use to model
+    * worker-local messaging). The remaining edges draw uniformly from
+    * all of [0, n), so the realized local fraction is ≥ the knob. */
+  def uniform(spark: SparkSession, n: Long, d: Int, seed: Long = 42L,
+              localRatioPermille: Int = 0, numPartitions: Int = 32): DataFrame = {
+    val base = spark.range(n).select(col("id").as("src"),
+      explode(sequence(lit(0), lit(d - 1))).as("i"))
+    if (localRatioPermille <= 0) {
+      val raw = base
+        .select(col("src"), pmod(xxhash64(col("src"), col("i"), lit(seed)), lit(n)).as("dst"))
+      raw.select(col("src"),
+        when(col("dst") === col("src"), pmod(col("dst") + 1, lit(n))).otherwise(col("dst")).as("dst"))
+    } else {
+      val P = numPartitions.toLong
+      val p = idiv(col("src") * P, n)
+      val pStart = idiv(p * n + P - 1, P)        // ceil(p·n/P)
+      val pEnd = idiv((p + 1) * n + P - 1, P)    // ceil((p+1)·n/P)
+      val size = pEnd - pStart
+      val isLocal = pmod(xxhash64(col("src"), col("i"), lit(seed + 1)), lit(1000L)) <
+        localRatioPermille
+      val raw = base.select(col("src"), col("i"), isLocal.as("loc"),
+        when(isLocal, pStart + pmod(xxhash64(col("src"), col("i"), lit(seed)), size))
+          .otherwise(pmod(xxhash64(col("src"), col("i"), lit(seed)), lit(n))).as("dst"))
+      raw.select(col("src"),
+        when(col("dst") =!= col("src"), col("dst"))
+          .when(col("loc"), pStart + pmod(col("dst") - pStart + 1, size))
+          .otherwise(pmod(col("dst") + 1, lit(n))).as("dst"))
+    }
   }
 
   /** Watts-Strogatz small world: ring lattice (k nearest neighbors

@@ -10,17 +10,20 @@ import org.apache.spark.sql.functions._
   * frame-sample run as partition-local batch functions over the binary
   * column (the Scala analog of `mapInPandas` batches).
   *
-  * The actual codecs are NOT available in this environment, so the decode
-  * kernel is a clearly-marked deterministic stub ([[stubDecode]]) — the
-  * Spark-side contract (schema, encoders, partition batching, column
-  * pruning before the heavy kernel) is real and tested. Swap
-  * [[stubDecode]] for a JNI/FFI codec in production.
+  * The decode kernel is a real (if minimal) image codec: a from-scratch
+  * binary PPM (P6, netpbm) header parser — ASCII dimensions with comment
+  * and whitespace handling per the spec. Heavier codecs (JPEG/PNG via
+  * JNI/FFI) slot into the same partition-local kernel; the Spark-side
+  * contract (schema, encoders, partition batching, column pruning before
+  * the heavy kernel) is unchanged by the codec choice.
   */
 object Multimodal {
 
-  /** Typed metadata extracted from a media payload. */
+  /** Typed metadata extracted from a media payload. Unparseable payloads
+    * carry width/height/maxval = -1 (kept, not dropped — a 100 TB scrub
+    * wants to COUNT corrupt rows, not silently lose them). */
   final case class MediaMeta(doc_id: Long, n_bytes: Long, content_md5: String,
-                             width: Int, height: Int)
+                             width: Int, height: Int, maxval: Int)
 
   /** Raw payload row: id + opaque bytes. */
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
@@ -29,15 +32,35 @@ object Multimodal {
     MessageDigest.getInstance("MD5").digest(bytes)
       .map(b => f"$b%02x").mkString
 
-  /** ======== STUB ========
-    * Deterministic fake decoder: "dimensions" derived from the payload
-    * md5 so results are stable and oracle-checkable. A real build would
-    * call the image codec here; everything around it stays unchanged. */
-  def stubDecode(payload: Array[Byte]): (Long, String, Int, Int) = {
-    val h = md5Hex(payload)
-    val w = 64 + (h.charAt(0).toInt % 16) * 16
-    val ht = 64 + (h.charAt(1).toInt % 16) * 16
-    (payload.length.toLong, h, w, ht)
+  /** Real minimal image decoder: binary PPM (P6) header — magic "P6",
+    * then width, height, maxval as ASCII decimals separated by
+    * whitespace, with '#'-to-end-of-line comments allowed before each
+    * token (the netpbm grammar). Returns None when the payload is not a
+    * parseable P6 header. Pixel samples follow the header and are left
+    * untouched here (frame/pixel access is [[sampleFrames]]' job). */
+  def decodePpm(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (payload.length < 2 || payload(0) != 'P'.toByte || payload(1) != '6'.toByte) None
+    else {
+      var i = 2
+      def skipWsAndComments(): Unit = {
+        var more = true
+        while (more) {
+          while (i < payload.length &&
+            (payload(i) == ' ' || payload(i) == '\n' || payload(i) == '\r' || payload(i) == '\t')) i += 1
+          if (i < payload.length && payload(i) == '#'.toByte) {
+            while (i < payload.length && payload(i) != '\n'.toByte) i += 1
+          } else more = false
+        }
+      }
+      def readInt(): Option[Int] = {
+        skipWsAndComments()
+        val s = i
+        while (i < payload.length && payload(i) >= '0'.toByte && payload(i) <= '9'.toByte) i += 1
+        if (i == s) None
+        else Some(new String(payload, s, i - s, "US-ASCII").toInt)
+      }
+      for { w <- readInt(); h <- readInt(); mv <- readInt() } yield (w, h, mv)
+    }
   }
 
   /** Decode a binary payload column into typed metadata. Runs as a
@@ -52,8 +75,8 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition init (real codecs are expensive to construct)
         it.map { r =>
-          val (n, h, w, ht) = stubDecode(r.payload)
-          MediaMeta(r.doc_id, n, h, w, ht)
+          val (w, h, mv) = decodePpm(r.payload).getOrElse((-1, -1, -1))
+          MediaMeta(r.doc_id, r.payload.length.toLong, md5Hex(r.payload), w, h, mv)
         }
       }
   }
@@ -79,4 +102,19 @@ object Multimodal {
     * bytes as the opaque payload. */
   def documentsAsMedia(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  /** Documents→PPM adapter: wraps each document's text bytes in a real
+    * binary-PPM (P6) header with deterministic dimensions (derived from
+    * doc_id / text length so the oracle can replay the construction —
+    * the round-trip proves the parser actually reads the header, since
+    * the oracle's expected dims come from the construction formula, not
+    * from parsing). Pure Column ops; the payload bytes are identical to
+    * DuckDB's encode() of the same string. */
+  def documentsAsPpm(docs: DataFrame): DataFrame = {
+    val w = (lit(1) + col("doc_id") % 64).cast("string")
+    val h = (lit(1) + length(col("text")) % 64).cast("string")
+    docs.select(col("doc_id"),
+      encode(concat(lit("P6\n"), w, lit(" "), h, lit("\n255\n"), col("text")),
+        "UTF-8").as("payload"))
+  }
 }

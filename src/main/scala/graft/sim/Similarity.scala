@@ -55,6 +55,44 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("cv"))
 
+  /** Deterministic Lloyd's k-means over an (vec_id, embedding) corpus —
+    * the trainer that makes [[ivfTopK]] a real IVF index (the reference
+    * pattern: train coarse centroids, bucket the corpus by nearest
+    * centroid, probe few buckets per query).
+    *
+    * Every step is cross-engine replayable: init picks the embeddings of
+    * the k smallest vec_ids (cluster id = seed vec_id); assignment
+    * maximizes the FLOOR-scaled e6 cosine with ties broken by cluster id;
+    * the update is the per-position elementwise mean floor-scaled to 6
+    * decimals ([[centroids]]' discipline). Runs exactly `iters`
+    * assign+update rounds, then returns the final assignment
+    * (vec_id, cluster) — the DuckDB oracle unrolls the same chain.
+    *
+    * Scale: each round is one broadcast join (centroid set is k·dim —
+    * tiny) + one row_number window partitioned by vec_id + one
+    * explode/groupBy over n·dim — all shuffle-bound, nothing driver-side;
+    * the centroid frame is checkpointed per round (it is the only
+    * iterated state). */
+  def kmeansAssign(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding"))
+    def assign(cent: DataFrame): DataFrame =
+      c.join(broadcast(cent), lit(true))
+        .withColumn("rc", graft.sql.Exact.e6(cosine(col("embedding"), col("cv"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("rc").desc, col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
+    var cent = c.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .localCheckpoint()
+    (0 until iters).foreach { _ =>
+      cent = centroids(assign(cent), "cluster")
+        .select(col("cluster").as("cid"), col("cv"))
+        .localCheckpoint()
+    }
+    assign(cent).select(col("vec_id"), col("cluster"))
+  }
+
   /** IVF-style ANN: probe the `nprobe` closest centroids per query, exact
     * search within probed buckets only. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,

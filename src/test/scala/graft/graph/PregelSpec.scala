@@ -55,6 +55,37 @@ class PregelSpec extends SparkSpec {
     assert(got == golden)
   }
 
+  test("pre-superstep hook fires before each superstep's post hook") {
+    var events = Vector.empty[String]
+    val opts = PregelOptions(maxSupersteps = 64,
+      onBeforeSuperstep = (_, i) => events :+= s"pre$i",
+      onSuperstep = (_, i) => events :+= s"post$i")
+    ssspRun(opts).count()
+    val n = events.length / 2
+    assert(events == (0 until n).flatMap(i => Seq(s"pre$i", s"post$i")).toVector)
+  }
+
+  test("aggregator writer receives per-superstep scalars in text form") {
+    var seen = Vector.empty[(Int, Map[String, Any])]
+    val opts = PregelOptions(maxSupersteps = 64,
+      aggregators = Map(
+        "active_cnt" -> sum(col("active").cast("long")),
+        "max_dist" -> max(col("dist"))),
+      aggregatorWriter = Some((step, vals) => seen :+= (step, vals)))
+    ssspRun(opts).count()
+    assert(seen.map(_._1) == seen.indices.toVector) // every superstep, in order
+    assert(seen.last._2("active_cnt") == 0L)        // converged
+    assert(seen.last._2("max_dist") == 4L)          // final SSSP frontier dist
+    // the text default writes superstep\tname\tvalue lines
+    val f = Files.createTempFile("graft-agg", ".tsv").toString
+    ssspRun(PregelOptions(maxSupersteps = 64,
+      aggregators = Map("active_cnt" -> sum(col("active").cast("long"))),
+      aggregatorWriter = Some(Pregel.textAggregatorWriter(f)))).count()
+    val lines = scala.io.Source.fromFile(f).getLines().toSeq
+    assert(lines.nonEmpty && lines.head.startsWith("0\tactive_cnt\t"))
+    assert(lines.map(_.split("\t")(0).toInt) == seen.indices)
+  }
+
   test("maxSupersteps caps the loop") {
     val got = ssspRun(PregelOptions(maxSupersteps = 1))
     // only the source's direct neighbors reached after one superstep

@@ -92,4 +92,18 @@ class FormatsSpec extends SparkSpec {
     assert(ws.count() == 100)
     assert(ws.exceptAll(Generators.wattsStrogatz(spark, 50, 2, 200, 7)).count() == 0)
   }
+
+  test("uniform generator honors LOCAL_EDGES_MIN_RATIO") {
+    val g = Generators.uniform(spark, 1000, 8, seed = 7,
+      localRatioPermille = 800, numPartitions = 10)
+    assert(g.count() == 8000) // out-degree exactly d
+    assert(g.filter(col("src") === col("dst")).count() == 0)
+    // range partition p(v) = v·P/n — locality fraction ≥ the knob
+    val frac = g.select(
+        (expr("src * 10 div 1000") === expr("dst * 10 div 1000")).cast("double").as("loc"))
+      .agg(avg(col("loc"))).first().getDouble(0)
+    assert(frac >= 0.8, s"local fraction $frac < 0.8")
+    // deterministic
+    assert(g.exceptAll(Generators.uniform(spark, 1000, 8, 7, 800, 10)).count() == 0)
+  }
 }

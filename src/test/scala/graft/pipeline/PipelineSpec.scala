@@ -81,6 +81,20 @@ class PipelineSpec extends SparkSpec {
     assert(got.map(_._2) == Seq(2L)) // only cluster 0 probed
   }
 
+  test("kmeans trainer converges to the two planted directions") {
+    // two tight direction clusters; seeds = vec_ids 1 and 2 (one per side)
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.9f, 0.1f)), (4L, Seq(0.1f, 0.9f)),
+      (5L, Seq(0.95f, 0.05f)), (6L, Seq(0.05f, 0.95f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssign(e, k = 2, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got(3L) == got(1L) && got(5L) == got(1L))
+    assert(got(4L) == got(2L) && got(6L) == got(2L))
+    assert(got(1L) != got(2L))
+  }
+
   test("text functions compute deterministic stats") {
     val r = docs.select(
       TextFunctions.tokenCount(col("text")).as("t"),
@@ -92,14 +106,30 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[Long]("s") == 2L)
   }
 
-  test("multimodal decode stub yields stable metadata and frame sampling explodes") {
-    val media = Multimodal.documentsAsMedia(docs.select("doc_id", "text"))
+  test("PPM codec parses real headers: dims, comments, corrupt payloads") {
+    // hand-built P6 with a netpbm comment and multi-digit dims
+    val ppm = "P6\n# a comment\n640 480\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3)
+    assert(Multimodal.decodePpm(ppm).contains((640, 480, 255)))
+    assert(Multimodal.decodePpm("P5\n2 2\n255\n".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodePpm("garbage".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodePpm("P6\nnope\n".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("multimodal decode parses wrapped PPM payloads; frame sampling explodes") {
+    val media = Multimodal.documentsAsPpm(docs.select("doc_id", "text"))
     val meta = Multimodal.decodeMeta(media).collect()
     assert(meta.length == 4)
     val m1 = meta.find(_.doc_id == 1L).get
     val m4 = meta.find(_.doc_id == 4L).get
-    assert(m1.content_md5 == m4.content_md5 && m1.width == m4.width)
-    assert(m1.n_bytes == "the quick brown fox jumps over the lazy dog".length)
+    // same text, different doc_id → same parsed height, different width
+    assert(m1.height == m4.height && m1.width == 2 && m4.width == 5)
+    assert(m1.maxval == 255)
+    assert(m1.content_md5 != m4.content_md5) // header differs
+    // corrupt payload is kept and flagged, not dropped
+    val bad = Multimodal.decodeMeta(
+      Multimodal.documentsAsMedia(docs.select("doc_id", "text"))).collect()
+    assert(bad.forall(m => m.width == -1 && m.maxval == -1))
     val frames = Multimodal.sampleFrames(media, chunk = 8, stride = 2)
     assert(frames.count() > 4)
   }
