@@ -138,11 +138,12 @@ object TestGraphs {
       .filter(col("src") =!= col("dst"))
     // pocket cycle: each member waits on the next by key (wrap to min).
     // A single-partition window is fine size-wise (the pocket is
-    // O(#suppliers/4) rows); partitionBy(lit(1)) instead of a bare
-    // orderBy keeps WindowExec's no-partition warning out of bench logs
-    // so real regressions stay visible.
-    val wOrd = Window.partitionBy(lit(1)).orderBy(col("s_suppkey"))
-    val wAll = Window.partitionBy(lit(1))
+    // O(#suppliers/4) rows); partitioning by the non-foldable constant
+    // s_suppkey % 1 (a literal lit(1) key gets constant-folded away)
+    // keeps WindowExec's no-partition warning out of bench logs so real
+    // regressions stay visible.
+    val wOrd = Window.partitionBy(pmod(col("s_suppkey"), lit(1))).orderBy(col("s_suppkey"))
+    val wAll = Window.partitionBy(pmod(col("s_suppkey"), lit(1)))
     val pocket = nonSink.filter(col("s_suppkey") % 4 === 1)
       .select(col("s_suppkey"),
         coalesce(lead(col("s_suppkey"), 1).over(wOrd),
