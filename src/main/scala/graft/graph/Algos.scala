@@ -695,30 +695,25 @@ object Algos {
         }, opts = opts)
         .select(col("id"), col("lbl").as("color"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // (2) backward sweep within same-color subgraph, seeded at roots
+      // (2) backward sweep within same-color subgraph, seeded at roots.
+      // Within one color class every vertex carries the same color c and
+      // the unique root is vertex c itself, so the swept label IS the
+      // vertex's color — the sweep reduces to monotone-set reachability
+      // (delta-frontier, one small job per wave) + a color lookup,
+      // instead of a full-vertex label-propagation Pregel loop.
       val colored = remEdges
         .join(colors.select(col("id").as("src"), col("color").as("c_src")), Seq("src"))
         .join(colors.select(col("id").as("dst"), col("color").as("c_dst")), Seq("dst"))
         .filter(col("c_src") === col("c_dst"))
         // reversed: membership flows from dst (closer to root) to src
         .select(col("dst").as("src"), col("src").as("dst"))
-      val seedInit = colors.select(col("id"),
-        when(col("id") === col("color"), col("id")).otherwise(lit(null).cast("long")).as("scc"),
-        (col("id") === col("color")).as("active"))
-      val assigned = Pregel.run(
-        seedInit, colored,
-        sendMsg = j => j.select(col("dst").as("id"), col("scc").as("msg")),
-        combineMsg = max(col("msg")),
-        vprog = (verts, msgs) => {
-          val take = col("scc").isNull && col("msg").isNotNull
-          verts.join(msgs, Seq("id"), "left").select(
-            col("id"),
-            when(take, col("msg")).otherwise(col("scc")).as("scc"),
-            coalesce(take, lit(false)).as("active"))
-        }, opts = opts)
-        .filter(col("scc").isNotNull)
-        .select(col("id"), col("scc").as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val roots = colors.filter(col("id") === col("color")).select(col("id"))
+      val assigned = reachable(roots, colored, opts.maxSupersteps)
+        .join(colors, Seq("id"))
+        .select(col("id"), col("color").as("comp"))
         .localCheckpoint()
+      colored.unpersist()
       result = result.union(assigned).localCheckpoint()
       val newVerts = remVerts.join(assigned.select("id"), Seq("id"), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
