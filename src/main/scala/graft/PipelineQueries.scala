@@ -141,12 +141,19 @@ object PipelineQueries {
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashDupPairs(Tables(s, dir).documents)
 
+  /** DuckDB twin of TextFunctions.hashPool + minhashFromPool (4 seeded
+    * md5s per shingle, each split into four independent 8-hex words;
+    * signature entry j = min of word j%4 of hash ⌊j/4⌋). */
   private val qDedupMinhashSql =
     s"""WITH sh AS MATERIALIZED (SELECT doc_id, $shSql AS sh FROM documents),
+       |hp AS MATERIALIZED (SELECT doc_id, sh, list_transform(sh, s ->
+       |flatten(list_transform(range(0, 4), a ->
+       |list_transform(range(0, 4), b ->
+       |substring(md5(CAST(a AS VARCHAR) || ':' || s), CAST(b * 8 + 1 AS INT), 8))))) AS hp FROM sh),
        |sig AS MATERIALIZED (SELECT doc_id, sh,
-       |list_transform(range(0, 16), j ->
-       |list_min(list_transform(sh, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig
-       |FROM sh),
+       |list_transform(range(1, 17), j ->
+       |list_min(list_transform(hp, w -> w[CAST(j AS INT)]))) AS sig
+       |FROM hp),
        |bands AS MATERIALIZED (SELECT doc_id, b,
        |md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bv
        |FROM sig, unnest([0, 1, 2, 3]) AS t(b)),
@@ -178,10 +185,14 @@ object PipelineQueries {
        |list_distinct(list_transform(range(1, greatest(len(${tokSql()}) - 2, 1) + 1),
        |i -> concat_ws(' ', ${tokSql()}[i], ${tokSql()}[i+1], ${tokSql()}[i+2]))) AS tri
        |FROM documents),
+       |hp AS MATERIALIZED (SELECT doc_id, blk, tri, list_transform(tri, s ->
+       |flatten(list_transform(range(0, 4), a ->
+       |list_transform(range(0, 4), b ->
+       |substring(md5(CAST(a AS VARCHAR) || ':' || s), CAST(b * 8 + 1 AS INT), 8))))) AS hp FROM tri),
        |sig AS MATERIALIZED (SELECT doc_id, blk, tri,
-       |list_transform(range(0, 16), j ->
-       |list_min(list_transform(tri, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig
-       |FROM tri),
+       |list_transform(range(1, 17), j ->
+       |list_min(list_transform(hp, w -> w[CAST(j AS INT)]))) AS sig
+       |FROM hp),
        |bands AS MATERIALIZED (SELECT doc_id, blk, b,
        |md5(array_to_string(sig[b*2+1 : b*2+2], '|')) AS bv
        |FROM sig, unnest(range(0, 8)) AS t(b)),

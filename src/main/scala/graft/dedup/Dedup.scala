@@ -56,9 +56,10 @@ object Dedup {
     * shingle Jaccard ≥ threshold. Output (a, b, jaccard) sorted.
     *
     * The signature frame is persisted before the self-joins: Spark
-    * re-evaluates both sides of a self-join, and the md5 minhash subtree
-    * is by far the most expensive expression in the engine — without the
-    * persist it is computed ~5× (bench: 81s → ~20s at sf0.1). */
+    * re-evaluates both sides of a self-join, and the minhash signature
+    * (a one-pass native expression, 4 md5s per shingle) is by far the
+    * most expensive computation in the engine — the persist runs it
+    * exactly once. */
   def minhashDupPairs(docs: DataFrame, shingleLen: Int = 8, numHashes: Int = 16,
                       bands: Int = 4, threshold: Double = 0.3): DataFrame = {
     val sigs = withMinhash(docs, shingleLen, numHashes)
@@ -88,9 +89,8 @@ object Dedup {
   def ngramDupPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.1,
                     blockCol: String = "source",
                     numHashes: Int = 16, bands: Int = 8): DataFrame = {
-    // persisted: candidate join + both verify joins reuse the n-gram sets
-    // and minhash signatures (the md5 minhash subtree is the most
-    // expensive expression in the engine — same rationale as minhash dedup)
+    // persisted: candidate join + both verify joins reuse the n-gram
+    // sets and minhash signatures (same rationale as minhashDupPairs)
     val tri = docs.select(col("doc_id"), col(blockCol).as("blk"),
       wordNgrams(tokens(col("text")), n).as("tri"))
       .withColumn("sig", minhashSignature(col("tri"), numHashes))

@@ -73,12 +73,23 @@ object TextFunctions {
       lit(0.4) * least(nTokens / lit(200.0), lit(1.0)) +
       lit(0.2) * (nAlpha / nChars)
 
-  /** MinHash signature: `numHashes` permutations approximated by seeded
-    * md5 (hash_j(s) = md5(j || ':' || s)); entry j = min over shingles. */
+  /** MinHash signature: ⌈numHashes/4⌉ seeded md5s per shingle (hash a =
+    * md5(a || ':' || s)), each split into FOUR independent 8-hex-digit
+    * words; entry j = min over shingles of word j%4 of hash ⌊j/4⌋
+    * (string min == unsigned numeric min for fixed-width lowercase hex).
+    * 16 permutations cost 4 md5s instead of 16 — md5 is the single most
+    * expensive expression in the engine. (Kirsch-Mitzenmacher h1+j·h2
+    * double hashing would be cheaper still, but it correlates the rows
+    * WITHIN an LSH band — one shingle with a small (h1, h2) dominates
+    * every permutation — which measured as a candidate-pair explosion;
+    * distinct md5 output words carry none of that correlation.)
+    * Implemented as a native one-pass Catalyst expression —
+    * [[graft.functions.MinhashSignature]] explains why composition of
+    * built-ins loses here. */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(shingles,
-        s => md5(concat(j.cast("string"), lit(":"), s)))))
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.MinhashSignature(
+        org.apache.spark.sql.graft.ColumnBridge.expression(shingles), numHashes))
 
   /** 32-bit SimHash from the hex-digit parity of each shingle's md5:
     * bit j is set when the majority of shingles have an odd hex digit at
