@@ -160,6 +160,29 @@ object Queries {
       |event_type, COUNT(*) AS cnt, CAST(FLOOR(SUM(value) * 10000) AS BIGINT) AS sum_value_e4
       |FROM events GROUP BY 1, 2 ORDER BY hour_idx, event_type""".stripMargin.replace('\n', ' ')
 
+  /** Sliding 1h windows every 15min: each event lands in 4 windows
+    * (win_idx = start/slide); integral ns arithmetic replayed by the
+    * oracle. Streaming twin: EventStreams.slidingCounts (StreamingSpec
+    * asserts parity). */
+  private def qSliding(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.events
+      .select(col("event_type"), col("value"),
+        explode(sequence(lit(0L), lit(3L))).as("k"),
+        expr("ts div 900000000000").as("slot"))
+      .select(col("event_type"), col("value"), (col("slot") - col("k")).as("win_idx"))
+      .groupBy(col("win_idx"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), e4(sum(col("value"))).as("sum_value_e4"))
+      .orderBy(col("win_idx"), col("event_type"))
+  }
+
+  private val qSlidingSql =
+    """SELECT win_idx, event_type, COUNT(*) AS cnt,
+      |CAST(FLOOR(SUM(value) * 10000) AS BIGINT) AS sum_value_e4 FROM (
+      |SELECT event_type, value, epoch_ns(ts) // 900000000000 - k AS win_idx
+      |FROM events, unnest([0, 1, 2, 3]) AS t(k)) z
+      |GROUP BY 1, 2 ORDER BY win_idx, event_type""".stripMargin.replace('\n', ' ')
+
   // ------------------------------------------------------------------
   // graph corpus (SURVEY §2.9) on graphs derived from the tables
   // ------------------------------------------------------------------
@@ -333,6 +356,7 @@ object Queries {
     "q_rollup"         -> (qRollup _),
     "q_sessions"       -> (qSessions _),
     "q_tumbling"       -> (qTumbling _),
+    "q_sliding"        -> (qSliding _),
     "q_graph_degrees"  -> (qDegrees _),
     "q_graph_wcc"      -> (qWcc _),
     "q_graph_sssp"     -> (qSssp _),
@@ -362,6 +386,7 @@ object Queries {
     "q_rollup"         -> qRollupSql,
     "q_sessions"       -> qSessionsSql,
     "q_tumbling"       -> qTumblingSql,
+    "q_sliding"        -> qSlidingSql,
     "q_graph_degrees"  -> qDegreesSql,
     "q_graph_wcc"      -> OracleGen.labelPropSql(TestGraphs.custSuppSymSql, 12, isMin = true, "component"),
     "q_graph_sssp"     -> OracleGen.ssspSql(TestGraphs.custSuppSymSql, 16),

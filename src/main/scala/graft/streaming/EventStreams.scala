@@ -32,6 +32,17 @@ object EventStreams {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
 
+  /** Sliding-window counts with a watermark: overlapping windows (each
+    * event lands in width/slide windows). The batch twin (q_sliding)
+    * assigns integral window indices win_idx = ts_ns div slide_ns − k,
+    * which equals window.start / slide for these windows. */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+                    slide: String = "15 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+
   /** Gap-based sessionization via mapGroupsWithState — the engine's
     * KeyValueGroupedDataset custom-state path. Gap in ns to mirror the
     * batch query's integral arithmetic. */

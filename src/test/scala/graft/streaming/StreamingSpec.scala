@@ -30,6 +30,22 @@ class StreamingSpec extends SparkSpec {
     query.stop()
   }
 
+  test("streaming sliding windows put each event in width/slide windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.slidingCounts(input.toDS().toDF())
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("update").start()
+    // one event at t=3600s: 1h windows sliding 15min → exactly the 4
+    // windows with start ∈ (0, 3600] step 900
+    input.addData(ev(1, 3600, 1))
+    query.processAllAvailable()
+    val starts = spark.table("sliding")
+      .select(col("window.start").cast("long")).as[Long].collect().toSet
+    assert(starts == Set(900L, 1800L, 2700L, 3600L))
+    query.stop()
+  }
+
   test("streaming tumbling counts equal the batch aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
