@@ -305,12 +305,15 @@ object Algos {
     * difference between a skewed 100×-scale graph finishing and not.
     * Fully deterministic, so triangle counts are unchanged and the SQL
     * oracles still match. */
-  private def orientByDegree(pairs: DataFrame): DataFrame = {
-    val e = pairs.select(col("u"), col("v"))
-    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+  /** Undirected degree of each endpoint of a canonical pair frame. */
+  private def pairDegrees(pairs: DataFrame): DataFrame =
+    pairs.select(col("u").as("id")).union(pairs.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
+
+  private def orientByDegree(pairs: DataFrame, deg: DataFrame): DataFrame = {
     val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
-    e.join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+    pairs.select(col("u"), col("v"))
+      .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
       .select(
         when(fwd, col("u")).otherwise(col("v")).as("src"),
@@ -326,8 +329,8 @@ object Algos {
     * codegen with NO wedge-sized intermediate — measured 2.4× faster than
     * the wedge self-join on the densest bench graph (sum over edges of
     * O(out(u)+out(v)) set work vs. materializing every wedge row). */
-  private def edgesWithAdjacency(pairs: DataFrame): DataFrame = {
-    val o = orientByDegree(pairs).select(col("src"), col("dst")).localCheckpoint()
+  private def edgesWithAdjacency(pairs: DataFrame, deg: DataFrame): DataFrame = {
+    val o = orientByDegree(pairs, deg).select(col("src"), col("dst")).localCheckpoint()
     // nb is joined twice below; checkpointing it runs the collect_list
     // aggregation once instead of twice (Spark re-evaluates each side of
     // a self-join) — this and the checkpointed input pairs reclaimed the
@@ -348,12 +351,14 @@ object Algos {
     * self-join and its broadcast variant on dense graphs).
     * Reference semantics: EX/SimpleTriangleClosingComputation.java (the
     * 2-superstep friends-of-friends exchange). */
-  def triangleCount(pairs: DataFrame): DataFrame =
-    // pairs is scanned 3× by orientByDegree (degree union + join);
+  def triangleCount(pairs: DataFrame): DataFrame = {
+    // pairs is scanned 3× (degree union + orientation join sides);
     // checkpoint once so derivation cost (often a self-join) isn't re-paid
-    edgesWithAdjacency(pairs.select(col("u"), col("v")).localCheckpoint())
+    val p = pairs.select(col("u"), col("v")).localCheckpoint()
+    edgesWithAdjacency(p, pairDegrees(p))
       .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
       .agg(coalesce(sum(col("c")), lit(0L)).as("triangles"))
+  }
 
   /** Per-vertex triangle participation + local clustering coefficient
     * cc = 2·tri / (deg·(deg−1)) over an undirected graph given as
@@ -369,11 +374,14 @@ object Algos {
     // checkpoint once: the pair derivation feeds orientByDegree (3 scans)
     // AND the degree aggregation below — 5 recomputes without this
     val e = pairs.select(col("u"), col("v")).localCheckpoint()
+    // degrees are shared by the orientation (2 join sides) and the cc
+    // denominator — one aggregation instead of two
+    val deg = pairDegrees(e).localCheckpoint()
     // single narrow posexplode pass: positions < k are third corners
     // (credit 1 each), the two trailing positions are the pivots (credit
     // k each) — measured ~2× faster than either a struct-array explode
     // (per-row allocation) or a two-branch union (recomputes the joins)
-    val triPerV = edgesWithAdjacency(e)
+    val triPerV = edgesWithAdjacency(e, deg)
       .select(col("src"), col("dst"), array_intersect(col("nu"), col("nv")).as("ws"))
       .filter(size(col("ws")) > 0)
       .select(size(col("ws")).as("k"),
@@ -381,8 +389,6 @@ object Algos {
       .select(col("id"),
         when(col("p") < col("k"), lit(1L)).otherwise(col("k").cast("long")).as("n"))
       .groupBy(col("id")).agg(sum(col("n")).as("tri_cnt"))
-    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("d"))
     deg.join(triPerV, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"),
