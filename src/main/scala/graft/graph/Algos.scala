@@ -552,11 +552,19 @@ object Algos {
     import spark.implicits._
     val e = edges.select(col("src"), col("dst"), col("tag"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val srcIds = e.select(col("src").as("id")).distinct().localCheckpoint()
-    val dstIds = e.select(col("dst").as("id")).distinct().localCheckpoint()
-    // lazy: read exactly once, by the final output join (distinct over
-    // the two id sets, not over 2·|E| endpoint rows)
-    val verts = srcIds.union(dstIds).distinct()
+    // one endpoint pass yields every id set the algorithm needs (vertex
+    // universe, request holders, wait targets) — one aggregation job
+    // instead of three distincts + a union
+    val ends = e.select(explode(array(
+        struct(col("src").as("id"), lit(true).as("s")),
+        struct(col("dst").as("id"), lit(false).as("s")))).as("x"))
+      .select(col("x.id").as("id"), col("x.s").as("s"))
+      .groupBy(col("id"))
+      .agg(bool_or(col("s")).as("is_src"), bool_or(!col("s")).as("is_dst"))
+      .localCheckpoint()
+    val srcIds = ends.filter(col("is_src")).select("id")
+    val dstIds = ends.filter(col("is_dst")).select("id")
+    val verts = ends.select("id")
     // Peel pure requesters (in-degree 0 — nobody waits on them, nothing
     // notifies them): their out-edges can never fire in either phase, so
     // both waves iterate over the in-degree-≥1 core only. Their freeing
