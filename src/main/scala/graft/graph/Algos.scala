@@ -694,20 +694,36 @@ object Algos {
     var result: DataFrame = Seq.empty[(Long, Long)].toDF("id", "comp")
     var round = 0
     while (remaining > 0 && round < 64) {
-      // (1) forward max-id color propagation to fixpoint
-      val colorInit = remVerts.select(col("id"), col("id").as("lbl"), lit(true).as("active"))
-      val colors = Pregel.run(
-        colorInit, remEdges,
-        sendMsg = j => j.select(col("dst").as("id"), col("lbl").as("msg")),
-        combineMsg = max(col("msg")),
-        vprog = (verts, msgs) => {
-          val better = col("msg").isNotNull && col("msg") > col("lbl")
-          verts.join(msgs, Seq("id"), "left").select(
-            col("id"),
-            when(better, col("msg")).otherwise(col("lbl")).as("lbl"),
-            coalesce(better, lit(false)).as("active"))
-        }, opts = opts)
-        .select(col("id"), col("lbl").as("color"))
+      // (1) forward max-id color propagation to fixpoint, with pointer
+      // jumping: color(v) = max id that reaches v. If w = color(v)
+      // (w reaches v) and x = color(w) (x reaches w) then x reaches v,
+      // so the grandparent term color(color(v)) is a sound candidate —
+      // label-tree depth halves per round and convergence is O(log n)
+      // rounds instead of O(longest path) (a long ring cycle needs its
+      // full length in plain-propagation supersteps). Same unique
+      // fixpoint, same per-round shape as wcc's FastSV loop.
+      var f = remVerts.select(col("id"), col("id").as("f_old"), col("id").as("lbl"))
+        .localCheckpoint()
+      var changed = 1L
+      var cstep = 0
+      while (changed > 0 && cstep < opts.maxSupersteps) {
+        val m1 = remEdges
+          .join(f.select(col("id").as("src"), col("lbl").as("ls")), Seq("src"))
+          .groupBy(col("dst").as("id")).agg(max(col("ls")).as("m1"))
+        val gp = f.select(col("id").as("gid"), col("lbl").as("gf"))
+        val next = f
+          .join(m1, Seq("id"), "left")
+          .join(gp, col("lbl") === col("gid"), "left")
+          .select(col("id"), col("lbl").as("f_old"),
+            greatest(col("lbl"), col("m1"), col("gf")).as("lbl"))
+          .localCheckpoint()
+        changed = next.select(count(when(col("lbl") > col("f_old"), lit(1))).as("c"))
+          .first().getLong(0)
+        f.unpersist()
+        f = next
+        cstep += 1
+      }
+      val colors = f.select(col("id"), col("lbl").as("color"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // (2) backward sweep within same-color subgraph, seeded at roots.
       // Within one color class every vertex carries the same color c and
