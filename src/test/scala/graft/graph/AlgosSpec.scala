@@ -90,6 +90,37 @@ class AlgosSpec extends SparkSpec {
       (5L, 1, 0), (6L, 1, 0)).filter(_._1 != 3L))
   }
 
+  /** Pure-source initiator: vertex 9 has no in-edges (normally peeled
+    * out of both waves), but its own out-edges must still fire the
+    * NOTIFY wave and its request must be evaluated. 9 waits on a sink
+    * (10) under tag 0 → free. */
+  test("brachaToueg handles an initiator that is a pure requester") {
+    val edges = Seq((9L, 10L, 0L), (10L, 11L, 0L))
+      .toDF("src", "dst", "tag")
+    val got = Algos.brachaToueg(edges, initiator = 9L).orderBy("id")
+      .as[(Long, Int, Int)].collect().toSeq
+    // 11 is a notified sink → grants; 10's single tag fully grants; 9 frees
+    assert(got == Seq((9L, 1, 1), (10L, 1, 1), (11L, 1, 1)))
+  }
+
+  /** Budget-limited partial fixpoint on the chain 1→2→3→4 (single-target
+    * requests, 4 the only sink). With rounds=2 the NOTIFY wave reaches
+    * only {1,2,3}, so 4 is never notified, f_0 is empty and NOBODY frees
+    * — including the peeled requester 1, judged against the empty
+    * f_{rounds-1}. With rounds=4 the full cascade completes: f_0={4},
+    * then 3, then 2 in-loop, and 1 via the peeled one-shot evaluation
+    * against f_{rounds-1} ⊇ {2,3,4}. */
+  test("brachaToueg honors the round budget for notify, grants, and peeled eval") {
+    val chain = Seq((1L, 2L, 0L), (2L, 3L, 0L), (3L, 4L, 0L))
+      .toDF("src", "dst", "tag")
+    val part = Algos.brachaToueg(chain, initiator = 1L, rounds = 2).orderBy("id")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(part == Seq((1L, 1, 0), (2L, 1, 0), (3L, 1, 0), (4L, 0, 0)))
+    val full = Algos.brachaToueg(chain, initiator = 1L, rounds = 4).orderBy("id")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(full == Seq((1L, 1, 1), (2L, 1, 1), (3L, 1, 1), (4L, 1, 1)))
+  }
+
   test("triangleCount on K4 finds 4 triangles") {
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
     assert(Algos.triangleCount(pairs).first().getLong(0) == 4L)
