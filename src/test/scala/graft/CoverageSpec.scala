@@ -53,6 +53,18 @@ class CoverageSpec extends SparkSpec {
     assert(one.select(TextFunctions.punctCount(col("text"))).first().getLong(0) == 2L)
   }
 
+  test("range partitioning yields contiguous disjoint id ranges (§2.7)") {
+    val e = (1L to 1000L).toDF("src").withColumn("dst", col("src") + 1)
+    val parts = e.repartitionByRange(4, col("src"))
+      .select(col("src"), spark_partition_id().as("p"))
+      .groupBy(col("p")).agg(min(col("src")).as("lo"), max(col("src")).as("hi"))
+      .orderBy(col("lo")).as[(Int, Long, Long)].collect().toSeq
+    assert(parts.length == 4)
+    // ranges are disjoint and ordered: each partition's lo > previous hi
+    parts.sliding(2).foreach { case Seq(a, b) => assert(b._2 > a._3); case _ => }
+    assert(parts.map(p => p._3 - p._2 + 1).sum >= 1000L)
+  }
+
   test("entry point returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
