@@ -143,6 +143,22 @@ object GraphFormats {
   def readVerticesParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Bucketed edge table: parquet pre-hash-partitioned AND pre-sorted on
+    * `src` at write time. A graph stored this way joins/aggregates on its
+    * bucket key with NO exchange at read time — the cross-session version
+    * of the in-session `repartition(src).persist` every iterative algo
+    * here does, and the right storage layout for a 100 TB edge corpus
+    * that many jobs traverse (pay the shuffle once at ingest, never
+    * again). Bucket counts should match or divide the consumer's
+    * shuffle-partition count. External table: data lives at `path`, the
+    * catalog entry (`table`) carries the bucket spec. */
+  def writeBucketedEdges(edges: DataFrame, table: String, path: String,
+                         buckets: Int): Unit =
+    edges.write.mode("overwrite")
+      .bucketBy(buckets, "src").sortBy("src")
+      .option("path", path)
+      .saveAsTable(table)
+
   /** IntIntNullTextInputFormat
     * (CORE/io/formats/IntIntNullTextInputFormat.java:38-76): line =
     * `id nbr1 nbr2 …` ([\t ] separated), unweighted; the vertex value is

@@ -93,6 +93,25 @@ class FormatsSpec extends SparkSpec {
     assert(ws.exceptAll(Generators.wattsStrogatz(spark, 50, 2, 200, 7)).count() == 0)
   }
 
+  test("bucketed edge tables self-join on the bucket key without a shuffle") {
+    val dir = tmp("bucketed")
+    val e = spark.range(1, 1001).select(col("id").as("src"),
+      pmod(col("id") * 7, lit(1000L)).as("dst"))
+    GraphFormats.writeBucketedEdges(e, "fs_bucketed_e", s"$dir/e", buckets = 4)
+    try {
+      val t = spark.table("fs_bucketed_e")
+      val joined = t.as("a").join(t.as("b"), "src")
+      joined.count()
+      // both sides carry the bucket hash partitioning — the executed join
+      // plan must contain no shuffle exchange
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(800))
+      val agg = t.groupBy(col("src")).agg(count(lit(1)))
+      agg.count()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
+    } finally spark.sql("DROP TABLE IF EXISTS fs_bucketed_e")
+  }
+
   test("uniform generator honors LOCAL_EDGES_MIN_RATIO") {
     val g = Generators.uniform(spark, 1000, 8, seed = 7,
       localRatioPermille = 800, numPartitions = 10)
