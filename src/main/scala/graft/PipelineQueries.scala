@@ -143,9 +143,10 @@ object PipelineQueries {
 
   /** DuckDB twin of TextFunctions.hashPool + minhashFromPool (4 seeded
     * md5s per shingle, each split into four independent 8-hex words;
-    * signature entry j = min of word j%4 of hash ⌊j/4⌋). */
-  private val qDedupMinhashSql =
-    s"""WITH sh AS MATERIALIZED (SELECT doc_id, $shSql AS sh FROM documents),
+    * signature entry j = min of word j%4 of hash ⌊j/4⌋). CTE body shared
+    * with the dup-cluster oracle. */
+  private val minhashPairsCtes =
+    s"""sh AS MATERIALIZED (SELECT doc_id, $shSql AS sh FROM documents),
        |hp AS MATERIALIZED (SELECT doc_id, sh, list_transform(sh, s ->
        |flatten(list_transform(range(0, 4), a ->
        |list_transform(range(0, 4), b ->
@@ -159,23 +160,61 @@ object PipelineQueries {
        |FROM sig, unnest([0, 1, 2, 3]) AS t(b)),
        |pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
        |FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
-       |jx AS (SELECT p.ida, p.idb,
+       |jx AS MATERIALIZED (SELECT p.ida, p.idb,
        |len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS inter,
        |len(x.sh) AS la, len(y.sh) AS lb
-       |FROM pairs p JOIN sh x ON x.doc_id = p.ida JOIN sh y ON y.doc_id = p.idb)
+       |FROM pairs p JOIN sh x ON x.doc_id = p.ida JOIN sh y ON y.doc_id = p.idb)""".stripMargin.replace('\n', ' ')
+
+  private val qDedupMinhashSql =
+    s"""WITH $minhashPairsCtes
        |SELECT ida AS a, idb AS b, CAST(FLOOR(inter / (la + lb - inter) * 1000000) AS BIGINT) AS jac_e6
        |FROM jx WHERE inter / (la + lb - inter) >= 0.3 ORDER BY a, b""".stripMargin.replace('\n', ' ')
 
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashFingerprints(Tables(s, dir).documents).orderBy(col("doc_id"))
 
+  /** SQL twin of TextFunctions.simhash32 over a shingle-set column `sh`. */
+  private val simhashExprSql =
+    """CAST(list_sum(list_transform(range(0, 32), j ->
+      |CASE WHEN len(list_filter(sh, s ->
+      |substring(md5(s), CAST(j + 1 AS INT), 1) IN ('1','3','5','7','9','b','d','f'))) * 2
+      |>= len(sh) THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin.replace('\n', ' ')
+
   private val qDedupSimhashSql =
     s"""WITH b AS (SELECT doc_id, $shSql AS sh FROM documents)
-       |SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), j ->
-       |CASE WHEN len(list_filter(sh, s ->
-       |substring(md5(s), CAST(j + 1 AS INT), 1) IN ('1','3','5','7','9','b','d','f'))) * 2
-       |>= len(sh) THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+       |SELECT doc_id, $simhashExprSql AS simhash
        |FROM b ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
+  private def qDedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashDupPairs(Tables(s, dir).documents)
+
+  private val qDedupSimhashPairsSql =
+    s"""WITH sh0 AS MATERIALIZED (SELECT doc_id, $shSql AS sh FROM documents),
+       |fp AS MATERIALIZED (SELECT doc_id, $simhashExprSql AS simhash FROM sh0),
+       |bands AS MATERIALIZED (SELECT doc_id, b, (simhash >> (b * 8)) & 255 AS bv
+       |FROM fp, unnest([0, 1, 2, 3]) AS t(b)),
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT ida AS a, idb AS b,
+       |CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS ham
+       |FROM cand JOIN fp x ON x.doc_id = ida JOIN fp y ON y.doc_id = idb
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+       |ORDER BY a, b""".stripMargin.replace('\n', ' ')
+
+  /** Transitive dup clusters over the MinHash near-dup pair graph (the
+    * actionable final step of a dedup pass: min-id survivor per cluster).
+    * Oracle = the shared pair CTEs + a min-label-propagation unroll. */
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(
+      Dedup.minhashDupPairs(Tables(s, dir).documents).select(col("a"), col("b")))
+      .orderBy(col("id"))
+
+  private val qDedupClustersSql = graft.sql.OracleGen.labelPropSql(
+    s"""$minhashPairsCtes,
+       |dup AS MATERIALIZED (SELECT ida, idb FROM jx WHERE inter / (la + lb - inter) >= 0.3),
+       |e AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM dup
+       |UNION ALL SELECT idb, ida FROM dup)""".stripMargin.replace('\n', ' '),
+    8, isMin = true, "canonical")
 
   private def qDedupNgram(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramDupPairs(Tables(s, dir).documents)
@@ -377,6 +416,8 @@ object PipelineQueries {
     "q_dedup_exact"      -> (qDedupExact _),
     "q_dedup_minhash"    -> (qDedupMinhash _),
     "q_dedup_simhash"    -> (qDedupSimhash _),
+    "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _),
+    "q_dedup_clusters"   -> (qDedupClusters _),
     "q_dedup_ngram"      -> (qDedupNgram _),
     "q_dedup_embedding"  -> (qDedupEmb _),
     "q_ann_brute"        -> (qAnnBrute _),
@@ -393,6 +434,8 @@ object PipelineQueries {
     "q_dedup_exact"      -> qDedupExactSql,
     "q_dedup_minhash"    -> qDedupMinhashSql,
     "q_dedup_simhash"    -> qDedupSimhashSql,
+    "q_dedup_simhash_pairs" -> qDedupSimhashPairsSql,
+    "q_dedup_clusters"   -> qDedupClustersSql,
     "q_dedup_ngram"      -> qDedupNgramSql,
     "q_dedup_embedding"  -> qDedupEmbSql,
     "q_ann_brute"        -> qAnnBruteSql,

@@ -81,6 +81,46 @@ object Dedup {
     docs.select(col("doc_id"),
       simhash32(shingleSet(col("text"), shingleLen)).as("simhash"))
 
+  /** Near-dup pairs by SimHash hamming distance ≤ `maxHamming`:
+    * candidate pairs share at least one of the fingerprint's four 8-bit
+    * bands (pigeonhole: hamming ≤ 3 over 32 bits forces SOME band to be
+    * equal — the classic simhash dedup index), verified by
+    * bit_count(xor) on candidates only. Candidate generation is an
+    * equi-join on (band, value) — never all-pairs. */
+  def simhashDupPairs(docs: DataFrame, shingleLen: Int = 8,
+                      maxHamming: Int = 3): DataFrame = {
+    val fp = simhashFingerprints(docs, shingleLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = fp.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*))
+        .as(Seq("band", "bv")))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+    cands
+      .join(fp.select(col("doc_id").as("ida"), col("simhash").as("ha")), Seq("ida"))
+      .join(fp.select(col("doc_id").as("idb"), col("simhash").as("hb")), Seq("idb"))
+      .withColumn("ham", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("ham") <= maxHamming)
+      .select(col("ida").as("a"), col("idb").as("b"), col("ham"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Canonicalize near-duplicate PAIRS into clusters: connected
+    * components over the dup-pair graph, each doc labeled with the
+    * min doc id of its cluster (the survivor a dedup pass keeps). The
+    * composition every production dedup pipeline ends with — pairs are
+    * not actionable until transitively grouped. Only docs with ≥ 1 dup
+    * edge appear (singletons keep themselves trivially). */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    graft.graph.Algos.wcc(sym).withColumnRenamed("component", "canonical")
+  }
+
   /** Near-dup pairs by word n-gram Jaccard. Candidates come from MinHash
     * LSH banding over the n-gram sets *within* each block (e.g. source) —
     * an equi-join on (block, band, bandHash), so per-block cost is

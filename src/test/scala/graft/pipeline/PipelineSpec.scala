@@ -39,6 +39,19 @@ class PipelineSpec extends SparkSpec {
     assert(fp(1L) != fp(3L))
   }
 
+  test("simhash hamming pairs find the identical pair at distance 0") {
+    val pairs = Dedup.simhashDupPairs(docs).as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.exists(p => (p._1, p._2, p._3) == ((1L, 4L, 0L)))) // exact dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))            // unrelated doc
+  }
+
+  test("dup clusters label every member with the min id transitively") {
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 8L)).toDF("a", "b")
+    val got = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(5L) == 1L) // transitive via 2
+    assert(got(7L) == 7L && got(8L) == 7L)
+  }
+
   test("ngram jaccard blocks by source") {
     val pairs = Dedup.ngramDupPairs(docs, n = 2, threshold = 0.1)
       .as[(Long, Long, Long)].collect().toSeq
