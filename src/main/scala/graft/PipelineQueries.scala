@@ -188,17 +188,26 @@ object PipelineQueries {
   private def qDedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashDupPairs(Tables(s, dir).documents)
 
+  /** DuckDB twin of graft.functions.Simhash60: bit j = majority (count·2
+    * ≥ n) of bit j%4 of the VALUE of md5 hex digit ⌊j/4⌋. */
+  private val simhash60ExprSql =
+    """CAST(list_sum(list_transform(range(0, 60), j ->
+      |CASE WHEN len(list_filter(sh, s ->
+      |(((strpos('0123456789abcdef', substring(md5(s), CAST(j // 4 + 1 AS INT), 1)) - 1)
+      |>> CAST(j % 4 AS INT)) & 1) = 1)) * 2
+      |>= len(sh) THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin.replace('\n', ' ')
+
   private val qDedupSimhashPairsSql =
     s"""WITH sh0 AS MATERIALIZED (SELECT doc_id, $shSql AS sh FROM documents),
-       |fp AS MATERIALIZED (SELECT doc_id, $simhashExprSql AS simhash FROM sh0),
-       |bands AS MATERIALIZED (SELECT doc_id, b, (simhash >> (b * 8)) & 255 AS bv
-       |FROM fp, unnest([0, 1, 2, 3]) AS t(b)),
+       |fp AS MATERIALIZED (SELECT doc_id, $simhash60ExprSql AS simhash FROM sh0),
+       |bands AS MATERIALIZED (SELECT doc_id, b, (simhash >> (b * 30)) & 1073741823 AS bv
+       |FROM fp, unnest([0, 1]) AS t(b)),
        |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
        |FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
        |SELECT ida AS a, idb AS b,
        |CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS ham
        |FROM cand JOIN fp x ON x.doc_id = ida JOIN fp y ON y.doc_id = idb
-       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 1
        |ORDER BY a, b""".stripMargin.replace('\n', ' ')
 
   /** Transitive dup clusters over the MinHash near-dup pair graph (the

@@ -82,18 +82,31 @@ object Dedup {
       simhash32(shingleSet(col("text"), shingleLen)).as("simhash"))
 
   /** Near-dup pairs by SimHash hamming distance ≤ `maxHamming`:
-    * candidate pairs share at least one of the fingerprint's four 8-bit
-    * bands (pigeonhole: hamming ≤ 3 over 32 bits forces SOME band to be
-    * equal — the classic simhash dedup index), verified by
+    * candidate pairs share at least one of maxHamming+1 bands of the
+    * 32-bit fingerprint (pigeonhole: ≤ maxHamming flipped bits leave
+    * SOME band untouched — the classic simhash dedup index), verified by
     * bit_count(xor) on candidates only. Candidate generation is an
-    * equi-join on (band, value) — never all-pairs. */
+    * equi-join on (band, value) — never all-pairs.
+    *
+    * Uses the 60-bit pairing-grade fingerprint, NOT the compact 32-bit
+    * one: simhash bits concentrate on statistically-similar corpora (the
+    * whole point of simhash is that similar docs collide), so narrow
+    * band values collide en masse — 4×8-bit and even 2×16-bit bands over
+    * 32 bits measured 128-134s at sf0.1 from candidate blowup, while
+    * 2×30-bit bands over 60 bits keep buckets discriminating. Expected
+    * bucket size is n / 2^(60/(maxHamming+1)) per band, corpus-entropy
+    * permitting; for wider hamming tolerances at larger n, widen the
+    * fingerprint again or block by a partition column first. */
   def simhashDupPairs(docs: DataFrame, shingleLen: Int = 8,
-                      maxHamming: Int = 3): DataFrame = {
-    val fp = simhashFingerprints(docs, shingleLen)
+                      maxHamming: Int = 1): DataFrame = {
+    val numBands = maxHamming + 1
+    val bits = 60 / numBands
+    val fp = docs
+      .select(col("doc_id"), simhash60(shingleSet(col("text"), shingleLen)).as("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = fp.select(col("doc_id"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*))
+      posexplode(array((0 until numBands).map(b =>
+        shiftright(col("simhash"), b * bits).bitwiseAND(lit((1L << bits) - 1))): _*))
         .as(Seq("band", "bv")))
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&

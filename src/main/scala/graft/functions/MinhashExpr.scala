@@ -80,3 +80,56 @@ case class MinhashSignature(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
     copy(child = newChild)
 }
+
+/** One-pass 60-bit SimHash over a shingle-set column.
+  *
+  * Semantics (oracle-replayable): bit j (0 ≤ j < 60) is set when the
+  * majority of shingles (count·2 ≥ n, the same tie rule as the 32-bit
+  * variant) have bit j%4 set in the VALUE of hex digit ⌊j/4⌋ of md5(s).
+  * 60 bits = 15 hex digits — wide enough that LSH bands over the
+  * fingerprint stay discriminating even on statistically-similar corpora
+  * (a 32-bit fingerprint's band values concentrate and explode the
+  * candidate join), while staying inside a positive BIGINT in both
+  * engines (bit 63 would overflow DuckDB's POWER(2, j) BIGINT cast).
+  *
+  * Native expression for the same reason as [[MinhashSignature]]: one md5
+  * + 60 local counter bumps per shingle, no per-bit re-hash.
+  */
+case class Simhash60(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash60"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val md = MessageDigest.getInstance("MD5")
+    val cnt = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < 60) {
+        val p = j / 4 // hex digit index; digit p = nibble of byte p/2
+        val v =
+          if ((p & 1) == 0) (d(p / 2) >> 4) & 0xf
+          else d(p / 2) & 0xf
+        cnt(j) += (v >> (j % 4)) & 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) {
+      if (cnt(j) * 2 >= n) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash60 =
+    copy(child = newChild)
+}

@@ -104,6 +104,13 @@ object TextFunctions {
         pow(lit(2.0), j).cast("long")).otherwise(lit(0L)))
   }
 
+  /** 60-bit SimHash (pairing-grade fingerprint — see
+    * graft.functions.Simhash60 for the bit semantics and why 60). */
+  def simhash60(shingles: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.Simhash60(
+        org.apache.spark.sql.graft.ColumnBridge.expression(shingles)))
+
   /** Jaccard similarity of two (deduplicated) array columns, as the exact
     * double |∩| / (|a|+|b|-|∩|). */
   def jaccard(a: Column, b: Column): Column = {
