@@ -223,7 +223,7 @@ object PipelineQueries {
        |dup AS MATERIALIZED (SELECT ida, idb FROM jx WHERE inter / (la + lb - inter) >= 0.3),
        |e AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM dup
        |UNION ALL SELECT idb, ida FROM dup)""".stripMargin.replace('\n', ' '),
-    8, isMin = true, "canonical")
+    12, isMin = true, "canonical")
 
   private def qDedupNgram(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramDupPairs(Tables(s, dir).documents)

@@ -17,6 +17,17 @@ import graft.text.TextFunctions._
   */
 object Dedup {
 
+  /** Materialize the (small) final pair frame, then release the persisted
+    * signature frame backing it: the signatures are orders of magnitude
+    * larger than the pairs and would otherwise stay cached until the
+    * ContextCleaner happens to collect them — in a long session running
+    * many dedup passes that is an unbounded cache leak. */
+  private def finish(out: DataFrame, cached: DataFrame): DataFrame = {
+    val m = out.localCheckpoint()
+    cached.unpersist()
+    m
+  }
+
   /** Exact duplicate clusters on whitespace/case-normalized text:
     * (content hash, cluster size, canonical = min doc id). */
   def exactClusters(docs: DataFrame, idCol: String = "doc_id",
@@ -66,14 +77,14 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(sigs, bands, numHashes / bands)
     val sh = sigs.select(col("doc_id"), col("sh"))
-    cands
+    finish(cands
       .join(sh.select(col("doc_id").as("ida"), col("sh").as("sha")), Seq("ida"))
       .join(sh.select(col("doc_id").as("idb"), col("sh").as("shb")), Seq("idb"))
       .withColumn("jac", jaccard(col("sha"), col("shb")))
       .filter(col("jac") >= threshold)
       .select(col("ida").as("a"), col("idb").as("b"),
         graft.sql.Exact.e6(col("jac")).as("jac_e6"))
-      .orderBy(col("a"), col("b"))
+      .orderBy(col("a"), col("b")), sigs)
   }
 
   /** Per-doc 32-bit SimHash fingerprints. */
@@ -113,13 +124,13 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .distinct()
-    cands
+    finish(cands
       .join(fp.select(col("doc_id").as("ida"), col("simhash").as("ha")), Seq("ida"))
       .join(fp.select(col("doc_id").as("idb"), col("simhash").as("hb")), Seq("idb"))
       .withColumn("ham", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("ham") <= maxHamming)
       .select(col("ida").as("a"), col("idb").as("b"), col("ham"))
-      .orderBy(col("a"), col("b"))
+      .orderBy(col("a"), col("b")), fp)
   }
 
   /** Canonicalize near-duplicate PAIRS into clusters: connected
@@ -150,14 +161,14 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(tri, bands, numHashes / bands, blockCols = Seq("blk"))
     val sets = tri.select(col("doc_id"), col("tri"))
-    cands
+    finish(cands
       .join(sets.select(col("doc_id").as("ida"), col("tri").as("ta")), Seq("ida"))
       .join(sets.select(col("doc_id").as("idb"), col("tri").as("tb")), Seq("idb"))
       .withColumn("jac", jaccard(col("ta"), col("tb")))
       .filter(col("jac") >= threshold)
       .select(col("ida").as("a"), col("idb").as("b"),
         graft.sql.Exact.e6(col("jac")).as("jac_e6"))
-      .orderBy(col("a"), col("b"))
+      .orderBy(col("a"), col("b")), tri)
   }
 
   /** Embedding-cosine near-duplicates: candidate pairs from
@@ -184,7 +195,7 @@ object Dedup {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
       .distinct()
-    cands
+    finish(cands
       .join(e.select(col("vec_id").as("ida"), col("embedding").as("ea"),
         col("nrm").as("na")), Seq("ida"))
       .join(e.select(col("vec_id").as("idb"), col("embedding").as("eb"),
@@ -194,6 +205,6 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("ida").as("a"), col("idb").as("b"),
         graft.sql.Exact.e4(col("cos")).as("rcos_e4"))
-      .orderBy(col("a"), col("b"))
+      .orderBy(col("a"), col("b")), e)
   }
 }

@@ -42,6 +42,7 @@ object Algos {
     while (live && h < maxHops) {
       val k = math.min(WaveBatch, maxHops - h)
       (0 until k).foreach { _ =>
+        val prev = reached
         reached = reached.select(col("id"), lit(false).as("cand"))
           .union(edges
             .join(broadcast(reached.filter(col("fresh")).select(col("id").as("src"))),
@@ -49,6 +50,10 @@ object Algos {
             .select(col("dst").as("id"), lit(true).as("cand")))
           .groupBy(col("id")).agg(bool_and(col("cand")).as("fresh"))
           .localCheckpoint()
+        // the new frame is eagerly materialized; the superseded wave's
+        // blocks are dead — drop them instead of waiting on the
+        // ContextCleaner (matches the wcc loop's discipline)
+        prev.unpersist()
       }
       h += k
       live = reached.filter(col("fresh")).count() > 0
@@ -615,6 +620,10 @@ object Algos {
     // side (checkpoint leaves have no stats for Catalyst to see that).
     var cnt = eCore.groupBy(col("src"), col("tag")).agg(count(lit(1)).as("unmet"))
       .localCheckpoint()
+    // every checkpointed counter frame stays referenced by that round's
+    // lazy `newly` filter in `freed` until the output materializes — track
+    // them and drop all blocks after the final localCheckpoint below
+    val spentFrames = scala.collection.mutable.ArrayBuffer[DataFrame](ends, f0, cnt)
     var granting = true
     var i = 0
     while (granting && i < rounds) {
@@ -631,6 +640,7 @@ object Algos {
           .select(col("src"), col("tag"),
             (col("unmet") - coalesce(col("d"), lit(0L))).as("unmet"))
           .localCheckpoint()
+        spentFrames += cntNext
         val newly = cntNext.filter(col("unmet") === 0)
           .select(col("src").as("id"))
         cnt = cntNext.filter(col("unmet") > 0)
@@ -665,13 +675,20 @@ object Algos {
           .filter(col("ok")).select(col("src").as("id"))
         (freed :+ peeledFree).reduce(_ union _).distinct()
       }
+    // materialize the (vertex-sized) result once, THEN release every
+    // intermediate: the persisted edge frames are still needed by the
+    // peeled-requester join above, and the per-round counter checkpoints
+    // by the `freed` filters — freeing them before this point would
+    // either force a recompute or strand dead blocks in the cache
     val out = verts
       .join(notified.withColumn("nn", lit(1)), Seq("id"), "left")
       .join(free.withColumn("ff", lit(1)), Seq("id"), "left")
       .select(col("id"),
         coalesce(col("nn"), lit(0)).cast("int").as("notified"),
         coalesce(col("ff"), lit(0)).cast("int").as("free"))
+      .localCheckpoint()
     e.unpersist(); eCore.unpersist()
+    spentFrames.foreach(_.unpersist())
     out
   }
 

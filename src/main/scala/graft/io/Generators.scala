@@ -45,7 +45,9 @@ object Generators {
       raw.select(col("src"),
         when(col("dst") === col("src"), pmod(col("dst") + 1, lit(n))).otherwise(col("dst")).as("dst"))
     } else {
-      val P = numPartitions.toLong
+      // Clamp P ≤ n so every range partition is non-empty (size ≥ 1);
+      // P > n would make pmod(hash, 0) null for the empty ranges.
+      val P = math.max(1L, math.min(numPartitions.toLong, n))
       val p = idiv(col("src") * P, n)
       val pStart = idiv(p * n + P - 1, P)        // ceil(p·n/P)
       val pEnd = idiv((p + 1) * n + P - 1, P)    // ceil((p+1)·n/P)
@@ -55,9 +57,12 @@ object Generators {
       val raw = base.select(col("src"), col("i"), isLocal.as("loc"),
         when(isLocal, pStart + pmod(xxhash64(col("src"), col("i"), lit(seed)), size))
           .otherwise(pmod(xxhash64(col("src"), col("i"), lit(seed)), lit(n))).as("dst"))
+      // Self-loop remap: local draws rotate within the range — except a
+      // size-1 range, where rotation maps back to src; fall back to the
+      // global rotation there (no-self-loop beats strict locality).
       raw.select(col("src"),
         when(col("dst") =!= col("src"), col("dst"))
-          .when(col("loc"), pStart + pmod(col("dst") - pStart + 1, size))
+          .when(col("loc") && size > 1, pStart + pmod(col("dst") - pStart + 1, size))
           .otherwise(pmod(col("dst") + 1, lit(n))).as("dst"))
     }
   }

@@ -56,7 +56,9 @@ object Multimodal {
         skipWsAndComments()
         val s = i
         while (i < payload.length && payload(i) >= '0'.toByte && payload(i) <= '9'.toByte) i += 1
-        if (i == s) None
+        // ≤9 digits keeps the value inside Int range; a longer run is a
+        // corrupt header and must yield None (kept+flagged), not a throw.
+        if (i == s || i - s > 9) None
         else Some(new String(payload, s, i - s, "US-ASCII").toInt)
       }
       for { w <- readInt(); h <- readInt(); mv <- readInt() } yield (w, h, mv)

@@ -124,5 +124,12 @@ class FormatsSpec extends SparkSpec {
     assert(frac >= 0.8, s"local fraction $frac < 0.8")
     // deterministic
     assert(g.exceptAll(Generators.uniform(spark, 1000, 8, 7, 800, 10)).count() == 0)
+    // degenerate shapes: size-1 range partitions (P == n) and P > n must
+    // still give exact out-degree, no self-loops, and no null dst
+    val tiny = Generators.uniform(spark, 5, 3, seed = 7,
+      localRatioPermille = 1000, numPartitions = 32)
+    assert(tiny.count() == 15)
+    assert(tiny.filter(col("dst").isNull || col("src") === col("dst")).count() == 0)
+    assert(tiny.filter(col("dst") < 0 || col("dst") >= 5).count() == 0)
   }
 }

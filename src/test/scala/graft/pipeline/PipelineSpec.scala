@@ -127,6 +127,9 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.decodePpm("P5\n2 2\n255\n".getBytes("US-ASCII")).isEmpty)
     assert(Multimodal.decodePpm("garbage".getBytes("US-ASCII")).isEmpty)
     assert(Multimodal.decodePpm("P6\nnope\n".getBytes("US-ASCII")).isEmpty)
+    // unbounded digit run must flag as corrupt (None), never throw
+    assert(Multimodal.decodePpm("P6\n99999999999 5\n255\n".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodePpm("P6\n640 480 9999999999\n".getBytes("US-ASCII")).isEmpty)
   }
 
   test("multimodal decode parses wrapped PPM payloads; frame sampling explodes") {
