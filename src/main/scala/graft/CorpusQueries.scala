@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Corpus
+
+/** Corpus-pipeline query corpus (round-4 surface): repetition filtering,
+  * TF-IDF keywords, vocabulary, deterministic stratified sampling, PII
+  * scrubbing, sequence packing, and mixing stats — each with a DuckDB
+  * oracle built from identical arithmetic (md5-derived uniforms, exact
+  * BIGINT integer division `//`, no floats anywhere).
+  */
+object CorpusQueries {
+
+  private def tokSql(c: String = "text") = s"regexp_split_to_array(trim($c), '\\s+')"
+
+  /** DuckDB twin of Corpus.md5Uniform limited to `h`'s first 6 hex
+    * digits: digit-by-digit base-16 accumulation (strpos on the hex
+    * alphabet), exact BIGINT. */
+  private def hex6Sql(h: String) =
+    s"""CAST(list_sum(list_transform(range(0, 6), i ->
+       |(strpos('0123456789abcdef', substring($h, CAST(i + 1 AS INT), 1)) - 1)
+       |* CAST(power(16, 5 - i) AS BIGINT))) AS BIGINT)""".stripMargin.replace('\n', ' ')
+
+  // --- repetition -------------------------------------------------------
+
+  private def qTextRepetition(s: SparkSession, dir: String): DataFrame =
+    Corpus.repetitionStats(Tables(s, dir).documents).orderBy(col("doc_id"))
+
+  private val qTextRepetitionSql =
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id, ${tokSql()} AS tok FROM documents),
+       |g AS MATERIALIZED (SELECT doc_id, concat_ws(' ', tok[CAST(i AS INT)], tok[CAST(i + 1 AS INT)]) AS gram
+       |FROM toks, unnest(range(1, greatest(len(tok) - 1, 1) + 1)) AS t(i)),
+       |c AS MATERIALIZED (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2)
+       |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams, COUNT(*) AS n_uniq,
+       |CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+       |CAST((MAX(cnt) * 1000000) // SUM(cnt) AS BIGINT) AS top_frac_e6,
+       |CAST(((SUM(cnt) - COUNT(*)) * 1000000) // SUM(cnt) AS BIGINT) AS dup_frac_e6
+       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
+  // --- TF-IDF keywords --------------------------------------------------
+
+  private def qTfidf(s: SparkSession, dir: String): DataFrame =
+    Corpus.tfIdfTopK(Tables(s, dir).documents, k = 3)
+      .drop("rank")
+      .orderBy(col("doc_id"), col("score_e6").desc, col("token"))
+
+  private val qTfidfSql =
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id, unnest(${tokSql()}) AS token FROM documents),
+       |tf AS MATERIALIZED (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS MATERIALIZED (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+       |SELECT doc_id, token, tf, score_e6 FROM (
+       |SELECT tf.doc_id, tf.token, tf.tf,
+       |CAST((tf.tf * n.n_docs * 1000000) // df.df AS BIGINT) AS score_e6,
+       |ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+       |ORDER BY (tf.tf * n.n_docs * 1000000) // df.df DESC, tf.token) AS rnk
+       |FROM tf JOIN df USING (token) CROSS JOIN n) z
+       |WHERE rnk <= 3 ORDER BY doc_id, score_e6 DESC, token""".stripMargin.replace('\n', ' ')
+
+  // --- vocabulary -------------------------------------------------------
+
+  private def qVocab(s: SparkSession, dir: String): DataFrame =
+    Corpus.vocabulary(Tables(s, dir).documents, topN = 100)
+
+  private val qVocabSql =
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id, unnest(${tokSql()}) AS token FROM documents)
+       |SELECT token, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS n_docs
+       |FROM toks GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin.replace('\n', ' ')
+
+  // --- stratified sampling ----------------------------------------------
+
+  private def qSampleStratified(s: SparkSession, dir: String): DataFrame =
+    Corpus.stratifiedSample(Tables(s, dir).documents).orderBy(col("doc_id"))
+
+  private val qSampleStratifiedSql =
+    s"""WITH b AS (SELECT doc_id, source,
+       |50 + 50 * (strpos('0123456789abcdef', substring(md5(source), 1, 1)) - 1) AS rate_permille,
+       |${hex6Sql("md5(CAST(doc_id AS VARCHAR) || ':' || source)")} % 1000 AS u
+       |FROM documents)
+       |SELECT doc_id, source, CAST(rate_permille AS BIGINT) AS rate_permille
+       |FROM b WHERE u < rate_permille ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
+  // --- PII scrubbing ----------------------------------------------------
+
+  /** The synthetic corpus carries no PII, so (like the embedding-dedup
+    * positives) deterministic emails/ids are planted on every 5th doc in
+    * BOTH engines — the scrub path is then exercised on real matches,
+    * not just proven non-firing. */
+  private def planted(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(5L)) === 0,
+        concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+          lit("@example.com ref 99"), col("doc_id").cast("string"), lit("00")))
+        .otherwise(col("text")).as("text"))
+
+  private def qPiiScrub(s: SparkSession, dir: String): DataFrame =
+    Corpus.piiScrub(planted(Tables(s, dir).documents)).orderBy(col("doc_id"))
+
+  private val qPiiScrubSql =
+    s"""WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+       |THEN text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+       |'@example.com ref 99' || CAST(doc_id AS VARCHAR) || '00'
+       |ELSE text END AS text FROM documents)
+       |SELECT doc_id,
+       |CAST(len(regexp_extract_all(text, '${Corpus.EmailPattern}')) AS BIGINT) AS n_emails,
+       |CAST(len(regexp_extract_all(text, '${Corpus.IdRunPattern}')) AS BIGINT) AS n_id_runs,
+       |md5(regexp_replace(regexp_replace(text, '${Corpus.EmailPattern}', '<EMAIL>', 'g'),
+       |'${Corpus.IdRunPattern}', '<ID>', 'g')) AS scrubbed_md5
+       |FROM p ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
+  // --- sequence packing -------------------------------------------------
+
+  private def qPackChunks(s: SparkSession, dir: String): DataFrame =
+    Corpus.chunkPack(Tables(s, dir).documents, budget = 512).orderBy(col("doc_id"))
+
+  private val qPackChunksSql =
+    s"""WITH b AS (SELECT doc_id, source,
+       |CAST(len(${tokSql()}) AS BIGINT) AS n_tokens FROM documents),
+       |r AS (SELECT doc_id, source, n_tokens,
+       |SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS strt FROM b)
+       |SELECT doc_id, source, n_tokens,
+       |CAST(strt // 512 AS BIGINT) AS chunk, CAST(strt % 512 AS BIGINT) AS offset
+       |FROM r ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
+  // --- mixing stats -----------------------------------------------------
+
+  private def qMixStats(s: SparkSession, dir: String): DataFrame =
+    Corpus.mixingStats(Tables(s, dir).documents).orderBy(col("source"))
+
+  private val qMixStatsSql =
+    s"""WITH b AS MATERIALIZED (SELECT source, COUNT(*) AS n_docs,
+       |CAST(SUM(len(${tokSql()})) AS BIGINT) AS n_tokens
+       |FROM documents GROUP BY source)
+       |SELECT source, n_docs, n_tokens,
+       |CAST((n_tokens * 1000000) // (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM b) AS BIGINT) AS share_e6
+       |FROM b ORDER BY source""".stripMargin.replace('\n', ' ')
+
+  // --- registry ---------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_repetition"   -> (qTextRepetition _),
+    "q_text_tfidf"        -> (qTfidf _),
+    "q_vocab_top"         -> (qVocab _),
+    "q_sample_stratified" -> (qSampleStratified _),
+    "q_pii_scrub"         -> (qPiiScrub _),
+    "q_pack_chunks"       -> (qPackChunks _),
+    "q_mix_stats"         -> (qMixStats _))
+
+  val oracles: Map[String, String] = Map(
+    "q_text_repetition"   -> qTextRepetitionSql,
+    "q_text_tfidf"        -> qTfidfSql,
+    "q_vocab_top"         -> qVocabSql,
+    "q_sample_stratified" -> qSampleStratifiedSql,
+    "q_pii_scrub"         -> qPiiScrubSql,
+    "q_pack_chunks"       -> qPackChunksSql,
+    "q_mix_stats"         -> qMixStatsSql)
+}

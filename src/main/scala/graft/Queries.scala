@@ -376,7 +376,7 @@ object Queries {
     "q_graph_wpagerank" -> (qWPagerank _),
     "q_graph_rwr"      -> (qRwr _),
     "q_graph_deg_stats" -> (qDegStats _),
-    "q_graph_prep_stats" -> (qPrepStats _)) ++ PipelineQueries.all
+    "q_graph_prep_stats" -> (qPrepStats _)) ++ PipelineQueries.all ++ CorpusQueries.all
 
   val oracles: Map[String, String] = Map(
     "q01_agg"          -> q01Sql,
@@ -406,5 +406,5 @@ object Queries {
     "q_graph_wpagerank" -> OracleGen.pagerankWeightedSql(TestGraphs.custSuppSymSql, 5, 0.85, 0.15),
     "q_graph_rwr"      -> OracleGen.rwrSql(TestGraphs.custSuppSymSql, 5, 0.85, 0.15),
     "q_graph_deg_stats" -> qDegStatsSql,
-    "q_graph_prep_stats" -> qPrepStatsSql) ++ PipelineQueries.oracles
+    "q_graph_prep_stats" -> qPrepStatsSql) ++ PipelineQueries.oracles ++ CorpusQueries.oracles
 }

@@ -1,0 +1,225 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions._
+
+/** Corpus-level training-data-pipeline operators: repetition filtering,
+  * TF-IDF keyword extraction, vocabulary building, deterministic
+  * stratified sampling, PII scrubbing, and sequence packing.
+  *
+  * Everything is pure DataFrame algebra (codegen'd Column expressions +
+  * joins/windows; the one `mapPartitions` is the order-sensitive greedy
+  * packer, which is inherently a sequential per-block scan). All float
+  * outputs are floor-scaled BIGINTs or exact integer division so a DuckDB
+  * oracle hash-matches.
+  */
+object Corpus {
+
+  /** Exact BIGINT integer division (DuckDB's `//`): (a - a mod b) is an
+    * exact multiple of b, and a correctly-rounded double division whose
+    * true quotient is an integer ≤ 2^53 returns it exactly — so the two
+    * engines agree bit-for-bit, unlike floor(a / b) where the double
+    * quotient can round across an integer boundary. */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  // --- repetition signals (the Gopher-style repetition filters) --------
+
+  /** Word n-grams WITHOUT dedup — repetition measurement needs the
+    * multiset (contrast TextFunctions.wordNgrams, which dedupes for
+    * Jaccard). Short docs yield their single truncated n-gram. */
+  def wordNgramsAll(tok: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(tok) - lit(n - 1), lit(1))),
+      i => concat_ws(" ", (0 until n).map(o => element_at(tok, i + lit(o))): _*))
+
+  /** Per-doc repetition stats over word 2-grams: total grams, distinct
+    * grams, the most-frequent gram's count, and the two Gopher-style
+    * fractions (top-gram share, duplicate-gram share) as exact
+    * floor-scaled e6 integers. High top_frac/dup_frac = boilerplate or
+    * degenerate repetition — the standard pre-training drop signal.
+    *
+    * Scale shape: explode → two-level groupBy. The (doc_id, gram) partial
+    * aggregation is map-side combined by Catalyst; nothing is ever
+    * collected per-doc into one row except the final O(1) stats. */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+        explode(wordNgramsAll(tokens(col(textCol)), 2)).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+    grams.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        count(lit(1)).as("n_uniq"),
+        max(col("cnt")).as("top_cnt"))
+      .select(col("doc_id"), col("n_grams"), col("n_uniq"), col("top_cnt"),
+        idiv(col("top_cnt") * lit(1000000L), col("n_grams")).as("top_frac_e6"),
+        idiv((col("n_grams") - col("n_uniq")) * lit(1000000L), col("n_grams"))
+          .as("dup_frac_e6"))
+  }
+
+  // --- TF-IDF keywords --------------------------------------------------
+
+  /** Top-k keywords per document by rational TF-IDF (idf = N/df instead
+    * of ln(N/df): same ranking for fixed tf since ln is monotone, but the
+    * score stays in exact integer arithmetic — floor(tf·N·10^6 / df) —
+    * so two engines agree bit-for-bit; libm log differs in the last ulp
+    * across engines and would poison a hash-compare).
+    *
+    * Distributed shape: explode → (doc, token) count → token-level df agg
+    * → broadcast-joined scalar N → per-doc top-k window. The df frame is
+    * vocabulary-sized (small); the window partitions by doc (no skew —
+    * per-doc token counts are bounded). */
+  def tfIdfTopK(docs: DataFrame, k: Int, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_e6").desc, col("token"))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"),
+        idiv(col("tf") * col("n_docs") * lit(1000000L), col("df")).as("score_e6"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Corpus vocabulary: every token with its total occurrence count and
+    * document frequency, ranked by count (ties by token). One explode +
+    * one aggregation — the vocabulary-building pass a BPE trainer or a
+    * mixing dashboard runs first. */
+  def vocabulary(docs: DataFrame, topN: Int, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"), count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(topN)
+
+  // --- deterministic stratified sampling --------------------------------
+
+  /** Uniform-in-[0, 2^24) hash of a string column via the first 6 hex
+    * digits of md5 — the engine-portable seeded uniform (md5 is identical
+    * everywhere; xxhash64 is Spark-only). */
+  def md5Uniform(c: Column): Column =
+    conv(substring(md5(c), 1, 6), 16, 10).cast("long")
+
+  /** Deterministic stratified sampler: keep a row iff
+    * md5(id:stratum) mod 1000 < rate_permille(stratum). The per-stratum
+    * rate is itself derived from the stratum name (md5 first hex digit →
+    * 50–800‰) so the whole sample is a pure function of the data — the
+    * property that makes a 100 TB sampling job re-runnable and
+    * per-partition embarrassingly parallel (no RNG state, no seed
+    * coordination across executors, and adding columns or re-partitioning
+    * can never change membership). */
+  def stratifiedSample(docs: DataFrame, idCol: String = "doc_id",
+                       stratumCol: String = "source"): DataFrame = {
+    val digit = conv(substring(md5(col(stratumCol)), 1, 1), 16, 10).cast("long")
+    val rate = (lit(50L) + lit(50L) * digit).as("rate_permille")
+    val u = pmod(md5Uniform(concat(col(idCol).cast("string"), lit(":"), col(stratumCol))),
+      lit(1000L))
+    docs.select(col(idCol), col(stratumCol), rate, u.as("u"))
+      .filter(col("u") < col("rate_permille"))
+      .drop("u")
+  }
+
+  // --- PII scrubbing ----------------------------------------------------
+
+  /** ASCII email and long-digit-run patterns, RE2-compatible (the oracle
+    * engine's regex dialect) and identical in Java regex semantics for
+    * these shapes (greedy character-class runs have a unique match). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+  val IdRunPattern = "[0-9]{4,}"
+
+  /** Redact emails and ≥4-digit runs; returns per-doc redaction counts
+    * and the scrubbed text + its md5 (the scrub audit a compliance pass
+    * wants: how much was removed, and a stable content id for the clean
+    * text). Pure codegen'd expressions — regex scans run inside
+    * whole-stage codegen, no UDFs. */
+  def piiScrub(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+      IdRunPattern, "<ID>")
+    docs.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))).cast("long")
+        .as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(IdRunPattern), lit(0))).cast("long")
+        .as("n_id_runs"),
+      md5(scrubbed).as("scrubbed_md5"))
+  }
+
+  // --- sequence packing ---------------------------------------------------
+
+  /** Concat-and-chunk packing (the standard LLM pre-training shape: the
+    * block's docs are concatenated in id order and split at every
+    * `budget` tokens): each doc is labeled with the chunk its FIRST token
+    * lands in and its token offset inside that chunk. Pure window
+    * arithmetic — one shuffle on the block key, exact integers, scales to
+    * any corpus where single blocks fit a partition's window (block =
+    * source/shard, the natural packing unit). */
+  def chunkPack(docs: DataFrame, budget: Long, idCol: String = "doc_id",
+                blockCol: String = "source", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col(blockCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol), col(blockCol), tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("run", sum(col("n_tokens")).over(w))
+      .withColumn("start", col("run") - col("n_tokens"))
+      .select(col(idCol), col(blockCol), col("n_tokens"),
+        idiv(col("start"), lit(budget)).as("chunk"),
+        pmod(col("start"), lit(budget)).cast("long").as("offset"))
+  }
+
+  final case class PackedDoc(doc_id: Long, block: String, bin: Long, n_tokens: Long)
+
+  /** True greedy (first-fit-sequential) bin packing: walk each block's
+    * docs in id order, open a new bin whenever the next doc would
+    * overflow `budget`; an oversized doc gets a bin of its own. Unlike
+    * [[chunkPack]] docs never straddle bins — the no-truncation variant.
+    *
+    * Greedy packing is inherently a sequential scan per block, so the
+    * distributed shape is repartition(block) + sortWithinPartitions +
+    * one pass per partition with state reset at block boundaries — the
+    * same pattern as sessionization. (A window function can't express
+    * it: the bin boundary depends on the running *remainder*, which
+    * resets data-dependently.) */
+  def greedyPack(docs: DataFrame, budget: Long, idCol: String = "doc_id",
+                 blockCol: String = "source", textCol: String = "text"): Dataset[PackedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"), col(blockCol).as("block"),
+        tokenCount(col(textCol)).as("n_tokens"))
+      .repartition(col("block"))
+      .sortWithinPartitions(col("block"), col("doc_id"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        var curBlock: String = null
+        var bin = 0L
+        var fill = 0L
+        it.map { case (id, block, ntok) =>
+          if (block != curBlock) { curBlock = block; bin = 0L; fill = 0L }
+          if (fill > 0 && fill + ntok > budget) { bin += 1; fill = 0L }
+          fill += ntok
+          PackedDoc(id, block, bin, ntok)
+        }
+      }
+  }
+
+  /** Per-stratum mixing stats: doc count, token count, and each stratum's
+    * exact share of the corpus' tokens (e6) — the table a data-mixing
+    * config is derived from. */
+  def mixingStats(docs: DataFrame, stratumCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    val per = docs.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"), sum(tokenCount(col(textCol))).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("total_tokens"))
+    per.crossJoin(broadcast(tot))
+      .select(col(stratumCol), col("n_docs"), col("n_tokens"),
+        idiv(col("n_tokens") * lit(1000000L), col("total_tokens")).as("share_e6"))
+  }
+}

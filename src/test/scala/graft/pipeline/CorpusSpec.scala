@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a b a b a b", "s1"),             // 5 grams: "a b"×3, "b a"×2
+    (2L, "w x y z w x", "s1"),             // 5 grams: "w x"×2, rest unique
+    (3L, "one two three four five six", "s2")
+  ).toDF("doc_id", "text", "source")
+
+  test("repetition stats count duplicate and top 2-grams exactly") {
+    val r = Corpus.repetitionStats(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // doc 1: grams = [a b, b a, a b, b a, a b] → n=5, uniq=2, top=3
+    assert(r(0) == ((1L, 5L, 2L, 3L, 600000L, 600000L)))
+    // doc 2: grams = [w x, x y, y z, z w, w x] → n=5, uniq=4, top=2
+    assert(r(1) == ((2L, 5L, 4L, 2L, 400000L, 200000L)))
+    // doc 3: all unique → top_frac 1/5, dup_frac 0
+    assert(r(2) == ((3L, 5L, 5L, 1L, 200000L, 0L)))
+  }
+
+  test("tf-idf ranks rare tokens above corpus-wide ones") {
+    val d = Seq(
+      (1L, "common rare1 rare1 common"),
+      (2L, "common rare2"),
+      (3L, "common other")).toDF("doc_id", "text")
+    val top = Corpus.tfIdfTopK(d, k = 1)
+      .select("doc_id", "token").as[(Long, String)].collect().toMap
+    // "common" has df=3 → score tf·3e6/3; each rare token df=1 → tf·3e6,
+    // which beats "common" at equal tf
+    assert(top(1L) == "rare1" && top(2L) == "rare2" && top(3L) == "other")
+  }
+
+  test("vocabulary counts occurrences and doc frequency") {
+    val v = Corpus.vocabulary(docs, topN = 2)
+      .as[(String, Long, Long)].collect()
+    // "a" and "b" appear 3× each in doc 1 only; ties break by token
+    assert(v(0) == (("a", 3L, 1L)) && v(1) == (("b", 3L, 1L)))
+  }
+
+  test("stratified sample is deterministic and respects per-stratum rates") {
+    val many = spark.range(2000).select(col("id").as("doc_id"),
+      concat(lit("text "), col("id")).as("text"),
+      when(col("id") % 2 === 0, "s1").otherwise("s2").as("source"))
+    val s1 = Corpus.stratifiedSample(many).cache()
+    val s2 = Corpus.stratifiedSample(many)
+    assert(s1.exceptAll(s2).count() == 0 && s2.exceptAll(s1).count() == 0)
+    // realized per-stratum rate tracks rate_permille within 5 points of
+    // the binomial expectation (n=1000 per stratum)
+    val rates = s1.groupBy("source", "rate_permille").count()
+      .as[(String, Long, Long)].collect()
+    rates.foreach { case (_, permille, kept) =>
+      assert(math.abs(kept / 1000.0 - permille / 1000.0) < 0.05,
+        s"kept $kept of 1000 at rate $permille")
+    }
+    s1.unpersist()
+  }
+
+  test("pii scrub counts and redacts planted emails and id runs") {
+    val d = Seq(
+      (1L, "reach me at jo.doe@corp.example or ref 123456 thanks"),
+      (2L, "no pii here just words")).toDF("doc_id", "text")
+    val r = Corpus.piiScrub(d).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(r(0)._2 == 1L && r(0)._3 == 1L)
+    assert(r(1)._2 == 0L && r(1)._3 == 0L)
+    // scrubbed md5 equals md5 of the hand-redacted string
+    val expect = d.select(md5(lit("reach me at <EMAIL> or ref <ID> thanks")))
+      .first().getString(0)
+    assert(r(0)._4 == expect)
+  }
+
+  test("chunk packing assigns concat-and-split chunk/offset per block") {
+    val d = Seq(
+      (1L, "t1 t2 t3", "s1"),   // 3 tokens, start 0  → chunk 0 off 0
+      (2L, "t1 t2 t3", "s1"),   // start 3            → chunk 0 off 3
+      (3L, "t1 t2", "s1"),      // start 6            → chunk 1 off 2
+      (4L, "t1", "s2")          // other block resets → chunk 0 off 0
+    ).toDF("doc_id", "text", "source")
+    val r = Corpus.chunkPack(d, budget = 4).orderBy("doc_id")
+      .select("doc_id", "chunk", "offset").as[(Long, Long, Long)].collect()
+    assert(r.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 3L), (3L, 1L, 2L), (4L, 0L, 0L)))
+  }
+
+  test("greedy packing never splits docs and opens bins on overflow") {
+    val d = Seq(
+      (1L, "t1 t2 t3", "s1"),       // bin 0 (fill 3)
+      (2L, "t1 t2", "s1"),          // 3+2 > 4 → bin 1 (fill 2)
+      (3L, "t1", "s1"),             // fits    → bin 1 (fill 3)
+      (4L, "t1 t2 t3 t4 t5", "s1"), // oversized → bin 2 alone
+      (5L, "t1", "s1"),             // bin 3
+      (6L, "t1 t2 t3 t4", "s2")     // new block resets → bin 0
+    ).toDF("doc_id", "text", "source")
+    val r = Corpus.greedyPack(d, budget = 4).collect()
+      .map(p => p.doc_id -> p.bin).toMap
+    assert(r == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L, 6L -> 0L))
+  }
+
+  test("mixing stats shares sum to ~1e6 and count tokens exactly") {
+    val r = Corpus.mixingStats(docs).orderBy("source")
+      .as[(String, Long, Long, Long)].collect()
+    // s1: 2 docs 12 tokens; s2: 1 doc 6 tokens → shares 666666 / 333333
+    assert(r.toSeq == Seq(("s1", 2L, 12L, 666666L), ("s2", 1L, 6L, 333333L)))
+  }
+}
