@@ -20,6 +20,10 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         spark.catalog.clearCache()
+        // clearCache drops only catalog-tracked datasets; localCheckpoint
+        // blocks live as plain persistent RDDs and would otherwise pile up
+        // across 50+ queries, eating storage memory from later ones
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         name -> (System.nanoTime() - t0) / 1e9
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

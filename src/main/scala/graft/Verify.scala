@@ -29,8 +29,10 @@ object Verify {
           e.printStackTrace()
         }
         // queries persist/checkpoint internally; drop leftovers so one
-        // query's cache can't starve the next
+        // query's cache can't starve the next (localCheckpoint blocks are
+        // plain persistent RDDs — clearCache alone misses them)
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

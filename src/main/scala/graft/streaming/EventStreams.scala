@@ -71,6 +71,20 @@ object EventStreams {
     }
   }
 
+  /** Streaming exact dedup: first occurrence of each key wins, duplicate
+    * arrivals within the watermark bound are dropped, and key state is
+    * evicted once the watermark passes it — the incremental twin of
+    * Dedup.exactClusters for a feed that must be deduped as it lands
+    * (the state-size bound is what makes this viable on an unbounded
+    * stream; unbounded dropDuplicates state would grow forever). Key
+    * defaults to the event id; pass e.g. a content hash column for
+    * content dedup. */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours",
+                  keyCols: Seq[String] = Seq("event_id")): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** File-source → parquet-sink wiring: watch a directory of event
     * parquet drops, maintain the tumbling aggregate. */
   def streamDirectoryToParquet(spark: org.apache.spark.sql.SparkSession,

@@ -68,4 +68,22 @@ class CoverageSpec extends SparkSpec {
   test("entry point returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("SQL extensions expose the native expressions as SQL functions") {
+    graft.sql.GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT simhash60(array('abc', 'def', 'ghi')) AS h")
+      .first().getLong(0)
+    val viaColumn = Seq(Seq("abc", "def", "ghi")).toDF("sh")
+      .select(TextFunctions.simhash60(col("sh"))).first().getLong(0)
+    assert(viaSql == viaColumn)
+    val sig = spark.sql("SELECT minhash_signature(array('abc', 'def'), 16) AS s")
+      .first().getSeq[String](0)
+    val sigCol = Seq(Seq("abc", "def")).toDF("sh")
+      .select(TextFunctions.minhashSignature(col("sh"), 16)).first().getSeq[String](0)
+    assert(sig.length == 16 && sig == sigCol)
+    // non-literal numHashes is rejected at resolution, not at runtime
+    intercept[Exception] {
+      spark.sql("SELECT minhash_signature(array('a'), length('ab')) AS s").collect()
+    }
+  }
 }

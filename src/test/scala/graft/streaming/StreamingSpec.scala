@@ -46,6 +46,22 @@ class StreamingSpec extends SparkSpec {
     query.stop()
   }
 
+  test("streaming dedup keeps first arrival and drops watermark-window dups") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.dedupStream(input.toDS().toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    // same-batch dup (id 1) and cross-batch dup (id 2) both collapse
+    input.addData(ev(1, 100, 1), ev(1, 100, 1), ev(2, 200, 1))
+    query.processAllAvailable()
+    input.addData(ev(2, 260, 1), ev(3, 300, 2))
+    query.processAllAvailable()
+    val ids = spark.table("dedup").select("event_id").as[Long].collect().toSeq
+    assert(ids.sorted == Seq(1L, 2L, 3L))
+    query.stop()
+  }
+
   test("streaming tumbling counts equal the batch aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
