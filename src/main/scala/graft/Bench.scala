@@ -13,8 +13,19 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: exercise the scan/shuffle/agg/join/codegen paths so
+    // JIT cold-start lands here, not on whichever query happens to run
+    // first (measured multi-second first-query penalties otherwise).
+    locally {
+      import org.apache.spark.sql.functions._
+      val w = spark.range(2000000).select(col("id"), pmod(xxhash64(col("id")), lit(97)).as("k"))
+      w.groupBy("k").count().join(w, "k").filter(md5(col("id").cast("string")) > "0").count()
+    }
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries
+    // name-sorted: a stable, documented order makes per-query times
+    // comparable across rounds (Map hash order reshuffles whenever the
+    // query set changes, moving JIT/GC position effects between queries)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -28,7 +39,7 @@ object Bench {
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
