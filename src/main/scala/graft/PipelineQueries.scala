@@ -391,6 +391,36 @@ object PipelineQueries {
        |ORDER BY q_id, rcos_e4 DESC, n_id""".stripMargin.replace('\n', ' ')
   }
 
+  /** LSH-bucketed ANN over the raw embeddings: same hyperplane index as
+    * the embedding dedup, candidates = any-band bucket collision. */
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    Similarity.lshTopK(emb.select(col("vec_id"), col("embedding")), queriesOf(emb), k = 10)
+  }
+
+  private val qAnnLshSql = {
+    import graft.sim.VectorLSH
+    val sm = VectorLSH.signsSqlLiteral(VectorLSH.signs(64, 64))
+    s"""WITH sgn AS (SELECT $sm AS sm),
+       |e AS MATERIALIZED (SELECT vec_id, embedding,
+       |list_transform(range(0, 8), b -> ${VectorLSH.bucketSql("embedding", 64, 8, "b")}) AS bk
+       |FROM embeddings, sgn),
+       |banded AS MATERIALIZED (SELECT vec_id, b AS band, bk[b + 1] AS bv
+       |FROM e, unnest(range(0, 8)) AS t(b)),
+       |qb AS (SELECT vec_id AS q_id, band, bv FROM banded WHERE vec_id < 5),
+       |cand AS MATERIALIZED (SELECT DISTINCT q.q_id, c.vec_id
+       |FROM qb q JOIN banded c ON c.band = q.band AND c.bv = q.bv
+       |AND c.vec_id <> q.q_id),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |sc AS (SELECT cand.q_id, cand.vec_id AS n_id,
+       |CAST(FLOOR(${cosSql("q.qv", "x.embedding")} * 10000) AS BIGINT) AS rcos_e4
+       |FROM cand JOIN embeddings x ON x.vec_id = cand.vec_id
+       |JOIN q ON q.q_id = cand.q_id)
+       |SELECT q_id, n_id, rcos_e4 FROM sc
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rcos_e4 DESC, n_id) <= 10
+       |ORDER BY q_id, rcos_e4 DESC, n_id""".stripMargin.replace('\n', ' ')
+  }
+
   // multimodal ----------------------------------------------------------
 
   /** Real-codec round trip: the Spark side WRAPS each doc in a binary
@@ -432,6 +462,7 @@ object PipelineQueries {
     "q_ann_brute"        -> (qAnnBrute _),
     "q_ann_ivf"          -> (qAnnIvf _),
     "q_ann_ivf_trained"  -> (qAnnIvfTrained _),
+    "q_ann_lsh"          -> (qAnnLsh _),
     "q_multimodal_meta"  -> (qMultimodalMeta _))
 
   val oracles: Map[String, String] = Map(
@@ -450,5 +481,6 @@ object PipelineQueries {
     "q_ann_brute"        -> qAnnBruteSql,
     "q_ann_ivf"          -> qAnnIvfSql,
     "q_ann_ivf_trained"  -> qAnnIvfTrainedSql,
+    "q_ann_lsh"          -> qAnnLshSql,
     "q_multimodal_meta"  -> qMultimodalMetaSql)
 }

@@ -93,6 +93,38 @@ object Similarity {
     assign(cent).select(col("vec_id"), col("cluster"))
   }
 
+  /** LSH-bucketed ANN: candidates are corpus vectors sharing any
+    * random-hyperplane (band, bucket) with the query (graft.sim.VectorLSH
+    * — the same index the embedding dedup uses), scored exactly, top-k
+    * per query. Complements [[ivfTopK]]: no trained centroids needed, and
+    * the candidate step is an equi-join on the band key the corpus side
+    * can be pre-bucketed/persisted on — per-query work is the collided
+    * buckets only, never the corpus scan. May return < k rows per query
+    * (ANN recall is the tradeoff bought by skipping the scan). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numPlanes: Int = 64, bands: Int = 8, dim: Int = 64): DataFrame = {
+    val s = VectorLSH.signs(numPlanes, dim)
+    def banded(df: DataFrame, idCol: String, vecCol: String) =
+      df.select(col(idCol),
+        posexplode(VectorLSH.bandBuckets(col(vecCol), s, bands, numPlanes / bands))
+          .as(Seq("band", "bv")))
+    // ids only through the bucket join; embeddings re-attach for scoring
+    val candIds = banded(corpus, "vec_id", "embedding")
+      .join(broadcast(banded(queries, "q_id", "qv")), Seq("band", "bv"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    candIds
+      .join(corpus, Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("rcos_e4", graft.sql.Exact.e4(cosine(col("qv"), col("embedding"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rcos_e4").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rcos_e4"))
+      .orderBy(col("q_id"), col("rcos_e4").desc, col("n_id"))
+  }
+
   /** IVF-style ANN: probe the `nprobe` closest centroids per query, exact
     * search within probed buckets only. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,

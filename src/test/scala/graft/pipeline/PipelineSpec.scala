@@ -94,6 +94,20 @@ class PipelineSpec extends SparkSpec {
     assert(got.map(_._2) == Seq(2L)) // only cluster 0 probed
   }
 
+  test("lsh ann retrieves the near-identical neighbor via bucket collision") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.2f, 0.1f, 0.4f, 0.3f, 0.2f, 0.6f, 0.1f)),
+      (2L, Seq(0.99f, 0.21f, 0.1f, 0.4f, 0.3f, 0.2f, 0.6f, 0.1f)), // ~clone of 1
+      (3L, Seq(-1.0f, 0.5f, -0.3f, 0.2f, -0.8f, 0.1f, -0.2f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val got = Similarity.lshTopK(e, q, k = 2, numPlanes = 16, bands = 4, dim = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    // the clone collides in some band and ranks first with cosine ≈ 1
+    assert(got.nonEmpty && got.head._2 == 2L && got.head._3 >= 9990L)
+  }
+
   test("kmeans trainer converges to the two planted directions") {
     // two tight direction clusters; seeds = vec_ids 1 and 2 (one per side)
     val e = Seq(
