@@ -3,8 +3,10 @@ package graft.cli
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.dedup.Dedup
 import graft.graph.{Algos, Prep}
 import graft.io.GraphFormats
+import graft.pipeline.Corpus
 
 /** CLI entry point — the Spark-native analog of `GiraphRunner`
   * (giraph-core .../GiraphRunner.java:69-94; quick-start invocation
@@ -15,17 +17,23 @@ import graft.io.GraphFormats
   *     <algo> --edges <path> --format parquet|edgelist|adjacency|json \
   *     --out <path> [--source N] [--iters N] [--symmetric] [--parallelism N]
   *
-  * algo ∈ pagerank | wpagerank | sssp | bfs | wcc | scc | degrees | mis |
-  * triangles. Output is written as parquet (default) — pair with
-  * GraphFormats writers for text sinks.
+  * Graph algos (--edges): pagerank | wpagerank | sssp | bfs | wcc | scc |
+  * degrees | mis | triangles. Corpus pipeline ops (--docs, a parquet of
+  * (doc_id, text[, source])): dedup-exact | dedup-minhash | dedup-clusters |
+  * tfidf | vocab | scrub | pack | sample | repetition. Output is written
+  * as parquet (default) — pair with GraphFormats writers for text sinks.
   */
 object GraftRunner {
+
+  private val PipelineAlgos = Set("dedup-exact", "dedup-minhash", "dedup-clusters",
+    "tfidf", "vocab", "scrub", "pack", "sample", "repetition")
 
   def main(args: Array[String]): Unit = {
     if (args.length < 1) { usage(); sys.exit(2) }
     val algo = args(0)
     val opts = parseFlags(args.drop(1).toList, Map.empty)
-    val required = Seq("edges", "out").filterNot(opts.contains)
+    val inputKey = if (PipelineAlgos(algo)) "docs" else "edges"
+    val required = Seq(inputKey, "out").filterNot(opts.contains)
     if (required.nonEmpty) {
       System.err.println(s"missing: ${required.map("--" + _).mkString(" ")}"); usage(); sys.exit(2)
     }
@@ -40,25 +48,42 @@ object GraftRunner {
     spark.sparkContext.setLogLevel("WARN")
 
     try {
-      var edges = readEdges(spark, opts.getOrElse("format", "parquet"), opts("edges"))
-      if (opts.contains("symmetric")) edges = Prep.makeSymmetric(edges)
-      val iters = opts.getOrElse("iters", "10").toInt
-      val source = opts.get("source").map(_.toLong)
-
-      val result: DataFrame = algo match {
-        case "pagerank"  => Algos.pagerank(edges, iters)
-        case "wpagerank" => Algos.pagerankWeighted(edges, iters)
-        case "sssp"      => Algos.sssp(edges, source.getOrElse(minSrc(edges)))
-        case "bfs"       => Algos.bfs(edges, Seq(source.getOrElse(minSrc(edges))))
-        case "wcc"       => Algos.wcc(edges)
-        case "scc"       => Algos.scc(edges)
-        case "degrees"   => Algos.degrees(edges)
-        case "mis"       => Algos.independentSet(edges)
-        case "triangles" =>
-          Algos.triangleCount(edges.filter(col("src") < col("dst"))
-            .select(col("src").as("u"), col("dst").as("v")).distinct())
-        case other => System.err.println(s"unknown algo: $other"); usage(); sys.exit(2); null
-      }
+      val result: DataFrame =
+        if (PipelineAlgos(algo)) {
+          val docs = spark.read.parquet(opts("docs"))
+          val budget = opts.getOrElse("budget", "2048").toLong
+          algo match {
+            case "dedup-exact"    => Dedup.exactClusters(docs)
+            case "dedup-minhash"  => Dedup.minhashDupPairs(docs)
+            case "dedup-clusters" => Dedup.dupClusters(
+              Dedup.minhashDupPairs(docs).select(col("a"), col("b")))
+            case "tfidf"          => Corpus.tfIdfTopK(docs, opts.getOrElse("k", "5").toInt)
+            case "vocab"          => Corpus.vocabulary(docs, opts.getOrElse("k", "10000").toInt)
+            case "scrub"          => Corpus.piiScrub(docs)
+            case "pack"           => Corpus.greedyPack(docs, budget).toDF()
+            case "sample"         => Corpus.stratifiedSample(docs)
+            case "repetition"     => Corpus.repetitionStats(docs)
+          }
+        } else {
+          var edges = readEdges(spark, opts.getOrElse("format", "parquet"), opts("edges"))
+          if (opts.contains("symmetric")) edges = Prep.makeSymmetric(edges)
+          val iters = opts.getOrElse("iters", "10").toInt
+          val source = opts.get("source").map(_.toLong)
+          algo match {
+            case "pagerank"  => Algos.pagerank(edges, iters)
+            case "wpagerank" => Algos.pagerankWeighted(edges, iters)
+            case "sssp"      => Algos.sssp(edges, source.getOrElse(minSrc(edges)))
+            case "bfs"       => Algos.bfs(edges, Seq(source.getOrElse(minSrc(edges))))
+            case "wcc"       => Algos.wcc(edges)
+            case "scc"       => Algos.scc(edges)
+            case "degrees"   => Algos.degrees(edges)
+            case "mis"       => Algos.independentSet(edges)
+            case "triangles" =>
+              Algos.triangleCount(edges.filter(col("src") < col("dst"))
+                .select(col("src").as("u"), col("dst").as("v")).distinct())
+            case other => System.err.println(s"unknown algo: $other"); usage(); sys.exit(2); null
+          }
+        }
       result.write.mode("overwrite").parquet(opts("out"))
       println(s"[graft] $algo done -> ${opts("out")}")
     } finally spark.stop()
@@ -91,5 +116,8 @@ object GraftRunner {
     """usage: GraftRunner <algo> --edges <path> --out <path>
       |  [--format parquet|edgelist|adjacency|json] [--source N]
       |  [--iters N] [--symmetric] [--parallelism N]
-      |  algo: pagerank wpagerank sssp bfs wcc scc degrees mis triangles""".stripMargin)
+      |  graph algo: pagerank wpagerank sssp bfs wcc scc degrees mis triangles
+      |or: GraftRunner <op> --docs <parquet> --out <path> [--k N] [--budget N]
+      |  corpus op: dedup-exact dedup-minhash dedup-clusters tfidf vocab
+      |             scrub pack sample repetition""".stripMargin)
 }

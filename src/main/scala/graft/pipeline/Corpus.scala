@@ -197,17 +197,23 @@ object Corpus {
       .repartition(col("block"))
       .sortWithinPartitions(col("block"), col("doc_id"))
       .as[(Long, String, Long)]
-      .mapPartitions { it =>
-        var curBlock: String = null
-        var bin = 0L
-        var fill = 0L
-        it.map { case (id, block, ntok) =>
-          if (block != curBlock) { curBlock = block; bin = 0L; fill = 0L }
-          if (fill > 0 && fill + ntok > budget) { bin += 1; fill = 0L }
-          fill += ntok
-          PackedDoc(id, block, bin, ntok)
-        }
-      }
+      .mapPartitions(packIterator(_, budget))
+  }
+
+  /** The sequential packing walk itself, as a pure iterator transform
+    * (the unit ScalaCheck properties exercise; `rows` must arrive sorted
+    * by (block, id) — greedyPack's sortWithinPartitions guarantees it). */
+  private[graft] def packIterator(rows: Iterator[(Long, String, Long)],
+                                  budget: Long): Iterator[PackedDoc] = {
+    var curBlock: String = null
+    var bin = 0L
+    var fill = 0L
+    rows.map { case (id, block, ntok) =>
+      if (block != curBlock) { curBlock = block; bin = 0L; fill = 0L }
+      if (fill > 0 && fill + ntok > budget) { bin += 1; fill = 0L }
+      fill += ntok
+      PackedDoc(id, block, bin, ntok)
+    }
   }
 
   /** Per-stratum mixing stats: doc count, token count, and each stratum's
