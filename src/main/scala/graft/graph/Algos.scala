@@ -3,6 +3,7 @@ package graft.graph
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CheckpointBridge.{free => freeCkpt}
 import org.apache.spark.storage.StorageLevel
 
 /** The reference's algorithm corpus (giraph-examples, SURVEY §2.9)
@@ -51,9 +52,10 @@ object Algos {
           .groupBy(col("id")).agg(bool_and(col("cand")).as("fresh"))
           .localCheckpoint()
         // the new frame is eagerly materialized; the superseded wave's
-        // blocks are dead — drop them instead of waiting on the
-        // ContextCleaner (matches the wcc loop's discipline)
-        prev.unpersist()
+        // blocks are dead — drop them at the RDD level (Dataset.unpersist
+        // is a no-op on localCheckpoint frames) instead of waiting on the
+        // ContextCleaner. Every prev here is a direct checkpoint product.
+        freeCkpt(prev)
       }
       h += k
       live = reached.filter(col("fresh")).count() > 0
@@ -111,7 +113,9 @@ object Algos {
       // count(when(...)) counts only the changed rows
       changed = next.select(count(when(col("f") < col("f_old"), lit(1))).as("c"))
         .first().getLong(0)
-      f.unpersist()
+      // the FIRST f is caller-derived and persisted (plain unpersist);
+      // every later f is this loop's own checkpoint — free its blocks
+      if (step == 0) f.unpersist() else freeCkpt(f)
       f = next // carries a stale f_old column; joins above project it away
       step += 1
     }
@@ -462,7 +466,7 @@ object Algos {
             .otherwise(lit(0)).as("st"))
         .localCheckpoint()
       undecided = next.filter(col("st") === 0).count()
-      verts.unpersist()
+      if (step == 0) verts.unpersist() else freeCkpt(verts)
       verts = next
       step += 1
     }
@@ -491,6 +495,7 @@ object Algos {
       val nextCount = next.count()
       changed = nextCount != edgeCount
       edgeCount = nextCount
+      freeCkpt(e) // every e (incl. the first) is this loop's checkpoint
       e = next
       step += 1
     }
@@ -688,7 +693,7 @@ object Algos {
         coalesce(col("ff"), lit(0)).cast("int").as("free"))
       .localCheckpoint()
     e.unpersist(); eCore.unpersist()
-    spentFrames.foreach(_.unpersist())
+    spentFrames.foreach(freeCkpt) // all direct checkpoints (see free's doc)
     out
   }
 
@@ -736,7 +741,7 @@ object Algos {
           .localCheckpoint()
         changed = next.select(count(when(col("lbl") > col("f_old"), lit(1))).as("c"))
           .first().getLong(0)
-        f.unpersist()
+        freeCkpt(f) // every f (incl. the first) is this loop's checkpoint
         f = next
         cstep += 1
       }
@@ -761,7 +766,12 @@ object Algos {
         .select(col("id"), col("color").as("comp"))
         .localCheckpoint()
       colored.unpersist()
+      val prevResult = result
       result = result.union(assigned).localCheckpoint()
+      // the union is materialized; the superseded accumulator checkpoint
+      // and this round's assigned/color frames are dead. (round-0
+      // prevResult is a LocalRelation — freeCkpt is a safe no-op there.)
+      freeCkpt(prevResult)
       val newVerts = remVerts.join(assigned.select("id"), Seq("id"), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
       val newEdges = remEdges

@@ -107,6 +107,7 @@ object Pregel {
 
     val resumed = resumePoint(spark, opts)
     var verts = resumed.map(_._2).getOrElse(vertices).persist(opts.storageLevel)
+    var fromCaller = true
     var active = verts.filter(col("active")).count()
     var step = resumed.map(_._1 + 1).getOrElse(0)
     while (active > 0L && step < opts.maxSupersteps) {
@@ -121,7 +122,11 @@ object Pregel {
       active = newVerts.filter(col("active")).count()
       writeAggregates(newVerts, step, opts)
       opts.onSuperstep(newVerts, step)
-      verts.unpersist()
+      // first frame is the caller's (persisted — plain unpersist; freeing
+      // its plan leaves could kill caller-owned checkpoints); later frames
+      // are this loop's own materialize() products
+      if (fromCaller) { verts.unpersist(); fromCaller = false }
+      else org.apache.spark.sql.graft.CheckpointBridge.free(verts)
       verts = newVerts
       step += 1
     }
@@ -143,6 +148,7 @@ object Pregel {
       master: (DataFrame, Int) => Boolean = (_, _) => true): DataFrame = {
     val resumed = resumePoint(vertices.sparkSession, opts)
     var verts = resumed.map(_._2).getOrElse(vertices).persist(opts.storageLevel)
+    var fromCaller = true
     verts.count()
     var i = resumed.map(_._1 + 1).getOrElse(0)
     var go = true
@@ -153,7 +159,8 @@ object Pregel {
       val next = materialize(step(verts, i), i, opts)
       writeAggregates(next, i, opts)
       opts.onSuperstep(next, i)
-      verts.unpersist()
+      if (fromCaller) { verts.unpersist(); fromCaller = false }
+      else org.apache.spark.sql.graft.CheckpointBridge.free(verts)
       verts = next
       go = master(verts, i)
       i += 1

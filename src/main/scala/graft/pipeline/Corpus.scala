@@ -28,14 +28,6 @@ object Corpus {
 
   // --- repetition signals (the Gopher-style repetition filters) --------
 
-  /** Word n-grams WITHOUT dedup — repetition measurement needs the
-    * multiset (contrast TextFunctions.wordNgrams, which dedupes for
-    * Jaccard). Short docs yield their single truncated n-gram. */
-  def wordNgramsAll(tok: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), greatest(size(tok) - lit(n - 1), lit(1))),
-      i => concat_ws(" ", (0 until n).map(o => element_at(tok, i + lit(o))): _*))
-
   /** Per-doc repetition stats over word 2-grams: total grams, distinct
     * grams, the most-frequent gram's count, and the two Gopher-style
     * fractions (top-gram share, duplicate-gram share) as exact
@@ -74,19 +66,27 @@ object Corpus {
     * per-doc token counts are bounded). */
   def tfIdfTopK(docs: DataFrame, k: Int, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
+    // persisted: Catalyst does not dedupe shared subtrees, so without
+    // this the explode+groupBy (the corpus-wide pass) would run twice —
+    // once feeding the df aggregation, once feeding the join
     val tf = docs.select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // count over a zero-column projection of the source — metadata-cheap
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_e6").desc, col("token"))
-    tf.join(df, Seq("token"))
+    val out = tf.join(df, Seq("token"))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"), col("tf"),
         idiv(col("tf") * col("n_docs") * lit(1000000L), col("df")).as("score_e6"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      .localCheckpoint()
+    tf.unpersist()
+    out
   }
 
   /** Corpus vocabulary: every token with its total occurrence count and
@@ -221,11 +221,17 @@ object Corpus {
     * config is derived from. */
   def mixingStats(docs: DataFrame, stratumCol: String = "source",
                   textCol: String = "text"): DataFrame = {
+    // persisted: `tot` and the final join both read `per`; unpersisted,
+    // the full corpus-scan aggregation would run twice
     val per = docs.groupBy(col(stratumCol))
       .agg(count(lit(1)).as("n_docs"), sum(tokenCount(col(textCol))).as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = per.agg(sum(col("n_tokens")).as("total_tokens"))
-    per.crossJoin(broadcast(tot))
+    val out = per.crossJoin(broadcast(tot))
       .select(col(stratumCol), col("n_docs"), col("n_tokens"),
         idiv(col("n_tokens") * lit(1000000L), col("total_tokens")).as("share_e6"))
+      .localCheckpoint()
+    per.unpersist()
+    out
   }
 }

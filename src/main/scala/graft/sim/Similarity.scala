@@ -86,9 +86,14 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       .localCheckpoint()
     (0 until iters).foreach { _ =>
+      val prev = cent
       cent = centroids(assign(cent), "cluster")
         .select(col("cluster").as("cid"), col("cv"))
         .localCheckpoint()
+      // new centroid checkpoint is materialized; the superseded round's
+      // blocks are dead (RDD-level free — Dataset.unpersist can't see
+      // localCheckpoint blocks)
+      org.apache.spark.sql.graft.CheckpointBridge.free(prev)
     }
     assign(cent).select(col("vec_id"), col("cluster"))
   }

@@ -51,11 +51,20 @@ object TextFunctions {
       sequence(lit(1), greatest(length(c) - lit(k - 1), lit(1))),
       i => c.substr(i, lit(k))))
 
+  /** Word n-grams WITHOUT dedup — the multiset, as repetition measurement
+    * needs it. Documents shorter than n tokens yield their single
+    * truncated n-gram: `try_element_at` (not `element_at`, which THROWS
+    * on out-of-range indices under Spark 4's default ANSI mode) returns
+    * null past the end and `concat_ws` skips nulls — the same NULL-skip
+    * the DuckDB oracles' `concat_ws(' ', tok[i], …)` performs. */
+  def wordNgramsAll(tok: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(tok) - lit(n - 1), lit(1))),
+      i => concat_ws(" ", (0 until n).map(o => try_element_at(tok, i + lit(o))): _*))
+
   /** Deduplicated word n-grams joined with single spaces. */
   def wordNgrams(tok: Column, n: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(tok) - lit(n - 1), lit(1))),
-      i => concat_ws(" ", (0 until n).map(o => element_at(tok, i + lit(o))): _*)))
+    array_distinct(wordNgramsAll(tok, n))
 
   /** Rolling-hash document fingerprint: lexicographic min/max of md5 over
     * the k-shingle set (md5 is identical across engines, and string min =

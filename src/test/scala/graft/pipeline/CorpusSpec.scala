@@ -24,6 +24,17 @@ class CorpusSpec extends SparkSpec {
     assert(r(2) == ((3L, 5L, 5L, 1L, 200000L, 0L)))
   }
 
+  test("repetition stats survive docs shorter than the n-gram width") {
+    // 1-token doc: ANSI mode (Spark 4 default) makes element_at throw
+    // out-of-range; try_element_at + concat_ws NULL-skip must yield the
+    // single truncated gram instead — matching the oracle's NULL-skip
+    val short = Seq((1L, "solo", "s1"), (2L, "a b", "s1")).toDF("doc_id", "text", "source")
+    val r = Corpus.repetitionStats(short).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(r(0) == ((1L, 1L, 1L, 1L, 1000000L, 0L))) // gram = "solo"
+    assert(r(1) == ((2L, 1L, 1L, 1L, 1000000L, 0L))) // gram = "a b"
+  }
+
   test("tf-idf ranks rare tokens above corpus-wide ones") {
     val d = Seq(
       (1L, "common rare1 rare1 common"),
