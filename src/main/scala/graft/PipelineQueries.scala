@@ -225,6 +225,19 @@ object PipelineQueries {
        |UNION ALL SELECT idb, ida FROM dup)""".stripMargin.replace('\n', ' '),
     12, isMin = true, "canonical")
 
+  /** The dedup action: corpus minus non-canonical cluster members. */
+  private def qDedupFiltered(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropDuplicateDocs(
+      Tables(s, dir).documents.select(col("doc_id"), col("source")),
+      Dedup.minhashDupPairs(Tables(s, dir).documents).select(col("a"), col("b")))
+      .orderBy(col("doc_id"))
+
+  private val qDedupFilteredSql =
+    s"""SELECT doc_id, source FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM ($qDedupClustersSql) z
+       |WHERE id <> canonical)
+       |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
   private def qDedupNgram(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramDupPairs(Tables(s, dir).documents)
 
@@ -457,6 +470,7 @@ object PipelineQueries {
     "q_dedup_simhash"    -> (qDedupSimhash _),
     "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _),
     "q_dedup_clusters"   -> (qDedupClusters _),
+    "q_dedup_filtered"   -> (qDedupFiltered _),
     "q_dedup_ngram"      -> (qDedupNgram _),
     "q_dedup_embedding"  -> (qDedupEmb _),
     "q_ann_brute"        -> (qAnnBrute _),
@@ -476,6 +490,7 @@ object PipelineQueries {
     "q_dedup_simhash"    -> qDedupSimhashSql,
     "q_dedup_simhash_pairs" -> qDedupSimhashPairsSql,
     "q_dedup_clusters"   -> qDedupClustersSql,
+    "q_dedup_filtered"   -> qDedupFilteredSql,
     "q_dedup_ngram"      -> qDedupNgramSql,
     "q_dedup_embedding"  -> qDedupEmbSql,
     "q_ann_brute"        -> qAnnBruteSql,

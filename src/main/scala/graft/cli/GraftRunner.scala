@@ -32,7 +32,10 @@ object GraftRunner {
     if (args.length < 1) { usage(); sys.exit(2) }
     val algo = args(0)
     val opts = parseFlags(args.drop(1).toList, Map.empty)
-    val inputKey = if (PipelineAlgos(algo)) "docs" else "edges"
+    val inputKey =
+      if (PipelineAlgos(algo)) "docs"
+      else if (opts.contains("gen")) "gen" // synthetic input, no path needed
+      else "edges"
     val required = Seq(inputKey, "out").filterNot(opts.contains)
     if (required.nonEmpty) {
       System.err.println(s"missing: ${required.map("--" + _).mkString(" ")}"); usage(); sys.exit(2)
@@ -65,8 +68,12 @@ object GraftRunner {
             case "repetition"     => Corpus.repetitionStats(docs)
           }
         } else {
-          var edges = readEdges(spark, opts.getOrElse("format", "parquet"), opts("edges"))
+          var edges =
+            if (opts.contains("gen")) genEdges(spark, opts)
+            else readEdges(spark, opts.getOrElse("format", "parquet"), opts("edges"))
           if (opts.contains("symmetric")) edges = Prep.makeSymmetric(edges)
+          if (algo == "wpagerank" && !edges.columns.contains("w"))
+            edges = edges.withColumn("w", lit(1L))
           val iters = opts.getOrElse("iters", "10").toInt
           val source = opts.get("source").map(_.toLong)
           algo match {
@@ -101,6 +108,23 @@ object GraftRunner {
       case other => throw new IllegalArgumentException(s"unknown format: $other")
     }
 
+  /** Synthetic benchmark inputs — the reference's PseudoRandom /
+    * WattsStrogatz input formats with PageRankBenchmark's knobs
+    * (giraph-core .../benchmark/PageRankBenchmark.java:47-91: `-V`
+    * aggregate vertices, `-e` edges per vertex; WattsStrogatz `BETA`). */
+  private def genEdges(spark: SparkSession, opts: Map[String, String]): DataFrame = {
+    val n = opts.getOrElse("vertices", "100000").toLong
+    val d = opts.getOrElse("degree", "8").toInt
+    val seed = opts.getOrElse("seed", "42").toLong
+    opts("gen") match {
+      case "uniform" => graft.io.Generators.uniform(spark, n, d, seed,
+        localRatioPermille = opts.getOrElse("local-ratio", "0").toInt)
+      case "ws" => graft.io.Generators.wattsStrogatz(spark, n, d,
+        betaPermille = opts.getOrElse("beta", "100").toInt, seed = seed)
+      case other => throw new IllegalArgumentException(s"unknown generator: $other")
+    }
+  }
+
   @annotation.tailrec
   private def parseFlags(args: List[String], acc: Map[String, String]): Map[String, String] =
     args match {
@@ -116,6 +140,8 @@ object GraftRunner {
     """usage: GraftRunner <algo> --edges <path> --out <path>
       |  [--format parquet|edgelist|adjacency|json] [--source N]
       |  [--iters N] [--symmetric] [--parallelism N]
+      |  or --gen uniform|ws --vertices N --degree N [--seed N]
+      |     [--local-ratio permille] [--beta permille]   (benchmark inputs)
       |  graph algo: pagerank wpagerank sssp bfs wcc scc degrees mis triangles
       |or: GraftRunner <op> --docs <parquet> --out <path> [--k N] [--budget N]
       |  corpus op: dedup-exact dedup-minhash dedup-clusters tfidf vocab

@@ -145,6 +145,21 @@ object Dedup {
     graft.graph.Algos.wcc(sym).withColumnRenamed("component", "canonical")
   }
 
+  /** The dedup ACTION a pipeline ends with: drop every document that is
+    * a non-canonical member of a dup cluster (transitive closure over
+    * `pairs`, min-id survivor — [[dupClusters]]' labeling). The loser set
+    * is dup-sized (≪ corpus), so the left-anti join against the full
+    * corpus broadcasts when it fits and falls back to a shuffle join when
+    * the dup rate makes it genuinely large — no hint, AQE decides from
+    * the measured size. */
+  def dropDuplicateDocs(docs: DataFrame, pairs: DataFrame,
+                        idCol: String = "doc_id"): DataFrame = {
+    val losers = dupClusters(pairs)
+      .filter(col("id") =!= col("canonical"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Near-dup pairs by word n-gram Jaccard. Candidates come from MinHash
     * LSH banding over the n-gram sets *within* each block (e.g. source) —
     * an equi-join on (block, band, bandHash), so per-block cost is
