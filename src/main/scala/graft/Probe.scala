@@ -1,12 +1,14 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
+import java.util.concurrent.atomic.AtomicInteger
 
-/** Scratch micro-profiler: times the stages inside a composite query so
-  * optimization targets the piece that actually costs (bench reports only
-  * whole-query wall time). Usage:
-  *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.Probe"
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Scratch micro-profiler: times queries AND counts Spark jobs (job count
+  * is deterministic — the right metric for per-round overhead work when
+  * wall time is noisy). Usage:
+  *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.Probe q_graph_deadlock ..."
   */
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -20,18 +22,20 @@ object Probe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"PROBE $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs"); r
+    val jobs = new AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    })
+    args.foreach { name =>
+      jobs.set(0)
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200) // let listener events drain
+      println(f"PROBE $name%-24s ${dt}%7.2fs  jobs=${jobs.get()}%4d  rows=$n")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
-    val docs = Tables(spark, sfDir).documents
-    // warm up the JVM/parquet read path
-    time("warmup:docs.count")(docs.count())
-    val pairs = time("minhashDupPairs")(
-      graft.dedup.Dedup.minhashDupPairs(docs).select(col("a"), col("b")))
-    time("pairs.count")(println("pairs=" + pairs.count()))
-    val clusters = time("wcc(dupClusters)")(graft.dedup.Dedup.dupClusters(pairs))
-    time("clusters.count")(println("clusters=" + clusters.count()))
     spark.stop()
   }
 }
