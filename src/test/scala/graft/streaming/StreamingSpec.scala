@@ -62,6 +62,28 @@ class StreamingSpec extends SparkSpec {
     query.stop()
   }
 
+  test("file source to parquet sink processes directory drops end-to-end") {
+    val base = java.nio.file.Files.createTempDirectory("stream").toString
+    val (inDir, outDir, ckDir) = (s"$base/in", s"$base/out", s"$base/ck")
+    new java.io.File(inDir).mkdirs()
+    // first drop lands before the query starts, later drops advance the
+    // watermark (2h) past the first hour window so append mode emits it
+    Seq(ev(1, 100, 1), ev(2, 200, 1)).toDS()
+      .write.parquet(s"$inDir/drop1")
+    val query = EventStreams.streamDirectoryToParquet(spark, s"$inDir/*", outDir, ckDir)
+    query.processAllAvailable()
+    Seq(ev(3, 4 * 3600, 2)).toDS().write.parquet(s"$inDir/drop2")
+    query.processAllAvailable() // watermark after this batch: 4h − 2h = 2h
+    Seq(ev(4, 5 * 3600, 2)).toDS().write.parquet(s"$inDir/drop3")
+    query.processAllAvailable() // this batch EMITS windows ending ≤ 2h
+    query.stop()
+    val out = spark.read.parquet(outDir)
+      .select(col("window.start").cast("long"), col("cnt")).as[(Long, Long)]
+      .collect().toMap
+    assert(out(0L) == 2L) // hour-0 window finalized with both first events
+    assert(new java.io.File(s"$ckDir/offsets").list().length >= 3) // ≥3 batches
+  }
+
   test("streaming tumbling counts equal the batch aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
