@@ -138,6 +138,37 @@ object CorpusQueries {
        |CAST((n_tokens * 1000000) // (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM b) AS BIGINT) AS share_e6
        |FROM b ORDER BY source""".stripMargin.replace('\n', ' ')
 
+  // --- train/eval contamination -----------------------------------------
+
+  /** Eval set = the 20 lowest doc ids (a stand-in benchmark); corpus =
+    * the rest. For each eval doc: the most-overlapping training doc by
+    * shared distinct word 3-grams. */
+  private def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    Corpus.contamination(d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20))
+      .orderBy(col("eval_id"))
+  }
+
+  private val qContaminationSql =
+    s"""WITH g AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(
+       |list_transform(range(1, greatest(len(${tokSql()}) - 2, 1) + 1),
+       |i -> concat_ws(' ', ${tokSql()}[i], ${tokSql()}[i+1], ${tokSql()}[i+2])))) AS gram
+       |FROM documents),
+       |cg AS MATERIALIZED (SELECT doc_id AS train_id, gram FROM g WHERE train_id >= 20),
+       |rare AS MATERIALIZED (SELECT gram FROM cg GROUP BY gram HAVING COUNT(*) <= 1000),
+       |eg AS MATERIALIZED (SELECT doc_id AS eval_id, gram FROM g WHERE eval_id < 20),
+       |es AS MATERIALIZED (SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+       |FROM eg GROUP BY eval_id),
+       |ov AS MATERIALIZED (SELECT eg.eval_id, cg.train_id, COUNT(*) AS shared
+       |FROM eg JOIN rare USING (gram) JOIN cg USING (gram)
+       |GROUP BY eg.eval_id, cg.train_id),
+       |best AS (SELECT eval_id, train_id, shared FROM ov
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY eval_id
+       |ORDER BY shared DESC, train_id) = 1)
+       |SELECT b.eval_id, b.train_id, b.shared,
+       |CAST((b.shared * 1000000) // es.n_grams AS BIGINT) AS overlap_e6
+       |FROM best b JOIN es USING (eval_id) ORDER BY eval_id""".stripMargin.replace('\n', ' ')
+
   // --- registry ---------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -147,7 +178,8 @@ object CorpusQueries {
     "q_sample_stratified" -> (qSampleStratified _),
     "q_pii_scrub"         -> (qPiiScrub _),
     "q_pack_chunks"       -> (qPackChunks _),
-    "q_mix_stats"         -> (qMixStats _))
+    "q_mix_stats"         -> (qMixStats _),
+    "q_contamination"     -> (qContamination _))
 
   val oracles: Map[String, String] = Map(
     "q_text_repetition"   -> qTextRepetitionSql,
@@ -156,5 +188,6 @@ object CorpusQueries {
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_pii_scrub"         -> qPiiScrubSql,
     "q_pack_chunks"       -> qPackChunksSql,
-    "q_mix_stats"         -> qMixStatsSql)
+    "q_mix_stats"         -> qMixStatsSql,
+    "q_contamination"     -> qContaminationSql)
 }

@@ -216,6 +216,45 @@ object Corpus {
     }
   }
 
+  // --- train/eval contamination ----------------------------------------
+
+  /** Benchmark-contamination detection: for each eval doc, the training
+    * doc sharing the most distinct word n-grams, with the shared
+    * fraction of the eval doc's n-grams (e6). The standard decontam
+    * check run before training on a scraped corpus.
+    *
+    * Scale shape: candidates come from an equi-join ON THE N-GRAM — cost
+    * is Σ per-gram (corpus docs × eval docs) — never corpus×eval
+    * all-pairs. Hub grams (df > maxDf training docs: boilerplate, no
+    * signal) are dropped before the join, which bounds the per-gram
+    * blowup; the per-(eval, train) overlap count is a map-side-combined
+    * aggregation and the final argmax is a window over eval docs. */
+  def contamination(corpus: DataFrame, evalDocs: DataFrame, n: Int = 3,
+                    maxDf: Int = 1000, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as), explode(wordNgrams(tokens(col(textCol)), n)).as("gram"))
+    val cg = grams(corpus, "train_id")
+    // drop hub grams by training-side document frequency
+    val rare = cg.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("gram")
+    val eg = grams(evalDocs, "eval_id")
+    val evalSize = evalDocs.select(col(idCol).as("eval_id"),
+      size(wordNgrams(tokens(col(textCol)), n)).cast("long").as("n_grams"))
+    val overlap = eg.join(rare, Seq("gram"))
+      .join(cg, Seq("gram"))
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("shared"))
+    val w = Window.partitionBy(col("eval_id"))
+      .orderBy(col("shared").desc, col("train_id"))
+    overlap
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(evalSize, Seq("eval_id"))
+      .select(col("eval_id"), col("train_id"), col("shared"),
+        idiv(col("shared") * lit(1000000L), col("n_grams")).as("overlap_e6"))
+  }
+
   /** Per-stratum mixing stats: doc count, token count, and each stratum's
     * exact share of the corpus' tokens (e6) — the table a data-mixing
     * config is derived from. */

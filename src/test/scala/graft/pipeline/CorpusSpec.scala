@@ -112,6 +112,19 @@ class CorpusSpec extends SparkSpec {
     assert(r == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L, 6L -> 0L))
   }
 
+  test("contamination flags the planted eval copy and skips clean docs") {
+    val corpus = Seq(
+      (100L, "x1 x2 x3 x4 x5 x6", "s"),
+      (101L, "totally different words over here ok", "s")).toDF("doc_id", "text", "source")
+    val eval_ = Seq(
+      (1L, "x1 x2 x3 x4 x5 x6", "s"),     // verbatim copy of train 100
+      (2L, "clean benchmark sentence nothing shared", "s")).toDF("doc_id", "text", "source")
+    val got = Corpus.contamination(corpus, eval_, n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // all 4 of eval 1's 3-grams hit train 100 → overlap 100%
+    assert(got == Seq((1L, 100L, 4L, 1000000L)))
+  }
+
   test("mixing stats shares sum to ~1e6 and count tokens exactly") {
     val r = Corpus.mixingStats(docs).orderBy("source")
       .as[(String, Long, Long, Long)].collect()
