@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.pipeline.Corpus
+import graft.text.TextFunctions
+import graft.text.TextFunctions.{alphaCount, langId, qualityScore, tokenCount, wordHits}
 
 /** Corpus-pipeline query corpus (round-4 surface): repetition filtering,
   * TF-IDF keywords, vocabulary, deterministic stratified sampling, PII
@@ -138,6 +140,63 @@ object CorpusQueries {
        |CAST((n_tokens * 1000000) // (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM b) AS BIGINT) AS share_e6
        |FROM b ORDER BY source""".stripMargin.replace('\n', ' ')
 
+  // --- composite quality-filter pass ------------------------------------
+
+  private val qfStop = Seq("the", "a", "of", "to", "in", "and", "is")
+
+  /** The end-to-end filter pass a pre-training pipeline runs: keep docs
+    * with composite quality ≥ 0.3, 2-gram duplicate fraction ≤ 0.1, and
+    * predicted language en; report per-source kept doc/token counts.
+    * Composes the quality, repetition, and lang-id signals in one plan —
+    * each a codegen'd column expression, joined on doc_id. */
+  private def qQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    val sig = d.select(col("doc_id"), col("source"),
+        wordHits(col("text"), qfStop).as("n_stop"),
+        tokenCount(col("text")).as("n_tokens"),
+        alphaCount(col("text")).as("n_alpha"),
+        length(col("text")).cast("long").as("n_len"),
+        langId(col("text")).as("pred_lang"))
+      .withColumn("score_e6", graft.sql.Exact.e6(
+        qualityScore(col("n_stop"), col("n_tokens"), col("n_alpha"), col("n_len"))))
+    val rep = Corpus.repetitionStats(d).select(col("doc_id"), col("dup_frac_e6"))
+    sig.join(rep, Seq("doc_id"))
+      .filter(col("score_e6") >= 300000 && col("dup_frac_e6") <= 100000 &&
+        col("pred_lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_tokens")).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  private val qQualityFilterSql = {
+    val sw = qfStop.map(w => s"'$w'").mkString(", ")
+    val profs = TextFunctions.langProfiles.map { case (name, ws) =>
+      val l = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(${tokSql()}, t -> t IN ($l))) AS BIGINT) AS s_$name"
+    }.mkString(", ")
+    s"""WITH b AS MATERIALIZED (SELECT doc_id, source,
+       |CAST(len(list_filter(${tokSql()}, t -> t IN ($sw))) AS BIGINT) AS n_stop,
+       |CAST(len(${tokSql()}) AS BIGINT) AS n_tokens,
+       |CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+       |CAST(length(text) AS BIGINT) AS n_len, $profs FROM documents),
+       |sig AS MATERIALIZED (SELECT doc_id, source, n_tokens,
+       |CAST(FLOOR((0.4 * (n_stop / n_tokens) + 0.4 * LEAST(n_tokens / 200.0, 1.0)
+       |+ 0.2 * (n_alpha / n_len)) * 1000000) AS BIGINT) AS score_e6,
+       |CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang FROM b),
+       |toks AS MATERIALIZED (SELECT doc_id, ${tokSql()} AS tok FROM documents),
+       |g AS MATERIALIZED (SELECT doc_id, concat_ws(' ', tok[CAST(i AS INT)], tok[CAST(i + 1 AS INT)]) AS gram
+       |FROM toks, unnest(range(1, greatest(len(tok) - 1, 1) + 1)) AS t(i)),
+       |c AS MATERIALIZED (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+       |dp AS MATERIALIZED (SELECT doc_id,
+       |CAST(((SUM(cnt) - COUNT(*)) * 1000000) // SUM(cnt) AS BIGINT) AS dup_frac_e6
+       |FROM c GROUP BY doc_id)
+       |SELECT source, COUNT(*) AS kept_docs, CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+       |FROM sig JOIN dp USING (doc_id)
+       |WHERE score_e6 >= 300000 AND dup_frac_e6 <= 100000 AND pred_lang = 'en'
+       |GROUP BY source ORDER BY source""".stripMargin.replace('\n', ' ')
+  }
+
   // --- train/eval contamination -----------------------------------------
 
   /** Eval set = the 20 lowest doc ids (a stand-in benchmark); corpus =
@@ -179,7 +238,8 @@ object CorpusQueries {
     "q_pii_scrub"         -> (qPiiScrub _),
     "q_pack_chunks"       -> (qPackChunks _),
     "q_mix_stats"         -> (qMixStats _),
-    "q_contamination"     -> (qContamination _))
+    "q_contamination"     -> (qContamination _),
+    "q_quality_filter"    -> (qQualityFilter _))
 
   val oracles: Map[String, String] = Map(
     "q_text_repetition"   -> qTextRepetitionSql,
@@ -189,5 +249,6 @@ object CorpusQueries {
     "q_pii_scrub"         -> qPiiScrubSql,
     "q_pack_chunks"       -> qPackChunksSql,
     "q_mix_stats"         -> qMixStatsSql,
-    "q_contamination"     -> qContaminationSql)
+    "q_contamination"     -> qContaminationSql,
+    "q_quality_filter"    -> qQualityFilterSql)
 }
