@@ -31,7 +31,8 @@ object Probe {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(200) // let listener events drain
+      // deterministic drain — listener events are async; a sleep races
+      org.apache.spark.sql.graft.CheckpointBridge.drainListeners(spark)
       println(f"PROBE $name%-24s ${dt}%7.2fs  jobs=${jobs.get()}%4d  rows=$n")
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))

@@ -768,9 +768,13 @@ object Algos {
       colored.unpersist()
       val prevResult = result
       result = result.union(assigned).localCheckpoint()
-      // the union is materialized; the superseded accumulator checkpoint
-      // and this round's assigned/color frames are dead. (round-0
-      // prevResult is a LocalRelation — freeCkpt is a safe no-op there.)
+      // the union is materialized; ONLY the superseded accumulator
+      // checkpoint is dead here. `assigned` is still read by the
+      // newVerts anti-join below, and newVerts/newEdges keep persist
+      // (not checkpoint) lineage through it — freeing it would make an
+      // eviction-recompute fail with missing checkpoint blocks. It is
+      // reclaimed by the ContextCleaner / the harness sweep instead.
+      // (round-0 prevResult is a LocalRelation — freeCkpt is a no-op.)
       freeCkpt(prevResult)
       val newVerts = remVerts.join(assigned.select("id"), Seq("id"), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -33,7 +33,10 @@ final case class PregelOptions(
     resume: Boolean = false,
     /** Superstep-output hook: called with (vertexFrame, superstep) after
       * each superstep — the reference's write-during-computation modes
-      * (io/superstep_output, GiraphConstants DO_OUTPUT_DURING_COMPUTATION). */
+      * (io/superstep_output, GiraphConstants DO_OUTPUT_DURING_COMPUTATION).
+      * The frame is valid ONLY for the duration of the call: its backing
+      * blocks are freed once the next superstep materializes (write/
+      * aggregate inside the hook; do not retain the frame). */
     onSuperstep: (DataFrame, Int) => Unit = (_, _) => (),
     /** Pre-superstep hook (reference Computation.preSuperstep,
       * CORE/graph/Computation.java:78-84): called with the CURRENT vertex

@@ -234,7 +234,11 @@ object Corpus {
                     textCol: String = "text"): DataFrame = {
     def grams(df: DataFrame, as: String) =
       df.select(col(idCol).as(as), explode(wordNgrams(tokens(col(textCol)), n)).as("gram"))
+    // persisted: the hub-gram df aggregation AND the overlap join both
+    // read the corpus gram explode — the query's dominant pass; Catalyst
+    // does not dedupe shared subtrees (same rationale as tfIdfTopK)
     val cg = grams(corpus, "train_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // drop hub grams by training-side document frequency
     val rare = cg.groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("gram")
@@ -247,12 +251,16 @@ object Corpus {
       .agg(count(lit(1)).as("shared"))
     val w = Window.partitionBy(col("eval_id"))
       .orderBy(col("shared").desc, col("train_id"))
-    overlap
+    // eval-sized output materialized, corpus-sized cache released
+    val out = overlap
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .join(evalSize, Seq("eval_id"))
       .select(col("eval_id"), col("train_id"), col("shared"),
         idiv(col("shared") * lit(1000000L), col("n_grams")).as("overlap_e6"))
+      .localCheckpoint()
+    cg.unpersist()
+    out
   }
 
   /** Per-stratum mixing stats: doc count, token count, and each stratum's

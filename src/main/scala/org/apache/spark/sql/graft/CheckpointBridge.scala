@@ -28,4 +28,11 @@ object CheckpointBridge {
       case _ => ()
     }
   }
+
+  /** Block until the listener bus has delivered all queued events —
+    * needed by anything reading SparkListener-fed counters (job counts
+    * are delivered asynchronously; a sleep is a race). private[spark],
+    * hence exposed through this bridge package. */
+  def drainListeners(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }
