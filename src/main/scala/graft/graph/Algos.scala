@@ -24,6 +24,13 @@ object Algos {
     * when round frames are small — is paid once per batch. */
   private val WaveBatch = 4
 
+  /** Edge frame materialized once with DECLARED hash(key) partitioning
+    * (CheckpointBridge): a persisted frame's partitioning is invisible
+    * under AQE, so iteration joins would reshuffle it every round. */
+  private def ckptHash(df: DataFrame, key: String): DataFrame =
+    org.apache.spark.sql.graft.CheckpointBridge.localCheckpointHash(
+      df, key, df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+
   /** Fresh-flag delta-frontier reachability: the ids reachable from
     * `seeds` along `edges` within ≤ `maxHops` hops (seeds included), i.e.
     * the partial fixpoint n_i = n_{i-1} ∪ {dst | src ∈ n_{i-1}} after
@@ -210,8 +217,7 @@ object Algos {
   def pagerank(edges: DataFrame, iterations: Int,
                damping: Double = 0.85, resetProb: Double = 0.15,
                opts: PregelOptions = PregelOptions()): DataFrame = {
-    val e = edges.select("src", "dst").repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = ckptHash(edges.select("src", "dst"), "src")
     val v = verticesOf(e).persist(StorageLevel.MEMORY_AND_DISK)
     val n = v.count().toDouble
     val deg = e.groupBy(col("src").as("id"))
@@ -234,7 +240,7 @@ object Algos {
             lit(damping) * (coalesce(col("s"), lit(0.0)) + col("dsum") / n)).as("pr"),
           col("outdeg"))
     }
-    e.unpersist(); v.unpersist()
+    freeCkpt(e); v.unpersist()
     res.select("id", "pr")
   }
 
@@ -246,8 +252,7 @@ object Algos {
   def pagerankWeighted(edges: DataFrame, iterations: Int,
                        damping: Double = 0.85, resetProb: Double = 0.15,
                        opts: PregelOptions = PregelOptions()): DataFrame = {
-    val e = edges.select("src", "dst", "w").repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = ckptHash(edges.select("src", "dst", "w"), "src")
     val v = verticesOf(e).persist(StorageLevel.MEMORY_AND_DISK)
     val n = v.count().toDouble
     val wdeg = e.groupBy(col("src").as("id")).agg(sum(col("w")).cast("double").as("wsum"))
@@ -263,7 +268,7 @@ object Algos {
           (lit(resetProb / n) + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"),
           col("wsum"))
     }
-    e.unpersist(); v.unpersist()
+    freeCkpt(e); v.unpersist()
     res.select("id", "pr")
   }
 
@@ -273,8 +278,7 @@ object Algos {
   def randomWalkWithRestart(edges: DataFrame, source: Long, iterations: Int,
                             damping: Double = 0.85, resetProb: Double = 0.15,
                             opts: PregelOptions = PregelOptions()): DataFrame = {
-    val e = edges.select("src", "dst").repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = ckptHash(edges.select("src", "dst"), "src")
     val v = verticesOf(e).persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).cast("double").as("outdeg"))
     val init = v.join(deg, Seq("id"))
@@ -292,7 +296,7 @@ object Algos {
             lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"),
           col("outdeg"))
     }
-    e.unpersist(); v.unpersist()
+    freeCkpt(e); v.unpersist()
     res.select("id", "pr")
   }
 

@@ -106,7 +106,17 @@ object Pregel {
       opts: PregelOptions = PregelOptions()): DataFrame = {
 
     val spark = vertices.sparkSession
-    val e = edges.repartition(col("src")).persist(opts.storageLevel)
+    // Declared-partitioning checkpoints (CheckpointBridge): under AQE a
+    // plain localCheckpoint/persist loses its partitioning (the adaptive
+    // plan reports Unknown pre-execution), which silently reshuffles the
+    // edge AND vertex frames at every superstep join. The explicit-count
+    // layout is materialized once and DECLARED, so the id=src join and
+    // the vprog join are exchange-free on these sides — the one-shuffle-
+    // per-superstep (combined messages only) contract, enforced by the
+    // CoverageSpec plan assertion.
+    val numParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = org.apache.spark.sql.graft.CheckpointBridge
+      .localCheckpointHash(edges.toDF(), "src", numParts)
 
     val resumed = resumePoint(spark, opts)
     var verts = resumed.map(_._2).getOrElse(vertices).persist(opts.storageLevel)
@@ -121,7 +131,7 @@ object Pregel {
       // plan — without it the plan tree grows exponentially with the
       // superstep count (each step references the previous frame 2-3
       // times) and analysis alone OOMs (SURVEY §7.4 risk #1)
-      val newVerts = materialize(vprog(verts, msgs), step, opts)
+      val newVerts = materialize(vprog(verts, msgs), step, opts, numParts)
       active = newVerts.filter(col("active")).count()
       writeAggregates(newVerts, step, opts)
       opts.onSuperstep(newVerts, step)
@@ -133,7 +143,7 @@ object Pregel {
       verts = newVerts
       step += 1
     }
-    e.unpersist()
+    org.apache.spark.sql.graft.CheckpointBridge.free(e)
     verts
   }
 
@@ -150,6 +160,7 @@ object Pregel {
       step: (DataFrame, Int) => DataFrame,
       master: (DataFrame, Int) => Boolean = (_, _) => true): DataFrame = {
     val resumed = resumePoint(vertices.sparkSession, opts)
+    val numParts = vertices.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     var verts = resumed.map(_._2).getOrElse(vertices).persist(opts.storageLevel)
     var fromCaller = true
     verts.count()
@@ -159,7 +170,7 @@ object Pregel {
       opts.onBeforeSuperstep(verts, i)
       // materialize is eager (both checkpoint flavors) — it already ran
       // the superstep's job, so no extra action is needed here
-      val next = materialize(step(verts, i), i, opts)
+      val next = materialize(step(verts, i), i, opts, numParts)
       writeAggregates(next, i, opts)
       opts.onSuperstep(next, i)
       if (fromCaller) { verts.unpersist(); fromCaller = false }
@@ -200,14 +211,17 @@ object Pregel {
     * parquet snapshot (`<dir>/step_<N>`) read straight back (the write is
     * the materializing action; the read-back plan is a bare scan — both
     * reliable and resumable, unlike `RDD.checkpoint` files which die with
-    * the SparkContext); `localCheckpoint` otherwise. */
-  private def materialize(df: DataFrame, step: Int, opts: PregelOptions): DataFrame =
+    * the SparkContext); a declared-hash(id) localCheckpoint otherwise
+    * (plain localCheckpoint loses partitioning under AQE — see run()). */
+  private def materialize(df: DataFrame, step: Int, opts: PregelOptions,
+                          numParts: Int): DataFrame =
     opts.checkpointDir match {
       case Some(dir) if (step + 1) % opts.checkpointEvery == 0 =>
         val path = s"$dir/step_$step"
         df.write.mode("overwrite").parquet(path)
         df.sparkSession.read.parquet(path)
-      case _ => df.localCheckpoint()
+      case _ => org.apache.spark.sql.graft.CheckpointBridge
+        .localCheckpointHash(df, "id", numParts)
     }
 
   /** The latest completed snapshot under `dir`: (superstep, frame).

@@ -1,7 +1,9 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
 import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.functions.col
 
 /** Release the storage behind a superseded frame, whichever way it was
   * materialized. `Dataset.unpersist` only clears CacheManager entries
@@ -26,6 +28,39 @@ object CheckpointBridge {
     df.queryExecution.analyzed.collectLeaves().foreach {
       case l: LogicalRDD => l.rdd.unpersist(false)
       case _ => ()
+    }
+  }
+
+  /** localCheckpoint that KEEPS its hash partitioning visible to the
+    * optimizer. Under AQE, `Dataset.localCheckpoint` captures the
+    * adaptive plan's pre-execution `outputPartitioning` — which is
+    * Unknown — so every downstream keyed join/aggregation reshuffles the
+    * checkpointed frame even though its rows are already correctly
+    * hash-placed. For an iterative engine that is one extra vertex-frame
+    * shuffle per superstep, per algorithm.
+    *
+    * This forces the exact layout first (`repartition(n, key)` — the
+    * explicit-count form, which AQE never coalesces, so the materialized
+    * RDD is bit-exactly pmod(murmur3(key), n) placed), checkpoints, then
+    * rebuilds the LogicalRDD leaf declaring that HashPartitioning. The
+    * declaration is sound because the RDD partitions ARE the shuffle
+    * output partitions of that exact partitioning — nothing is assumed.
+    */
+  def localCheckpointHash(df: DataFrame, key: String, n: Int): DataFrame = {
+    val ck = df.repartition(n, col(key)).localCheckpoint()
+    ck.queryExecution.analyzed match {
+      case l: LogicalRDD =>
+        val attr = l.output.find(_.name == key).getOrElse(
+          throw new IllegalArgumentException(s"no column $key in ${l.output}"))
+        val declared = new LogicalRDD(
+          l.output, l.rdd, HashPartitioning(Seq(attr), n),
+          l.outputOrdering, l.isStreaming, l.getStream)(
+          ck.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          None, None)
+        org.apache.spark.sql.classic.Dataset.ofRows(
+          ck.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          declared)
+      case _ => ck // unexpected plan shape: fall back to the plain checkpoint
     }
   }
 
