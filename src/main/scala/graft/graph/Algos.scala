@@ -98,8 +98,11 @@ object Algos {
     * difference between 17 and 100,000 shuffles on a 100k-long event
     * chain. Per round: one edge⋈label shuffle + one label self-join. */
   def wcc(symEdges: DataFrame, opts: PregelOptions = PregelOptions(maxSupersteps = 100)): DataFrame = {
-    val e = symEdges.select("src", "dst").repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // e is joined on src every round and f on id (aliased to src) — both
+    // carry DECLARED hash partitioning so the m1 join never reshuffles
+    // (plain persist/localCheckpoint partitioning is invisible under
+    // AQE; see CheckpointBridge.localCheckpointHash)
+    val e = ckptHash(symEdges.select("src", "dst"), "src")
     val nbrMin0 = e.groupBy(col("src").as("id")).agg(min(col("dst")).as("nm"))
     var f = verticesOf(e).join(nbrMin0, Seq("id"), "left")
       .select(col("id"), col("id").as("f_old"), least(col("id"), col("nm")).as("f"))
@@ -110,12 +113,12 @@ object Algos {
       val m1 = e.join(f.select(col("id").as("src"), col("f").as("fs")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("fs")).as("m1"))
       val gp = f.select(col("id").as("gid"), col("f").as("gf"))
-      val next = f
+      val next0 = f
         .join(m1, Seq("id"), "left")
         .join(gp, col("f") === col("gid"), "left")
         .select(col("id"), col("f").as("f_old"),
           least(col("f"), col("m1"), col("gf")).as("f"))
-        .localCheckpoint()
+      val next = ckptHash(next0, "id")
       // single pass over the (already materialized) checkpointed frame:
       // count(when(...)) counts only the changed rows
       changed = next.select(count(when(col("f") < col("f_old"), lit(1))).as("c"))
@@ -126,7 +129,7 @@ object Algos {
       f = next // carries a stale f_old column; joins above project it away
       step += 1
     }
-    e.unpersist()
+    freeCkpt(e)
     f.select(col("id"), col("f").as("component"))
   }
 
