@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.graph.{Algos, Prep}
+import graft.operators.AsOfJoin
 import graft.sql.{Exact, OracleGen}
 import graft.sql.Exact.{e2, e4, e6}
 
@@ -183,6 +184,40 @@ object Queries {
       |FROM events, unnest([0, 1, 2, 3]) AS t(k)) z
       |GROUP BY 1, 2 ORDER BY win_idx, event_type""".stripMargin.replace('\n', ' ')
 
+  /** Backward as-of join ([[graft.operators.AsOfJoin]]): every event
+    * enriched with the same user's most recent purchase event at or
+    * before its timestamp — the "latest feature value as of example
+    * time" shape of training-data assembly. Oracle: DuckDB's native
+    * ASOF LEFT JOIN, an independent implementation of the semantics. */
+  private def qAsofPurchase(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    // micros on both engines: DuckDB surfaces parquet timestamp[ns] at
+    // microsecond precision, so the join must compare at micros too
+    val ev = t.events.select(col("event_id"), col("user_id"),
+      expr("ts div 1000").as("ts_us"))
+    val purchases = t.events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 1000").as("pts_us"),
+        col("event_id").as("last_purchase_id"),
+        e2(col("value")).as("last_purchase_value_e2"))
+    AsOfJoin.backward(ev, purchases, key = "user_id", leftTs = "ts_us",
+        rightTs = "pts_us",
+        rightCols = Seq("last_purchase_id", "last_purchase_value_e2"),
+        inclusive = true, rightTieBreak = Some("last_purchase_id"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("last_purchase_id"), col("last_purchase_value_e2"))
+      .orderBy(col("event_id"))
+  }
+
+  private val qAsofPurchaseSql =
+    """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+      |p.last_purchase_id, p.last_purchase_value_e2
+      |FROM events e ASOF LEFT JOIN (
+      |SELECT user_id, ts, event_id AS last_purchase_id,
+      |CAST(FLOOR(value * 100) AS BIGINT) AS last_purchase_value_e2
+      |FROM events WHERE event_type = 'purchase') p
+      |ON e.user_id = p.user_id AND e.ts >= p.ts
+      |ORDER BY e.event_id""".stripMargin.replace('\n', ' ')
+
   // ------------------------------------------------------------------
   // graph corpus (SURVEY §2.9) on graphs derived from the tables
   // ------------------------------------------------------------------
@@ -357,6 +392,7 @@ object Queries {
     "q_sessions"       -> (qSessions _),
     "q_tumbling"       -> (qTumbling _),
     "q_sliding"        -> (qSliding _),
+    "q_asof_purchase"  -> (qAsofPurchase _),
     "q_graph_degrees"  -> (qDegrees _),
     "q_graph_wcc"      -> (qWcc _),
     "q_graph_sssp"     -> (qSssp _),
@@ -387,6 +423,7 @@ object Queries {
     "q_sessions"       -> qSessionsSql,
     "q_tumbling"       -> qTumblingSql,
     "q_sliding"        -> qSlidingSql,
+    "q_asof_purchase"  -> qAsofPurchaseSql,
     "q_graph_degrees"  -> qDegreesSql,
     "q_graph_wcc"      -> OracleGen.labelPropSql(TestGraphs.custSuppSymSql, 12, isMin = true, "component"),
     "q_graph_sssp"     -> OracleGen.ssspSql(TestGraphs.custSuppSymSql, 16),
