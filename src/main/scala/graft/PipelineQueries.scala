@@ -331,6 +331,39 @@ object PipelineQueries {
     Similarity.bruteTopK(emb.select(col("vec_id"), col("embedding")), queriesOf(emb), 10)
   }
 
+  /** Scalar-quantized ANN: int8 codes + asymmetric-distance candidate
+    * rank, exact rescore of the top k·4. Oracle replays the identical
+    * train→encode→dequantize→rank→rescore chain (all FLOOR-pinned,
+    * index-ordered list sums). */
+  private def qAnnSq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    Similarity.sqTopK(emb.select(col("vec_id"), col("embedding")), queriesOf(emb), 10)
+  }
+
+  private val qAnnSqSql =
+    s"""WITH dims AS MATERIALIZED (
+       |SELECT i, MIN(CAST(embedding[i] AS DOUBLE)) AS mn, MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+       |FROM embeddings CROSS JOIN range(1, 65) AS t(i) GROUP BY i),
+       |d AS MATERIALIZED (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx FROM dims),
+       |dq AS MATERIALIZED (
+       |SELECT vec_id, list_transform(range(1, 65), i ->
+       |d.mn[i] + ((CASE WHEN d.mx[i] > d.mn[i] THEN GREATEST(0, LEAST(255,
+       |CAST(FLOOR((CAST(e.embedding[i] AS DOUBLE) - d.mn[i]) * 255.0 / (d.mx[i] - d.mn[i])) AS BIGINT)))
+       |ELSE 0 END) * (d.mx[i] - d.mn[i])) / 255.0) AS dqv
+       |FROM embeddings e, d),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |cand AS (SELECT q_id, n_id FROM (
+       |SELECT q.q_id, c.vec_id AS n_id,
+       |CAST(FLOOR(${cosSql("q.qv", "c.dqv")} * 10000) AS BIGINT) AS adc_e4
+       |FROM dq c JOIN q ON c.vec_id <> q.q_id) z
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_e4 DESC, n_id) <= 40),
+       |sc AS (SELECT cd.q_id, cd.n_id,
+       |CAST(FLOOR(${cosSql("q.qv", "e.embedding")} * 10000) AS BIGINT) AS rcos_e4
+       |FROM cand cd JOIN embeddings e ON e.vec_id = cd.n_id JOIN q ON q.q_id = cd.q_id)
+       |SELECT q_id, n_id, rcos_e4 FROM sc
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rcos_e4 DESC, n_id) <= 10
+       |ORDER BY q_id, rcos_e4 DESC, n_id""".stripMargin.replace('\n', ' ')
+
   private val qAnnBruteSql =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
        |sc AS (SELECT q.q_id, e.vec_id AS n_id,
@@ -474,6 +507,7 @@ object PipelineQueries {
     "q_dedup_ngram"      -> (qDedupNgram _),
     "q_dedup_embedding"  -> (qDedupEmb _),
     "q_ann_brute"        -> (qAnnBrute _),
+    "q_ann_sq"           -> (qAnnSq _),
     "q_ann_ivf"          -> (qAnnIvf _),
     "q_ann_ivf_trained"  -> (qAnnIvfTrained _),
     "q_ann_lsh"          -> (qAnnLsh _),
@@ -494,6 +528,7 @@ object PipelineQueries {
     "q_dedup_ngram"      -> qDedupNgramSql,
     "q_dedup_embedding"  -> qDedupEmbSql,
     "q_ann_brute"        -> qAnnBruteSql,
+    "q_ann_sq"           -> qAnnSqSql,
     "q_ann_ivf"          -> qAnnIvfSql,
     "q_ann_ivf_trained"  -> qAnnIvfTrainedSql,
     "q_ann_lsh"          -> qAnnLshSql,

@@ -108,6 +108,24 @@ class PipelineSpec extends SparkSpec {
     assert(got.nonEmpty && got.head._2 == 2L && got.head._3 >= 9990L)
   }
 
+  test("scalar quantization: codes in [0,255], extremes exact, sq ann finds the clone") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.2f, 0.1f, 0.4f)),
+      (2L, Seq(0.99f, 0.21f, 0.1f, 0.4f)),  // ~clone of 1
+      (3L, Seq(-1.0f, 0.5f, -0.3f, 0.2f)),
+      (4L, Seq(0.0f, -0.5f, 0.7f, -0.2f))
+    ).toDF("vec_id", "embedding")
+    val codes = Similarity.sqEncode(e, Similarity.sqTrain(e))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(codes.values.flatten.forall(c => c >= 0 && c <= 255))
+    // dim 0: min = -1.0 (vec 3) → 0, max = 1.0 (vec 1) → 255
+    assert(codes(3L).head == 0L && codes(1L).head == 255L)
+    val q = e.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val got = Similarity.sqTopK(e, q, k = 1).as[(Long, Long, Long)].collect()
+    assert(got.head._2 == 2L && got.head._3 >= 9990L) // clone survives rerank
+  }
+
   test("kmeans trainer converges to the two planted directions") {
     // two tight direction clusters; seeds = vec_ids 1 and 2 (one per side)
     val e = Seq(
