@@ -490,6 +490,50 @@ object PipelineQueries {
       |CAST(w AS INT) AS width, CAST(h AS INT) AS height, CAST(255 AS INT) AS maxval
       |FROM p ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
+  /** Audio round trip: real RIFF/WAVE payloads constructed from doc_id
+    * formulas, parsed back by the chunk-walking reader; the oracle
+    * replays the formulas (docs % 3 == 0 carry a junk LIST chunk, so a
+    * fixed-offset "parser" would fail them). */
+  private def qMultimodalWav(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeWavMeta(Multimodal.documentsAsWav(Tables(s, dir).documents))
+      .toDF().orderBy(col("doc_id"))
+
+  private val qMultimodalWavSql =
+    """WITH p AS (SELECT doc_id,
+      |CAST(1 + doc_id % 2 AS INT) AS channels,
+      |CAST(8000 + (doc_id % 5) * 1000 AS INT) AS sample_rate,
+      |CAST(8 * (1 + doc_id % 2) AS INT) AS bits,
+      |(10 + doc_id % 50) * (1 + doc_id % 2) * (1 + doc_id % 2) AS data_b,
+      |CASE WHEN doc_id % 3 = 0 THEN 8 + 2 * ((doc_id % 4) + 1) ELSE 0 END AS junk
+      |FROM documents)
+      |SELECT doc_id, channels, sample_rate, bits,
+      |CAST(data_b AS BIGINT) AS data_bytes,
+      |CAST(12 + junk + 24 + 8 + data_b + (data_b % 2) AS BIGINT) AS n_bytes,
+      |CAST(data_b * 1000000 // (sample_rate * (1 + doc_id % 2) * (1 + doc_id % 2)) AS BIGINT) AS duration_us
+      |FROM p ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
+  /** Video frame sampling: every 2nd frame of a concatenated-PPM
+    * container; the walker's parsed (w, h) and byte offsets must equal
+    * the construction formulas' running totals. */
+  private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleVideoFrames(
+      Multimodal.documentsAsVideo(Tables(s, dir).documents), stride = 2)
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  private val qMultimodalFramesSql =
+    """WITH f AS (SELECT doc_id, fi,
+      |CAST(1 + (doc_id + fi) % 8 AS INT) AS width,
+      |CAST(1 + (fi % 5) AS INT) AS height
+      |FROM documents CROSS JOIN range(0, 4) AS t(fi)
+      |WHERE fi < 1 + doc_id % 4),
+      |o AS (SELECT doc_id, fi, width, height,
+      |COALESCE(SUM(11 + width * height * 3) OVER (PARTITION BY doc_id ORDER BY fi
+      |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |FROM f)
+      |SELECT doc_id, CAST(fi AS INT) AS frame_idx, width, height,
+      |CAST(off AS BIGINT) AS offset
+      |FROM o WHERE fi % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin.replace('\n', ' ')
+
   // registry ------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -511,7 +555,9 @@ object PipelineQueries {
     "q_ann_ivf"          -> (qAnnIvf _),
     "q_ann_ivf_trained"  -> (qAnnIvfTrained _),
     "q_ann_lsh"          -> (qAnnLsh _),
-    "q_multimodal_meta"  -> (qMultimodalMeta _))
+    "q_multimodal_meta"  -> (qMultimodalMeta _),
+    "q_multimodal_wav"   -> (qMultimodalWav _),
+    "q_multimodal_frames" -> (qMultimodalFrames _))
 
   val oracles: Map[String, String] = Map(
     "q_text_stats"       -> qTextStatsSql,
@@ -532,5 +578,7 @@ object PipelineQueries {
     "q_ann_ivf"          -> qAnnIvfSql,
     "q_ann_ivf_trained"  -> qAnnIvfTrainedSql,
     "q_ann_lsh"          -> qAnnLshSql,
-    "q_multimodal_meta"  -> qMultimodalMetaSql)
+    "q_multimodal_meta"  -> qMultimodalMetaSql,
+    "q_multimodal_wav"   -> qMultimodalWavSql,
+    "q_multimodal_frames" -> qMultimodalFramesSql)
 }

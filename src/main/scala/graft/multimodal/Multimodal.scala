@@ -100,6 +100,188 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "frame_bytes", "frame_md5")
   }
 
+  // ---------------------------------------------------------------
+  // audio: RIFF/WAVE
+  // ---------------------------------------------------------------
+
+  /** Typed audio metadata: -1 fields mark unparseable payloads (kept +
+    * flagged, same contract as [[MediaMeta]]). duration_us derives from
+    * data_bytes / byte_rate — integral µs so oracles replay it. */
+  final case class WavMeta(doc_id: Long, channels: Int, sample_rate: Int,
+                           bits: Int, data_bytes: Long, n_bytes: Long,
+                           duration_us: Long)
+
+  /** Real RIFF/WAVE writer: canonical 44-byte header layout (RIFF size,
+    * fmt  chunk with PCM fields, data chunk), little-endian per the
+    * spec, with an optional junk LIST chunk before fmt  — so the reader
+    * below can only pass by genuinely walking chunks. Sample data is a
+    * deterministic ramp. Odd-sized data chunks get the RIFF pad byte. */
+  def encodeWav(channels: Int, rate: Int, bits: Int, nSamples: Int,
+                junkLen: Int = 0): Array[Byte] = {
+    val dataBytes = nSamples * channels * (bits / 8)
+    val pad = dataBytes % 2
+    val junk = if (junkLen > 0) 8 + junkLen else 0
+    val total = 12 + junk + 24 + 8 + dataBytes + pad
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+      .put("WAVE".getBytes("US-ASCII"))
+    if (junkLen > 0) {
+      bb.put("LIST".getBytes("US-ASCII")).putInt(junkLen)
+      (0 until junkLen).foreach(i => bb.put((i % 251).toByte))
+    }
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * (bits / 8))
+      .putShort((channels * (bits / 8)).toShort).putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    (0 until dataBytes + pad).foreach(i => bb.put((i % 253).toByte))
+    bb.array()
+  }
+
+  /** Real RIFF/WAVE reader: verifies the RIFF/WAVE magic then walks the
+    * chunk list (skipping unknown chunks and RIFF odd-size padding) to
+    * the fmt  and data chunks. Returns (channels, rate, bits,
+    * dataBytes); None on anything malformed. */
+  def decodeWav(payload: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def ascii(off: Int, s: String): Boolean =
+      payload.length >= off + 4 && s.getBytes("US-ASCII").zipWithIndex
+        .forall { case (b, i) => payload(off + i) == b }
+    def u16(off: Int): Int =
+      (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8)
+    def u32(off: Int): Long =
+      (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
+        ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
+    if (!ascii(0, "RIFF") || !ascii(8, "WAVE")) None
+    else {
+      var off = 12
+      var fmt: Option[(Int, Int, Int)] = None
+      var data: Option[Long] = None
+      while ((fmt.isEmpty || data.isEmpty) && off + 8 <= payload.length) {
+        val size = u32(off + 4)
+        if (size < 0 || size > payload.length.toLong) return None
+        if (ascii(off, "fmt ") && size >= 16 && off + 8 + 16 <= payload.length)
+          fmt = Some((u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
+        else if (ascii(off, "data")) data = Some(size)
+        off += 8 + size.toInt + (size % 2).toInt // RIFF pads odd chunks
+      }
+      for { (ch, rate, bits) <- fmt; db <- data } yield (ch, rate, bits, db)
+    }
+  }
+
+  /** Decode a WAV payload column into typed audio metadata — same
+    * partition-local batch shape as [[decodeMeta]]. */
+  def decodeWavMeta(media: DataFrame, idCol: String = "doc_id",
+                    payloadCol: String = "payload"): Dataset[WavMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).as("doc_id"), col(payloadCol).as("payload"))
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        decodeWav(r.payload) match {
+          case Some((ch, rate, bits, db)) =>
+            val byteRate = rate.toLong * ch * (bits / 8)
+            val durUs = if (byteRate > 0) db * 1000000L / byteRate else -1L
+            WavMeta(r.doc_id, ch, rate, bits, db, r.payload.length.toLong, durUs)
+          case None =>
+            WavMeta(r.doc_id, -1, -1, -1, -1L, r.payload.length.toLong, -1L)
+        }
+      })
+  }
+
+  /** Documents→WAV adapter: real RIFF bytes with all parameters derived
+    * from doc_id, so the oracle replays the expected metadata from the
+    * construction formulas (the round trip proves the reader walks the
+    * actual little-endian chunk layout — docs divisible by 3 carry a
+    * junk LIST chunk before fmt ). */
+  def documentsAsWav(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val channels = 1 + (id % 2).toInt
+      val rate = 8000 + (id % 5).toInt * 1000
+      val bits = 8 * (1 + (id % 2).toInt)
+      val nSamples = 10 + (id % 50).toInt
+      val junk = if (id % 3 == 0) 2 * ((id % 4).toInt + 1) else 0
+      (id, encodeWav(channels, rate, bits, nSamples, junk))
+    }).toDF("doc_id", "payload")
+  }
+
+  // ---------------------------------------------------------------
+  // video: concatenated-PPM frame container
+  // ---------------------------------------------------------------
+
+  /** PPM header parse at an offset, also returning the header length —
+    * the primitive the frame walker needs to jump frame-to-frame. */
+  private def decodePpmAt(payload: Array[Byte], off: Int): Option[(Int, Int, Int, Int)] = {
+    if (payload.length < off + 2 || payload(off) != 'P'.toByte ||
+        payload(off + 1) != '6'.toByte) None
+    else {
+      var i = off + 2
+      def readInt(): Option[Int] = {
+        while (i < payload.length &&
+          (payload(i) == ' ' || payload(i) == '\n' || payload(i) == '\r' ||
+           payload(i) == '\t')) i += 1
+        val s = i
+        while (i < payload.length && payload(i) >= '0'.toByte && payload(i) <= '9'.toByte) i += 1
+        if (i == s || i - s > 9) None
+        else Some(new String(payload, s, i - s, "US-ASCII").toInt)
+      }
+      for { w <- readInt(); h <- readInt(); mv <- readInt()
+            if i < payload.length } yield (w, h, mv, i + 1 - off) // +1: single ws after maxval
+    }
+  }
+
+  /** Real frame sampler over a concatenated-PPM container: walks frame
+    * headers (each frame = P6 header + w·h·3 pixel bytes), keeping every
+    * `stride`-th frame's (idx, w, h, byte offset). One output row per
+    * sampled frame — the explode shape of video frame extraction, with
+    * the sizes actually computed from the parsed headers. */
+  def sampleVideoFrames(media: DataFrame, stride: Int = 2,
+                        idCol: String = "doc_id",
+                        payloadCol: String = "payload"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).as("doc_id"), col(payloadCol).as("payload"))
+      .as[MediaRow]
+      .flatMap { r =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, Int, Long)]
+        var off = 0L
+        var idx = 0
+        var ok = true
+        while (ok && off < r.payload.length) {
+          decodePpmAt(r.payload, off.toInt) match {
+            case Some((w, h, _, hdrLen)) =>
+              if (idx % stride == 0) out += ((r.doc_id, idx, w, h, off))
+              off += hdrLen + w.toLong * h * 3
+              idx += 1
+            case None => ok = false // trailing garbage ends the walk
+          }
+        }
+        out
+      }
+      .toDF("doc_id", "frame_idx", "width", "height", "offset")
+  }
+
+  /** Documents→video adapter: a container of 1 + doc_id%4 PPM frames,
+    * frame f sized w=1+(doc_id+f)%8, h=1+f%5 with real w·h·3 pixel
+    * payloads — offsets/sizes replayable by formula in the oracle. */
+  def documentsAsVideo(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val frames = 1 + (id % 4).toInt
+      val bb = new java.io.ByteArrayOutputStream()
+      (0 until frames).foreach { f =>
+        val w = 1 + ((id + f) % 8).toInt
+        val h = 1 + (f % 5)
+        bb.write(s"P6\n$w $h\n255\n".getBytes("US-ASCII"))
+        (0 until w * h * 3).foreach(i => bb.write(i % 249))
+      }
+      (id, bb.toByteArray)
+    }).toDF("doc_id", "payload")
+  }
+
   /** Documents→media adapter for the test tables: treats the utf-8 text
     * bytes as the opaque payload. */
   def documentsAsMedia(docs: DataFrame): DataFrame =

@@ -164,6 +164,41 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.decodePpm("P6\n640 480 9999999999\n".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("WAV codec round-trips the RIFF chunk walk; corrupt payloads flagged") {
+    // canonical: stereo 16-bit 9kHz, 20 samples → 80 data bytes
+    val wav = Multimodal.encodeWav(channels = 2, rate = 9000, bits = 16, nSamples = 20)
+    assert(Multimodal.decodeWav(wav).contains((2, 9000, 16, 80L)))
+    // junk LIST chunk before fmt : only a real chunk walker passes
+    val junky = Multimodal.encodeWav(2, 9000, 16, 20, junkLen = 6)
+    assert(Multimodal.decodeWav(junky).contains((2, 9000, 16, 80L)))
+    assert(junky.length == wav.length + 14)
+    // odd data size gets the RIFF pad byte; declared size stays odd
+    val odd = Multimodal.encodeWav(1, 8000, 8, nSamples = 11)
+    assert(Multimodal.decodeWav(odd).contains((1, 8000, 8, 11L)))
+    assert(odd.length % 2 == 0)
+    // corrupt: bad magic, truncated chunk list, hostile declared size
+    assert(Multimodal.decodeWav("RIFX0000WAVE".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodeWav(wav.take(20)).isEmpty)
+    val hostile = wav.clone()
+    hostile(16) = -1; hostile(17) = -1; hostile(18) = -1; hostile(19) = -1
+    assert(Multimodal.decodeWav(hostile).isEmpty) // fmt size = 4G → None, no crash
+  }
+
+  test("video frame walker computes offsets from parsed headers; garbage ends walk") {
+    val v = Seq((6L, "x")).toDF("doc_id", "text")
+    val frames = Multimodal.sampleVideoFrames(Multimodal.documentsAsVideo(v), stride = 1)
+      .orderBy("frame_idx").as[(Long, Int, Int, Int, Long)].collect()
+    // doc 6 → 3 frames: f0 w=7 h=1, f1 w=8 h=2, f2 w=1 h=3
+    assert(frames.length == 3)
+    assert(frames(0) == ((6L, 0, 7, 1, 0L)))
+    assert(frames(1) == ((6L, 1, 8, 2, 11L + 21L)))          // hdr 11 + 7*1*3
+    assert(frames(2) == ((6L, 2, 1, 3, 32L + 11L + 48L)))    // + hdr 11 + 8*2*3
+    // trailing garbage after a valid frame: keep parsed frames, stop clean
+    val garbled = Multimodal.documentsAsVideo(v.filter($"doc_id" === 6L))
+      .select($"doc_id", concat($"payload", lit("NOTAPPM".getBytes("US-ASCII"))).as("payload"))
+    assert(Multimodal.sampleVideoFrames(garbled, stride = 1).count() == 3)
+  }
+
   test("multimodal decode parses wrapped PPM payloads; frame sampling explodes") {
     val media = Multimodal.documentsAsPpm(docs.select("doc_id", "text"))
     val meta = Multimodal.decodeMeta(media).collect()
