@@ -85,6 +85,30 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Watermarked stream-stream interval join: attribute each purchase
+    * to the same user's clicks in the preceding `window` (click_ts ∈
+    * [purchase_ts − window, purchase_ts]). Both inputs carry watermarks
+    * AND the join condition bounds event time on both sides — exactly
+    * the two conditions Spark needs to evict buffered join state, which
+    * is what keeps an unbounded×unbounded join runnable: state per side
+    * is O(watermark-window of events), not O(stream). */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      window_ : String = "1 hour",
+                      watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("ts").as("click_ts"), col("user_id").as("click_user"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("user_id").as("purchase_user"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+        col("click_user") === col("purchase_user") &&
+          col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $window_") &&
+          col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("purchase_user").as("user_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
+
   /** File-source → parquet-sink wiring: watch a directory of event
     * parquet drops, maintain the tumbling aggregate. */
   def streamDirectoryToParquet(spark: org.apache.spark.sql.SparkSession,

@@ -84,6 +84,32 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(s"$ckDir/offsets").list().length >= 3) // ≥3 batches
   }
 
+  test("stream-stream interval join attributes purchases to in-window clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val query = EventStreams.attributionJoin(
+        clicks.toDS().toDF(), purchases.toDS().toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    // purchase at t=4000s: click at 3900 (in window), click at 100 (1h+
+    // earlier → out), click at 4100 (after purchase → out), other user out
+    clicks.addData(ev(1, 100, 1), ev(2, 3900, 1), ev(3, 4100, 1), ev(4, 3900, 2))
+    purchases.addData(ev(10, 4000, 1))
+    query.processAllAvailable()
+    val got = spark.table("attrib")
+      .select(col("purchase_id"), col("click_id")).as[(Long, Long)]
+      .collect().toSet
+    assert(got == Set((10L, 2L)))
+    // batch parity: same frames through a static range join
+    val cB = Seq(ev(1, 100, 1), ev(2, 3900, 1), ev(3, 4100, 1), ev(4, 3900, 2)).toDF()
+    val pB = Seq(ev(10, 4000, 1)).toDF()
+    val batch = EventStreams.attributionJoin(cB, pB)
+      .select(col("purchase_id"), col("click_id")).as[(Long, Long)].collect().toSet
+    assert(batch == got)
+    query.stop()
+  }
+
   test("streaming tumbling counts equal the batch aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
