@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] + a 59-query bench needs real heap: at 8g the back half of
+  // the run was GC-bound (2-5x inflation of mid-run queries); codegen
+  // for 59 distinct queries also overflows the default 240m JIT code
+  // cache, silently dropping hot loops to interpreter speed.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-XX:ReservedCodeCacheSize=1g",
 )
