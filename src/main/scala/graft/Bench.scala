@@ -20,6 +20,19 @@ object Bench {
       import org.apache.spark.sql.functions._
       val w = spark.range(2000000).select(col("id"), pmod(xxhash64(col("id")), lit(97)).as("k"))
       w.groupBy("k").count().join(w, "k").filter(md5(col("id").cast("string")) > "0").count()
+      // the dedup family's per-row md5 kernels (MinhashSignature /
+      // Simhash60 / shingling) are shared interpreted expressions — one
+      // small pass here C2-compiles them so no measured query pays the
+      // multi-second cold-JIT penalty for the whole family
+      import graft.text.TextFunctions._
+      val docs = spark.range(3000).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 30).map(i =>
+          md5(concat(col("id").cast("string"), lit(s":$i")))): _*).as("text"))
+      docs.select(
+          minhashSignature(shingleSet(col("text"), 8), 16).as("sig"),
+          simhash60(shingleSet(col("text"), 8)).as("s60"))
+        .select(sum(length(element_at(col("sig"), 1))) + sum(col("s60")))
+        .count()
     }
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // name-sorted: a stable, documented order makes per-query times

@@ -39,7 +39,7 @@ case class MinhashSignature(child: Expression, numHashes: Int)
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val md = MessageDigest.getInstance("MD5")
+    val md = MinhashSignature.digest.get()
     val mins = new Array[String](numHashes)
     var i = 0
     while (i < n) {
@@ -81,6 +81,13 @@ case class MinhashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+object MinhashSignature {
+  /** One digest per executor thread, reset per use — getInstance runs a
+    * provider lookup + allocation, measurably hot at one per ROW. */
+  private[functions] val digest: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+}
+
 /** One-pass 60-bit SimHash over a shingle-set column.
   *
   * Semantics (oracle-replayable): bit j (0 ≤ j < 60) is set when the
@@ -104,7 +111,8 @@ case class Simhash60(child: Expression)
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val md = MessageDigest.getInstance("MD5")
+    val md = MinhashSignature.digest.get()
+    md.reset()
     val cnt = new Array[Int](60)
     var i = 0
     while (i < n) {
