@@ -156,6 +156,31 @@ object Reducers {
     def outputEncoder: Encoder[Map[Int, Map[Int, T]]] = bufferEncoder
   }
 
+  /** TopNReduce (BLOCK_APP/reducers/TopNReduce.java): keep the N largest
+    * elements. The buffer is bounded at N exactly like the reference's
+    * capped PriorityQueue (evict-min on insert), so map-side partial
+    * aggregation carries at most N elements per partition — the property
+    * that makes a global top-N cheap at scale (shuffle volume is
+    * partitions·N, not the input). finish returns descending order. For
+    * plain column top-N prefer native sort+limit (Catalyst's
+    * TakeOrderedAndProject); this is the reducer-shaped form for
+    * typed/Pregel aggregation. */
+  final class TopNLong(n: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    def zero: Seq[Long] = Vector.empty
+    def reduce(b: Seq[Long], a: Long): Seq[Long] =
+      if (b.size < n) b :+ a
+      else {
+        val (mn, at) = b.iterator.zipWithIndex.minBy(_._1)
+        if (a > mn) b.updated(at, a) else b // evict-min, the heap's move
+      }
+    def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
+      b2.foldLeft(b1)(reduce)
+    def finish(r: Seq[Long]): Seq[Long] = r.sorted(Ordering[Long].reverse)
+    def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] = bufferEncoder
+  }
+
   /** DataFrame-native sparse vector sum — the scale path when sparse
     * vectors are a map column: explode to (index, value) rows, sum per
     * index (partial+final HashAggregate, no per-row map allocation).

@@ -229,22 +229,76 @@ object Algos {
       .select(col("id"), lit(1.0 / n).as("pr"),
         coalesce(col("outdeg"), lit(0.0)).as("outdeg"))
     val res = Pregel.iterate(init, iterations, opts) { (verts, _) =>
-      val sums = verts.filter(col("outdeg") > 0)
-        .join(e, col("id") === col("src"))
-        .select(col("dst"), (col("pr") / col("outdeg")).as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      val dang = verts.filter(col("outdeg") === 0)
-        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dsum"))
-      verts.drop("pr")
-        .join(sums, col("id") === col("dst"), "left")
-        .crossJoin(broadcast(dang))
-        .select(col("id"),
-          (lit(resetProb / n) +
-            lit(damping) * (coalesce(col("s"), lit(0.0)) + col("dsum") / n)).as("pr"),
-          col("outdeg"))
+      prUpdate(verts, e, n, damping, resetProb)
     }
     freeCkpt(e); v.unpersist()
     res.select("id", "pr")
+  }
+
+  /** One PageRank power-iteration round (shared by the fixed-iteration
+    * and convergence-halted forms). */
+  private def prUpdate(verts: DataFrame, e: DataFrame, n: Double,
+                       damping: Double, resetProb: Double): DataFrame = {
+    val sums = verts.filter(col("outdeg") > 0)
+      .join(e, col("id") === col("src"))
+      .select(col("dst"), (col("pr") / col("outdeg")).as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+    val dang = verts.filter(col("outdeg") === 0)
+      .agg(coalesce(sum(col("pr")), lit(0.0)).as("dsum"))
+    verts.drop("pr")
+      .join(sums, col("id") === col("dst"), "left")
+      .crossJoin(broadcast(dang))
+      .select(col("id"),
+        (lit(resetProb / n) +
+          lit(damping) * (coalesce(col("s"), lit(0.0)) + col("dsum") / n)).as("pr"),
+        col("outdeg"))
+  }
+
+  /** PageRank with convergence-based halting — the reference's
+    * `PageRankConvergenceType` family (BLOCK8/library/pagerank/
+    * PageRankConvergenceType.java: SUM/MAX × absolute/relative
+    * differences + RMSE, checked by the master per superstep): rounds run
+    * until the chosen delta metric between consecutive rank vectors drops
+    * below `tol`, or `maxIters`. The per-round metric is a single driver
+    * SCALAR (master-collects-scalars rule); the iterated vertex frame is
+    * checkpointed with declared id-partitioning like every Pregel loop,
+    * so the prev⋈next delta join is exchange-free. Returns
+    * (result, roundsRun). Iteration count is data-dependent, so this
+    * variant is spec-verified (AlgosSpec) rather than SQL-oracled — the
+    * fixed-iteration [[pagerank]] carries the oracle. */
+  def pagerankConverged(edges: DataFrame, maxIters: Int = 64,
+                        tol: Double = 1e-8, convergence: String = "sum",
+                        damping: Double = 0.85, resetProb: Double = 0.15): (DataFrame, Int) = {
+    val e = ckptHash(edges.select("src", "dst"), "src")
+    val v = verticesOf(e).persist(StorageLevel.MEMORY_AND_DISK)
+    val n = v.count().toDouble
+    val deg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("double").as("outdeg"))
+    var verts = ckptHash(v.join(deg, Seq("id"), "left")
+      .select(col("id"), lit(1.0 / n).as("pr"),
+        coalesce(col("outdeg"), lit(0.0)).as("outdeg")), "id")
+    var it = 0
+    var delta = Double.MaxValue
+    while (it < maxIters && delta >= tol) {
+      val prev = verts
+      verts = ckptHash(prUpdate(prev, e, n, damping, resetProb), "id")
+      val diff = abs(col("pr") - col("prev_pr"))
+      val metric = convergence match {
+        case "sum"     => sum(diff)
+        case "max"     => max(diff)
+        case "sum_rel" => sum(diff / col("prev_pr"))
+        case "max_rel" => max(diff / col("prev_pr"))
+        case "rmse"    => sqrt(sum(diff * diff) / lit(n))
+        case other => throw new IllegalArgumentException(s"unknown convergence: $other")
+      }
+      delta = verts
+        .join(prev.select(col("id"), col("pr").as("prev_pr")), Seq("id"))
+        .agg(metric.as("d")).first().getDouble(0)
+      freeCkpt(prev)
+      it += 1
+    }
+    freeCkpt(e); v.unpersist()
+    (verts.select("id", "pr"), it)
   }
 
   /** Weighted PageRank: contributions proportional to edge weight

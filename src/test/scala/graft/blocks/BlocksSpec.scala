@@ -39,6 +39,17 @@ class BlocksSpec extends SparkSpec {
     assert(pair == ((2L, 9.0)))
   }
 
+  test("topN reducer keeps the N largest across partitions, descending") {
+    val got = spark.range(0, 100).repartition(7)
+      .select(col("id")).as[Long]
+      .select(new Reducers.TopNLong(5).toColumn).first()
+    assert(got == Seq(99L, 98L, 97L, 96L, 95L))
+    // fewer elements than capacity → all of them
+    val small = Seq(3L, 9L, 1L).toDS()
+      .select(new Reducers.TopNLong(5).toColumn).first()
+    assert(small == Seq(9L, 3L, 1L))
+  }
+
   test("vector sum aggregator sums elementwise") {
     val got = Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)).toDS()
       .select(new Reducers.VectorSum(2).toColumn).first()

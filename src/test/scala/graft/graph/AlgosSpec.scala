@@ -35,6 +35,22 @@ class AlgosSpec extends SparkSpec {
     assert(got.count() == n)
   }
 
+  test("converged pagerank halts early and matches the fixed-iteration ranks") {
+    val e = Prep.makeSymmetric(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst"))
+    val (res, rounds) = Algos.pagerankConverged(e, maxIters = 60, tol = 1e-10)
+    assert(rounds < 60)                 // tol reached before the cap
+    val fixed = Algos.pagerank(e, iterations = 60)
+      .select(col("id"), col("pr")).as[(Long, Double)].collect().toMap
+    val got = res.as[(Long, Double)].collect().toMap
+    assert(got.keySet == fixed.keySet)
+    got.foreach { case (id, pr) => assert(math.abs(pr - fixed(id)) < 1e-8) }
+    // max-relative metric converges too (same fixpoint, different rule)
+    val (_, r2) = Algos.pagerankConverged(e, maxIters = 60, tol = 1e-6,
+      convergence = "max_rel")
+    assert(r2 < 60)
+  }
+
   test("bfs levels are hop counts") {
     val e = Prep.makeSymmetric(Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst"))
     val got = Algos.bfs(e, Seq(1L)).orderBy("id").as[(Long, Long)].collect().toSeq
