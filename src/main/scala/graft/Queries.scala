@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.graph.{Algos, Prep}
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 import graft.sql.{Exact, OracleGen}
 import graft.sql.Exact.{e2, e4, e6}
 
@@ -218,6 +218,37 @@ object Queries {
       |ON e.user_id = p.user_id AND e.ts >= p.ts
       |ORDER BY e.event_id""".stripMargin.replace('\n', ' ')
 
+  /** Bucketized range join ([[graft.operators.RangeJoin]]): for every
+    * error event, the same user's clicks within the following hour —
+    * interval attribution without a per-key cross product (time is part
+    * of the equi-key). Micros on both engines, as q_asof_purchase. */
+  private def qRangeAttrib(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val hourUs = 3600000000L
+    val clicks = t.events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        expr("ts div 1000").as("ct"))
+    val errors = t.events.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"),
+        expr("ts div 1000").as("es"),
+        (expr("ts div 1000") + lit(hourUs)).as("ee"))
+    RangeJoin.pointInInterval(clicks, errors,
+        key = "user_id", t = "ct", start = "es", end = "ee",
+        bucketWidth = hourUs)
+      .groupBy(col("error_id"))
+      .agg(count(lit(1)).as("clicks"), min(col("click_id")).as("first_click_id"))
+      .orderBy(col("error_id"))
+  }
+
+  private val qRangeAttribSql =
+    """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS ct
+      |FROM events WHERE event_type = 'click'),
+      |x AS (SELECT user_id, event_id AS error_id, epoch_us(ts) AS es,
+      |epoch_us(ts) + 3600000000 AS ee FROM events WHERE event_type = 'error')
+      |SELECT x.error_id, COUNT(*) AS clicks, MIN(c.click_id) AS first_click_id
+      |FROM x JOIN c ON c.user_id = x.user_id AND c.ct >= x.es AND c.ct <= x.ee
+      |GROUP BY x.error_id ORDER BY x.error_id""".stripMargin.replace('\n', ' ')
+
   // ------------------------------------------------------------------
   // graph corpus (SURVEY §2.9) on graphs derived from the tables
   // ------------------------------------------------------------------
@@ -393,6 +424,7 @@ object Queries {
     "q_tumbling"       -> (qTumbling _),
     "q_sliding"        -> (qSliding _),
     "q_asof_purchase"  -> (qAsofPurchase _),
+    "q_range_attrib"   -> (qRangeAttrib _),
     "q_graph_degrees"  -> (qDegrees _),
     "q_graph_wcc"      -> (qWcc _),
     "q_graph_sssp"     -> (qSssp _),
@@ -424,6 +456,7 @@ object Queries {
     "q_tumbling"       -> qTumblingSql,
     "q_sliding"        -> qSlidingSql,
     "q_asof_purchase"  -> qAsofPurchaseSql,
+    "q_range_attrib"   -> qRangeAttribSql,
     "q_graph_degrees"  -> qDegreesSql,
     "q_graph_wcc"      -> OracleGen.labelPropSql(TestGraphs.custSuppSymSql, 12, isMin = true, "component"),
     "q_graph_sssp"     -> OracleGen.ssspSql(TestGraphs.custSuppSymSql, 16),
