@@ -78,6 +78,10 @@ object GraftRunner {
           val source = opts.get("source").map(_.toLong)
           algo match {
             case "pagerank"  => Algos.pagerank(edges, iters)
+            case "pagerank-conv" => Algos.pagerankConverged(edges,
+              maxIters = iters,
+              tol = opts.getOrElse("tol", "1e-8").toDouble,
+              convergence = opts.getOrElse("convergence", "sum"))._1
             case "wpagerank" => Algos.pagerankWeighted(edges, iters)
             case "sssp"      => Algos.sssp(edges, source.getOrElse(minSrc(edges)))
             case "bfs"       => Algos.bfs(edges, Seq(source.getOrElse(minSrc(edges))))
@@ -142,7 +146,9 @@ object GraftRunner {
       |  [--iters N] [--symmetric] [--parallelism N]
       |  or --gen uniform|ws --vertices N --degree N [--seed N]
       |     [--local-ratio permille] [--beta permille]   (benchmark inputs)
-      |  graph algo: pagerank wpagerank sssp bfs wcc scc degrees mis triangles
+      |  graph algo: pagerank pagerank-conv wpagerank sssp bfs wcc scc
+      |              degrees mis triangles   ([--tol X] [--convergence
+      |              sum|max|sum_rel|max_rel|rmse] for pagerank-conv)
       |or: GraftRunner <op> --docs <parquet> --out <path> [--k N] [--budget N]
       |  corpus op: dedup-exact dedup-minhash dedup-clusters tfidf vocab
       |             scrub pack sample repetition""".stripMargin)
