@@ -386,6 +386,23 @@ object Queries {
        |SELECT COUNT(*) AS n_vertices, MIN(d) AS min_deg, MAX(d) AS max_deg,
        |CAST(FLOOR(AVG(d) * 10000) AS BIGINT) AS avg_deg_e4, median(d) AS median_deg FROM d""".stripMargin.replace('\n', ' ')
 
+  /** Partitioning-quality stats (edge locality + avg bucket fanout) of
+    * the id-mod-8 placement over the customer–supplier graph. */
+  private def qPartitionStats(s: SparkSession, dir: String): DataFrame =
+    Algos.partitioningStats(custSuppE(s, dir), nBuckets = 8)
+
+  private val qPartitionStatsSql =
+    s"""WITH ce AS MATERIALIZED (${TestGraphs.custSuppSql}),
+       |e AS (SELECT src, dst, src % 8 AS bs, dst % 8 AS bd FROM ce),
+       |f AS (SELECT src, COUNT(DISTINCT bd) AS f FROM e GROUP BY src),
+       |a1 AS (SELECT COUNT(*) AS ne,
+       |SUM(CASE WHEN bs = bd THEN 1 ELSE 0 END) AS le FROM e),
+       |a2 AS (SELECT COUNT(*) AS nv, SUM(f) AS sf FROM f)
+       |SELECT CAST(ne AS BIGINT) AS n_edges, CAST(le AS BIGINT) AS local_edges,
+       |CAST(FLOOR(CAST(le AS DOUBLE) / ne * 1000000) AS BIGINT) AS locality_e6,
+       |CAST(FLOOR(CAST(sf AS DOUBLE) / nv * 1000000) AS BIGINT) AS avg_fanout_e6
+       |FROM a1, a2""".stripMargin.replace('\n', ' ')
+
   private def qDeadlock(s: SparkSession, dir: String): DataFrame =
     Algos.deadlock(TestGraphs.waitFor(Tables(s, dir))).orderBy(col("id"))
 
@@ -444,6 +461,7 @@ object Queries {
     "q_graph_wpagerank" -> (qWPagerank _),
     "q_graph_rwr"      -> (qRwr _),
     "q_graph_deg_stats" -> (qDegStats _),
+    "q_graph_partition_stats" -> (qPartitionStats _),
     "q_graph_prep_stats" -> (qPrepStats _)) ++ PipelineQueries.all ++ CorpusQueries.all
 
   val oracles: Map[String, String] = Map(
@@ -476,5 +494,6 @@ object Queries {
     "q_graph_wpagerank" -> OracleGen.pagerankWeightedSql(TestGraphs.custSuppSymSql, 5, 0.85, 0.15),
     "q_graph_rwr"      -> OracleGen.rwrSql(TestGraphs.custSuppSymSql, 5, 0.85, 0.15),
     "q_graph_deg_stats" -> qDegStatsSql,
+    "q_graph_partition_stats" -> qPartitionStatsSql,
     "q_graph_prep_stats" -> qPrepStatsSql) ++ PipelineQueries.oracles ++ CorpusQueries.oracles
 }

@@ -367,6 +367,29 @@ object Algos {
         floor(avg(col("d")) * 10000).cast("long").as("avg_deg_e4"),
         expr("percentile(d, 0.5)").as("median_deg"))
 
+  /** Partitioning-quality stats for a vertex→bucket assignment
+    * (id mod nBuckets — the LongMappingStore-style placement):
+    * edge locality = fraction of edges inside one bucket, and average
+    * fanout = mean distinct buckets a vertex's out-neighbors land in.
+    * Reference: BLOCK8 .../stats/PartitioningStats.java
+    * (calculateEdgeLocality:47-87, average fanout :89-135) — a
+    * SendMessageChain + master reduce there; two aggregations here, one
+    * scan + one (src → distinct bucket) shuffle, scalars out. */
+  def partitioningStats(edges: DataFrame, nBuckets: Int): DataFrame = {
+    val e = edges.select(
+      col("src"), col("dst"),
+      pmod(col("src"), lit(nBuckets.toLong)).as("bs"),
+      pmod(col("dst"), lit(nBuckets.toLong)).as("bd"))
+    val fan = e.groupBy(col("src")).agg(countDistinct(col("bd")).as("f"))
+      .agg(count(lit(1)).as("nv"), sum(col("f")).as("sf"))
+    val loc = e.agg(count(lit(1)).as("ne"),
+      sum(when(col("bs") === col("bd"), 1L).otherwise(0L)).as("le"))
+    loc.crossJoin(fan).select(
+      col("ne").as("n_edges"), col("le").as("local_edges"),
+      graft.sql.Exact.e6(col("le") / col("ne")).as("locality_e6"),
+      graft.sql.Exact.e6(col("sf") / col("nv")).as("avg_fanout_e6"))
+  }
+
   /** Canonical pairs (u < v) re-oriented low-degree → high-degree
     * endpoint (ties by id): the compact-forward / degree-ordered
     * orientation (Chiba–Nishizeki; Schank–Wagner '05). Out-degrees in the
