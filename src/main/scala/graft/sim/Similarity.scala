@@ -18,9 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated in double in
-    * index order (reproducible across engines). */
+  /** Dot product of two float/double-array columns, accumulated in
+    * double in index order (reproducible across engines). Native
+    * codegen'd expression — see [[graft.functions.VecDot]] for why it
+    * beats the declarative aggregate∘zip_with form on the ANN hot
+    * path (PipelineSpec asserts exact parity between the two). */
   def dot(x: Column, y: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.VecDot(
+        org.apache.spark.sql.graft.ColumnBridge.expression(x),
+        org.apache.spark.sql.graft.ColumnBridge.expression(y)))
+
+  /** The declarative fold `dot` replaces — kept as the parity reference
+    * for the spec. */
+  def dotDeclarative(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

@@ -108,6 +108,26 @@ class PipelineSpec extends SparkSpec {
     assert(got.nonEmpty && got.head._2 == 2L && got.head._3 >= 9990L)
   }
 
+  test("native vec_dot matches the declarative fold exactly, incl. mixed types") {
+    val e = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f), Seq(2.0, 4.0, 8.0)),
+      (2L, Seq(0.1f, 0.2f, 0.3f), Seq(-1.0, 0.0, 1.0))
+    ).toDF("id", "fv", "dv")
+    val rows = e.select(
+        Similarity.dot(col("fv"), col("fv")).as("nat_ff"),
+        Similarity.dotDeclarative(col("fv"), col("fv")).as("dec_ff"),
+        Similarity.dot(col("fv"), col("dv")).as("nat_fd"),
+        Similarity.dotDeclarative(col("fv"), col("dv")).as("dec_fd"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1)) // bit-exact, not approx
+      assert(r.getDouble(2) == r.getDouble(3))
+    }
+    // length mismatch → null (matches the poisoned declarative fold)
+    val m = e.select(Similarity.dot(col("fv"), array(lit(1.0f))).as("d")).first()
+    assert(m.isNullAt(0))
+  }
+
   test("scalar quantization: codes in [0,255], extremes exact, sq ann finds the clone") {
     val e = Seq(
       (1L, Seq(1.0f, 0.2f, 0.1f, 0.4f)),
