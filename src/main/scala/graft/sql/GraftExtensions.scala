@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{MinhashSignature, Simhash60}
+import graft.functions.{MinhashSignature, Simhash60, VecDot}
 
 /** SQL surface for the engine's native Catalyst expressions, via the
   * standard `SparkSessionExtensions` hook — `spark.sql("SELECT
@@ -43,6 +43,12 @@ object GraftExtensions {
         require(args.length == 2,
           "minhash_signature(shingles, numHashes) takes two arguments")
         MinhashSignature(args.head, intArg(args(1), "numHashes"))
+      }),
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_dot(x, y) takes two arguments")
+        VecDot(args.head, args(1))
       }))
 
   /** Install the functions on a live session (post-construction). */

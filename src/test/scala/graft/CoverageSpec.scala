@@ -107,5 +107,9 @@ class CoverageSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT minhash_signature(array('a'), length('ab')) AS s").collect()
     }
+    val d = spark.sql(
+      "SELECT vec_dot(array(CAST(1.5 AS FLOAT), CAST(-2.0 AS FLOAT)), array(2.0D, 3.0D)) AS d")
+      .first().getDouble(0)
+    assert(d == 1.5 * 2.0 + -2.0 * 3.0)
   }
 }
