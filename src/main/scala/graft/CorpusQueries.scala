@@ -209,17 +209,19 @@ object CorpusQueries {
   }
 
   private val qContaminationSql =
-    s"""WITH g AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(
+    s"""WITH g0 AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(
        |list_transform(range(1, greatest(len(${tokSql()}) - 2, 1) + 1),
        |i -> concat_ws(' ', ${tokSql()}[i], ${tokSql()}[i+1], ${tokSql()}[i+2])))) AS gram
        |FROM documents),
-       |cg AS MATERIALIZED (SELECT doc_id AS train_id, gram FROM g WHERE train_id >= 20),
-       |rare AS MATERIALIZED (SELECT gram FROM cg GROUP BY gram HAVING COUNT(*) <= 1000),
-       |eg AS MATERIALIZED (SELECT doc_id AS eval_id, gram FROM g WHERE eval_id < 20),
+       |g AS MATERIALIZED (SELECT doc_id,
+       |CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT) AS gk FROM g0),
+       |cg AS MATERIALIZED (SELECT doc_id AS train_id, gk FROM g WHERE train_id >= 20),
+       |rare AS MATERIALIZED (SELECT gk FROM cg GROUP BY gk HAVING COUNT(*) <= 1000),
+       |eg AS MATERIALIZED (SELECT doc_id AS eval_id, gk FROM g WHERE eval_id < 20),
        |es AS MATERIALIZED (SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_grams
        |FROM eg GROUP BY eval_id),
        |ov AS MATERIALIZED (SELECT eg.eval_id, cg.train_id, COUNT(*) AS shared
-       |FROM eg JOIN rare USING (gram) JOIN cg USING (gram)
+       |FROM eg JOIN rare USING (gk) JOIN cg USING (gk)
        |GROUP BY eg.eval_id, cg.train_id),
        |best AS (SELECT eval_id, train_id, shared FROM ov
        |QUALIFY ROW_NUMBER() OVER (PARTITION BY eval_id

@@ -232,21 +232,29 @@ object Corpus {
   def contamination(corpus: DataFrame, evalDocs: DataFrame, n: Int = 3,
                     maxDf: Int = 1000, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
+    // grams travel as 60-bit md5 fingerprints, not strings: every
+    // downstream shuffle (the df groupBy, the two joins, the overlap
+    // aggregation) keys on 8 bytes instead of a ~25-byte UTF8 gram.
+    // A fingerprint collision merges two grams in BOTH engines
+    // identically (the oracle replays the same md5 prefix), and at
+    // 2^-60 per pair it is noise next to the n-gram heuristic itself.
     def grams(df: DataFrame, as: String) =
       df.select(col(idCol).as(as), explode(wordNgrams(tokens(col(textCol)), n)).as("gram"))
+        .select(col(as),
+          conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gk"))
     // persisted: the hub-gram df aggregation AND the overlap join both
     // read the corpus gram explode — the query's dominant pass; Catalyst
     // does not dedupe shared subtrees (same rationale as tfIdfTopK)
     val cg = grams(corpus, "train_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // drop hub grams by training-side document frequency
-    val rare = cg.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("gram")
+    val rare = cg.groupBy(col("gk")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("gk")
     val eg = grams(evalDocs, "eval_id")
     val evalSize = evalDocs.select(col(idCol).as("eval_id"),
       size(wordNgrams(tokens(col(textCol)), n)).cast("long").as("n_grams"))
-    val overlap = eg.join(rare, Seq("gram"))
-      .join(cg, Seq("gram"))
+    val overlap = eg.join(rare, Seq("gk"))
+      .join(cg, Seq("gk"))
       .groupBy(col("eval_id"), col("train_id"))
       .agg(count(lit(1)).as("shared"))
     val w = Window.partitionBy(col("eval_id"))
