@@ -52,6 +52,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.head._4.contains(9L)) // last in (t, side, tie) order carries
   }
 
+  test("randomized: matches the brute-force as-of on 300 seeded rows") {
+    val rnd = new scala.util.Random(42)
+    val ls = Seq.tabulate(200)(i => (rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, i.toLong))
+    val rs = Seq.tabulate(100)(i => (rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, 1000L + i))
+    // brute force: per left row, right rows with same key, rt <= t,
+    // max (rt, rid) wins — mirrors (t, side, tie) window order
+    val expected = ls.map { case (k, t, id) =>
+      val m = rs.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      (id, m)
+    }.toMap
+    val got = AsOfJoin.backward(
+        ls.toDF("k", "t", "id"), rs.toDF("k", "rt", "rid"),
+        key = "k", leftTs = "t", rightTs = "rt",
+        rightCols = Seq("rid"), rightTieBreak = Some("rid"))
+      .select(col("id"), col("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == expected)
+  }
+
   test("plan shape: one exchange on the key, no cartesian/range join") {
     val out = AsOfJoin.backward(left, right.withColumnRenamed("t", "rt"),
       key = "k", leftTs = "t", rightTs = "rt", rightCols = Seq("reading"))

@@ -36,6 +36,25 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Seq("p2")) // t=105 ∈ [90,110]; p1 at 10 outside
   }
 
+  test("randomized: equals the naive theta join on 300 seeded rows") {
+    val rnd = new scala.util.Random(7)
+    val ps = Seq.tabulate(200)(i => (rnd.nextInt(6).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val is = Seq.tabulate(100) { i =>
+      val s = rnd.nextInt(1000).toLong
+      (rnd.nextInt(6).toLong, s, s + rnd.nextInt(97).toLong, 1000L + i)
+    }
+    val expected = (for {
+      (pk, t, pid) <- ps; (ik, s, e, iid) <- is
+      if pk == ik && t >= s && t <= e
+    } yield (pid, iid)).toSet
+    val got = RangeJoin.pointInInterval(
+        ps.toDF("k", "t", "pid"), is.toDF("k", "s", "e", "iid"),
+        key = "k", t = "t", start = "s", end = "e", bucketWidth = 100L)
+      .select(col("pid"), col("iid")).as[(Long, Long)].collect()
+    assert(got.length == got.toSet.size) // no duplicate pairs
+    assert(got.toSet == expected)
+  }
+
   test("plan: equi-join on (key, bucket), no cartesian or nested loop") {
     val out = RangeJoin.pointInInterval(points, intervals, "k", "t", "s", "e", 100L)
     val plan = out.queryExecution.executedPlan.toString
