@@ -534,6 +534,22 @@ object PipelineQueries {
       |CAST(off AS BIGINT) AS offset
       |FROM o WHERE fi % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin.replace('\n', ' ')
 
+  /** Pixel feature extraction round trip: the payload's pixel stream is
+    * the document's (pure-ASCII) text bytes, so the oracle can compute
+    * the same stats from the characters — matching only if the parser
+    * skipped exactly the real header. */
+  private def qMultimodalPixstats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pixelStats(Multimodal.documentsAsPpm(Tables(s, dir).documents))
+      .toDF().orderBy(col("doc_id"))
+
+  private val qMultimodalPixstatsSql =
+    """WITH px AS (SELECT doc_id, ascii(c) AS v FROM (
+      |SELECT doc_id, unnest(split(text, '')) AS c FROM documents) z)
+      |SELECT doc_id, COUNT(*) AS n_px_bytes,
+      |CAST(SUM(v) AS BIGINT) AS sum_px,
+      |CAST(MIN(v) AS INT) AS min_px, CAST(MAX(v) AS INT) AS max_px
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
   // registry ------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -557,7 +573,8 @@ object PipelineQueries {
     "q_ann_lsh"          -> (qAnnLsh _),
     "q_multimodal_meta"  -> (qMultimodalMeta _),
     "q_multimodal_wav"   -> (qMultimodalWav _),
-    "q_multimodal_frames" -> (qMultimodalFrames _))
+    "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_multimodal_pixstats" -> (qMultimodalPixstats _))
 
   val oracles: Map[String, String] = Map(
     "q_text_stats"       -> qTextStatsSql,
@@ -580,5 +597,6 @@ object PipelineQueries {
     "q_ann_lsh"          -> qAnnLshSql,
     "q_multimodal_meta"  -> qMultimodalMetaSql,
     "q_multimodal_wav"   -> qMultimodalWavSql,
-    "q_multimodal_frames" -> qMultimodalFramesSql)
+    "q_multimodal_frames" -> qMultimodalFramesSql,
+    "q_multimodal_pixstats" -> qMultimodalPixstatsSql)
 }

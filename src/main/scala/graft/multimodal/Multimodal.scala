@@ -282,6 +282,83 @@ object Multimodal {
     }).toDF("doc_id", "payload")
   }
 
+  /** Per-image pixel feature extraction: byte count, sum, min, max over
+    * the pixel stream following a parsed P6 header (unsigned byte
+    * values). The header length is COMPUTED by the parser, so the stats
+    * only match an oracle that knows the construction if the parser
+    * skipped exactly the header — a round trip through real offsets.
+    * Unparseable payloads flag -1 (kept, not dropped). */
+  final case class PixelStats(doc_id: Long, n_px_bytes: Long, sum_px: Long,
+                              min_px: Int, max_px: Int)
+
+  def pixelStats(media: DataFrame, idCol: String = "doc_id",
+                 payloadCol: String = "payload"): Dataset[PixelStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).as("doc_id"), col(payloadCol).as("payload"))
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        decodePpmAt(r.payload, 0) match {
+          case Some((_, _, _, hdrLen)) =>
+            var i = hdrLen
+            var sum = 0L
+            var mn = 256
+            var mx = -1
+            while (i < r.payload.length) {
+              val v = r.payload(i) & 0xff
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              i += 1
+            }
+            val n = (r.payload.length - hdrLen).toLong
+            if (n == 0) PixelStats(r.doc_id, 0L, 0L, -1, -1)
+            else PixelStats(r.doc_id, n, sum, mn, mx)
+          case None => PixelStats(r.doc_id, -1L, -1L, -1, -1)
+        }
+      })
+  }
+
+  /** Nearest-neighbor resize of a P6 payload: output pixel (x, y) copies
+    * input pixel (⌊x·w/newW⌋, ⌊y·h/newH⌋), all 3 channels — the
+    * partition-local shape of image preprocessing (the resize kernel a
+    * production pipeline swaps for a SIMD/codec one; the Spark contract
+    * is unchanged). Payloads without full pixel data (or unparseable)
+    * pass through with a null output payload. */
+  def resizeNearest(media: DataFrame, newW: Int, newH: Int,
+                    idCol: String = "doc_id",
+                    payloadCol: String = "payload"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).as("doc_id"), col(payloadCol).as("payload"))
+      .as[MediaRow]
+      .map { r =>
+        val out = decodePpmAt(r.payload, 0) match {
+          case Some((w, h, mv, hdrLen))
+              if w > 0 && h > 0 && r.payload.length >= hdrLen + 3L * w * h =>
+            val header = s"P6\n$newW $newH\n$mv\n".getBytes("US-ASCII")
+            val bb = java.nio.ByteBuffer.allocate(header.length + 3 * newW * newH)
+            bb.put(header)
+            var y = 0
+            while (y < newH) {
+              val sy = y.toLong * h / newH
+              var x = 0
+              while (x < newW) {
+                val sx = x.toLong * w / newW
+                val off = hdrLen + 3 * (sy * w + sx).toInt
+                bb.put(r.payload(off)).put(r.payload(off + 1)).put(r.payload(off + 2))
+                x += 1
+              }
+              y += 1
+            }
+            bb.array()
+          case _ => null
+        }
+        (r.doc_id, out)
+      }
+      .toDF("doc_id", "payload")
+  }
+
   /** Documents→media adapter for the test tables: treats the utf-8 text
     * bytes as the opaque payload. */
   def documentsAsMedia(docs: DataFrame): DataFrame =

@@ -219,6 +219,38 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.sampleVideoFrames(garbled, stride = 1).count() == 3)
   }
 
+  test("nearest-neighbor resize picks the exact source pixels") {
+    // 2x2 image, distinct per-pixel RGB triples
+    val pixels = Array[Byte](
+      1, 2, 3,   4, 5, 6,      // row 0: (0,0) (1,0)
+      7, 8, 9,  10, 11, 12)    // row 1: (0,1) (1,1)
+    val img = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ pixels
+    val media = Seq((1L, img)).toDF("doc_id", "payload")
+    val out = Multimodal.resizeNearest(media, newW = 1, newH = 1)
+      .select($"payload").as[Array[Byte]].first()
+    assert(new String(out.take(9), "US-ASCII") == "P6\n1 1\n255\n".take(9))
+    assert(out.drop("P6\n1 1\n255\n".length) sameElements Array[Byte](1, 2, 3))
+    // upscale 2x2 -> 4x4: each source pixel replicated 2x2
+    val up = Multimodal.resizeNearest(media, 4, 4)
+      .select($"payload").as[Array[Byte]].first()
+    val upPx = up.drop("P6\n4 4\n255\n".length)
+    assert(upPx.length == 48)
+    assert(upPx.take(6) sameElements Array[Byte](1, 2, 3, 1, 2, 3))       // (0,0)x2
+    assert(upPx.slice(6, 12) sameElements Array[Byte](4, 5, 6, 4, 5, 6)) // (1,0)x2
+    // truncated pixel data → null payload, row kept
+    val short = Seq((2L, "P6\n9 9\n255\nxy".getBytes("US-ASCII"))).toDF("doc_id", "payload")
+    assert(Multimodal.resizeNearest(short, 1, 1).filter($"payload".isNull).count() == 1)
+  }
+
+  test("pixel stats skip exactly the parsed header") {
+    val img = "P6\n2 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](10, 20, 30, 40, 50, -1)
+    val media = Seq((1L, img), (2L, "garbage".getBytes("US-ASCII"))).toDF("doc_id", "payload")
+    val got = Multimodal.pixelStats(media).orderBy("doc_id")
+      .as[(Long, Long, Long, Int, Int)].collect()
+    assert(got(0) == ((1L, 6L, 10L + 20 + 30 + 40 + 50 + 255, 10, 255))) // -1 byte = 255 unsigned
+    assert(got(1) == ((2L, -1L, -1L, -1, -1)))
+  }
+
   test("multimodal decode parses wrapped PPM payloads; frame sampling explodes") {
     val media = Multimodal.documentsAsPpm(docs.select("doc_id", "text"))
     val meta = Multimodal.decodeMeta(media).collect()
