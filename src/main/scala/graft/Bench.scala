@@ -28,11 +28,14 @@ object Bench {
       val docs = spark.range(3000).select(col("id").as("doc_id"),
         concat_ws(" ", (0 until 30).map(i =>
           md5(concat(col("id").cast("string"), lit(s":$i")))): _*).as("text"))
+      // first(), not count(): count() over the aggregate lets column
+      // pruning drop the sums AND the kernel projections feeding them —
+      // the warmup would be a no-op over a pruned scan
       docs.select(
           minhashSignature(shingleSet(col("text"), 8), 16).as("sig"),
           simhash60(shingleSet(col("text"), 8)).as("s60"))
-        .select(sum(length(element_at(col("sig"), 1))) + sum(col("s60")))
-        .count()
+        .select((sum(length(element_at(col("sig"), 1))) + sum(col("s60"))).as("w"))
+        .first()
     }
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // name-sorted: a stable, documented order makes per-query times

@@ -74,7 +74,9 @@ object CorpusQueries {
   // --- stratified sampling ----------------------------------------------
 
   private def qSampleStratified(s: SparkSession, dir: String): DataFrame =
-    Corpus.stratifiedSample(Tables(s, dir).documents).orderBy(col("doc_id"))
+    Corpus.stratifiedSample(Tables(s, dir).documents)
+      .select(col("doc_id"), col("source"), col("rate_permille"))
+      .orderBy(col("doc_id"))
 
   private val qSampleStratifiedSql =
     s"""WITH b AS (SELECT doc_id, source,

@@ -168,7 +168,8 @@ object Reducers {
   final class TopNLong(n: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
     def zero: Seq[Long] = Vector.empty
     def reduce(b: Seq[Long], a: Long): Seq[Long] =
-      if (b.size < n) b :+ a
+      if (n <= 0) b // capacity 0: keep nothing (empty minBy would throw)
+      else if (b.size < n) b :+ a
       else {
         val (mn, at) = b.iterator.zipWithIndex.minBy(_._1)
         if (a > mn) b.updated(at, a) else b // evict-min, the heap's move

@@ -38,10 +38,19 @@ object Multimodal {
     * token (the netpbm grammar). Returns None when the payload is not a
     * parseable P6 header. Pixel samples follow the header and are left
     * untouched here (frame/pixel access is [[sampleFrames]]' job). */
-  def decodePpm(payload: Array[Byte]): Option[(Int, Int, Int)] = {
-    if (payload.length < 2 || payload(0) != 'P'.toByte || payload(1) != '6'.toByte) None
+  def decodePpm(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    decodePpmAt(payload, 0).map { case (w, h, mv, _) => (w, h, mv) }
+
+  /** The one P6 header parser (decodePpm, pixelStats, resizeNearest and
+    * the frame walker all share it): parse at `off`, returning
+    * (w, h, maxval, headerLen). headerLen spans through the single
+    * whitespace byte that terminates the maxval token, i.e. the offset
+    * of the first pixel byte relative to `off`. */
+  private def decodePpmAt(payload: Array[Byte], off: Int): Option[(Int, Int, Int, Int)] = {
+    if (payload.length < off + 2 || payload(off) != 'P'.toByte ||
+        payload(off + 1) != '6'.toByte) None
     else {
-      var i = 2
+      var i = off + 2
       def skipWsAndComments(): Unit = {
         var more = true
         while (more) {
@@ -61,7 +70,8 @@ object Multimodal {
         if (i == s || i - s > 9) None
         else Some(new String(payload, s, i - s, "US-ASCII").toInt)
       }
-      for { w <- readInt(); h <- readInt(); mv <- readInt() } yield (w, h, mv)
+      for { w <- readInt(); h <- readInt(); mv <- readInt()
+            if i < payload.length } yield (w, h, mv, i + 1 - off)
     }
   }
 
@@ -120,7 +130,8 @@ object Multimodal {
                 junkLen: Int = 0): Array[Byte] = {
     val dataBytes = nSamples * channels * (bits / 8)
     val pad = dataBytes % 2
-    val junk = if (junkLen > 0) 8 + junkLen else 0
+    // RIFF pads EVERY odd-sized chunk — the junk chunk included
+    val junk = if (junkLen > 0) 8 + junkLen + junkLen % 2 else 0
     val total = 12 + junk + 24 + 8 + dataBytes + pad
     val bb = java.nio.ByteBuffer.allocate(total)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -128,7 +139,7 @@ object Multimodal {
       .put("WAVE".getBytes("US-ASCII"))
     if (junkLen > 0) {
       bb.put("LIST".getBytes("US-ASCII")).putInt(junkLen)
-      (0 until junkLen).foreach(i => bb.put((i % 251).toByte))
+      (0 until junkLen + junkLen % 2).foreach(i => bb.put((i % 251).toByte))
     }
     bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
       .putShort(1.toShort).putShort(channels.toShort).putInt(rate)
@@ -154,16 +165,21 @@ object Multimodal {
         ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
     if (!ascii(0, "RIFF") || !ascii(8, "WAVE")) None
     else {
-      var off = 12
+      // Long cursor: two near-4GB declared sizes would wrap an Int sum
+      // negative and turn a corrupt payload into an out-of-bounds throw
+      var off = 12L
       var fmt: Option[(Int, Int, Int)] = None
       var data: Option[Long] = None
       while ((fmt.isEmpty || data.isEmpty) && off + 8 <= payload.length) {
-        val size = u32(off + 4)
-        if (size < 0 || size > payload.length.toLong) return None
-        if (ascii(off, "fmt ") && size >= 16 && off + 8 + 16 <= payload.length)
-          fmt = Some((u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
-        else if (ascii(off, "data")) data = Some(size)
-        off += 8 + size.toInt + (size % 2).toInt // RIFF pads odd chunks
+        val o = off.toInt
+        val size = u32(o + 4)
+        // a chunk must FIT: a declared size running past the payload end
+        // is truncation/corruption, not a parseable file
+        if (size < 0 || off + 8 + size > payload.length) return None
+        if (ascii(o, "fmt ") && size >= 16)
+          fmt = Some((u16(o + 10), u32(o + 12).toInt, u16(o + 22)))
+        else if (ascii(o, "data")) data = Some(size)
+        off += 8 + size + size % 2 // RIFF pads odd chunks
       }
       for { (ch, rate, bits) <- fmt; db <- data } yield (ch, rate, bits, db)
     }
@@ -210,27 +226,6 @@ object Multimodal {
   // ---------------------------------------------------------------
   // video: concatenated-PPM frame container
   // ---------------------------------------------------------------
-
-  /** PPM header parse at an offset, also returning the header length —
-    * the primitive the frame walker needs to jump frame-to-frame. */
-  private def decodePpmAt(payload: Array[Byte], off: Int): Option[(Int, Int, Int, Int)] = {
-    if (payload.length < off + 2 || payload(off) != 'P'.toByte ||
-        payload(off + 1) != '6'.toByte) None
-    else {
-      var i = off + 2
-      def readInt(): Option[Int] = {
-        while (i < payload.length &&
-          (payload(i) == ' ' || payload(i) == '\n' || payload(i) == '\r' ||
-           payload(i) == '\t')) i += 1
-        val s = i
-        while (i < payload.length && payload(i) >= '0'.toByte && payload(i) <= '9'.toByte) i += 1
-        if (i == s || i - s > 9) None
-        else Some(new String(payload, s, i - s, "US-ASCII").toInt)
-      }
-      for { w <- readInt(); h <- readInt(); mv <- readInt()
-            if i < payload.length } yield (w, h, mv, i + 1 - off) // +1: single ws after maxval
-    }
-  }
 
   /** Real frame sampler over a concatenated-PPM container: walks frame
     * headers (each frame = P6 header + w·h·3 pixel bytes), keeping every

@@ -44,7 +44,13 @@ object AsOfJoin {
       lit(1).as("__side"), lit(0L).as("__tie"),
       struct(leftCols.map(col): _*).as("__l"),
       lit(null).cast(structType(right, rightCols)).as("__r"))
-    val r = right.select(
+    // equi-join semantics: a NULL key matches nothing. The window would
+    // otherwise group all null keys into one partition and enrich
+    // null-keyed left rows with null-keyed right payloads — diverging
+    // from SQL (and DuckDB ASOF) NULL = NULL. Null-keyed LEFT rows stay
+    // (left-join contract) and simply carry no match: with the right
+    // side filtered, their partition has no payload rows.
+    val r = right.where(col(key).isNotNull && col(rightTs).isNotNull).select(
       col(key).as("__k"), col(rightTs).cast("long").as("__t"),
       rightSide.as("__side"), tie.as("__tie"),
       lit(null).cast(structType(left, leftCols)).as("__l"),

@@ -120,12 +120,16 @@ object Corpus {
   def stratifiedSample(docs: DataFrame, idCol: String = "doc_id",
                        stratumCol: String = "source"): DataFrame = {
     val digit = conv(substring(md5(col(stratumCol)), 1, 1), 16, 10).cast("long")
-    val rate = (lit(50L) + lit(50L) * digit).as("rate_permille")
+    val rate = lit(50L) + lit(50L) * digit
     val u = pmod(md5Uniform(concat(col(idCol).cast("string"), lit(":"), col(stratumCol))),
       lit(1000L))
-    docs.select(col(idCol), col(stratumCol), rate, u.as("u"))
-      .filter(col("u") < col("rate_permille"))
-      .drop("u")
+    // keep EVERY payload column: the sampled frame must stay composable
+    // with the downstream corpus ops (a membership list without text
+    // would force callers to re-join the corpus they just sampled)
+    docs.withColumn("rate_permille", rate)
+      .withColumn("__u", u)
+      .filter(col("__u") < col("rate_permille"))
+      .drop("__u")
   }
 
   // --- PII scrubbing ----------------------------------------------------
