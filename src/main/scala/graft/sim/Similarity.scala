@@ -207,6 +207,51 @@ object Similarity {
       .orderBy(col("q_id"), col("rcos_e4").desc, col("n_id"))
   }
 
+  /** Persist an IVF index: the corpus written as parquet PARTITIONED BY
+    * its (trained) cluster assignment, with the trained centroids stored
+    * beside it. This is the artifact a production ANN corpus lives as at
+    * 100 TB: each cluster is a partition directory, so a probe filtering
+    * on `cluster` prunes at the FILE level — non-probed buckets are
+    * never opened, let alone scanned (PartitionFilters in the scan node;
+    * PipelineSpec asserts it), and centroid selection reads only the
+    * tiny stored centroid table, never the corpus. */
+  def writeIvfIndex(corpus: DataFrame, assignment: DataFrame, path: String): Unit = {
+    val joined = corpus.join(assignment, Seq("vec_id"))
+    joined.write.mode("overwrite").partitionBy("cluster").parquet(s"$path/data")
+    centroids(joined, "cluster")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe a persisted IVF index: same ranking contract as [[ivfTopK]],
+    * but centroids come from the stored table and candidates from the
+    * partition-pruned scan of the probed cluster directories only. The
+    * probed-cluster id list is the one driver-side value — bounded by
+    * queries × nprobe (master-collects-scalars discipline). */
+  def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                   queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val cent = spark.read.parquet(s"$path/centroids")
+    val probes = cent.join(broadcast(queries), lit(true))
+      .withColumn("rc", graft.sql.Exact.e6(cosine(col("qv"), col("cv"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rc").desc, col("cluster"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("qv"), col("cluster"))
+    val probedIds = probes.select(col("cluster").cast("long"))
+      .distinct().collect().map(_.getLong(0))
+    val indexed = spark.read.parquet(s"$path/data")
+      .where(col("cluster").isin(probedIds: _*)) // prunes partition dirs
+      .withColumn("cluster", col("cluster").cast("long"))
+    indexed.join(probes.withColumn("cluster", col("cluster").cast("long")),
+        Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rcos_e4", graft.sql.Exact.e4(cosine(col("qv"), col("embedding"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rcos_e4").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rcos_e4"))
+      .orderBy(col("q_id"), col("rcos_e4").desc, col("n_id"))
+  }
+
   /** IVF-style ANN: probe the `nprobe` closest centroids per query, exact
     * search within probed buckets only. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,

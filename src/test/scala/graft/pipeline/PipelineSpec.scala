@@ -146,6 +146,28 @@ class PipelineSpec extends SparkSpec {
     assert(got.head._2 == 2L && got.head._3 >= 9990L) // clone survives rerank
   }
 
+  test("persisted IVF index prunes non-probed cluster partitions at the scan") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.9f, 0.1f)), (4L, Seq(0.1f, 0.9f)),
+      (5L, Seq(0.95f, 0.05f)), (6L, Seq(0.05f, 0.95f))
+    ).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivf").toString
+    Similarity.writeIvfIndex(e, Similarity.kmeansAssign(e, k = 2, iters = 2), path)
+    val q = e.filter($"vec_id" === 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val got = Similarity.ivfIndexTopK(spark, path, q, k = 2, nprobe = 1)
+    val rows = got.as[(Long, Long, Long)].collect()
+    // probing ONE bucket finds only the same-direction neighbors of 3
+    assert(rows.map(_._2).toSet == Set(1L, 5L))
+    // and the DATA scan proves file-level pruning: a non-empty
+    // PartitionFilters on the cluster partition column (the centroids
+    // scan legitimately has none — match the filter content itself)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(cluster"),
+      "data scan carried no cluster partition filter:\n" + plan.take(800))
+  }
+
   test("kmeans trainer converges to the two planted directions") {
     // two tight direction clusters; seeds = vec_ids 1 and 2 (one per side)
     val e = Seq(
