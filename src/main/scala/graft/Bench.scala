@@ -30,11 +30,13 @@ object Bench {
           md5(concat(col("id").cast("string"), lit(s":$i")))): _*).as("text"))
       // first(), not count(): count() over the aggregate lets column
       // pruning drop the sums AND the kernel projections feeding them —
-      // the warmup would be a no-op over a pruned scan
+      // the warmup would be a no-op over a pruned scan. bit_xor, not
+      // sum: s60 values are up to 2^60 and ANSI mode throws on a long
+      // overflow instead of wrapping.
       docs.select(
           minhashSignature(shingleSet(col("text"), 8), 16).as("sig"),
           simhash60(shingleSet(col("text"), 8)).as("s60"))
-        .select((sum(length(element_at(col("sig"), 1))) + sum(col("s60"))).as("w"))
+        .select((sum(length(element_at(col("sig"), 1))) + bit_xor(col("s60"))).as("w"))
         .first()
     }
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
