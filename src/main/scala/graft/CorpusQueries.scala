@@ -86,6 +86,18 @@ object CorpusQueries {
        |SELECT doc_id, source, CAST(rate_permille AS BIGINT) AS rate_permille
        |FROM b WHERE u < rate_permille ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
+  /** Exact-K deterministic sample: 12 docs per source, md5-ranked. */
+  private def qSampleTopK(s: SparkSession, dir: String): DataFrame =
+    Corpus.sampleExactK(Tables(s, dir).documents, k = 12)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  private val qSampleTopKSql =
+    s"""SELECT doc_id, source FROM (
+       |SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source
+       |ORDER BY ${hex6Sql("md5(CAST(doc_id AS VARCHAR) || ':' || source)")}, doc_id) AS rn
+       |FROM documents) t WHERE rn <= 12 ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
   // --- PII scrubbing ----------------------------------------------------
 
   /** The synthetic corpus carries no PII, so (like the embedding-dedup
@@ -239,6 +251,7 @@ object CorpusQueries {
     "q_text_tfidf"        -> (qTfidf _),
     "q_vocab_top"         -> (qVocab _),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_sample_topk"       -> (qSampleTopK _),
     "q_pii_scrub"         -> (qPiiScrub _),
     "q_pack_chunks"       -> (qPackChunks _),
     "q_mix_stats"         -> (qMixStats _),
@@ -250,6 +263,7 @@ object CorpusQueries {
     "q_text_tfidf"        -> qTfidfSql,
     "q_vocab_top"         -> qVocabSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
+    "q_sample_topk"       -> qSampleTopKSql,
     "q_pii_scrub"         -> qPiiScrubSql,
     "q_pack_chunks"       -> qPackChunksSql,
     "q_mix_stats"         -> qMixStatsSql,

@@ -132,6 +132,22 @@ object Corpus {
       .drop("__u")
   }
 
+  /** Exact-K-per-stratum deterministic sample: rank rows within each
+    * stratum by md5(id:stratum) and keep the first k — the fixed-size
+    * companion to [[stratifiedSample]]'s Bernoulli rates (a mixture
+    * config usually wants "exactly K eval docs per source"). Determinism
+    * properties are identical: membership is a pure function of the row,
+    * the window is the only shuffle, and re-running or re-partitioning
+    * can never change the chosen set. Hash ties broken by id. */
+  def sampleExactK(docs: DataFrame, k: Int, idCol: String = "doc_id",
+                   stratumCol: String = "source"): DataFrame = {
+    val u = md5Uniform(concat(col(idCol).cast("string"), lit(":"), col(stratumCol)))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(u, col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   // --- PII scrubbing ----------------------------------------------------
 
   /** ASCII email and long-digit-run patterns, RE2-compatible (the oracle

@@ -35,6 +35,21 @@ class CorpusSpec extends SparkSpec {
     assert(r(1) == ((2L, 1L, 1L, 1L, 1000000L, 0L))) // gram = "a b"
   }
 
+  test("exact-K sample keeps exactly k per stratum, deterministically, with payload") {
+    val d = (0L until 40L).map(i => (i, s"text $i", if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "text", "source")
+    val s1 = Corpus.sampleExactK(d, k = 5)
+    assert(s1.groupBy("source").count().collect().forall(_.getLong(1) == 5))
+    assert(s1.columns.contains("text")) // payload survives
+    // pure function of the data: same members on re-run and re-partition
+    val ids1 = s1.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = Corpus.sampleExactK(d.repartition(7), k = 5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+    // k larger than a stratum: whole stratum kept, no crash
+    assert(Corpus.sampleExactK(d, k = 100).count() == 40)
+  }
+
   test("tf-idf ranks rare tokens above corpus-wide ones") {
     val d = Seq(
       (1L, "common rare1 rare1 common"),
