@@ -87,6 +87,62 @@ object Dedup {
       .orderBy(col("a"), col("b")), sigs)
   }
 
+  /** Persist a MinHash signature index: the banded (band, bv, doc_id)
+    * bucket table plus the per-doc shingle sets, as parquet. This is the
+    * operational artifact incremental dedup needs at 100 TB — the
+    * standing corpus is signed ONCE; each day's increment signs only
+    * itself and probes the stored buckets, instead of re-running the
+    * whole-corpus self-join. */
+  def writeSignatureIndex(docs: DataFrame, path: String,
+                          shingleLen: Int = 8, numHashes: Int = 16,
+                          bands: Int = 4): Unit = {
+    val sigs = withMinhash(docs, shingleLen, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowsPerBand = numHashes / bands
+    sigs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+          .as(Seq("band", "bv")))
+      .write.mode("overwrite").parquet(s"$path/buckets")
+    sigs.select(col("doc_id"), col("sh"))
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    sigs.unpersist()
+  }
+
+  /** Probe an increment of new documents against a stored signature
+    * index: candidates = stored docs sharing any LSH bucket with a new
+    * doc (equi-join of the increment's banded frame — broadcast-sized
+    * when the increment is daily-sized — against the stored bucket
+    * table), verified by true Jaccard against the stored shingle sets.
+    * Output (new_id, idx_id, jac_e6): which indexed documents each new
+    * document duplicates. The standing corpus is never re-signed and
+    * never self-joined. */
+  def incrementalDupPairs(newDocs: DataFrame, indexPath: String,
+                          shingleLen: Int = 8, numHashes: Int = 16,
+                          bands: Int = 4, threshold: Double = 0.3): DataFrame = {
+    val spark = newDocs.sparkSession
+    val sigs = withMinhash(newDocs, shingleLen, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowsPerBand = numHashes / bands
+    val newBanded = sigs.select(col("doc_id").as("new_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+        .as(Seq("band", "bv")))
+    val cands = spark.read.parquet(s"$indexPath/buckets")
+      .join(broadcast(newBanded), Seq("band", "bv"))
+      .select(col("new_id"), col("doc_id").as("idx_id"))
+      .distinct()
+    finish(cands
+      .join(spark.read.parquet(s"$indexPath/shingles")
+        .select(col("doc_id").as("idx_id"), col("sh").as("shi")), Seq("idx_id"))
+      .join(sigs.select(col("doc_id").as("new_id"), col("sh").as("shn")), Seq("new_id"))
+      .withColumn("jac", jaccard(col("shn"), col("shi")))
+      .filter(col("jac") >= threshold)
+      .select(col("new_id"), col("idx_id"),
+        graft.sql.Exact.e6(col("jac")).as("jac_e6"))
+      .orderBy(col("new_id"), col("idx_id")), sigs)
+  }
+
   /** Per-doc 32-bit SimHash fingerprints. */
   def simhashFingerprints(docs: DataFrame, shingleLen: Int = 8): DataFrame =
     docs.select(col("doc_id"),

@@ -33,6 +33,24 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.find(p => (p._1, p._2) == ((1L, 4L))).get._3 == 1000000L)
   }
 
+  test("incremental dedup probes a stored index without re-signing the corpus") {
+    val path = java.nio.file.Files.createTempDirectory("sigidx").toString
+    Dedup.writeSignatureIndex(docs, path)
+    // increment: one near-dup of indexed doc 1, one novel doc
+    val inc = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog", "s9"), // = doc 1/4
+      (101L, "nothing like anything indexed before at all", "s9")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.incrementalDupPairs(inc, path)
+      .as[(Long, Long, Long)].collect().toSeq
+    // exact dups of 1 and 4, near-dup of 2 (the cat variant); novel doc clean
+    assert(got.map(p => (p._1, p._2)).toSet ==
+      Set((100L, 1L), (100L, 2L), (100L, 4L)))
+    val jac = got.map(p => (p._2, p._3)).toMap
+    assert(jac(1L) == 1000000L && jac(4L) == 1000000L)
+    assert(jac(2L) >= 300000L && jac(2L) < 1000000L)
+  }
+
   test("simhash is equal for identical docs, different for unrelated") {
     val fp = Dedup.simhashFingerprints(docs).as[(Long, Long)].collect().toMap
     assert(fp(1L) == fp(4L))
