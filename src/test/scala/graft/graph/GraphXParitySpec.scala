@@ -43,6 +43,17 @@ class GraphXParitySpec extends SparkSpec {
     assert(ours == gx)
   }
 
+  test("triangle count agrees with GraphX TriangleCount") {
+    // our count takes canonical u<v pairs; GraphX counts per-vertex
+    // memberships over the canonicalized graph — Σ/3 = total triangles
+    val pairs = edgesDf.filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v")).distinct()
+    val ours = Algos.triangleCount(pairs).first().getLong(0)
+    val gxTotal = org.apache.spark.graphx.lib.TriangleCount
+      .run(gxGraph).vertices.map(_._2.toLong).reduce(_ + _) / 3
+    assert(ours == gxTotal && ours > 0)
+  }
+
   test("pagerank agrees with GraphX staticPageRank up to the 1/n scaling") {
     // our pr solves pr' = 0.15/n + 0.85·Σ pr/deg (dangling term 0 on a
     // symmetric graph); GraphX staticPageRank solves the same linear map
