@@ -26,7 +26,8 @@ import graft.pipeline.Corpus
 object GraftRunner {
 
   private val PipelineAlgos = Set("dedup-exact", "dedup-minhash", "dedup-clusters",
-    "tfidf", "vocab", "scrub", "pack", "sample", "repetition")
+    "tfidf", "vocab", "scrub", "pack", "sample", "sample-topk", "repetition",
+    "dedup-index-write", "dedup-index-probe")
 
   def main(args: Array[String]): Unit = {
     if (args.length < 1) { usage(); sys.exit(2) }
@@ -36,7 +37,9 @@ object GraftRunner {
       if (PipelineAlgos(algo)) "docs"
       else if (opts.contains("gen")) "gen" // synthetic input, no path needed
       else "edges"
-    val required = Seq(inputKey, "out").filterNot(opts.contains)
+    val required = (Seq(inputKey, "out") ++
+      (if (algo == "dedup-index-probe") Seq("index") else Nil))
+      .filterNot(opts.contains)
     if (required.nonEmpty) {
       System.err.println(s"missing: ${required.map("--" + _).mkString(" ")}"); usage(); sys.exit(2)
     }
@@ -65,7 +68,16 @@ object GraftRunner {
             case "scrub"          => Corpus.piiScrub(docs)
             case "pack"           => Corpus.greedyPack(docs, budget).toDF()
             case "sample"         => Corpus.stratifiedSample(docs)
+            case "sample-topk"    => Corpus.sampleExactK(docs, opts.getOrElse("k", "1000").toInt)
             case "repetition"     => Corpus.repetitionStats(docs)
+            case "dedup-index-write" =>
+              // sign the standing corpus once; probe increments later.
+              // writes its own layout (buckets/ + shingles/) — the
+              // generic result write below must not clobber it
+              Dedup.writeSignatureIndex(docs, opts("out"))
+              null
+            case "dedup-index-probe" =>
+              Dedup.incrementalDupPairs(docs, opts("index"))
           }
         } else {
           var edges =
@@ -95,7 +107,8 @@ object GraftRunner {
             case other => System.err.println(s"unknown algo: $other"); usage(); sys.exit(2); null
           }
         }
-      result.write.mode("overwrite").parquet(opts("out"))
+      // null result ⇒ the action wrote its own output layout (index write)
+      if (result != null) result.write.mode("overwrite").parquet(opts("out"))
       println(s"[graft] $algo done -> ${opts("out")}")
     } finally spark.stop()
   }
@@ -151,5 +164,7 @@ object GraftRunner {
       |              sum|max|sum_rel|max_rel|rmse] for pagerank-conv)
       |or: GraftRunner <op> --docs <parquet> --out <path> [--k N] [--budget N]
       |  corpus op: dedup-exact dedup-minhash dedup-clusters tfidf vocab
-      |             scrub pack sample repetition""".stripMargin)
+      |             scrub pack sample sample-topk repetition
+      |             dedup-index-write (signs --docs into --out)
+      |             dedup-index-probe --index <path> (probe increment)""".stripMargin)
 }
