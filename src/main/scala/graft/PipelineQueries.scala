@@ -145,7 +145,7 @@ object PipelineQueries {
     * md5s per shingle, each split into four independent 8-hex words;
     * signature entry j = min of word j%4 of hash ⌊j/4⌋). CTE body shared
     * with the dup-cluster oracle. */
-  private val minhashPairsCtes =
+  private val minhashSigCtes =
     s"""sh AS MATERIALIZED (SELECT doc_id, $shSql AS sh FROM documents),
        |hp AS MATERIALIZED (SELECT doc_id, sh, list_transform(sh, s ->
        |flatten(list_transform(range(0, 4), a ->
@@ -157,7 +157,10 @@ object PipelineQueries {
        |FROM hp),
        |bands AS MATERIALIZED (SELECT doc_id, b,
        |md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bv
-       |FROM sig, unnest([0, 1, 2, 3]) AS t(b)),
+       |FROM sig, unnest([0, 1, 2, 3]) AS t(b))""".stripMargin.replace('\n', ' ')
+
+  private val minhashPairsCtes =
+    s"""$minhashSigCtes,
        |pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
        |FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
        |jx AS MATERIALIZED (SELECT p.ida, p.idb,
@@ -169,6 +172,32 @@ object PipelineQueries {
     s"""WITH $minhashPairsCtes
        |SELECT ida AS a, idb AS b, CAST(FLOOR(inter / (la + lb - inter) * 1000000) AS BIGINT) AS jac_e6
        |FROM jx WHERE inter / (la + lb - inter) >= 0.3 ORDER BY a, b""".stripMargin.replace('\n', ' ')
+
+  /** Incremental dedup through the FILE-BACKED index path: the standing
+    * corpus (doc_id ≥ 20) is signed into a temp signature index, then
+    * the increment (doc_id < 20) probes it. Spark exercises the real
+    * write→read→probe cycle; the oracle replays the same split banding
+    * logically. */
+  private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    val path = java.nio.file.Files.createTempDirectory("graft_sigidx").toString
+    graft.dedup.Dedup.writeSignatureIndex(d.filter(col("doc_id") >= 20), path)
+    graft.dedup.Dedup.incrementalDupPairs(d.filter(col("doc_id") < 20), path)
+  }
+
+  private val qDedupIncrementalSql =
+    s"""WITH $minhashSigCtes,
+       |incd AS MATERIALIZED (SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id
+       |FROM bands n JOIN bands i ON n.b = i.b AND n.bv = i.bv
+       |AND n.doc_id < 20 AND i.doc_id >= 20),
+       |ijx AS (SELECT c.new_id, c.idx_id,
+       |len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS inter,
+       |len(x.sh) AS la, len(y.sh) AS lb
+       |FROM incd c JOIN sh x ON x.doc_id = c.new_id JOIN sh y ON y.doc_id = c.idx_id)
+       |SELECT new_id, idx_id,
+       |CAST(FLOOR(inter / (la + lb - inter) * 1000000) AS BIGINT) AS jac_e6
+       |FROM ijx WHERE inter / (la + lb - inter) >= 0.3
+       |ORDER BY new_id, idx_id""".stripMargin.replace('\n', ' ')
 
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashFingerprints(Tables(s, dir).documents).orderBy(col("doc_id"))
@@ -560,6 +589,7 @@ object PipelineQueries {
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_dedup_exact"      -> (qDedupExact _),
     "q_dedup_minhash"    -> (qDedupMinhash _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_simhash"    -> (qDedupSimhash _),
     "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _),
     "q_dedup_clusters"   -> (qDedupClusters _),
@@ -584,6 +614,7 @@ object PipelineQueries {
     "q_text_fingerprint" -> qTextFingerprintSql,
     "q_dedup_exact"      -> qDedupExactSql,
     "q_dedup_minhash"    -> qDedupMinhashSql,
+    "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_simhash"    -> qDedupSimhashSql,
     "q_dedup_simhash_pairs" -> qDedupSimhashPairsSql,
     "q_dedup_clusters"   -> qDedupClustersSql,
