@@ -143,6 +143,16 @@ object Dedup {
       .orderBy(col("new_id"), col("idx_id")), sigs)
   }
 
+  /** The incremental dedup ACTION: the increment minus every document
+    * that duplicates something already in the index — what actually gets
+    * appended to the standing corpus each day. */
+  def dropIndexedDuplicates(newDocs: DataFrame, indexPath: String,
+                            idCol: String = "doc_id"): DataFrame = {
+    val dupIds = incrementalDupPairs(newDocs, indexPath)
+      .select(col("new_id").as(idCol)).distinct()
+    newDocs.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Per-doc 32-bit SimHash fingerprints. */
   def simhashFingerprints(docs: DataFrame, shingleLen: Int = 8): DataFrame =
     docs.select(col("doc_id"),

@@ -51,6 +51,29 @@ class PipelineSpec extends SparkSpec {
     assert(jac(2L) >= 300000L && jac(2L) < 1000000L)
   }
 
+  test("incremental dedup action appends only novel documents") {
+    val path = java.nio.file.Files.createTempDirectory("sigidx2").toString
+    Dedup.writeSignatureIndex(docs, path)
+    val inc = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog", "s9"), // indexed
+      (101L, "nothing like anything indexed before at all", "s9")
+    ).toDF("doc_id", "text", "source")
+    val kept = Dedup.dropIndexedDuplicates(inc, path)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(101L))
+  }
+
+  test("WAV chunk order: data before fmt still parses") {
+    // hand-build RIFF with the data chunk FIRST — order is legal RIFF
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 4 + 24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(40).put("WAVE".getBytes("US-ASCII"))
+    bb.put("data".getBytes("US-ASCII")).putInt(4).put(Array[Byte](1, 2, 3, 4))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000).putShort(1).putShort(8)
+    assert(Multimodal.decodeWav(bb.array()).contains((1, 8000, 8, 4L)))
+  }
+
   test("simhash is equal for identical docs, different for unrelated") {
     val fp = Dedup.simhashFingerprints(docs).as[(Long, Long)].collect().toMap
     assert(fp(1L) == fp(4L))
