@@ -180,9 +180,17 @@ object PipelineQueries {
     * logically. */
   private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir).documents
-    val path = java.nio.file.Files.createTempDirectory("graft_sigidx").toString
-    graft.dedup.Dedup.writeSignatureIndex(d.filter(col("doc_id") >= 20), path)
-    graft.dedup.Dedup.incrementalDupPairs(d.filter(col("doc_id") < 20), path)
+    val path = java.nio.file.Files.createTempDirectory("graft_sigidx")
+    // the probe frame reads `path` lazily, so the earliest safe delete is
+    // JVM exit — recursive (deleteOnExit can't remove non-empty dirs);
+    // without this, repeated bench/verify runs strand an index per call
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(path).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    graft.dedup.Dedup.writeSignatureIndex(d.filter(col("doc_id") >= 20), path.toString)
+    graft.dedup.Dedup.incrementalDupPairs(d.filter(col("doc_id") < 20), path.toString)
   }
 
   private val qDedupIncrementalSql =
@@ -266,6 +274,47 @@ object PipelineQueries {
        |WHERE doc_id NOT IN (SELECT id FROM ($qDedupClustersSql) z
        |WHERE id <> canonical)
        |ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
+  /** CDC chunk dedup: the per-row sequential chunker runs in Spark; the
+    * oracle replays the identical boundary rule in closed form — with
+    * minLen=1 every position whose 4-char Karp-Rabin hash satisfies the
+    * cut condition is a boundary, which is position-INDEPENDENT, so SQL
+    * can compute the boundary set per position and chunk by slicing. A
+    * hash match therefore proves the kernel walked the same boundaries
+    * and hashed the same substrings. */
+  private def qDedupCdc(s: SparkSession, dir: String): DataFrame =
+    Dedup.cdcDupPairs(Tables(s, dir).documents, threshold = 0.5)
+
+  private val qDedupCdcSql = {
+    // h(i) = Σ_{j<4} ascii(t[i−j])·31^j — the kernel's rolling hash
+    val rh = """(ascii(substring(text, CAST(i AS INT), 1))
+      |+ ascii(substring(text, CAST(i - 1 AS INT), 1)) * 31
+      |+ ascii(substring(text, CAST(i - 2 AS INT), 1)) * 961
+      |+ ascii(substring(text, CAST(i - 3 AS INT), 1)) * 29791)""".stripMargin.replace('\n', ' ')
+    s"""WITH bp AS MATERIALIZED (SELECT doc_id, text,
+       |CAST(length(text) AS BIGINT) AS L,
+       |list_filter(range(4, length(text) + 1), i -> $rh % 13 = 12) AS bs
+       |FROM documents),
+       |st AS (SELECT doc_id, text,
+       |list_prepend(CAST(1 AS BIGINT), list_transform(bs, p -> p + 1)) AS ss,
+       |list_append(bs, L) AS es FROM bp),
+       |ch AS MATERIALIZED (SELECT DISTINCT doc_id,
+       |md5(substring(text, CAST(se['s'] AS INT),
+       |CAST(se['e'] - se['s'] + 1 AS INT))) AS h FROM (
+       |SELECT doc_id, text, unnest(list_transform(range(1, len(ss) + 1),
+       |k -> {'s': ss[CAST(k AS INT)], 'e': es[CAST(k AS INT)]})) AS se
+       |FROM st) z WHERE se['s'] <= se['e']),
+       |keep AS (SELECT h FROM ch GROUP BY h HAVING COUNT(*) <= 1000),
+       |chf AS MATERIALIZED (SELECT ch.doc_id, ch.h FROM ch JOIN keep USING (h)),
+       |nc AS (SELECT doc_id, COUNT(*) AS n FROM chf GROUP BY doc_id),
+       |pair AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS shared
+       |FROM chf a JOIN chf b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT ida AS a, idb AS b, shared,
+       |CAST(FLOOR(shared / LEAST(x.n, y.n) * 1000000) AS BIGINT) AS overlap_e6
+       |FROM pair JOIN nc x ON x.doc_id = ida JOIN nc y ON y.doc_id = idb
+       |WHERE shared / LEAST(x.n, y.n) >= 0.5
+       |ORDER BY a, b""".stripMargin.replace('\n', ' ')
+  }
 
   private def qDedupNgram(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramDupPairs(Tables(s, dir).documents)
@@ -466,6 +515,67 @@ object PipelineQueries {
        |ORDER BY q_id, rcos_e4 DESC, n_id""".stripMargin.replace('\n', ' ')
   }
 
+  /** Product-quantized ANN: m=4 subspaces × ksub=8 codes (deterministic
+    * per-subspace Lloyd's, 1 iteration), ADC candidate rank against the
+    * reconstructed vectors, exact rescore of the top k·4. The oracle
+    * replays the ENTIRE chain — 4 independent sub-space k-means runs,
+    * codebook means, reconstruction, rank, rescore — all FLOOR-pinned. */
+  private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    Similarity.pqTopK(emb.select(col("vec_id"), col("embedding")), queriesOf(emb), k = 10)
+  }
+
+  private val qAnnPqSql = {
+    // cosine over a 16-wide subvector (the per-subspace trainer metric)
+    def cos16(x: String, y: String) =
+      s"""(list_sum(list_transform(range(1, 17), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))
+         |/ (sqrt(list_sum(list_transform(range(1, 17), i -> CAST($x[i] AS DOUBLE) * CAST($x[i] AS DOUBLE))))
+         |* sqrt(list_sum(list_transform(range(1, 17), i -> CAST($y[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))))))""".stripMargin.replace('\n', ' ')
+    // per-subspace j: slice → seed centroids (8 lowest vec_ids) → one
+    // Lloyd's round (assign, update) → final assign = codes → codebook
+    // (mirrors kmeansAssign(k=8, iters=1) + pqCodebook exactly)
+    def subCtes(j: Int): String = {
+      val o = j * 16
+      def assignCte(name: String, cents: String) =
+        s"""$name AS MATERIALIZED (SELECT vec_id, se, cid AS code FROM (
+           |SELECT e.vec_id, e.se, c.cid,
+           |ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |CAST(FLOOR(${cos16("e.se", "c.cv")} * 1000000) AS BIGINT) DESC, c.cid) AS rn
+           |FROM s$j e CROSS JOIN $cents c) z WHERE rn = 1)""".stripMargin.replace('\n', ' ')
+      def meanCte(name: String, from: String) =
+        s"""$name AS MATERIALIZED (SELECT code AS cid, list(m ORDER BY pos) AS cv FROM (
+           |SELECT code, pos, FLOOR(AVG(CAST(se[pos] AS DOUBLE)) * 1000000) / 1000000 AS m
+           |FROM $from, unnest(range(1, 17)) AS u(pos) GROUP BY code, pos) g
+           |GROUP BY cid)""".stripMargin.replace('\n', ' ')
+      s"""s$j AS MATERIALIZED (SELECT vec_id, embedding[${o + 1}:${o + 16}] AS se FROM embeddings),
+         |p${j}c0 AS MATERIALIZED (SELECT vec_id AS cid, se AS cv FROM s$j
+         |WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |${assignCte(s"p${j}a1", s"p${j}c0")},
+         |${meanCte(s"p${j}c1", s"p${j}a1")},
+         |${assignCte(s"p${j}a2", s"p${j}c1")},
+         |${meanCte(s"p${j}cb", s"p${j}a2")}""".stripMargin.replace('\n', ' ')
+    }
+    s"""WITH ${subCtes(0)}, ${subCtes(1)}, ${subCtes(2)}, ${subCtes(3)},
+       |recon AS MATERIALIZED (SELECT x0.vec_id,
+       |flatten([b0.cv, b1.cv, b2.cv, b3.cv]) AS dqv
+       |FROM p0a2 x0 JOIN p0cb b0 ON b0.cid = x0.code
+       |JOIN p1a2 x1 ON x1.vec_id = x0.vec_id JOIN p1cb b1 ON b1.cid = x1.code
+       |JOIN p2a2 x2 ON x2.vec_id = x0.vec_id JOIN p2cb b2 ON b2.cid = x2.code
+       |JOIN p3a2 x3 ON x3.vec_id = x0.vec_id JOIN p3cb b3 ON b3.cid = x3.code),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |cand AS (SELECT q_id, n_id FROM (
+       |SELECT q.q_id, r.vec_id AS n_id,
+       |CAST(FLOOR(${cosSql("q.qv", "r.dqv")} * 10000) AS BIGINT) AS adc_e4
+       |FROM recon r JOIN q ON r.vec_id <> q.q_id) z
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_e4 DESC, n_id) <= 40),
+       |sc AS (SELECT cd.q_id, cd.n_id,
+       |CAST(FLOOR(${cosSql("q.qv", "e.embedding")} * 10000) AS BIGINT) AS rcos_e4
+       |FROM cand cd JOIN embeddings e ON e.vec_id = cd.n_id JOIN q ON q.q_id = cd.q_id)
+       |SELECT q_id, n_id, rcos_e4 FROM sc
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rcos_e4 DESC, n_id) <= 10
+       |ORDER BY q_id, rcos_e4 DESC, n_id""".stripMargin.replace('\n', ' ')
+  }
+
   /** LSH-bucketed ANN over the raw embeddings: same hyperplane index as
     * the embedding dedup, candidates = any-band bucket collision. */
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
@@ -571,13 +681,21 @@ object PipelineQueries {
     Multimodal.pixelStats(Multimodal.documentsAsPpm(Tables(s, dir).documents))
       .toDF().orderBy(col("doc_id"))
 
+  // LEFT JOIN back onto documents: an empty text unnests to zero rows
+  // and would silently vanish from a plain GROUP BY, while pixelStats
+  // keeps the doc with the (0, 0, -1, -1) sentinel — COALESCE restores
+  // the same contract (corrupt/empty rows flagged, never dropped)
   private val qMultimodalPixstatsSql =
     """WITH px AS (SELECT doc_id, ascii(c) AS v FROM (
-      |SELECT doc_id, unnest(split(text, '')) AS c FROM documents) z)
-      |SELECT doc_id, COUNT(*) AS n_px_bytes,
-      |CAST(SUM(v) AS BIGINT) AS sum_px,
-      |CAST(MIN(v) AS INT) AS min_px, CAST(MAX(v) AS INT) AS max_px
-      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+      |SELECT doc_id, unnest(split(text, '')) AS c FROM documents) z),
+      |st AS (SELECT doc_id, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s,
+      |CAST(MIN(v) AS INT) AS mn, CAST(MAX(v) AS INT) AS mx
+      |FROM px GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(st.n, 0) AS n_px_bytes,
+      |COALESCE(st.s, 0) AS sum_px, COALESCE(st.mn, -1) AS min_px,
+      |COALESCE(st.mx, -1) AS max_px
+      |FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin.replace('\n', ' ')
 
   // registry ------------------------------------------------------------
 
@@ -595,12 +713,14 @@ object PipelineQueries {
     "q_dedup_clusters"   -> (qDedupClusters _),
     "q_dedup_filtered"   -> (qDedupFiltered _),
     "q_dedup_ngram"      -> (qDedupNgram _),
+    "q_dedup_cdc"        -> (qDedupCdc _),
     "q_dedup_embedding"  -> (qDedupEmb _),
     "q_ann_brute"        -> (qAnnBrute _),
     "q_ann_sq"           -> (qAnnSq _),
     "q_ann_ivf"          -> (qAnnIvf _),
     "q_ann_ivf_trained"  -> (qAnnIvfTrained _),
     "q_ann_lsh"          -> (qAnnLsh _),
+    "q_ann_pq"           -> (qAnnPq _),
     "q_multimodal_meta"  -> (qMultimodalMeta _),
     "q_multimodal_wav"   -> (qMultimodalWav _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
@@ -620,12 +740,14 @@ object PipelineQueries {
     "q_dedup_clusters"   -> qDedupClustersSql,
     "q_dedup_filtered"   -> qDedupFilteredSql,
     "q_dedup_ngram"      -> qDedupNgramSql,
+    "q_dedup_cdc"        -> qDedupCdcSql,
     "q_dedup_embedding"  -> qDedupEmbSql,
     "q_ann_brute"        -> qAnnBruteSql,
     "q_ann_sq"           -> qAnnSqSql,
     "q_ann_ivf"          -> qAnnIvfSql,
     "q_ann_ivf_trained"  -> qAnnIvfTrainedSql,
     "q_ann_lsh"          -> qAnnLshSql,
+    "q_ann_pq"           -> qAnnPqSql,
     "q_multimodal_meta"  -> qMultimodalMetaSql,
     "q_multimodal_wav"   -> qMultimodalWavSql,
     "q_multimodal_frames" -> qMultimodalFramesSql,

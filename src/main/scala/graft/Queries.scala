@@ -195,10 +195,18 @@ object Queries {
     // microsecond precision, so the join must compare at micros too
     val ev = t.events.select(col("event_id"), col("user_id"),
       expr("ts div 1000").as("ts_us"))
+    // pre-dedup same-(user, micro-ts) purchases to the max event_id in
+    // BOTH engines: DuckDB's ASOF picks an arbitrary tied right row,
+    // Spark's rightTieBreak picks the max — resolve ties identically
+    // before either engine sees them so the oracle can never go flaky
     val purchases = t.events.filter(col("event_type") === "purchase")
       .select(col("user_id"), expr("ts div 1000").as("pts_us"),
         col("event_id").as("last_purchase_id"),
         e2(col("value")).as("last_purchase_value_e2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("pts_us"))
+          .orderBy(col("last_purchase_id").desc)))
+      .filter(col("rn") === 1).drop("rn")
     AsOfJoin.backward(ev, purchases, key = "user_id", leftTs = "ts_us",
         rightTs = "pts_us",
         rightCols = Seq("last_purchase_id", "last_purchase_value_e2"),
@@ -214,7 +222,9 @@ object Queries {
       |FROM events e ASOF LEFT JOIN (
       |SELECT user_id, ts, event_id AS last_purchase_id,
       |CAST(FLOOR(value * 100) AS BIGINT) AS last_purchase_value_e2
-      |FROM events WHERE event_type = 'purchase') p
+      |FROM events WHERE event_type = 'purchase'
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+      |ORDER BY event_id DESC) = 1) p
       |ON e.user_id = p.user_id AND e.ts >= p.ts
       |ORDER BY e.event_id""".stripMargin.replace('\n', ' ')
 

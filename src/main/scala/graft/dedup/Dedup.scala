@@ -288,4 +288,103 @@ object Dedup {
         graft.sql.Exact.e4(col("cos")).as("rcos_e4"))
       .orderBy(col("a"), col("b")), e)
   }
+
+  // --- content-defined (CDC) chunk dedup --------------------------------
+
+  final case class CdcChunk(doc_id: Long, chunk_idx: Int, chunk_md5: String,
+                            chunk_len: Int)
+
+  /** Content-defined chunk boundaries over `text`: a Karp-Rabin rolling
+    * hash of the last `w` chars (h(i) = Σ_{j<w} code(t_{i−j})·31^j, pure
+    * integer, no modulus — w=4 keeps it < 2^29) declares a cut after
+    * position i when h(i) % div == rem, subject to `minLen`/`maxLen`
+    * (a cut is suppressed until the chunk reaches minLen; a chunk is
+    * force-cut at maxLen). Boundaries depend only on CONTENT, so an
+    * insertion shifts chunk positions but leaves all downstream chunks
+    * identical — the property that lets chunk-hash joins catch
+    * partial-overlap/containment duplicates whole-doc MinHash misses.
+    * Returns the inclusive 1-based END positions of every chunk. */
+  private[graft] def cdcBoundaries(text: String, w: Int = 4, div: Int = 13,
+                                   rem: Int = 12, minLen: Int = 1,
+                                   maxLen: Int = Int.MaxValue): Seq[Int] = {
+    val pw = Array.iterate(1L, w)(_ * 31L)
+    val ends = Seq.newBuilder[Int]
+    var start = 1
+    var i = 1
+    while (i <= text.length) {
+      val len = i - start + 1
+      val cut =
+        if (len >= maxLen) true
+        else if (len >= minLen && i >= w) {
+          var h = 0L
+          var j = 0
+          while (j < w) { h += text.charAt(i - 1 - j).toLong * pw(j); j += 1 }
+          h % div == rem
+        } else false
+      if (cut) { ends += i; start = i + 1 }
+      i += 1
+    }
+    if (start <= text.length) ends += text.length
+    ends.result()
+  }
+
+  /** Explode documents into content-defined chunks (one row per chunk,
+    * md5-keyed). The walk is a per-ROW kernel — the boundary rule is a
+    * sequential data-dependent scan (the packIterator/codec precedent:
+    * inexpressible as a window), but state never crosses rows, so it
+    * parallelizes perfectly and nothing shuffles. */
+  def cdcChunks(docs: DataFrame, w: Int = 4, div: Int = 13, rem: Int = 12,
+                minLen: Int = 1, maxLen: Int = Int.MaxValue,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val md = graft.functions.MinhashSignature.digest.get()
+        var s = 1
+        cdcBoundaries(text, w, div, rem, minLen, maxLen).zipWithIndex.map {
+          case (e, k) =>
+            val chunk = text.substring(s - 1, e)
+            s = e + 1
+            md.reset()
+            val hex = md.digest(chunk.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              .map(b => f"${b & 0xff}%02x").mkString
+            CdcChunk(id, k, hex, chunk.length)
+        }
+      }.toDF()
+  }
+
+  /** CDC chunk dedup: documents sharing ≥ `threshold` of the smaller
+    * side's distinct chunk hashes — the containment coefficient, which
+    * catches A-contains-B and partial-overlap shapes whole-doc MinHash
+    * scores near zero. Candidates come from an equi-join ON THE CHUNK
+    * HASH (never all-pairs); hub chunks (df > maxDf docs — boilerplate)
+    * are dropped before the join, bounding per-chunk blowup exactly as
+    * the contamination join bounds hub grams. */
+  def cdcDupPairs(docs: DataFrame, threshold: Double = 0.5, maxDf: Int = 1000,
+                  w: Int = 4, div: Int = 13, rem: Int = 12): DataFrame = {
+    val ch = cdcChunks(docs, w, div, rem)
+      .select(col("doc_id"), col("chunk_md5").as("h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keep = ch.groupBy(col("h")).agg(count(lit(1)).as("cdf"))
+      .filter(col("cdf") <= maxDf).select(col("h"))
+    val chf = ch.join(keep, Seq("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nc = chf.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = chf.select(col("h"), col("doc_id").as("ida"))
+      .join(chf.select(col("h"), col("doc_id").as("idb")), Seq("h"))
+      .filter(col("ida") < col("idb"))
+      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("shared"))
+    val out = pairs
+      .join(nc.select(col("doc_id").as("ida"), col("n").as("na")), Seq("ida"))
+      .join(nc.select(col("doc_id").as("idb"), col("n").as("nb")), Seq("idb"))
+      .withColumn("ov", col("shared") / least(col("na"), col("nb")))
+      .filter(col("ov") >= threshold)
+      .select(col("ida").as("a"), col("idb").as("b"), col("shared"),
+        graft.sql.Exact.e6(col("ov")).as("overlap_e6"))
+      .orderBy(col("a"), col("b"))
+    val m = out.localCheckpoint()
+    ch.unpersist(); chf.unpersist()
+    m
+  }
 }

@@ -84,7 +84,7 @@ case class MinhashSignature(child: Expression, numHashes: Int)
 object MinhashSignature {
   /** One digest per executor thread, reset per use — getInstance runs a
     * provider lookup + allocation, measurably hot at one per ROW. */
-  private[functions] val digest: ThreadLocal[MessageDigest] =
+  private[graft] val digest: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 }
 

@@ -104,9 +104,22 @@ object Algos {
     // AQE; see CheckpointBridge.localCheckpointHash)
     val e = ckptHash(symEdges.select("src", "dst"), "src")
     val nbrMin0 = e.groupBy(col("src").as("id")).agg(min(col("dst")).as("nm"))
-    var f = verticesOf(e).join(nbrMin0, Seq("id"), "left")
-      .select(col("id"), col("id").as("f_old"), least(col("id"), col("nm")).as("f"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var f: DataFrame = org.apache.spark.sql.graft.CheckpointBridge
+      .localCheckpointStats(verticesOf(e).join(nbrMin0, Seq("id"), "left")
+        .select(col("id"), col("id").as("f_old"), least(col("id"), col("nm")).as("f")))
+    // |f| is INVARIANT across rounds (always one row per vertex), so one
+    // measurement decides the whole loop's checkpoint strategy — the
+    // static analogue of AQE's broadcast decision. Small vertex frame:
+    // plain+stats checkpoint, every join broadcasts f, and we skip the
+    // forced per-round repartition exchange (measured 2× on the sf0.1
+    // event graph). Big vertex frame: broadcast is off the table anyway —
+    // declared hash(id) makes the label self-joins exchange-free, which
+    // is what survives at 100 TB.
+    val smallV = {
+      val sz = org.apache.spark.sql.graft.CheckpointBridge.sizeOf(f)
+      val thr = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      thr > 0 && sz >= 0 && sz < thr
+    }
     var changed = 1L
     var step = 0
     while (changed > 0 && step < opts.maxSupersteps) {
@@ -118,14 +131,14 @@ object Algos {
         .join(gp, col("f") === col("gid"), "left")
         .select(col("id"), col("f").as("f_old"),
           least(col("f"), col("m1"), col("gf")).as("f"))
-      val next = ckptHash(next0, "id")
+      val next =
+        if (smallV) org.apache.spark.sql.graft.CheckpointBridge.localCheckpointStats(next0)
+        else ckptHash(next0, "id")
       // single pass over the (already materialized) checkpointed frame:
       // count(when(...)) counts only the changed rows
       changed = next.select(count(when(col("f") < col("f_old"), lit(1))).as("c"))
         .first().getLong(0)
-      // the FIRST f is caller-derived and persisted (plain unpersist);
-      // every later f is this loop's own checkpoint — free its blocks
-      if (step == 0) f.unpersist() else freeCkpt(f)
+      freeCkpt(f) // every f here (init included) is this loop's own checkpoint
       f = next // carries a stale f_old column; joins above project it away
       step += 1
     }

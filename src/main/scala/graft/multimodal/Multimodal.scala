@@ -37,7 +37,7 @@ object Multimodal {
     * whitespace, with '#'-to-end-of-line comments allowed before each
     * token (the netpbm grammar). Returns None when the payload is not a
     * parseable P6 header. Pixel samples follow the header and are left
-    * untouched here (frame/pixel access is [[sampleFrames]]' job). */
+    * untouched here (frame/pixel access is [[pixelStats]]' job). */
   def decodePpm(payload: Array[Byte]): Option[(Int, Int, Int)] =
     decodePpmAt(payload, 0).map { case (w, h, mv, _) => (w, h, mv) }
 
@@ -91,23 +91,6 @@ object Multimodal {
           MediaMeta(r.doc_id, r.payload.length.toLong, md5Hex(r.payload), w, h, mv)
         }
       }
-  }
-
-  /** Deterministic frame sampling: pick every `stride`-th chunk of
-    * `chunk` bytes as a "frame" — the shape of video frame extraction
-    * (explode to one row per frame) without the codec. */
-  def sampleFrames(media: DataFrame, chunk: Int = 1024, stride: Int = 4,
-                   idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.select(col(idCol).as("doc_id"), col(payloadCol).as("payload"))
-      .as[MediaRow]
-      .flatMap { r =>
-        r.payload.grouped(chunk).zipWithIndex
-          .filter { case (_, i) => i % stride == 0 }
-          .map { case (bytes, i) => (r.doc_id, i, bytes.length, md5Hex(bytes)) }
-      }
-      .toDF("doc_id", "frame_idx", "frame_bytes", "frame_md5")
   }
 
   // ---------------------------------------------------------------

@@ -52,17 +52,70 @@ object CheckpointBridge {
       case l: LogicalRDD =>
         val attr = l.output.find(_.name == key).getOrElse(
           throw new IllegalArgumentException(s"no column $key in ${l.output}"))
+        // Declare the frame's MEASURED size too (the blocks are already
+        // materialized — this is metadata, not a job). A bare LogicalRDD
+        // reports defaultSizeInBytes (= "huge"), which forbids broadcast
+        // planning forever; and because the declared partitioning removes
+        // every exchange, AQE never gets a shuffle stage to re-measure, so
+        // without this a small iterated frame is stuck in sort-merge
+        // joins — measured 1.4–3.2× on sf0.1 WCC vs the round-3 plans
+        // where AQE runtime-broadcast the vertex frame. With real stats
+        // the planner broadcasts small frames statically and keeps the
+        // exchange-free co-partitioned join for frames that are genuinely
+        // big — the right plan at both ends of the scale.
+        val info = ck.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == l.rdd.id)
+        val stats = info.map(i =>
+          org.apache.spark.sql.catalyst.plans.logical.Statistics(
+            sizeInBytes = BigInt(i.memSize + i.diskSize).max(1)))
         val declared = new LogicalRDD(
           l.output, l.rdd, HashPartitioning(Seq(attr), n),
           l.outputOrdering, l.isStreaming, l.getStream)(
           ck.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-          None, None)
+          stats, None)
         org.apache.spark.sql.classic.Dataset.ofRows(
           ck.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
           declared)
       case _ => ck // unexpected plan shape: fall back to the plain checkpoint
     }
   }
+
+  /** Plain localCheckpoint that declares the frame's MEASURED size (no
+    * partitioning claim — the input is checkpointed as-laid-out, no
+    * repartition pass). For iterated frames SMALL enough that their
+    * joins should broadcast, this is the better checkpoint: the declared
+    * stats let the planner pick broadcast statically (a bare checkpoint
+    * reports "huge" and blocks it), and skipping the forced repartition
+    * saves one full exchange of the frame per round. */
+  def localCheckpointStats(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.queryExecution.analyzed match {
+      case l: LogicalRDD =>
+        val stats = ck.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == l.rdd.id)
+          .map(i => org.apache.spark.sql.catalyst.plans.logical.Statistics(
+            sizeInBytes = BigInt(i.memSize + i.diskSize).max(1)))
+        val declared = new LogicalRDD(
+          l.output, l.rdd, l.outputPartitioning,
+          l.outputOrdering, l.isStreaming, l.getStream)(
+          ck.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          stats, None)
+        org.apache.spark.sql.classic.Dataset.ofRows(
+          ck.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          declared)
+      case _ => ck
+    }
+  }
+
+  /** The materialized byte size of a checkpointed frame (mem + disk
+    * blocks) — driver metadata, not a job. -1 when the frame's leaf is
+    * not a materialized RDD. */
+  def sizeOf(df: Dataset[_]): Long =
+    df.queryExecution.analyzed.collectLeaves().collectFirst {
+      case l: LogicalRDD =>
+        df.sparkSession.sparkContext.getRDDStorageInfo.find(_.id == l.rdd.id)
+          .map(i => i.memSize + i.diskSize).getOrElse(-1L)
+    }.getOrElse(-1L)
 
   /** Block until the listener bus has delivered all queued events —
     * needed by anything reading SparkListener-fed counters (job counts

@@ -314,7 +314,7 @@ class PipelineSpec extends SparkSpec {
     assert(got(1) == ((2L, -1L, -1L, -1, -1)))
   }
 
-  test("multimodal decode parses wrapped PPM payloads; frame sampling explodes") {
+  test("multimodal decode parses wrapped PPM payloads") {
     val media = Multimodal.documentsAsPpm(docs.select("doc_id", "text"))
     val meta = Multimodal.decodeMeta(media).collect()
     assert(meta.length == 4)
@@ -328,7 +328,5 @@ class PipelineSpec extends SparkSpec {
     val bad = Multimodal.decodeMeta(
       Multimodal.documentsAsMedia(docs.select("doc_id", "text"))).collect()
     assert(bad.forall(m => m.width == -1 && m.maxval == -1))
-    val frames = Multimodal.sampleFrames(media, chunk = 8, stride = 2)
-    assert(frames.count() > 4)
   }
 }
