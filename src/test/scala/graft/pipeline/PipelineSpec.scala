@@ -209,6 +209,116 @@ class PipelineSpec extends SparkSpec {
       "data scan carried no cluster partition filter:\n" + plan.take(800))
   }
 
+  // deterministic pseudo-random ASCII text (no RNG in tests)
+  private def rndText(seed: Long, n: Int): String = {
+    var s = seed * 6364136223846793005L + 1442695040888963407L
+    (0 until n).map { _ =>
+      s = s * 6364136223846793005L + 1442695040888963407L
+      val r = ((s >>> 33) % 27).toInt
+      if (r == 26) ' ' else ('a' + r).toChar
+    }.mkString
+  }
+
+  test("cdc boundaries: chunks tile the text and respect min/max lengths") {
+    val t = rndText(7, 400)
+    val ends = Dedup.cdcBoundaries(t, minLen = 5, maxLen = 40)
+    assert(ends.last == t.length)
+    assert(ends == ends.sorted && ends.distinct == ends)
+    val lens = (0 +: ends.init).zip(ends).map { case (s, e) => e - s }
+    assert(lens.init.forall(l => l >= 5 && l <= 40)) // final chunk may run short
+    assert(lens.last <= 40)
+  }
+
+  test("cdc boundaries are content-defined: a prefix insertion keeps downstream chunks") {
+    def chunks(t: String): Seq[String] = {
+      var s = 1
+      Dedup.cdcBoundaries(t).map { e => val c = t.substring(s - 1, e); s = e + 1; c }
+    }
+    val t = rndText(11, 400)
+    val a = chunks(t)
+    val b = chunks(rndText(12, 50) + t)
+    // with minLen=1 the boundary rule is position-independent, so only
+    // the chunk(s) touching the splice seam can change
+    assert((a.toSet intersect b.toSet).size >= a.size - 2)
+  }
+
+  test("cdc chunk dedup catches a contained document whole-doc minhash misses") {
+    val x = rndText(21, 500); val y = rndText(22, 250); val z = rndText(23, 450)
+    val cdocs = Seq(
+      (1L, x + y + z, "s1"), // 1200 chars, contains y
+      (2L, y, "s1")          // y alone: jaccard vs 1 ≈ 0.2 — under minhash's 0.3
+    ).toDF("doc_id", "text", "source")
+    assert(Dedup.minhashDupPairs(cdocs).count() == 0)
+    val cdc = Dedup.cdcDupPairs(cdocs, threshold = 0.5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(cdc.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(cdc.head._4 >= 500000L) // containment of the smaller side
+  }
+
+  test("pq ann: m codes per vector, clone retrieval survives ADC rank") {
+    // ids chosen so the k-means seeds (2 lowest ids) are DISTINCT
+    // directions; 5 is the planted clone of 1
+    val e = Seq(
+      (1L, Seq(1.0f, 0.2f, 0.1f, 0.4f)),
+      (3L, Seq(-1.0f, 0.5f, -0.3f, 0.2f)),
+      (5L, Seq(0.99f, 0.21f, 0.1f, 0.4f)), // ~clone of 1
+      (7L, Seq(0.1f, -0.9f, 0.6f, -0.2f))
+    ).toDF("vec_id", "embedding")
+    val codes = Similarity.pqCodes(e, m = 2, ksub = 2, iters = 1, dim = 4)
+    assert(codes.count() == 8) // 4 vectors × m=2 subspace codes
+    val q = e.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val got = Similarity.pqTopK(e, q, k = 1, m = 2, ksub = 2, iters = 1,
+      rerank = 2, dim = 4).as[(Long, Long, Long)].collect()
+    assert(got.head._2 == 5L && got.head._3 >= 9990L)
+  }
+
+  test("ann recall@10 floors per tier vs brute-force truth") {
+    // 8 planted direction-clusters, 15 members each + noise — the shape
+    // real embedding corpora have (ANN on uniform random data is
+    // meaningless: every neighbor list is arbitrary)
+    def vec(seed: Long): Seq[Float] = {
+      var s = seed
+      (0 until 64).map { _ =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 33) % 2003).toFloat / 2003.0f - 0.5f
+      }
+    }
+    val centers = (0 until 8).map(c => vec(1000L + c))
+    val corpus = (1L to 120L).map { i =>
+      val c = centers(((i - 1) % 8).toInt)
+      val n = vec(i)
+      (i, c.zip(n).map { case (cv, nv) => cv + 0.15f * nv })
+    }.toDF("vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = corpus.filter(col("vec_id") <= 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    def tops(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("q_id"), col("n_id")).as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val truth = tops(Similarity.bruteTopK(corpus, queries, 10))
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = tops(df)
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+    }
+    val assigned = Similarity.kmeansAssign(corpus, k = 8, iters = 2)
+    val rLsh = recall(Similarity.lshTopK(corpus, queries, 10))
+    val rIvf = recall(Similarity.ivfTopK(corpus.join(assigned, Seq("vec_id")),
+      queries, 10, nprobe = 2, clusterCol = "cluster"))
+    val rSq = recall(Similarity.sqTopK(corpus, queries, 10))
+    val rPq = recall(Similarity.pqTopK(corpus, queries, 10))
+    info(f"recall@10 lsh=$rLsh%.2f ivf=$rIvf%.2f sq=$rSq%.2f pq=$rPq%.2f")
+    // floors: measured values on this fixed corpus, minus slack — a tier
+    // dropping below its floor means its candidate generation broke
+    assert(rSq >= 0.9, s"sq recall $rSq")
+    assert(rIvf >= 0.7, s"ivf recall $rIvf")
+    assert(rPq >= 0.5, s"pq recall $rPq")
+    assert(rLsh >= 0.3, s"lsh recall $rLsh")
+    corpus.unpersist()
+  }
+
   test("kmeans trainer converges to the two planted directions") {
     // two tight direction clusters; seeds = vec_ids 1 and 2 (one per side)
     val e = Seq(
