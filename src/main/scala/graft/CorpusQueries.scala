@@ -244,6 +244,27 @@ object CorpusQueries {
        |CAST((b.shared * 1000000) // es.n_grams AS BIGINT) AS overlap_e6
        |FROM best b JOIN es USING (eval_id) ORDER BY eval_id""".stripMargin.replace('\n', ' ')
 
+  // --- unigram surprisal -------------------------------------------------
+
+  /** Perplexity-style LM quality score in pure integers: per token
+    * instance floor(log2(T/c)) bits via bitlength(T div c) − 1 —
+    * `length(bin(x)) − 1` in both engines, so the oracle hash-matches
+    * with no libm ln()/log2() anywhere (the documented ulp trap). */
+  private def qTextSurprisal(s: SparkSession, dir: String): DataFrame =
+    Corpus.surprisalScore(Tables(s, dir).documents).orderBy(col("doc_id"))
+
+  private val qTextSurprisalSql =
+    s"""WITH tk AS MATERIALIZED (SELECT doc_id, unnest(${tokSql()}) AS tok FROM documents),
+       |cnt AS MATERIALIZED (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+       |tot AS (SELECT COUNT(*) AS t FROM tk),
+       |sc AS (SELECT tk.doc_id,
+       |length(bin(CAST(tot.t // cnt.c AS BIGINT))) - 1 AS bits
+       |FROM tk JOIN cnt ON cnt.tok = tk.tok, tot)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |CAST(SUM(bits) AS BIGINT) AS total_bits,
+       |CAST(SUM(bits) * 1000000 // COUNT(*) AS BIGINT) AS bits_per_token_e6
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
   // --- registry ---------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -256,7 +277,8 @@ object CorpusQueries {
     "q_pack_chunks"       -> (qPackChunks _),
     "q_mix_stats"         -> (qMixStats _),
     "q_contamination"     -> (qContamination _),
-    "q_quality_filter"    -> (qQualityFilter _))
+    "q_quality_filter"    -> (qQualityFilter _),
+    "q_text_surprisal"    -> (qTextSurprisal _))
 
   val oracles: Map[String, String] = Map(
     "q_text_repetition"   -> qTextRepetitionSql,
@@ -268,5 +290,6 @@ object CorpusQueries {
     "q_pack_chunks"       -> qPackChunksSql,
     "q_mix_stats"         -> qMixStatsSql,
     "q_contamination"     -> qContaminationSql,
-    "q_quality_filter"    -> qQualityFilterSql)
+    "q_quality_filter"    -> qQualityFilterSql,
+    "q_text_surprisal"    -> qTextSurprisalSql)
 }

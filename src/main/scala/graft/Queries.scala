@@ -316,6 +316,11 @@ object Queries {
   private def qTriCount(s: SparkSession, dir: String): DataFrame =
     Algos.triangleCount(TestGraphs.suppCoPairs(Tables(s, dir)))
 
+  /** 4-truss of the supplier co-occurrence graph: edges in ≥ 2
+    * within-subgraph triangles after peeling ([[Algos.kTruss]]). */
+  private def qKtruss(s: SparkSession, dir: String): DataFrame =
+    Algos.kTruss(TestGraphs.suppCoPairs(Tables(s, dir)), k = 4)
+
   private val qTriCountSql =
     s"""WITH cp AS (${TestGraphs.suppCoPairsSql})
        |SELECT COUNT(*) AS triangles
@@ -460,6 +465,7 @@ object Queries {
     "q_graph_maxprop"  -> (qMaxProp _),
     "q_graph_cc_events" -> (qCcEvents _),
     "q_graph_tri_count" -> (qTriCount _),
+    "q_graph_ktruss"   -> (qKtruss _),
     "q_graph_tri_closing" -> (qTriClosing _),
     "q_graph_mis"      -> (qMis _),
     "q_graph_scc"      -> (qScc _),
@@ -493,6 +499,9 @@ object Queries {
     "q_graph_maxprop"  -> OracleGen.labelPropSql(TestGraphs.custSuppSymSql, 12, isMin = false, "max_id"),
     "q_graph_cc_events" -> qCcEventsSql,
     "q_graph_tri_count" -> qTriCountSql,
+    "q_graph_ktruss"   -> OracleGen.kTrussSql(
+      s"cp AS MATERIALIZED (${TestGraphs.suppCoPairsSql}), e0 AS MATERIALIZED (SELECT u, v FROM cp)",
+      4, 10),
     "q_graph_tri_closing" -> qTriClosingSql,
     "q_graph_mis"      -> OracleGen.misSql(TestGraphs.suppCoSymSql, 10),
     "q_graph_scc"      -> OracleGen.sccSql(s"e AS MATERIALIZED (${TestGraphs.suppRingSql})", 8),

@@ -504,6 +504,75 @@ object Algos {
           .otherwise(lit(0L)).as("cc_e6"))
   }
 
+  /** Per-edge triangle support over canonical pairs (u < v), via the
+    * same degree-oriented adjacency intersection [[triangleCount]] uses:
+    * each triangle found at its pivot edge credits its THREE canonical
+    * edges through an output-linear 3-row union — never a wedge-sized
+    * intermediate. Self-managed checkpoints (freed before returning the
+    * materialized support frame) so the peeling loop doesn't strand
+    * blocks per round. Returns (u, v, support), support 0-filled. */
+  private def edgeSupport(e: DataFrame): DataFrame = {
+    val o = orientByDegree(e, pairDegrees(e))
+      .select(col("src"), col("dst")).localCheckpoint()
+    val nb = o.groupBy(col("src").as("id"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .localCheckpoint()
+    val tris = o
+      .join(nb.select(col("id").as("src"), col("nbrs").as("nu")), Seq("src"))
+      .join(nb.select(col("id").as("dst"), col("nbrs").as("nv")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+    def edge(a: String, b: String) = tris.select(
+      least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
+    val credits = edge("src", "dst").union(edge("src", "w")).union(edge("dst", "w"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+    val out = e.join(credits, Seq("u", "v"), "left")
+      .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("support"))
+      .localCheckpoint()
+    freeCkpt(o); freeCkpt(nb)
+    out
+  }
+
+  /** k-truss: the maximal subgraph where every edge closes ≥ k−2
+    * triangles WITHIN the subgraph — the triangle-based cohesion
+    * companion to [[kCore]] (degree peeling), same fixpoint shape:
+    * recompute support, drop light edges, repeat until no edge falls.
+    * Input canonical pairs (u < v); output the surviving edges with
+    * their final within-truss support.
+    *
+    * Scale: per round one support pass (arboricity-bounded intersection
+    * work, output linear in triangles) + one count; rounds are bounded
+    * by opts.maxSupersteps and in practice by the peeling depth. All
+    * iterated state is checkpoint-managed; the driver sees only the
+    * edge-count scalar. */
+  def kTruss(pairs: DataFrame, k: Int,
+             opts: PregelOptions = PregelOptions(maxSupersteps = 40)): DataFrame = {
+    var e = pairs.select(col("u"), col("v")).localCheckpoint()
+    var cnt = e.count()
+    var step = 0
+    while (step < opts.maxSupersteps) {
+      val sup = edgeSupport(e)
+      // fixpoint ⟺ a support pass over the CURRENT edge set drops
+      // nothing (filtering on stale supports would exit one round early
+      // with under-supported edges still in)
+      val keptCnt = sup.filter(col("support") >= k - 2).count()
+      if (keptCnt == cnt) {
+        freeCkpt(e)
+        return sup.orderBy(col("u"), col("v"))
+      }
+      val kept = sup.filter(col("support") >= k - 2)
+        .select("u", "v").localCheckpoint()
+      freeCkpt(sup); freeCkpt(e)
+      e = kept
+      cnt = keptCnt
+      step += 1
+    }
+    // iteration budget exhausted: annotate the partially peeled set
+    val sup = edgeSupport(e)
+    freeCkpt(e)
+    sup.orderBy(col("u"), col("v"))
+  }
+
   /** "People you may know": for a bipartite src→dst graph, rank src pairs
     * by shared-neighbor count (candidates are never existing edges in a
     * bipartite graph). Returns the global top-k with (cnt desc, u, v)

@@ -236,6 +236,42 @@ object Corpus {
     }
   }
 
+  // --- LM-style quality scoring ----------------------------------------
+
+  /** Unigram surprisal quality score — the perplexity-style signal (docs
+    * full of rare tokens score high, boilerplate scores low) WITHOUT the
+    * cross-engine libm trap: ln()/log2() differ by ulps between JVM and
+    * DuckDB, which breaks floor-scaled hash oracles. Instead each token
+    * instance scores floor(log2(T / c)) BITS computed in pure integers:
+    * floor(log2(a/b)) == bitlength(a div b) − 1 for a ≥ b ≥ 1 (proof:
+    * both equal the k with 2^k·b ≤ a < 2^(k+1)·b), and bitlength(x) is
+    * `length(bin(x)) − 1` in BOTH engines. T = total corpus token
+    * instances, c = the token's corpus count (self-scored model — no
+    * OOV). Output per doc: n_tokens, total_bits, bits_per_token_e6
+    * (exact integer division).
+    *
+    * Scale: one explode (persisted — the count aggregation and the score
+    * join both read it), a vocab-sized equi-join ON the token, a
+    * broadcast scalar total, one per-doc aggregation. All map-side
+    * combinable; nothing driver-side. */
+  def surprisalScore(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("t"))
+    val out = toks.join(counts, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol), (length(bin(expr("t div c"))) - 1).cast("long").as("bits"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("total_bits"))
+      .select(col(idCol), col("n_tokens"), col("total_bits"),
+        idiv(col("total_bits") * lit(1000000L), col("n_tokens")).as("bits_per_token_e6"))
+      .localCheckpoint()
+    toks.unpersist()
+    out
+  }
+
   // --- train/eval contamination ----------------------------------------
 
   /** Benchmark-contamination detection: for each eval doc, the training

@@ -159,6 +159,32 @@ object OracleGen {
       s" SELECT src AS id, COUNT(*) AS deg FROM e$rounds GROUP BY src ORDER BY id")
   }
 
+  /** R support-peel rounds of k-truss over canonical pairs (unique
+    * fixpoint; R must cover convergence — trailing rounds are no-ops).
+    * Per round: enumerate triangles with the x<y<z triple join, credit
+    * each triangle's three edges, drop edges under k−2 — the exact
+    * recurrence graft.graph.Algos.kTruss runs. `withBody` must bind
+    * e0(u, v). Result: surviving (u, v, support). */
+  def kTrussSql(withBody: String, k: Int, rounds: Int): String = {
+    def supCtes(i: Int) =
+      s"""t$i AS MATERIALIZED (SELECT a.u AS x, a.v AS y, b.v AS z FROM e$i a
+         |JOIN e$i b ON b.u = a.u AND b.v > a.v
+         |JOIN e$i c ON c.u = a.v AND c.v = b.v),
+         |s$i AS MATERIALIZED (SELECT u, v, COUNT(*) AS sup FROM (
+         |SELECT x AS u, y AS v FROM t$i UNION ALL SELECT x, z FROM t$i
+         |UNION ALL SELECT y, z FROM t$i) cr$i GROUP BY u, v)""".stripMargin.replace('\n', ' ')
+    val steps = (0 until rounds).map { i =>
+      s"""${supCtes(i)},
+         |e${i + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e$i e
+         |LEFT JOIN s$i s ON s.u = e.u AND s.v = e.v
+         |WHERE COALESCE(s.sup, 0) >= ${k - 2})""".stripMargin.replace('\n', ' ')
+    }
+    (s"WITH $withBody, " + steps.mkString(", ") + s", ${supCtes(rounds)} " +
+      s"SELECT e.u, e.v, CAST(COALESCE(s.sup, 0) AS BIGINT) AS support " +
+      s"FROM e$rounds e LEFT JOIN s$rounds s ON s.u = e.u AND s.v = e.v " +
+      "ORDER BY e.u, e.v")
+  }
+
   /** AND-model deadlock: deadlocked(v) ⟺ v reaches a cycle. Oracle via
     * K-fold path-doubling closure (mirrors graft.graph.Algos.deadlock's
     * SCC + backward-reach result). */

@@ -142,6 +142,23 @@ class AlgosSpec extends SparkSpec {
     assert(Algos.triangleCount(pairs).first().getLong(0) == 4L)
   }
 
+  test("kTruss peels to the K4 core with cascade") {
+    // K4 on {1,2,3,4} (every edge in 2 triangles) + triangle {4,5,6}
+    // (edges in 1 triangle — fall at k=4) + pendant (6,7) (support 0);
+    // the pendant and the side triangle peel, K4 survives exactly
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)).toDF("u", "v")
+    val got = Algos.kTruss(pairs, k = 4).as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)))
+    // k=3 keeps every triangle edge (support ≥ 1) and drops the pendant
+    val t3 = Algos.kTruss(pairs, k = 3).as[(Long, Long, Long)].collect().toSeq
+    assert(t3.map(p => (p._1, p._2)).toSet ==
+      Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+        (4L, 5L), (4L, 6L), (5L, 6L)))
+  }
+
   test("independentSet picks a maximal independent set by id priority") {
     // path 1-2-3-4-5: id-priority MIS = {1,3,5}
     val e = Prep.makeSymmetric(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst"))

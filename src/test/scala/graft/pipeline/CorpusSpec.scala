@@ -127,6 +127,25 @@ class CorpusSpec extends SparkSpec {
     assert(r == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L, 6L -> 0L))
   }
 
+  test("surprisal score: exact integer floor-log2 bits, hand-computed") {
+    import spark.implicits._
+    // counts: a=2, b=2, c=1; T=5. bits(a)=bits(b)=bitlen(5 div 2)−1=1,
+    // bits(c)=bitlen(5)−1=2
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = Corpus.surprisalScore(d).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 3L, 1000000L), (2L, 2L, 3L, 1500000L)))
+  }
+
+  test("floor(log2(a/b)) == bitlength(a div b) - 1 for every a >= b >= 1 grid point") {
+    // the identity the surprisal operator rests on, checked exactly with
+    // shifts (no doubles): k is correct iff b·2^k <= a < b·2^(k+1)
+    for (a <- 1L to 300L; b <- 1L to a) {
+      val k = 63 - java.lang.Long.numberOfLeadingZeros(a / b)
+      assert((b << k) <= a && a < (b << (k + 1)), s"a=$a b=$b k=$k")
+    }
+  }
+
   test("contamination flags the planted eval copy and skips clean docs") {
     val corpus = Seq(
       (100L, "x1 x2 x3 x4 x5 x6", "s"),
