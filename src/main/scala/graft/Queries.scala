@@ -316,10 +316,14 @@ object Queries {
   private def qTriCount(s: SparkSession, dir: String): DataFrame =
     Algos.triangleCount(TestGraphs.suppCoPairs(Tables(s, dir)))
 
-  /** 4-truss of the supplier co-occurrence graph: edges in ≥ 2
-    * within-subgraph triangles after peeling ([[Algos.kTruss]]). */
+  /** 9-truss of the part co-occurrence graph (parts in the same order):
+    * edges in ≥ 7 within-subgraph triangles after peeling
+    * ([[Algos.kTruss]]). k=9 drives a real cascade on this graph
+    * (115.7k → 12.1k edges over 11 rounds at sf0.01; 1.2M → 133k over
+    * 4 rounds at sf0.1) — the supplier graph is complete at every sf,
+    * which makes its truss trivial and its triangle pass maximal. */
   private def qKtruss(s: SparkSession, dir: String): DataFrame =
-    Algos.kTruss(TestGraphs.suppCoPairs(Tables(s, dir)), k = 4)
+    Algos.kTruss(TestGraphs.partCoPairs(Tables(s, dir)), k = 9)
 
   private val qTriCountSql =
     s"""WITH cp AS (${TestGraphs.suppCoPairsSql})
@@ -500,8 +504,8 @@ object Queries {
     "q_graph_cc_events" -> qCcEventsSql,
     "q_graph_tri_count" -> qTriCountSql,
     "q_graph_ktruss"   -> OracleGen.kTrussSql(
-      s"cp AS MATERIALIZED (${TestGraphs.suppCoPairsSql}), e0 AS MATERIALIZED (SELECT u, v FROM cp)",
-      4, 10),
+      s"e0 AS MATERIALIZED (${TestGraphs.partCoPairsSql})",
+      9, 14),
     "q_graph_tri_closing" -> qTriClosingSql,
     "q_graph_mis"      -> OracleGen.misSql(TestGraphs.suppCoSymSql, 10),
     "q_graph_scc"      -> OracleGen.sccSql(s"e AS MATERIALIZED (${TestGraphs.suppRingSql})", 8),

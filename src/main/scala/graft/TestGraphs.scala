@@ -54,6 +54,26 @@ object TestGraphs {
       |JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
       |ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey""".stripMargin.replace('\n', ' ')
 
+  /** Undirected part co-purchase pairs (u < v): parts appearing in the
+    * same ORDER (≤ 7 lineitems per order, so the per-key fanout is
+    * bounded by construction). Unlike [[suppCoPairs]] — which is the
+    * complete graph on suppliers at every sf — this one is genuinely
+    * sparse (0.6–6% density) with a long support tail, so truss peeling
+    * actually cascades. */
+  def partCoPairs(tb: Tables): DataFrame = {
+    val li = tb.lineitem.select(col("l_orderkey"), col("l_partkey"))
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+  }
+
+  val partCoPairsSql: String =
+    """SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |FROM lineitem a JOIN lineitem b
+      |ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""".stripMargin.replace('\n', ' ')
+
   /** Both-direction edge frame of [[suppCoPairs]] (for propagation algos). */
   def suppCoSym(tb: Tables): DataFrame = {
     val p = suppCoPairs(tb)
