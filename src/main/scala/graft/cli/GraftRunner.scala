@@ -27,7 +27,7 @@ object GraftRunner {
 
   private val PipelineAlgos = Set("dedup-exact", "dedup-minhash", "dedup-clusters",
     "tfidf", "vocab", "scrub", "pack", "sample", "sample-topk", "repetition",
-    "dedup-index-write", "dedup-index-probe")
+    "dedup-index-write", "dedup-index-probe", "dedup-cdc", "surprisal")
 
   def main(args: Array[String]): Unit = {
     if (args.length < 1) { usage(); sys.exit(2) }
@@ -78,6 +78,10 @@ object GraftRunner {
               null
             case "dedup-index-probe" =>
               Dedup.incrementalDupPairs(docs, opts("index"))
+            case "dedup-cdc" =>
+              Dedup.cdcDupPairs(docs,
+                threshold = opts.getOrElse("threshold", "0.5").toDouble)
+            case "surprisal" => Corpus.surprisalScore(docs)
           }
         } else {
           var edges =
@@ -104,6 +108,10 @@ object GraftRunner {
             case "triangles" =>
               Algos.triangleCount(edges.filter(col("src") < col("dst"))
                 .select(col("src").as("u"), col("dst").as("v")).distinct())
+            case "ktruss" =>
+              Algos.kTruss(edges.filter(col("src") < col("dst"))
+                  .select(col("src").as("u"), col("dst").as("v")).distinct(),
+                k = opts.getOrElse("k", "4").toInt)
             case other => System.err.println(s"unknown algo: $other"); usage(); sys.exit(2); null
           }
         }
@@ -160,11 +168,13 @@ object GraftRunner {
       |  or --gen uniform|ws --vertices N --degree N [--seed N]
       |     [--local-ratio permille] [--beta permille]   (benchmark inputs)
       |  graph algo: pagerank pagerank-conv wpagerank sssp bfs wcc scc
-      |              degrees mis triangles   ([--tol X] [--convergence
+      |              degrees mis triangles ktruss [--k N]
+      |              ([--tol X] [--convergence
       |              sum|max|sum_rel|max_rel|rmse] for pagerank-conv)
       |or: GraftRunner <op> --docs <parquet> --out <path> [--k N] [--budget N]
       |  corpus op: dedup-exact dedup-minhash dedup-clusters tfidf vocab
       |             scrub pack sample sample-topk repetition
+      |             dedup-cdc [--threshold X] surprisal
       |             dedup-index-write (signs --docs into --out)
       |             dedup-index-probe --index <path> (probe increment)""".stripMargin)
 }
