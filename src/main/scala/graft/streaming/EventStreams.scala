@@ -109,6 +109,48 @@ object EventStreams {
         col("purchase_ts"), col("click_id"), col("click_ts"))
   }
 
+  /** Streaming incremental dedup: a continuously-arriving document
+    * stream probed against the PERSISTED MinHash signature index
+    * ([[graft.dedup.Dedup.writeSignatureIndex]]) via stream-static
+    * equi-joins — the continuous-ingestion form of incremental dedup.
+    * The standing corpus is never re-signed and never self-joined: the
+    * static sides are ordinary parquet scans joined per micro-batch,
+    * and the stream side computes signatures only for its own rows
+    * (one pass — the shingle set rides along to the verify join, so the
+    * md5 kernel runs once per document, not once per use).
+    *
+    * Output (new_id, idx_id, jac_e6): which indexed documents each
+    * arriving document duplicates — same contract as the batch
+    * [[graft.dedup.Dedup.incrementalDupPairs]], which the spec asserts.
+    * Streaming state is ONLY the pair-dedup set (a (new_id, idx_id)
+    * key per detected duplicate — bounded by the increment's dup count,
+    * not by the corpus). Works identically on a bounded frame. */
+  def dedupAgainstIndex(newDocs: DataFrame, indexPath: String,
+                        shingleLen: Int = 8, numHashes: Int = 16,
+                        bands: Int = 4, threshold: Double = 0.3): DataFrame = {
+    import graft.text.TextFunctions._
+    val spark = newDocs.sparkSession
+    val rpb = numHashes / bands
+    val banded = newDocs.select(col("doc_id").as("new_id"),
+        shingleSet(col("text"), shingleLen).as("shn"))
+      .withColumn("sig", minhashSignature(col("shn"), numHashes))
+      .select(col("new_id"), col("shn"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => md5(concat_ws("|", slice(col("sig"), b * rpb + 1, lit(rpb))))))
+          .as(Seq("band", "bv")))
+    val buckets = newDocs.sparkSession.read.parquet(s"$indexPath/buckets")
+    val shingles = spark.read.parquet(s"$indexPath/shingles")
+      .select(col("doc_id").as("idx_id"), col("sh").as("shi"))
+    banded.join(buckets, Seq("band", "bv"))
+      .select(col("new_id"), col("shn"), col("doc_id").as("idx_id"))
+      .dropDuplicates("new_id", "idx_id")
+      .join(shingles, Seq("idx_id"))
+      .withColumn("jac", jaccard(col("shn"), col("shi")))
+      .filter(col("jac") >= threshold)
+      .select(col("new_id"), col("idx_id"),
+        graft.sql.Exact.e6(col("jac")).as("jac_e6"))
+  }
+
   /** File-source → parquet-sink wiring: watch a directory of event
     * parquet drops, maintain the tumbling aggregate. */
   def streamDirectoryToParquet(spark: org.apache.spark.sql.SparkSession,

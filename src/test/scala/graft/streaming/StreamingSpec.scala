@@ -30,6 +30,42 @@ class StreamingSpec extends SparkSpec {
     query.stop()
   }
 
+  test("streaming incremental dedup probes the stored index per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // standing corpus signed ONCE into a stored index (batch side)
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog", "s1"),
+      (11L, "completely different content entirely here now", "s1")
+    ).toDF("doc_id", "text", "source")
+    val path = java.nio.file.Files.createTempDirectory("sigidx_stream").toString
+    graft.dedup.Dedup.writeSignatureIndex(corpus, path)
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDS().toDF("doc_id", "text")
+    val query = EventStreams.dedupAgainstIndex(stream, path)
+      .writeStream.format("memory").queryName("incdedup")
+      .outputMode("append").start()
+    // batch 1: a near-dup of indexed doc 10 + a novel doc
+    input.addData((1L, "the quick brown fox jumps over the lazy cat"),
+                  (2L, "nothing like anything stored in the index at all"))
+    query.processAllAvailable()
+    // batch 2: an exact copy of indexed doc 11 — cross-batch increment
+    input.addData((3L, "completely different content entirely here now"))
+    query.processAllAvailable()
+    val got = spark.table("incdedup").select("new_id", "idx_id", "jac_e6")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(p => (p._1, p._2))
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 10L), (3L, 11L)))
+    assert(got(1)._3 == 1000000L) // exact copy → jaccard 1
+    // parity: the batch incremental path reports the same pairs
+    val batch = graft.dedup.Dedup.incrementalDupPairs(
+      Seq((1L, "the quick brown fox jumps over the lazy cat", "s1"),
+          (2L, "nothing like anything stored in the index at all", "s1"),
+          (3L, "completely different content entirely here now", "s1"))
+        .toDF("doc_id", "text", "source"), path)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(p => (p._1, p._2))
+    assert(batch == got)
+    query.stop()
+  }
+
   test("streaming sliding windows put each event in width/slide windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
