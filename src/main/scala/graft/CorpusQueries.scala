@@ -244,6 +244,48 @@ object CorpusQueries {
        |CAST((b.shared * 1000000) // es.n_grams AS BIGINT) AS overlap_e6
        |FROM best b JOIN es USING (eval_id) ORDER BY eval_id""".stripMargin.replace('\n', ' ')
 
+  // --- BPE vocabulary training -------------------------------------------
+
+  /** Real BPE training, 10 merges. The oracle unrolls every round: pair
+    * counts → deterministic argmax → the parity-rule rewrite (the closed
+    * form of left-to-right non-overlapping merging — overlapping matches
+    * only arise in equal-symbol runs, where the rule keeps every even
+    * offset). A hash match proves the kernel's greedy walk round-for-
+    * round. */
+  private def qBpeTrain(s: SparkSession, dir: String): DataFrame =
+    Corpus.bpeTrain(Tables(s, dir).documents, numMerges = 10).orderBy(col("rank"))
+
+  private val qBpeTrainSql = {
+    val n = 10
+    def round(t: Int): String = {
+      val m = "(sym[CAST(i AS INT)] = b.l AND sym[CAST(i + 1 AS INT)] = b.r)"
+      val mj = "(sym[CAST(j AS INT)] = b.l AND sym[CAST(j + 1 AS INT)] = b.r)"
+      s"""p$t AS MATERIALIZED (SELECT sym[CAST(i AS INT)] AS l,
+         |sym[CAST(i + 1 AS INT)] AS r, SUM(cnt) AS c
+         |FROM w$t, unnest(range(1, len(sym))) AS u$t(i) GROUP BY 1, 2),
+         |b$t AS MATERIALIZED (SELECT l, r, c FROM p$t ORDER BY c DESC, l, r LIMIT 1),
+         |w${t + 1} AS MATERIALIZED (SELECT cnt,
+         |CASE WHEN len(sym) < 2 THEN sym ELSE
+         |list_filter(list_transform(range(1, len(sym) + 1), i ->
+         |CASE WHEN list_contains(sel, i) THEN sym[CAST(i AS INT)] || sym[CAST(i + 1 AS INT)]
+         |WHEN list_contains(sel, i - 1) THEN NULL
+         |ELSE sym[CAST(i AS INT)] END), x -> x IS NOT NULL) END AS sym FROM (
+         |SELECT cnt, sym, list_filter(range(1, len(sym)), i -> $m AND
+         |((i - 1 - COALESCE(list_max(list_filter(range(1, i), j -> NOT $mj)), 0)) % 2 = 0)) AS sel
+         |FROM w$t, b$t b) z$t)""".stripMargin.replace('\n', ' ')
+    }
+    val rounds = (0 until n).map(round).mkString(", ")
+    val union = (0 until n).map(t =>
+      s"SELECT $t AS t, l, r, c FROM b$t").mkString(" UNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (SELECT cnt,
+       |list_transform(range(1, length(w) + 1), i -> w[CAST(i AS INT)]) AS sym FROM (
+       |SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |SELECT unnest(${tokSql()}) AS w FROM documents) q GROUP BY w) g),
+       |$rounds
+       |SELECT CAST(t AS INT) AS rank, l AS lhs, r AS rhs,
+       |CAST(c AS BIGINT) AS pair_cnt FROM ($union) ORDER BY rank""".stripMargin.replace('\n', ' ')
+  }
+
   // --- unigram surprisal -------------------------------------------------
 
   /** Perplexity-style LM quality score in pure integers: per token
@@ -278,7 +320,8 @@ object CorpusQueries {
     "q_mix_stats"         -> (qMixStats _),
     "q_contamination"     -> (qContamination _),
     "q_quality_filter"    -> (qQualityFilter _),
-    "q_text_surprisal"    -> (qTextSurprisal _))
+    "q_text_surprisal"    -> (qTextSurprisal _),
+    "q_bpe_train"         -> (qBpeTrain _))
 
   val oracles: Map[String, String] = Map(
     "q_text_repetition"   -> qTextRepetitionSql,
@@ -291,5 +334,6 @@ object CorpusQueries {
     "q_mix_stats"         -> qMixStatsSql,
     "q_contamination"     -> qContaminationSql,
     "q_quality_filter"    -> qQualityFilterSql,
-    "q_text_surprisal"    -> qTextSurprisalSql)
+    "q_text_surprisal"    -> qTextSurprisalSql,
+    "q_bpe_train"         -> qBpeTrainSql)
 }

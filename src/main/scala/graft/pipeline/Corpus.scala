@@ -236,6 +236,77 @@ object Corpus {
     }
   }
 
+  // --- BPE vocabulary training ------------------------------------------
+
+  final case class BpeMerge(rank: Int, lhs: String, rhs: String, pair_cnt: Long)
+
+  /** One classic left-to-right non-overlapping BPE merge of (a, b) over a
+    * symbol sequence ("aaa" + (a,a) → ["aa", "a"]). Pure kernel — the
+    * spec and the distributed trainer share it. */
+  private[graft] def mergePair(sym: Seq[String], a: String, b: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < sym.length) {
+      if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += sym(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Byte-pair-encoding vocabulary training — the real thing, not the
+    * BPE-ish regex: iteratively merge the globally most frequent
+    * adjacent symbol pair (ties broken (count desc, lhs, rhs) — fully
+    * deterministic) and return the merge table, the artifact a tokenizer
+    * ships. Trained over the word-FREQUENCY table, the standard trick
+    * that makes BPE corpus-size-independent: rounds iterate a
+    * vocab-sized frame no matter how many tokens the corpus has.
+    *
+    * Scale shape per round: one explode+sum over adjacent pairs
+    * (map-side combinable), ONE argmax row to the driver (the merge
+    * decision IS driver-sized — it's the output), one narrow rewrite
+    * pass over the checkpointed word frame. The left-to-right
+    * non-overlap rule is equivalent to a per-position parity rule
+    * (overlapping matches only arise in equal-symbol runs), which is
+    * what the DuckDB oracle replays in closed form — a hash match
+    * proves the kernel's greedy walk equals the declarative form. */
+  def bpeTrain(docs: DataFrame, numMerges: Int,
+               textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), split(col("w"), "").as("sym"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[BpeMerge]
+    var r = 0
+    var live = true
+    while (r < numMerges && live) {
+      val best = words.filter(size(col("sym")) >= 2)
+        .select(col("cnt"),
+          explode(expr("transform(sequence(0, size(sym) - 2), " +
+            "i -> struct(sym[i] AS l, sym[i + 1] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) live = false
+      else {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += BpeMerge(r, a, b, c)
+        val prev = words
+        words = words.as[(Long, Seq[String])]
+          .map { case (cnt, sym) => (cnt, mergePair(sym, a, b)) }
+          .toDF("cnt", "sym")
+          .localCheckpoint()
+        org.apache.spark.sql.graft.CheckpointBridge.free(prev)
+        r += 1
+      }
+    }
+    org.apache.spark.sql.graft.CheckpointBridge.free(words)
+    merges.result().toDF()
+  }
+
   // --- LM-style quality scoring ----------------------------------------
 
   /** Unigram surprisal quality score — the perplexity-style signal (docs

@@ -127,6 +127,25 @@ class CorpusSpec extends SparkSpec {
     assert(r == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L, 6L -> 0L))
   }
 
+  test("bpe merge kernel: left-to-right non-overlap, incl. equal-symbol runs") {
+    assert(Corpus.mergePair(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(Corpus.mergePair(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    assert(Corpus.mergePair(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    assert(Corpus.mergePair(Seq("x"), "a", "b") == Seq("x"))
+  }
+
+  test("bpe training learns the classic low/lower merge table, ties broken lexically") {
+    import spark.implicits._
+    // tokens: low ×3, lower ×1. Round 1: (l,o)=4 ties (o,w)=4 → lex picks
+    // (l,o). Round 2: (lo,w)=4. Round 3: (low,e)=1 ties (e,r)=1 → (e,r).
+    // Round 4: (low,er)=1.
+    val d = Seq((1L, "low low low lower")).toDF("doc_id", "text")
+    val got = Corpus.bpeTrain(d, numMerges = 4)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((0, "l", "o", 4L), (1, "lo", "w", 4L),
+      (2, "e", "r", 1L), (3, "low", "er", 1L)))
+  }
+
   test("surprisal score: exact integer floor-log2 bits, hand-computed") {
     import spark.implicits._
     // counts: a=2, b=2, c=1; T=5. bits(a)=bits(b)=bitlen(5 div 2)−1=1,

@@ -273,6 +273,22 @@ class PipelineSpec extends SparkSpec {
     assert(got.head._2 == 5L && got.head._3 >= 9990L)
   }
 
+  test("pq reconstruction joins the codebook by BROADCAST, never a shuffle of codes") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.2f, 0.1f, 0.4f)),
+      (3L, Seq(-1.0f, 0.5f, -0.3f, 0.2f)),
+      (5L, Seq(0.99f, 0.21f, 0.1f, 0.4f)),
+      (7L, Seq(0.1f, -0.9f, 0.6f, -0.2f))
+    ).toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val plan = Similarity.pqTopK(e, q, k = 1, m = 2, ksub = 2, iters = 1,
+      rerank = 2, dim = 4).queryExecution.executedPlan.toString
+    // the m·ksub codebook must reach the code frame as a broadcast —
+    // a shuffled join here would re-shuffle the whole corpus' codes
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+  }
+
   test("ann recall@10 floors per tier vs brute-force truth") {
     // 8 planted direction-clusters, 15 members each + noise — the shape
     // real embedding corpora have (ANN on uniform random data is
