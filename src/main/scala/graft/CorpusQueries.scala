@@ -286,6 +286,57 @@ object CorpusQueries {
        |CAST(c AS BIGINT) AS pair_cnt FROM ($union) ORDER BY rank""".stripMargin.replace('\n', ' ')
   }
 
+  /** Train 10 merges, then TOKENIZE the corpus with them — the full
+    * train→encode chain in one oracle: the DuckDB side re-learns the
+    * same merge table (word strings riding along this time) and re-plays
+    * the merges over every document's token stream in order, so the
+    * md5'd piece stream matches only if both the trainer and the encoder
+    * agree round-for-round, word-for-word. */
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val merges = Corpus.bpeTrain(docs, numMerges = 10).orderBy(col("rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    Corpus.bpeEncode(docs, merges)
+      .select(col("doc_id"), size(col("pieces")).as("n_pieces"),
+        md5(concat_ws("\u0001", col("pieces"))).as("pieces_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qBpeEncodeSql = {
+    val n = 10
+    def round(t: Int): String = {
+      val m = "(sym[CAST(i AS INT)] = b.l AND sym[CAST(i + 1 AS INT)] = b.r)"
+      val mj = "(sym[CAST(j AS INT)] = b.l AND sym[CAST(j + 1 AS INT)] = b.r)"
+      s"""p$t AS MATERIALIZED (SELECT sym[CAST(i AS INT)] AS l,
+         |sym[CAST(i + 1 AS INT)] AS r, SUM(cnt) AS c
+         |FROM w$t, unnest(range(1, len(sym))) AS u$t(i) GROUP BY 1, 2),
+         |b$t AS MATERIALIZED (SELECT l, r, c FROM p$t ORDER BY c DESC, l, r LIMIT 1),
+         |w${t + 1} AS MATERIALIZED (SELECT w, cnt,
+         |CASE WHEN len(sym) < 2 THEN sym ELSE
+         |list_filter(list_transform(range(1, len(sym) + 1), i ->
+         |CASE WHEN list_contains(sel, i) THEN sym[CAST(i AS INT)] || sym[CAST(i + 1 AS INT)]
+         |WHEN list_contains(sel, i - 1) THEN NULL
+         |ELSE sym[CAST(i AS INT)] END), x -> x IS NOT NULL) END AS sym FROM (
+         |SELECT w, cnt, sym, list_filter(range(1, len(sym)), i -> $m AND
+         |((i - 1 - COALESCE(list_max(list_filter(range(1, i), j -> NOT $mj)), 0)) % 2 = 0)) AS sel
+         |FROM w$t, b$t b) z$t)""".stripMargin.replace('\n', ' ')
+    }
+    val rounds = (0 until n).map(round).mkString(", ")
+    s"""WITH w0 AS MATERIALIZED (SELECT w, cnt,
+       |list_transform(range(1, length(w) + 1), i -> w[CAST(i AS INT)]) AS sym FROM (
+       |SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |SELECT unnest(${tokSql()}) AS w FROM documents) q GROUP BY w) g),
+       |$rounds,
+       |dt AS MATERIALIZED (SELECT doc_id, i, ts[CAST(i AS INT)] AS w FROM (
+       |SELECT doc_id, ${tokSql()} AS ts FROM documents) qd,
+       |unnest(range(1, len(ts) + 1)) AS ut(i)),
+       |agg AS (SELECT dt.doc_id, flatten(list(wv.sym ORDER BY dt.i)) AS pieces
+       |FROM dt JOIN w$n wv ON wv.w = dt.w GROUP BY dt.doc_id)
+       |SELECT doc_id, CAST(len(pieces) AS INT) AS n_pieces,
+       |md5(array_to_string(pieces, chr(1))) AS pieces_md5
+       |FROM agg ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
+
   // --- unigram surprisal -------------------------------------------------
 
   /** Perplexity-style LM quality score in pure integers: per token
@@ -321,7 +372,8 @@ object CorpusQueries {
     "q_contamination"     -> (qContamination _),
     "q_quality_filter"    -> (qQualityFilter _),
     "q_text_surprisal"    -> (qTextSurprisal _),
-    "q_bpe_train"         -> (qBpeTrain _))
+    "q_bpe_train"         -> (qBpeTrain _),
+    "q_bpe_encode"        -> (qBpeEncode _))
 
   val oracles: Map[String, String] = Map(
     "q_text_repetition"   -> qTextRepetitionSql,
@@ -335,5 +387,6 @@ object CorpusQueries {
     "q_contamination"     -> qContaminationSql,
     "q_quality_filter"    -> qQualityFilterSql,
     "q_text_surprisal"    -> qTextSurprisalSql,
-    "q_bpe_train"         -> qBpeTrainSql)
+    "q_bpe_train"         -> qBpeTrainSql,
+    "q_bpe_encode"        -> qBpeEncodeSql)
 }

@@ -27,7 +27,8 @@ object GraftRunner {
 
   private val PipelineAlgos = Set("dedup-exact", "dedup-minhash", "dedup-clusters",
     "tfidf", "vocab", "scrub", "pack", "sample", "sample-topk", "repetition",
-    "dedup-index-write", "dedup-index-probe", "dedup-cdc", "surprisal")
+    "dedup-index-write", "dedup-index-probe", "dedup-cdc", "surprisal",
+    "bpe-train")
 
   def main(args: Array[String]): Unit = {
     if (args.length < 1) { usage(); sys.exit(2) }
@@ -82,6 +83,8 @@ object GraftRunner {
               Dedup.cdcDupPairs(docs,
                 threshold = opts.getOrElse("threshold", "0.5").toDouble)
             case "surprisal" => Corpus.surprisalScore(docs)
+            case "bpe-train" =>
+              Corpus.bpeTrain(docs, opts.getOrElse("k", "1000").toInt)
           }
         } else {
           var edges =
@@ -174,7 +177,7 @@ object GraftRunner {
       |or: GraftRunner <op> --docs <parquet> --out <path> [--k N] [--budget N]
       |  corpus op: dedup-exact dedup-minhash dedup-clusters tfidf vocab
       |             scrub pack sample sample-topk repetition
-      |             dedup-cdc [--threshold X] surprisal
+      |             dedup-cdc [--threshold X] surprisal bpe-train [--k N]
       |             dedup-index-write (signs --docs into --out)
       |             dedup-index-probe --index <path> (probe increment)""".stripMargin)
 }

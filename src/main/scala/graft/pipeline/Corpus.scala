@@ -307,6 +307,28 @@ object Corpus {
     merges.result().toDF()
   }
 
+  /** Apply a trained merge table ([[bpeTrain]]'s output, rank order):
+    * every whitespace token decomposes to characters and replays the
+    * merges — the tokenizer a trained BPE vocabulary ships as. Per-row
+    * kernel (the merge replay is sequential per word by definition);
+    * the merge table is closure-tiny (numMerges rows). Returns
+    * (idCol, pieces array) one row per document, pieces in document
+    * order. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val pieces = text.trim.split("\\s+").toSeq.flatMap { wd =>
+          var sym: Seq[String] = wd.split("").toSeq
+          merges.foreach { case (a, b) => sym = mergePair(sym, a, b) }
+          sym
+        }
+        (id, pieces)
+      }.toDF(idCol, "pieces")
+  }
+
   // --- LM-style quality scoring ----------------------------------------
 
   /** Unigram surprisal quality score — the perplexity-style signal (docs

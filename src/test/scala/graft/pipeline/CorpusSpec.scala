@@ -146,6 +146,14 @@ class CorpusSpec extends SparkSpec {
       (2, "e", "r", 1L), (3, "low", "er", 1L)))
   }
 
+  test("bpe encode applies the merge table in rank order across the doc") {
+    import spark.implicits._
+    val d = Seq((1L, "low lower")).toDF("doc_id", "text")
+    val got = Corpus.bpeEncode(d, Seq(("l", "o"), ("lo", "w")))
+      .as[(Long, Seq[String])].collect().head
+    assert(got == ((1L, Seq("low", "low", "e", "r"))))
+  }
+
   test("surprisal score: exact integer floor-log2 bits, hand-computed") {
     import spark.implicits._
     // counts: a=2, b=2, c=1; T=5. bits(a)=bits(b)=bitlen(5 div 2)−1=1,
