@@ -358,6 +358,25 @@ object CorpusQueries {
        |CAST(SUM(bits) * 1000000 // COUNT(*) AS BIGINT) AS bits_per_token_e6
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
+  /** Bigram conditional surprisal — same integer floor-log2 discipline. */
+  private def qTextBigramSurprisal(s: SparkSession, dir: String): DataFrame =
+    Corpus.bigramSurprisalScore(Tables(s, dir).documents).orderBy(col("doc_id"))
+
+  private val qTextBigramSurprisalSql =
+    s"""WITH bt AS MATERIALIZED (SELECT doc_id, t[CAST(i AS INT)] AS a,
+       |t[CAST(i + 1 AS INT)] AS b FROM (
+       |SELECT doc_id, ${tokSql()} AS t FROM documents) q,
+       |unnest(range(1, len(t))) AS ut(i) WHERE len(t) >= 2),
+       |cb AS MATERIALIZED (SELECT a, b, COUNT(*) AS cb FROM bt GROUP BY a, b),
+       |cp AS MATERIALIZED (SELECT a, SUM(cb) AS cp FROM cb GROUP BY a),
+       |sc AS (SELECT bt.doc_id,
+       |length(bin(CAST(cp.cp // cb.cb AS BIGINT))) - 1 AS bits
+       |FROM bt JOIN cb ON cb.a = bt.a AND cb.b = bt.b JOIN cp ON cp.a = bt.a)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |CAST(SUM(bits) AS BIGINT) AS total_bits,
+       |CAST(SUM(bits) * 1000000 // COUNT(*) AS BIGINT) AS bits_per_bigram_e6
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
   // --- registry ---------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -373,7 +392,8 @@ object CorpusQueries {
     "q_quality_filter"    -> (qQualityFilter _),
     "q_text_surprisal"    -> (qTextSurprisal _),
     "q_bpe_train"         -> (qBpeTrain _),
-    "q_bpe_encode"        -> (qBpeEncode _))
+    "q_bpe_encode"        -> (qBpeEncode _),
+    "q_text_bigram_surprisal" -> (qTextBigramSurprisal _))
 
   val oracles: Map[String, String] = Map(
     "q_text_repetition"   -> qTextRepetitionSql,
@@ -388,5 +408,6 @@ object CorpusQueries {
     "q_quality_filter"    -> qQualityFilterSql,
     "q_text_surprisal"    -> qTextSurprisalSql,
     "q_bpe_train"         -> qBpeTrainSql,
-    "q_bpe_encode"        -> qBpeEncodeSql)
+    "q_bpe_encode"        -> qBpeEncodeSql,
+    "q_text_bigram_surprisal" -> qTextBigramSurprisalSql)
 }

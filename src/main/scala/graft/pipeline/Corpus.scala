@@ -365,6 +365,35 @@ object Corpus {
     out
   }
 
+  /** Bigram-LM surprisal: per bigram instance floor(log2(P(b|a)⁻¹)) bits
+    * where P(b|a) = c(a,b) / Σ_b' c(a,b') — the proper conditional from
+    * corpus bigram counts. Same zero-libm integer discipline as
+    * [[surprisalScore]]: bits = bitlength(c_prefix div c_bigram) − 1.
+    * Docs with < 2 tokens have no bigrams and are absent (identically in
+    * both engines). Scale: one guarded explode (persisted — the count
+    * agg and the score join both read it), bigram-vocab equi-join,
+    * per-doc agg. */
+  def bigramSurprisalScore(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val bg = docs.select(col(idCol), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS a, t[i + 1] AS b))")).as("p"))
+      .select(col(idCol), col("p.a").as("a"), col("p.b").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cbig = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cb"))
+    val cpre = cbig.groupBy(col("a")).agg(sum(col("cb")).as("cp"))
+    val out = bg.join(cbig, Seq("a", "b")).join(cpre, Seq("a"))
+      .select(col(idCol), (length(bin(expr("cp div cb"))) - 1).cast("long").as("bits"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("total_bits"))
+      .select(col(idCol), col("n_bigrams"), col("total_bits"),
+        idiv(col("total_bits") * lit(1000000L), col("n_bigrams")).as("bits_per_bigram_e6"))
+      .localCheckpoint()
+    bg.unpersist()
+    out
+  }
+
   // --- train/eval contamination ----------------------------------------
 
   /** Benchmark-contamination detection: for each eval doc, the training

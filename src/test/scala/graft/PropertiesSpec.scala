@@ -24,6 +24,28 @@ class PropertiesSpec extends AnyFunSuite {
     assert(r.passed, s"$name: ${r.status}")
   }
 
+  // --- CDC chunker invariants -------------------------------------------
+
+  test("cdcBoundaries: chunks tile any text and respect min/max for any params") {
+    val gen = for {
+      text <- Gen.asciiPrintableStr
+      minLen <- Gen.choose(1, 10)
+      maxLen <- Gen.choose(10, 60)
+      div <- Gen.choose(2, 40)
+    } yield (text, minLen, maxLen, div)
+    check("tile", Prop.forAll(gen) { case (text, minLen, maxLen, div) =>
+      val ends = graft.dedup.Dedup.cdcBoundaries(text, div = div, rem = div - 1,
+        minLen = minLen, maxLen = maxLen)
+      val tiled = text.isEmpty || ends.lastOption.contains(text.length)
+      val sorted = ends == ends.sorted && ends.distinct == ends
+      val lens = (0 +: ends.dropRight(1)).zip(ends).map { case (s, e) => e - s }
+      // every chunk except the trailing remainder honors [minLen, maxLen]
+      val bounded = lens.dropRight(1).forall(l => l >= minLen && l <= maxLen) &&
+        lens.lastOption.forall(_ <= maxLen)
+      tiled && sorted && bounded
+    })
+  }
+
   // --- PPM parser totality + round trip ---------------------------------
 
   test("decodePpm is total: arbitrary bytes never throw") {

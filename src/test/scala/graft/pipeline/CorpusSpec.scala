@@ -173,6 +173,17 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("bigram surprisal: conditional counts, hand-computed") {
+    import spark.implicits._
+    // cb: (a,b)=2 (b,a)=1 (a,c)=1; cp: a=3 b=1.
+    // doc1 bits: (a,b)=bitlen(3 div 2)-1=0 ×2, (b,a)=bitlen(1)-1=0 → 0
+    // doc2 bits: (a,c)=bitlen(3)-1=1
+    val d = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = Corpus.bigramSurprisalScore(d).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 0L, 0L), (2L, 1L, 1L, 1000000L)))
+  }
+
   test("contamination flags the planted eval copy and skips clean docs") {
     val corpus = Seq(
       (100L, "x1 x2 x3 x4 x5 x6", "s"),
