@@ -126,6 +126,36 @@ object CorpusQueries {
        |'${Corpus.IdRunPattern}', '<ID>', 'g')) AS scrubbed_md5
        |FROM p ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
+  // --- markup stripping ---------------------------------------------------
+
+  /** The synthetic corpus carries no markup, so tags + escaped entities
+    * are planted on every 4th doc in BOTH engines (the PII-scrub
+    * pattern): the strip chain is exercised on real matches. */
+  private def qTextMarkup(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables(s, dir).documents.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(4L)) === 0,
+        concat(lit("<p class=\"x\">"), col("text"),
+          lit("</p> <a href=\"y\">link&amp;here &lt;tag&gt;</a>")))
+        .otherwise(col("text")).as("text"))
+    Corpus.stripMarkup(planted).orderBy(col("doc_id"))
+  }
+
+  private val qTextMarkupSql = {
+    val strip = """trim(regexp_replace(
+      |replace(replace(replace(replace(replace(
+      |regexp_replace(text, '<[^>]*>', ' ', 'g'),
+      |'&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+      |'\s+', ' ', 'g'))""".stripMargin.replace('\n', ' ')
+    s"""WITH p AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0
+       |THEN '<p class="x">' || text || '</p> <a href="y">link&amp;here &lt;tag&gt;</a>'
+       |ELSE text END AS text FROM documents)
+       |SELECT doc_id,
+       |CAST(len(regexp_extract_all(text, '<[^>]*>')) AS BIGINT) AS n_tags,
+       |CAST(length($strip) AS BIGINT) AS clean_len,
+       |md5($strip) AS clean_md5
+       |FROM p ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
+
   // --- sequence packing -------------------------------------------------
 
   private def qPackChunks(s: SparkSession, dir: String): DataFrame =
@@ -393,7 +423,8 @@ object CorpusQueries {
     "q_text_surprisal"    -> (qTextSurprisal _),
     "q_bpe_train"         -> (qBpeTrain _),
     "q_bpe_encode"        -> (qBpeEncode _),
-    "q_text_bigram_surprisal" -> (qTextBigramSurprisal _))
+    "q_text_bigram_surprisal" -> (qTextBigramSurprisal _),
+    "q_text_markup"       -> (qTextMarkup _))
 
   val oracles: Map[String, String] = Map(
     "q_text_repetition"   -> qTextRepetitionSql,
@@ -409,5 +440,6 @@ object CorpusQueries {
     "q_text_surprisal"    -> qTextSurprisalSql,
     "q_bpe_train"         -> qBpeTrainSql,
     "q_bpe_encode"        -> qBpeEncodeSql,
-    "q_text_bigram_surprisal" -> qTextBigramSurprisalSql)
+    "q_text_bigram_surprisal" -> qTextBigramSurprisalSql,
+    "q_text_markup"       -> qTextMarkupSql)
 }

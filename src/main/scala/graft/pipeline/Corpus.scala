@@ -174,6 +174,29 @@ object Corpus {
       md5(scrubbed).as("scrubbed_md5"))
   }
 
+  val TagPattern = "<[^>]*>"
+
+  /** Strip HTML-ish markup: drop tags, unescape the five predefined XML
+    * entities, collapse runs of whitespace. The normalization pass a
+    * scraped corpus runs before any text signal is computed. Pure
+    * codegen'd regex/replace chain (the tag pattern is RE2-compatible,
+    * so the DuckDB oracle replays it verbatim); returns per-doc tag
+    * count and the cleaned text + md5. */
+  def stripMarkup(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(regexp_replace(col(textCol), TagPattern, " ")) {
+        case (c, (e, ch)) => replace(c, lit(e), lit(ch))
+      }
+    val cleaned = trim(regexp_replace(unescaped, "\\s+", " "))
+    docs.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(TagPattern), lit(0))).cast("long")
+        .as("n_tags"),
+      length(cleaned).cast("long").as("clean_len"),
+      md5(cleaned).as("clean_md5"))
+  }
+
   // --- sequence packing ---------------------------------------------------
 
   /** Concat-and-chunk packing (the standard LLM pre-training shape: the

@@ -173,6 +173,21 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("markup strip: tags out, entities unescaped, whitespace collapsed") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "<p>hello  <b>world</b></p> a&amp;b &lt;x&gt;"),
+      (2L, "plain text")).toDF("doc_id", "text")
+    val got = Corpus.stripMarkup(d).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val clean1 = "hello world a&b <x>"
+    assert(got(0)._2 == 4L) // <p> <b> </b> </p>
+    assert(got(0)._3 == clean1.length.toLong)
+    val md5Plain = java.security.MessageDigest.getInstance("MD5")
+      .digest("plain text".getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    assert(got(1) == ((2L, 0L, 10L, md5Plain)))
+  }
+
   test("bigram surprisal: conditional counts, hand-computed") {
     import spark.implicits._
     // cb: (a,b)=2 (b,a)=1 (a,c)=1; cp: a=3 b=1.
