@@ -697,6 +697,29 @@ object PipelineQueries {
       |FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin.replace('\n', ' ')
 
+  /** PCM sample energy round trip: the data chunk's bytes follow the
+    * construction pattern i % 253, so the oracle recomputes the exact
+    * |amplitude| sums from the formulas while Spark DECODES the real
+    * bytes at the offset the chunk walker found — a match proves the
+    * reader walked to the true data chunk and interpreted 8-bit
+    * unsigned / 16-bit signed LE samples correctly. */
+  private def qMultimodalEnergy(s: SparkSession, dir: String): DataFrame =
+    Multimodal.wavSampleStats(Multimodal.documentsAsWav(Tables(s, dir).documents))
+      .toDF().orderBy(col("doc_id"))
+
+  private val qMultimodalEnergySql =
+    """WITH p AS (SELECT doc_id, 10 + doc_id % 50 AS ns FROM documents),
+      |z AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+      |THEN list_transform(range(0, ns), i -> ABS((i % 253) - 128))
+      |ELSE list_transform(range(0, 2 * ns), k ->
+      |ABS((2 * k) % 253 + ((2 * k + 1) % 253) * 256 -
+      |CASE WHEN (2 * k) % 253 + ((2 * k + 1) % 253) * 256 >= 32768
+      |THEN 65536 ELSE 0 END)) END AS l FROM p)
+      |SELECT doc_id, CAST(len(l) AS BIGINT) AS n_samples,
+      |CAST(list_sum(l) AS BIGINT) AS sum_abs,
+      |CAST(list_max(l) AS BIGINT) AS max_abs
+      |FROM z ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
   // registry ------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -723,6 +746,7 @@ object PipelineQueries {
     "q_ann_pq"           -> (qAnnPq _),
     "q_multimodal_meta"  -> (qMultimodalMeta _),
     "q_multimodal_wav"   -> (qMultimodalWav _),
+    "q_multimodal_energy" -> (qMultimodalEnergy _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_pixstats" -> (qMultimodalPixstats _))
 
@@ -750,6 +774,7 @@ object PipelineQueries {
     "q_ann_pq"           -> qAnnPqSql,
     "q_multimodal_meta"  -> qMultimodalMetaSql,
     "q_multimodal_wav"   -> qMultimodalWavSql,
+    "q_multimodal_energy" -> qMultimodalEnergySql,
     "q_multimodal_frames" -> qMultimodalFramesSql,
     "q_multimodal_pixstats" -> qMultimodalPixstatsSql)
 }

@@ -137,7 +137,12 @@ object Multimodal {
     * chunk list (skipping unknown chunks and RIFF odd-size padding) to
     * the fmt  and data chunks. Returns (channels, rate, bits,
     * dataBytes); None on anything malformed. */
-  def decodeWav(payload: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+  def decodeWav(payload: Array[Byte]): Option[(Int, Int, Int, Long)] =
+    decodeWavFull(payload).map { case (ch, rate, bits, _, db) => (ch, rate, bits, db) }
+
+  /** [[decodeWav]] plus the data chunk's byte OFFSET — what sample-level
+    * readers need: (channels, rate, bits, dataOff, dataBytes). */
+  def decodeWavFull(payload: Array[Byte]): Option[(Int, Int, Int, Long, Long)] = {
     def ascii(off: Int, s: String): Boolean =
       payload.length >= off + 4 && s.getBytes("US-ASCII").zipWithIndex
         .forall { case (b, i) => payload(off + i) == b }
@@ -152,7 +157,7 @@ object Multimodal {
       // negative and turn a corrupt payload into an out-of-bounds throw
       var off = 12L
       var fmt: Option[(Int, Int, Int)] = None
-      var data: Option[Long] = None
+      var data: Option[(Long, Long)] = None
       while ((fmt.isEmpty || data.isEmpty) && off + 8 <= payload.length) {
         val o = off.toInt
         val size = u32(o + 4)
@@ -161,10 +166,11 @@ object Multimodal {
         if (size < 0 || off + 8 + size > payload.length) return None
         if (ascii(o, "fmt ") && size >= 16)
           fmt = Some((u16(o + 10), u32(o + 12).toInt, u16(o + 22)))
-        else if (ascii(o, "data")) data = Some(size)
+        else if (ascii(o, "data")) data = Some((off + 8, size))
         off += 8 + size + size % 2 // RIFF pads odd chunks
       }
-      for { (ch, rate, bits) <- fmt; db <- data } yield (ch, rate, bits, db)
+      for { (ch, rate, bits) <- fmt; (dOff, db) <- data } yield
+        (ch, rate, bits, dOff, db)
     }
   }
 
@@ -184,6 +190,48 @@ object Multimodal {
             WavMeta(r.doc_id, ch, rate, bits, db, r.payload.length.toLong, durUs)
           case None =>
             WavMeta(r.doc_id, -1, -1, -1, -1L, r.payload.length.toLong, -1L)
+        }
+      })
+  }
+
+  final case class WavSampleStats(doc_id: Long, n_samples: Long,
+                                  sum_abs: Long, max_abs: Long)
+
+  /** Sample-level PCM stats — the audio analog of [[pixelStats]]: decode
+    * the REAL data chunk (offset from the chunk walk, not assumed),
+    * interpret samples per the parsed header (16-bit signed LE, or
+    * 8-bit unsigned centered at 128), and aggregate |amplitude| —
+    * total and max, exact integers. Unparseable payloads and
+    * unsupported bit depths are kept and flagged −1, never dropped
+    * ([[MediaMeta]]'s contract). */
+  def wavSampleStats(media: DataFrame, idCol: String = "doc_id",
+                     payloadCol: String = "payload"): Dataset[WavSampleStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).as("doc_id"), col(payloadCol).as("payload"))
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        decodeWavFull(r.payload) match {
+          case Some((_, _, bits, dOff, db)) if bits == 16 || bits == 8 =>
+            val width = bits / 8
+            val n = db / width
+            var sum = 0L
+            var mx = 0L
+            var k = 0L
+            while (k < n) {
+              val o = (dOff + k * width).toInt
+              val a =
+                if (bits == 16)
+                  math.abs((((r.payload(o) & 0xff) |
+                    ((r.payload(o + 1) & 0xff) << 8)).toShort).toInt).toLong
+                else
+                  math.abs((r.payload(o) & 0xff) - 128).toLong
+              sum += a
+              if (a > mx) mx = a
+              k += 1
+            }
+            WavSampleStats(r.doc_id, n, sum, mx)
+          case _ => WavSampleStats(r.doc_id, -1L, -1L, -1L)
         }
       })
   }

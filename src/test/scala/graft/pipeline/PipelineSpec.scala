@@ -440,6 +440,25 @@ class PipelineSpec extends SparkSpec {
     assert(got(1) == ((2L, -1L, -1L, -1, -1)))
   }
 
+  test("wav sample stats decode real PCM bytes at the walked data offset") {
+    // 8-bit: bytes 0,1,2,3 → |b−128| = 128,127,126,125
+    val m8 = Seq((1L, Multimodal.encodeWav(1, 8000, 8, 4)))
+      .toDF("doc_id", "payload")
+    val s8 = Multimodal.wavSampleStats(m8).collect().head
+    assert((s8.n_samples, s8.sum_abs, s8.max_abs) == ((4L, 506L, 128L)))
+    // 16-bit LE: (0,1)→256, (2,3)→770 — and a junk chunk before fmt
+    // proves the offset comes from the walk, not an assumed layout
+    val m16 = Seq((2L, Multimodal.encodeWav(1, 8000, 16, 2, junkLen = 6)))
+      .toDF("doc_id", "payload")
+    val s16 = Multimodal.wavSampleStats(m16).collect().head
+    assert((s16.n_samples, s16.sum_abs, s16.max_abs) == ((2L, 1026L, 770L)))
+    // corrupt payloads flagged, never dropped
+    val bad = Multimodal.wavSampleStats(
+      Seq((3L, "not a wav at all".getBytes("US-ASCII"))).toDF("doc_id", "payload"))
+      .collect().head
+    assert((bad.n_samples, bad.sum_abs, bad.max_abs) == ((-1L, -1L, -1L)))
+  }
+
   test("multimodal decode parses wrapped PPM payloads") {
     val media = Multimodal.documentsAsPpm(docs.select("doc_id", "text"))
     val meta = Multimodal.decodeMeta(media).collect()
