@@ -295,6 +295,28 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Append an increment to a persisted IVF index: new vectors are
+    * assigned to the STORED centroids (broadcast — k·dim doubles, one
+    * tiny scan; the standing corpus is never touched) and written into
+    * the same cluster-partitioned layout. The IVF analog of the
+    * incremental dedup path: daily arrivals extend the index without
+    * retraining or rewriting it. Centroids intentionally stay fixed —
+    * re-training is a separate, heavier operation ([[kmeansAssign]] +
+    * [[writeIvfIndex]]); a drifting corpus shows up as recall decay,
+    * measured, not guessed. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       newVectors: DataFrame, path: String): Unit = {
+    val cent = spark.read.parquet(s"$path/centroids")
+    val assigned = newVectors.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cent), lit(true))
+      .withColumn("rc", graft.sql.Exact.e6(cosine(col("embedding"), col("cv"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("rc").desc, col("cluster"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    assigned.write.mode("append").partitionBy("cluster").parquet(s"$path/data")
+  }
+
   /** Probe a persisted IVF index: same ranking contract as [[ivfTopK]],
     * but centroids come from the stored table and candidates from the
     * partition-pruned scan of the probed cluster directories only. The

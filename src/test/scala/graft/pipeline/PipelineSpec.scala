@@ -335,6 +335,24 @@ class PipelineSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("ivf index append: increment joins the stored layout and is probed") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.9f, 0.1f)), (4L, Seq(0.1f, 0.9f)),
+      (5L, Seq(0.95f, 0.05f)), (6L, Seq(0.05f, 0.95f))
+    ).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivfappend").toString
+    Similarity.writeIvfIndex(e, Similarity.kmeansAssign(e, k = 2, iters = 2), path)
+    // daily increment: a near-clone of the x-direction, assigned to the
+    // STORED centroids (no retrain), appended into the partition layout
+    Similarity.appendToIvfIndex(spark,
+      Seq((7L, Seq(0.97f, 0.06f))).toDF("vec_id", "embedding"), path)
+    val q = Seq((3L, Seq(0.9f, 0.1f))).toDF("q_id", "qv")
+    val got = Similarity.ivfIndexTopK(spark, path, q, k = 3, nprobe = 1)
+      .as[(Long, Long, Long)].collect().map(_._2).toSet
+    assert(got == Set(1L, 5L, 7L)) // the appended vector ranks in-bucket
+  }
+
   test("kmeans trainer converges to the two planted directions") {
     // two tight direction clusters; seeds = vec_ids 1 and 2 (one per side)
     val e = Seq(
