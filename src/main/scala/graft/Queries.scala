@@ -396,6 +396,13 @@ object Queries {
       .orderBy(col("id"))
   }
 
+  /** Community detection: 4 synchronous LPA rounds over the symmetric
+    * customer–supplier graph (neighborhood mode, min-label ties). Oracle
+    * unrolls the identical rule — see [[graft.sql.OracleGen.lpaSql]]. */
+  private def qLpa(s: SparkSession, dir: String): DataFrame =
+    Algos.lpa(custSuppSymE(s, dir).select("src", "dst"), rounds = 4)
+      .orderBy(col("id"))
+
   private def qDegStats(s: SparkSession, dir: String): DataFrame =
     Algos.degreeStats(custSuppE(s, dir))
 
@@ -480,6 +487,7 @@ object Queries {
     "q_graph_norm"     -> (qNorm _),
     "q_graph_wpagerank" -> (qWPagerank _),
     "q_graph_rwr"      -> (qRwr _),
+    "q_graph_lpa"      -> (qLpa _),
     "q_graph_deg_stats" -> (qDegStats _),
     "q_graph_partition_stats" -> (qPartitionStats _),
     "q_graph_prep_stats" -> (qPrepStats _)) ++ PipelineQueries.all ++ CorpusQueries.all
@@ -516,6 +524,7 @@ object Queries {
     "q_graph_norm"     -> qNormSql,
     "q_graph_wpagerank" -> OracleGen.pagerankWeightedSql(TestGraphs.custSuppSymSql, 5, 0.85, 0.15),
     "q_graph_rwr"      -> OracleGen.rwrSql(TestGraphs.custSuppSymSql, 5, 0.85, 0.15),
+    "q_graph_lpa"      -> OracleGen.lpaSql(TestGraphs.custSuppSymSql, 4),
     "q_graph_deg_stats" -> qDegStatsSql,
     "q_graph_partition_stats" -> qPartitionStatsSql,
     "q_graph_prep_stats" -> qPrepStatsSql) ++ PipelineQueries.oracles ++ CorpusQueries.oracles

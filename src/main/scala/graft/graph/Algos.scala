@@ -573,6 +573,48 @@ object Algos {
     sup.orderBy(col("u"), col("v"))
   }
 
+  /** Synchronous label-propagation community detection: every round each
+    * vertex adopts the most frequent label among its in-neighbors (ties →
+    * smallest label); vertices with no in-edges keep their label. Run for
+    * a FIXED `rounds` count — classic LPA's run-to-convergence is
+    * order-dependent and can oscillate on bipartite structure, while
+    * fixed rounds + the min-label tie-break make the result a pure
+    * function of the graph, so a SQL oracle can unroll it exactly.
+    * Reference analog: the label-as-message propagation family of
+    * giraph-examples (EX/ConnectedComponentsComputation.java propagates
+    * min; here the vertex program is the neighborhood mode).
+    *
+    * Scale: per round ONE edge⋈label shuffle feeding a two-level
+    * aggregation — (id, lbl) count, then per-id argmax via
+    * max(struct(c, -lbl)) — both map-side combinable, no window, no
+    * per-vertex sort. Iterated state is one (id, lbl) row per vertex,
+    * checkpoint-managed with declared hash(id) partitioning so the
+    * per-round joins never reshuffle the label frame. */
+  def lpa(symEdges: DataFrame, rounds: Int): DataFrame = {
+    val e = ckptHash(symEdges.select("src", "dst"), "src")
+    var l = ckptHash(verticesOf(e).select(col("id"), col("id").as("lbl")), "id")
+    var r = 0
+    while (r < rounds) {
+      val counts = e.join(l.select(col("id").as("src"), col("lbl")), Seq("src"))
+        .groupBy(col("dst").as("id"), col("lbl")).agg(count(lit(1)).as("c"))
+      // argmax by (count desc, label asc) without a window: struct max
+      // compares fields left-to-right, so (c, -lbl) max = mode-min-label
+      val pick = counts
+        .groupBy(col("id"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("id"), (-col("m.neg")).as("nl"))
+      val next = ckptHash(
+        l.join(pick, Seq("id"), "left")
+          .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl")),
+        "id")
+      freeCkpt(l)
+      l = next
+      r += 1
+    }
+    freeCkpt(e)
+    l.withColumnRenamed("lbl", "community")
+  }
+
   /** "People you may know": for a bipartite src→dst graph, rank src pairs
     * by shared-neighbor count (candidates are never existing edges in a
     * bipartite graph). Returns the global top-k with (cnt desc, u, v)

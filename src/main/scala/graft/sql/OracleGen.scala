@@ -66,6 +66,24 @@ object OracleGen {
       s" SELECT id, lbl AS $outName FROM l$k ORDER BY id")
   }
 
+  /** K rounds of synchronous label-propagation community detection
+    * (neighborhood mode, ties → min label, keep-old when no in-edges).
+    * Mirrors graft.graph.Algos.lpa exactly. */
+  def lpaSql(withBody: String, k: Int): String = {
+    val steps = (1 to k).map { i =>
+      s"""c$i AS (SELECT e.dst AS id, l.lbl AS lbl, COUNT(*) AS c
+         |FROM l${i - 1} l JOIN e ON l.id = e.src GROUP BY 1, 2),
+         |p$i AS (SELECT id, lbl FROM (
+         |SELECT id, lbl, ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+         |FROM c$i) t WHERE rn = 1),
+         |l$i AS MATERIALIZED (SELECT l.id, COALESCE(p.lbl, l.lbl) AS lbl
+         |FROM l${i - 1} l LEFT JOIN p$i p ON p.id = l.id)""".stripMargin.replace('\n', ' ')
+    }
+    (s"WITH $withBody, v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), " +
+      "l0 AS MATERIALIZED (SELECT id, id AS lbl FROM v), " + steps.mkString(", ") +
+      s" SELECT id, lbl AS community FROM l$k ORDER BY id")
+  }
+
   /** K PageRank iterations with teleport resetProb/n over a graph with no
     * dangling vertices (symmetric e). Mirrors graft.graph.Algos.pagerank
     * arithmetic exactly; final values rounded to `digits`. */

@@ -208,4 +208,44 @@ class AlgosSpec extends SparkSpec {
     val got = Algos.maxProp(e).orderBy("id").as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (7L, 9L), (9L, 9L)))
   }
+
+  /** Plain-collections LPA with the identical rule (neighborhood mode,
+    * min-label ties, keep-old with no in-edges) — an implementation
+    * independent of the DataFrame plan. */
+  private def lpaRef(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var lbl = verts.map(v => v -> v).toMap
+    for (_ <- 0 until rounds) {
+      val inbox = edges.groupBy(_._2).map { case (v, es) =>
+        val counts = es.map(e => lbl(e._1)).groupBy(identity).map { case (l, xs) => (l, xs.size) }
+        v -> counts.toSeq.map { case (l, c) => (-c, l) }.min._2
+      }
+      lbl = lbl.map { case (v, old) => v -> inbox.getOrElse(v, old) }
+    }
+    lbl
+  }
+
+  test("lpa matches an independent reference on two bridged triangles") {
+    // triangles {1,2,3} and {10,11,12} bridged by 3–10: LPA should keep
+    // each triangle on its own min label for small round counts
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+    val sym = pairs ++ pairs.map(p => (p._2, p._1))
+    for (rounds <- Seq(1, 2, 4)) {
+      val got = Algos.lpa(sym.toDF("src", "dst"), rounds)
+        .orderBy("id").as[(Long, Long)].collect().toMap
+      assert(got == lpaRef(sym, rounds), s"rounds=$rounds")
+    }
+  }
+
+  test("lpa matches the reference on a random graph across rounds") {
+    // deterministic pseudo-random graph (fixed seed)
+    val rnd = new scala.util.Random(7)
+    val pairs = (0 until 120).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)).filter(p => p._1 != p._2).distinct
+    val sym = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+    val got = Algos.lpa(sym.toDF("src", "dst"), rounds = 3)
+      .orderBy("id").as[(Long, Long)].collect().toMap
+    assert(got == lpaRef(sym, 3))
+  }
 }
