@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.graph.{Algos, Prep}
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.functions.Sketches
+import graft.operators.{AsOfJoin, Quantiles, RangeJoin}
 import graft.sql.{Exact, OracleGen}
 import graft.sql.Exact.{e2, e4, e6}
 
@@ -125,6 +126,134 @@ object Queries {
 
   // `ts` is read as a BIGINT of epoch nanoseconds (see Tables.events doc):
   // integral arithmetic on it is exactly reproducible in the oracle.
+  /** Full CUBE over (returnflag, linestatus): all four grouping sets in
+    * one pass (Spark expands to a single Expand + hash agg — map-side
+    * combinable, one shuffle). COALESCE to the 'ALL' sentinel AFTER
+    * grouping on both engines so the output needs no null-sort
+    * convention. */
+  private def qCube(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.lineitem.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), e2(sum(col("l_quantity"))).as("qty_e2"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("cnt"), col("qty_e2"))
+      .orderBy(col("rf"), col("ls"))
+  }
+
+  private val qCubeSql =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+      |COALESCE(l_linestatus, 'ALL') AS ls, COUNT(*) AS cnt,
+      |CAST(FLOOR(SUM(l_quantity) * 100) AS BIGINT) AS qty_e2
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin.replace('\n', ' ')
+
+  /** Day × event-type count matrix via Spark's native pivot with an
+    * EXPLICIT value list (implicit pivot collects the distinct values to
+    * the driver — the explicit list keeps the plan static and the
+    * columns deterministic). Oracle is the portable conditional-agg
+    * spelling. */
+  private def qPivot(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    t.events.select(expr("ts div 86400000000000").as("day"), col("event_type"))
+      .groupBy(col("day")).pivot("event_type", types).count()
+      .select(col("day") +: types.map(ty => coalesce(col(ty), lit(0L)).as(ty)): _*)
+      .orderBy(col("day"))
+  }
+
+  // COUNT(*) FILTER, not SUM(CASE): DuckDB's integer SUM returns HUGEINT,
+  // which pandas surfaces as a different dtype than Spark's BIGINT count
+  private val qPivotSql =
+    """SELECT epoch_ns(ts) // 86400000000000 AS day,
+      |COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+      |COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |COUNT(*) FILTER (WHERE event_type = 'error') AS error
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin.replace('\n', ' ')
+
+  /** 7-day moving average of daily order revenue. The daily rollup is a
+    * normal distributed agg; the trailing window then runs over ONE row
+    * per day — a tiny, inherently sequential series, so the
+    * single-partition global sort is the right plan (the 100 TB cost
+    * lives in the rollup, not the window). Division happens on exact
+    * scaled BIGINTs via the one IEEE double divide both engines share. */
+  private def qMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val daily = t.orders
+      .select(to_date(col("o_orderdate")).as("d"), col("o_totalprice"))
+      .groupBy(col("d")).agg(e2(sum(col("o_totalprice"))).as("day_rev_e2"))
+    val w = Window.orderBy(col("d")).rowsBetween(-6, 0)
+    daily.select(col("d").cast("string").as("day"), col("day_rev_e2"),
+        floor(sum(col("day_rev_e2")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")).cast("long").as("ma7_e2"))
+      .orderBy(col("day"))
+  }
+
+  private val qMovingAvgSql =
+    """WITH daily AS (SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+      |CAST(FLOOR(SUM(o_totalprice) * 100) AS BIGINT) AS day_rev_e2
+      |FROM orders GROUP BY 1)
+      |SELECT day, day_rev_e2,
+      |CAST(FLOOR(CAST(SUM(day_rev_e2) OVER w AS DOUBLE) /
+      |CAST(COUNT(*) OVER w AS DOUBLE)) AS BIGINT) AS ma7_e2
+      |FROM daily
+      |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY day""".stripMargin.replace('\n', ' ')
+
+  /** Exact quartiles of lineitem quantity per returnflag
+    * ([[graft.operators.Quantiles]]): the quantile_cont definition in
+    * pure scaled-BIGINT arithmetic — the exact companion to
+    * percentile_approx's sketch path. */
+  private def qQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Quantiles.exactScaled(
+      t.lineitem.select(col("l_returnflag"), floor(col("l_quantity")).cast("long").as("qty")),
+      valueCol = "qty", groupCol = "l_returnflag",
+      ps = Seq((1, 4), (1, 2), (3, 4)), scale = 1000000L)
+  }
+
+  private val qQuantilesSql = Quantiles.exactScaledSql(
+    "lineitem", "CAST(FLOOR(l_quantity) AS BIGINT)", "l_returnflag",
+    Seq((1, 4), (1, 2), (3, 4)), 1000000L)
+
+  /** KMV distinct-user sketch per event type
+    * ([[graft.functions.Sketches.kmvDistinct]]): estimate AND exact
+    * side by side, both integer-reproducible by the oracle. */
+  private def qKmv(s: SparkSession, dir: String): DataFrame =
+    Sketches.kmvDistinct(Tables(s, dir).events, keyCol = "user_id",
+      groupCol = "event_type", k = 64)
+
+  private val qKmvSql =
+    Sketches.kmvDistinctSql("events", "user_id", "event_type", 64)
+
+  /** Per-nation revenue THROUGH the salted-join path
+    * ([[graft.graph.Skew.saltedJoin]]): lineitem scattered 8 ways on a
+    * deterministic row hash, the supplier dim replicated to every salt.
+    * The oracle is the plain join — salting must be invisible in the
+    * result, which is exactly the property worth a standing oracle.
+    * (With AQE on, Spark splits skewed partitions at runtime; the salted
+    * path is the explicit fallback for pre-partitioned inputs and for
+    * single hub keys hotter than one task — SURVEY §2.7.) */
+  private def qSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val li = t.lineitem.select(col("l_suppkey").as("s_suppkey"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val supp = t.supplier.select(col("s_suppkey"), col("s_nationkey"))
+    graft.graph.Skew.saltedJoin(li, supp, key = "s_suppkey", salt = 8)
+      .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+      .agg(e2(sum(col("rev"))).as("rev_e2"), count(lit(1)).as("cnt"))
+      .orderBy(col("nationkey"))
+  }
+
+  private val qSkewSaltedSql =
+    """SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+      |CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS rev_e2,
+      |COUNT(*) AS cnt
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin.replace('\n', ' ')
+
   private def qSessions(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -463,6 +592,12 @@ object Queries {
     "q05_nation_rev"   -> (q05 _),
     "q06_filter_sum"   -> (q06 _),
     "q_rollup"         -> (qRollup _),
+    "q_cube"           -> (qCube _),
+    "q_pivot"          -> (qPivot _),
+    "q_moving_avg"     -> (qMovingAvg _),
+    "q_quantiles"      -> (qQuantiles _),
+    "q_distinct_kmv"   -> (qKmv _),
+    "q_skew_salted"    -> (qSkewSalted _),
     "q_sessions"       -> (qSessions _),
     "q_tumbling"       -> (qTumbling _),
     "q_sliding"        -> (qSliding _),
@@ -498,6 +633,12 @@ object Queries {
     "q05_nation_rev"   -> q05Sql,
     "q06_filter_sum"   -> q06Sql,
     "q_rollup"         -> qRollupSql,
+    "q_cube"           -> qCubeSql,
+    "q_pivot"          -> qPivotSql,
+    "q_moving_avg"     -> qMovingAvgSql,
+    "q_quantiles"      -> qQuantilesSql,
+    "q_distinct_kmv"   -> qKmvSql,
+    "q_skew_salted"    -> qSkewSaltedSql,
     "q_sessions"       -> qSessionsSql,
     "q_tumbling"       -> qTumblingSql,
     "q_sliding"        -> qSlidingSql,

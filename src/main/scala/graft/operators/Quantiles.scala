@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distributed quantiles with pure integer arithmetic.
+  *
+  * Semantics: the standard continuous-quantile definition (SQL
+  * quantile_cont / Spark `percentile`): for p = num/den over n sorted
+  * values v_0..v_{n-1}, position pos = p·(n−1) = r + rem/den, result
+  * v_r + (v_{r+1} − v_r)·rem/den. Computed entirely in scaled BIGINTs —
+  * no doubles anywhere — so a SQL oracle reproduces it bit-exactly
+  * (cross-engine double interpolation is a documented ulp trap; see
+  * graft.sql.Exact).
+  *
+  * Scale: one rank pass (row_number per group — the per-group sort any
+  * exact quantile fundamentally needs, shuffle on the group key), one
+  * tiny count agg, then two equi-joins ON (group, rank) that touch only
+  * |groups|·|ps| rows. The sketch alternative for when an exact sort is
+  * too expensive at 100 TB is percentile_approx (Spark built-in, no
+  * oracle — documented trade, SURVEY §2.10).
+  */
+object Quantiles {
+
+  /** Exact scaled quantiles of integral column `valueCol` per
+    * `groupCol`. `ps` are rationals (num, den); output value is
+    * q_scaled = v_r·scale + ⌊(v_{r+1}−v_r)·scale·rem/den⌋, one row per
+    * (group, p). Requires scale·max|v| and den·(n−1) within BIGINT —
+    * callers pass corpus-bounded scales. */
+  def exactScaled(df: DataFrame, valueCol: String, groupCol: String,
+                  ps: Seq[(Int, Int)], scale: Long): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val v = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+    // rank within group: ties ordered arbitrarily among EQUAL values, so
+    // v_r is still a pure function of the multiset
+    val ranked = v.withColumn("r",
+      row_number().over(Window.partitionBy(col("g")).orderBy(col("v"))) - lit(1))
+    val counts = v.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val pFrame = ps.toDF("pnum", "pden")
+    val idx = counts.crossJoin(broadcast(pFrame))
+      .withColumn("rr", expr("(pnum * (n - 1)) div pden"))
+      .withColumn("rem", expr("(pnum * (n - 1)) % pden"))
+    val lo = idx.join(ranked.select(col("g"), col("r").as("rr"), col("v").as("vlo")),
+      Seq("g", "rr"))
+    val hi = lo.join(
+      ranked.select(col("g"), (col("r") - lit(1)).as("rr"), col("v").as("vhi")),
+      Seq("g", "rr"), "left")
+      .withColumn("vhi", coalesce(col("vhi"), col("vlo")))
+    hi.select(col("g"), col("pnum"), col("pden"),
+        (col("vlo") * lit(scale) +
+          expr(s"((vhi - vlo) * $scale * rem) div pden")).as("q_scaled"))
+      .orderBy(col("g"), col("pnum"), col("pden"))
+  }
+
+  /** DuckDB twin of [[exactScaled]] over table `table`, value expression
+    * `valueExpr` (must already be BIGINT), group column `groupCol`. */
+  def exactScaledSql(table: String, valueExpr: String, groupCol: String,
+                     ps: Seq[(Int, Int)], scale: Long): String = {
+    val values = ps.map { case (n, d) => s"($n, $d)" }.mkString(", ")
+    s"""WITH v AS (SELECT $groupCol AS g, $valueExpr AS v FROM $table),
+       |rk AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) - 1 AS r FROM v),
+       |n AS (SELECT g, COUNT(*) AS n FROM v GROUP BY g),
+       |p AS (SELECT * FROM (VALUES $values) AS t(pnum, pden)),
+       |idx AS (SELECT n.g, pnum, pden, (pnum * (n - 1)) // pden AS rr,
+       |(pnum * (n - 1)) % pden AS rem FROM n CROSS JOIN p),
+       |lo AS (SELECT idx.*, rk.v AS vlo FROM idx JOIN rk ON rk.g = idx.g AND rk.r = idx.rr),
+       |hi AS (SELECT lo.*, COALESCE(rk.v, lo.vlo) AS vhi FROM lo
+       |LEFT JOIN rk ON rk.g = lo.g AND rk.r = lo.rr + 1)
+       |SELECT g, pnum, pden,
+       |vlo * $scale + ((vhi - vlo) * $scale * rem) // pden AS q_scaled
+       |FROM hi ORDER BY g, pnum, pden""".stripMargin.replace('\n', ' ')
+  }
+}

@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmv falls back to the exact count below k distinct") {
+    val df = (0 until 200).map(i => ("small", i % 40)).toDF("g", "k")
+    val r = Sketches.kmvDistinct(df, "k", "g", k = 64)
+      .as[(String, Long, Long)].collect().head
+    assert(r == (("small", 40L, 40L)))
+  }
+
+  test("kmv estimate lands within 30% of a 2000-distinct truth") {
+    // 64 minima over 2000 uniform hashes: relative error ~1/sqrt(k−2) ≈ 13%
+    val df = (0 until 6000).map(i => ("big", i % 2000)).toDF("g", "k")
+    val r = Sketches.kmvDistinct(df, "k", "g", k = 64)
+      .as[(String, Long, Long)].collect().head
+    assert(r._2 == 2000L)
+    assert(math.abs(r._3 - 2000L) <= 600L, s"estimate ${r._3}")
+  }
+
+  test("kmv estimate is invariant under duplication and partitioning") {
+    val base = (0 until 1000).map(i => ("g", i)).toDF("g", "k")
+    val est1 = Sketches.kmvDistinct(base, "k", "g", 32)
+      .select(col("kmv_est")).as[Long].collect().head
+    val est2 = Sketches.kmvDistinct(
+        base.union(base).repartition(7), "k", "g", 32)
+      .select(col("kmv_est")).as[Long].collect().head
+    assert(est1 == est2)
+  }
+}
