@@ -407,6 +407,54 @@ object CorpusQueries {
        |CAST(SUM(bits) * 1000000 // COUNT(*) AS BIGINT) AS bits_per_bigram_e6
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
+  // --- hashed linear classifier / inverted index / temperature mix -----
+
+  /** Hashed linear quality scorer ([[Corpus.hashedLinearScore]]): the
+    * model-scoring pass shape with a bucket-derived stand-in weight
+    * table the oracle replays exactly. */
+  private def qQualityClassifier(s: SparkSession, dir: String): DataFrame =
+    Corpus.hashedLinearScore(Tables(s, dir).documents).orderBy(col("doc_id"))
+
+  private val qQualityClassifierSql =
+    s"""WITH t AS (SELECT doc_id, unnest(${tokSql()}) AS tok FROM documents),
+       |w AS (SELECT doc_id, (${hex6Sql("md5(tok)")} % 1024) % 17 - 8 AS w FROM t)
+       |SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score, COUNT(*) AS n_tokens,
+       |CASE WHEN SUM(w) >= 0 THEN 1 ELSE 0 END AS positive
+       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
+  /** Inverted index ([[Corpus.invertedIndex]]): df-ranked tokens with
+    * rank-capped posting previews. */
+  private def qIndexPostings(s: SparkSession, dir: String): DataFrame =
+    Corpus.invertedIndex(Tables(s, dir).documents, topN = 25)
+
+  private val qIndexPostingsSql =
+    s"""WITH t AS (SELECT DISTINCT doc_id, unnest(${tokSql()}) AS token FROM documents),
+       |df AS (SELECT token, COUNT(*) AS n_docs FROM t GROUP BY token),
+       |capped AS (SELECT token, doc_id FROM (
+       |SELECT token, doc_id, ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+       |FROM t) z WHERE rn <= 20),
+       |p AS (SELECT token, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+       |FROM capped GROUP BY token)
+       |SELECT df.token, df.n_docs, p.postings
+       |FROM df JOIN p USING (token)
+       |ORDER BY n_docs DESC, token LIMIT 25""".stripMargin.replace('\n', ' ')
+
+  /** α=1/2 temperature mixture weights ([[Corpus.temperatureWeights]]):
+    * √ is IEEE-correctly-rounded on both engines, so the floor-scaled
+    * weight is hash-safe (unlike ln/exp). */
+  private def qMixTemperature(s: SparkSession, dir: String): DataFrame =
+    Corpus.temperatureWeights(Tables(s, dir).documents).orderBy(col("source"))
+
+  private val qMixTemperatureSql =
+    s"""WITH b AS MATERIALIZED (SELECT source,
+       |CAST(SUM(len(${tokSql()})) AS BIGINT) AS n_tokens
+       |FROM documents GROUP BY source),
+       |w AS MATERIALIZED (SELECT source, n_tokens,
+       |CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT) AS w_e3 FROM b)
+       |SELECT source, n_tokens, w_e3,
+       |CAST((w_e3 * 1000000) // (SELECT CAST(SUM(w_e3) AS BIGINT) FROM w) AS BIGINT) AS share_e6
+       |FROM w ORDER BY source""".stripMargin.replace('\n', ' ')
+
   // --- registry ---------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -424,7 +472,10 @@ object CorpusQueries {
     "q_bpe_train"         -> (qBpeTrain _),
     "q_bpe_encode"        -> (qBpeEncode _),
     "q_text_bigram_surprisal" -> (qTextBigramSurprisal _),
-    "q_text_markup"       -> (qTextMarkup _))
+    "q_text_markup"       -> (qTextMarkup _),
+    "q_quality_classifier" -> (qQualityClassifier _),
+    "q_index_postings"    -> (qIndexPostings _),
+    "q_mix_temperature"   -> (qMixTemperature _))
 
   val oracles: Map[String, String] = Map(
     "q_text_repetition"   -> qTextRepetitionSql,
@@ -441,5 +492,8 @@ object CorpusQueries {
     "q_bpe_train"         -> qBpeTrainSql,
     "q_bpe_encode"        -> qBpeEncodeSql,
     "q_text_bigram_surprisal" -> qTextBigramSurprisalSql,
-    "q_text_markup"       -> qTextMarkupSql)
+    "q_text_markup"       -> qTextMarkupSql,
+    "q_quality_classifier" -> qQualityClassifierSql,
+    "q_index_postings"    -> qIndexPostingsSql,
+    "q_mix_temperature"   -> qMixTemperatureSql)
 }

@@ -475,6 +475,67 @@ object Corpus {
   /** Per-stratum mixing stats: doc count, token count, and each stratum's
     * exact share of the corpus' tokens (e6) — the table a data-mixing
     * config is derived from. */
+  /** fastText-shaped hashed linear document scorer: token → md5 bucket →
+    * weight lookup → per-doc weight sum + threshold. The weight table
+    * here is a deterministic stand-in (w(b) = (b mod 17) − 8, a pure
+    * function of the bucket) so the oracle can replay it — swapping in a
+    * trained table is a broadcast join against (bucket, weight) with the
+    * identical plan shape. All integer, all codegen'd: explode → two
+    * column expressions → one map-side-combined agg; the model-scoring
+    * pass a 100 TB quality filter runs is exactly this shape. */
+  def hashedLinearScore(docs: DataFrame, buckets: Int = 1024,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("w", pmod(md5Uniform(col("tok")), lit(buckets.toLong)) % lit(17L) - lit(8L))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("score"), count(lit(1)).as("n_tokens"))
+      .withColumn("positive", (col("score") >= 0).cast("int"))
+
+  /** Inverted index over the corpus: per token its document frequency
+    * and the first `postingCap` doc ids (sorted) as a comma-joined
+    * posting preview, ranked by (df desc, token). The posting cap is
+    * applied BEFORE any per-token collection (window rank ≤ cap), so no
+    * executor ever materializes a hub token's full posting list — the
+    * unbounded collect_set spelling dies on stopwords at 100 TB. */
+  def invertedIndex(docs: DataFrame, topN: Int, postingCap: Int = 20,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .distinct()
+    val df = t.groupBy(col("token")).agg(count(lit(1)).as("n_docs"))
+    val capped = t.withColumn("rn", row_number().over(
+        Window.partitionBy(col("token")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= postingCap)
+      .groupBy(col("token"))
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list(col("doc_id"))), _.cast("string"))).as("postings"))
+    df.join(capped, Seq("token"))
+      .orderBy(col("n_docs").desc, col("token"))
+      .limit(topN)
+  }
+
+  /** Temperature-scaled mixture weights (α = 1/2): per-stratum sampling
+    * weight ∝ √(token count), the standard up-weighting of small sources
+    * when assembling a training mix. √ is the ONE libm function that is
+    * IEEE-correctly-rounded everywhere, so — unlike ln/exp (see
+    * surprisalScore's integer-log design) — floor-scaled √ is safe to
+    * hash-match across engines. Weights and shares are exact scaled
+    * BIGINTs; the share denominator is a broadcast scalar. */
+  def temperatureWeights(docs: DataFrame, stratumCol: String = "source",
+                         textCol: String = "text"): DataFrame = {
+    val per = docs.groupBy(col(stratumCol))
+      .agg(sum(tokenCount(col(textCol))).as("n_tokens"))
+      .withColumn("w_e3", floor(sqrt(col("n_tokens").cast("double")) * lit(1000.0)).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = per.agg(sum(col("w_e3")).as("wsum"))
+    val out = per.crossJoin(broadcast(tot))
+      .select(col(stratumCol), col("n_tokens"), col("w_e3"),
+        idiv(col("w_e3") * lit(1000000L), col("wsum")).as("share_e6"))
+      .localCheckpoint()
+    per.unpersist()
+    out
+  }
+
   def mixingStats(docs: DataFrame, stratumCol: String = "source",
                   textCol: String = "text"): DataFrame = {
     // persisted: `tot` and the final join both read `per`; unpersisted,

@@ -218,4 +218,43 @@ class CorpusSpec extends SparkSpec {
     // s1: 2 docs 12 tokens; s2: 1 doc 6 tokens → shares 666666 / 333333
     assert(r.toSeq == Seq(("s1", 2L, 12L, 666666L), ("s2", 1L, 6L, 333333L)))
   }
+
+  test("hashed linear score is the sum of per-token bucket weights") {
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.text.TextFunctions.tokens
+    // independent recompute: per-token weights via the same md5 bucket
+    // rule evaluated OUTSIDE the aggregation
+    val perTok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"),
+        (org.apache.spark.sql.functions.pmod(Corpus.md5Uniform(col("t")), lit(1024L)) % 17L - 8L).as("w"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = Corpus.hashedLinearScore(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Int)].collect()
+    got.foreach { case (id, score, n, pos) =>
+      assert(score == perTok(id).sum)
+      assert(n == perTok(id).size)
+      assert(pos == (if (score >= 0) 1 else 0))
+    }
+  }
+
+  test("inverted index caps postings at the rank cap but counts full df") {
+    val many = (1L to 30L).map(i => (i, "common uniq" + i, "s")).toDF("doc_id", "text", "source")
+    val r = Corpus.invertedIndex(many, topN = 1, postingCap = 5)
+      .as[(String, Long, String)].collect().head
+    assert(r._1 == "common")
+    assert(r._2 == 30L)                       // df counts ALL docs
+    assert(r._3 == "1,2,3,4,5")               // postings capped at 5
+  }
+
+  test("temperature weights up-weight small strata relative to raw shares") {
+    val r = Corpus.temperatureWeights(docs).orderBy("source")
+      .as[(String, Long, Long, Long)].collect()
+    // s1 12 tokens → w=floor(sqrt(12)*1000)=3464; s2 6 → 2449
+    assert(r.map(x => (x._1, x._2, x._3)).toSeq ==
+      Seq(("s1", 12L, 3464L), ("s2", 6L, 2449L)))
+    // α=1/2 share of s2 (41.4%) > raw token share (33.3%)
+    assert(r(1)._4 > 333333L)
+    // shares are floor-divided so they sum to ≤ 1e6
+    assert(r.map(_._4).sum <= 1000000L)
+  }
 }
