@@ -228,6 +228,151 @@ object Queries {
   private val qKmvSql =
     Sketches.kmvDistinctSql("events", "user_id", "event_type", 64)
 
+  /** Type-2 slowly-changing-dimension build: each user's purchase-value
+    * history as (valid_from, valid_to] intervals — current row open
+    * (NULL-free: sentinel max). One window (lead over the per-user time
+    * sort, the shuffle any history build needs); everything else is
+    * projection. The "replay updates into a dimension table" op every
+    * warehouse load runs. */
+  private def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val p = t.events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 1000").as("us"),
+        col("event_id"), e2(col("value")).as("value_e2"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    p.select(col("user_id"), col("event_id"), col("value_e2"),
+        col("us").as("valid_from_us"),
+        coalesce(lead(col("us"), 1).over(w), lit(Long.MaxValue)).as("valid_to_us"),
+        (lead(col("us"), 1).over(w).isNull).cast("int").as("is_current"))
+      .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+  }
+
+  private val qScd2Sql =
+    s"""SELECT user_id, event_id, CAST(FLOOR(value * 100) AS BIGINT) AS value_e2,
+       |epoch_us(ts) AS valid_from_us,
+       |COALESCE(LEAD(epoch_us(ts), 1) OVER w, ${Long.MaxValue}) AS valid_to_us,
+       |CASE WHEN LEAD(epoch_us(ts), 1) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+       |FROM events WHERE event_type = 'purchase'
+       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+       |ORDER BY user_id, valid_from_us, event_id""".stripMargin.replace('\n', ' ')
+
+  /** Clickstream path mining: the top 20 three-step event-type sequences
+    * (per user, time-ordered). Two leads over one per-user window, then
+    * a count — sequence extraction without per-user event-list
+    * materialization. */
+  private def qEventPaths(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t.events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .select(col("event_type").as("s1"),
+        lead(col("event_type"), 1).over(w).as("s2"),
+        lead(col("event_type"), 2).over(w).as("s3"))
+      .filter(col("s3").isNotNull)
+      .groupBy(col("s1"), col("s2"), col("s3"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("s1"), col("s2"), col("s3"))
+      .limit(20)
+  }
+
+  private val qEventPathsSql =
+    """WITH p AS (SELECT event_type AS s1,
+      |LEAD(event_type, 1) OVER w AS s2, LEAD(event_type, 2) OVER w AS s3
+      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT s1, s2, s3, COUNT(*) AS cnt FROM p WHERE s3 IS NOT NULL
+      |GROUP BY 1, 2, 3 ORDER BY cnt DESC, s1, s2, s3 LIMIT 20""".stripMargin.replace('\n', ' ')
+
+  /** Calendar spine fill: zero-fill the daily revenue series over the
+    * full [min, max] day range (`sequence` + explode generates the spine
+    * distributively — no driver loop, no stored calendar table). */
+  private def qCalendarFill(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val daily = t.orders
+      .select(expr("CAST(o_orderdate AS DATE)").as("d"), col("o_totalprice"))
+      .groupBy(col("d")).agg(e2(sum(col("o_totalprice"))).as("rev_e2"))
+    val spine = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+    spine.join(daily, Seq("d"), "left")
+      .select(col("d").cast("string").as("day"),
+        coalesce(col("rev_e2"), lit(0L)).as("rev_e2"),
+        col("rev_e2").isNull.cast("int").as("is_gap"))
+      .orderBy(col("day"))
+  }
+
+  private val qCalendarFillSql =
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+      |CAST(FLOOR(SUM(o_totalprice) * 100) AS BIGINT) AS rev_e2
+      |FROM orders GROUP BY 1),
+      |spine AS (SELECT unnest(generate_series(
+      |(SELECT MIN(d) FROM daily), (SELECT MAX(d) FROM daily),
+      |INTERVAL 1 DAY))::DATE AS d)
+      |SELECT CAST(spine.d AS VARCHAR) AS day,
+      |COALESCE(daily.rev_e2, 0) AS rev_e2,
+      |CASE WHEN daily.rev_e2 IS NULL THEN 1 ELSE 0 END AS is_gap
+      |FROM spine LEFT JOIN daily ON spine.d = daily.d
+      |ORDER BY day""".stripMargin.replace('\n', ' ')
+
+  /** Cohort retention matrix: users grouped by their first-seen day,
+    * counted per day-offset thereafter. Two shuffles total — a per-user
+    * min (map-side combinable) and the (cohort, offset) distinct-count —
+    * both on natural keys; no window, no driver state. The classic
+    * product-analytics query a warehouse engine must make cheap. */
+  private def qCohort(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val ev = t.events.select(col("user_id"), expr("ts div 86400000000000").as("day"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(first, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  private val qCohortSql =
+    """WITH ev AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+      |f AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id)
+      |SELECT f.cohort_day, ev.day - f.cohort_day AS day_offset,
+      |COUNT(DISTINCT ev.user_id) AS n_users
+      |FROM ev JOIN f ON ev.user_id = f.user_id
+      |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin.replace('\n', ' ')
+
+  /** Ordered funnel: per user, the earliest signup, the earliest click
+    * AFTER that signup, the earliest purchase AFTER that click — then
+    * stage totals. Min-aggregations over conditional timestamps (two
+    * self-joins on user_id, both AQE-sized); the sequential-pattern
+    * match never materializes per-user event lists. */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val ev = t.events.select(col("user_id"), col("event_type"),
+      expr("ts div 1000").as("us"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_signup"))
+    val cl = ev.filter(col("event_type") === "click").select(col("user_id"), col("us"))
+      .join(su, Seq("user_id"))
+      .filter(col("us") >= col("t_signup"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_click"))
+    val pu = ev.filter(col("event_type") === "purchase").select(col("user_id"), col("us"))
+      .join(cl, Seq("user_id"))
+      .filter(col("us") >= col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_purchase"))
+    su.select(lit(1).as("stage"), lit("signup").as("name"), col("user_id"))
+      .union(cl.select(lit(2).as("stage"), lit("click").as("name"), col("user_id")))
+      .union(pu.select(lit(3).as("stage"), lit("purchase").as("name"), col("user_id")))
+      .groupBy(col("stage"), col("name")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
+  }
+
+  private val qFunnelSql =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |su AS (SELECT user_id, MIN(us) AS t_signup FROM ev WHERE event_type = 'signup' GROUP BY 1),
+      |cl AS (SELECT ev.user_id, MIN(us) AS t_click FROM ev JOIN su ON ev.user_id = su.user_id
+      |WHERE event_type = 'click' AND us >= t_signup GROUP BY 1),
+      |pu AS (SELECT ev.user_id, MIN(us) AS t_purchase FROM ev JOIN cl ON ev.user_id = cl.user_id
+      |WHERE event_type = 'purchase' AND us >= t_click GROUP BY 1)
+      |SELECT stage, name, COUNT(*) AS n_users FROM (
+      |SELECT 1 AS stage, 'signup' AS name, user_id FROM su
+      |UNION ALL SELECT 2, 'click', user_id FROM cl
+      |UNION ALL SELECT 3, 'purchase', user_id FROM pu) z
+      |GROUP BY 1, 2 ORDER BY stage""".stripMargin.replace('\n', ' ')
+
   /** Per-nation revenue THROUGH the salted-join path
     * ([[graft.graph.Skew.saltedJoin]]): lineitem scattered 8 ways on a
     * deterministic row hash, the supplier dim replicated to every salt.
@@ -597,6 +742,11 @@ object Queries {
     "q_moving_avg"     -> (qMovingAvg _),
     "q_quantiles"      -> (qQuantiles _),
     "q_distinct_kmv"   -> (qKmv _),
+    "q_cohort"         -> (qCohort _),
+    "q_funnel"         -> (qFunnel _),
+    "q_scd2"           -> (qScd2 _),
+    "q_event_paths"    -> (qEventPaths _),
+    "q_calendar_fill"  -> (qCalendarFill _),
     "q_skew_salted"    -> (qSkewSalted _),
     "q_sessions"       -> (qSessions _),
     "q_tumbling"       -> (qTumbling _),
@@ -638,6 +788,11 @@ object Queries {
     "q_moving_avg"     -> qMovingAvgSql,
     "q_quantiles"      -> qQuantilesSql,
     "q_distinct_kmv"   -> qKmvSql,
+    "q_cohort"         -> qCohortSql,
+    "q_funnel"         -> qFunnelSql,
+    "q_scd2"           -> qScd2Sql,
+    "q_event_paths"    -> qEventPathsSql,
+    "q_calendar_fill"  -> qCalendarFillSql,
     "q_skew_salted"    -> qSkewSaltedSql,
     "q_sessions"       -> qSessionsSql,
     "q_tumbling"       -> qTumblingSql,
