@@ -670,6 +670,39 @@ object Queries {
       .orderBy(col("id"))
   }
 
+  /** Per-source eccentricities from the 4 smallest vertices — ONE
+    * tagged multi-source BFS loop ([[graft.graph.Algos.eccentricities]]).
+    * The 4 source ids are the only driver-side values (scalars rule). */
+  private def qEcc(s: SparkSession, dir: String): DataFrame = {
+    val e = custSuppSymE(s, dir).select("src", "dst")
+    val sources = e.select(col("src")).distinct().orderBy(col("src"))
+      .limit(4).collect().map(_.getLong(0)).toSeq
+    Algos.eccentricities(e, sources)
+  }
+
+  /** Link strength on the part co-occurrence graph
+    * ([[graft.graph.Algos.edgeJaccard]]): neighborhood Jaccard per
+    * existing edge via the triangle-intersection kernel. */
+  private def qEdgeJaccard(s: SparkSession, dir: String): DataFrame =
+    Algos.edgeJaccard(TestGraphs.partCoPairs(Tables(s, dir)), topK = 100)
+
+  private val qEdgeJaccardSql =
+    s"""WITH cp AS MATERIALIZED (${TestGraphs.partCoPairsSql}),
+       |sym AS MATERIALIZED (SELECT u, v FROM cp UNION ALL SELECT v AS u, u AS v FROM cp),
+       |deg AS (SELECT u AS id, COUNT(*) AS d FROM sym GROUP BY 1),
+       |sup AS (SELECT c.u, c.v, COUNT(*) AS s FROM cp c
+       |JOIN sym a ON a.u = c.u JOIN sym b ON b.u = c.v AND b.v = a.v
+       |WHERE a.v != c.u AND a.v != c.v GROUP BY 1, 2),
+       |j AS (SELECT c.u, c.v, CAST(COALESCE(s.s, 0) AS BIGINT) AS support,
+       |du.d AS du, dv.d AS dv FROM cp c
+       |LEFT JOIN sup s ON s.u = c.u AND s.v = c.v
+       |JOIN deg du ON du.id = c.u JOIN deg dv ON dv.id = c.v)
+       |SELECT u, v, support,
+       |CASE WHEN du + dv - 2 - support > 0
+       |THEN support * 1000000 // (du + dv - 2 - support)
+       |ELSE CAST(1000000 AS BIGINT) END AS jac_e6
+       |FROM j ORDER BY jac_e6 DESC, u, v LIMIT 100""".stripMargin.replace('\n', ' ')
+
   /** Community detection: 4 synchronous LPA rounds over the symmetric
     * customer–supplier graph (neighborhood mode, min-label ties). Oracle
     * unrolls the identical rule — see [[graft.sql.OracleGen.lpaSql]]. */
@@ -773,6 +806,8 @@ object Queries {
     "q_graph_wpagerank" -> (qWPagerank _),
     "q_graph_rwr"      -> (qRwr _),
     "q_graph_lpa"      -> (qLpa _),
+    "q_graph_ecc"      -> (qEcc _),
+    "q_graph_edge_jaccard" -> (qEdgeJaccard _),
     "q_graph_deg_stats" -> (qDegStats _),
     "q_graph_partition_stats" -> (qPartitionStats _),
     "q_graph_prep_stats" -> (qPrepStats _)) ++ PipelineQueries.all ++ CorpusQueries.all
@@ -821,6 +856,8 @@ object Queries {
     "q_graph_wpagerank" -> OracleGen.pagerankWeightedSql(TestGraphs.custSuppSymSql, 5, 0.85, 0.15),
     "q_graph_rwr"      -> OracleGen.rwrSql(TestGraphs.custSuppSymSql, 5, 0.85, 0.15),
     "q_graph_lpa"      -> OracleGen.lpaSql(TestGraphs.custSuppSymSql, 4),
+    "q_graph_ecc"      -> OracleGen.eccSql(TestGraphs.custSuppSymSql, 4, 16),
+    "q_graph_edge_jaccard" -> qEdgeJaccardSql,
     "q_graph_deg_stats" -> qDegStatsSql,
     "q_graph_partition_stats" -> qPartitionStatsSql,
     "q_graph_prep_stats" -> qPrepStatsSql) ++ PipelineQueries.oracles ++ CorpusQueries.oracles

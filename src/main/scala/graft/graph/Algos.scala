@@ -573,6 +573,73 @@ object Algos {
     sup.orderBy(col("u"), col("v"))
   }
 
+  /** Edge-neighborhood Jaccard similarity (link strength): for each
+    * existing canonical edge (u,v), |N(u)∩N(v)| / |N(u)∪N(v)\{u,v}| as
+    * a floor-scaled e6 BIGINT — the triangle-intersection kernel
+    * ([[edgeSupport]], arboricity-bounded, no wedge materialization)
+    * plus two degree lookups. Top `topK` by (jac desc, u, v). */
+  def edgeJaccard(pairs: DataFrame, topK: Int): DataFrame = {
+    val e = pairs.select(col("u"), col("v"))
+    val sup = edgeSupport(e)
+    val deg = pairDegrees(e)
+    val out = sup
+      .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("support"),
+        when(col("du") + col("dv") - lit(2) - col("support") > 0,
+          expr("support * 1000000 div (du + dv - 2 - support)"))
+          .otherwise(lit(1000000L)).as("jac_e6"))
+      .orderBy(col("jac_e6").desc, col("u"), col("v"))
+      .limit(topK)
+      .localCheckpoint() // materialize before freeing the support frame
+    freeCkpt(sup)
+    out
+  }
+
+  /** Per-source eccentricity via ONE tagged multi-source BFS: state is
+    * (id, tag, level) — |sources|× the single-source frame, one loop
+    * instead of |sources| loops (each round: frontier⋈edges + an
+    * anti-join against the settled set + a min-combine; BFS levels are
+    * final on first arrival, so the frontier is exactly the new rows).
+    * Returns (source, ecc, n_reached) — max hop and reach size per
+    * source; on a disconnected graph ecc is over the reachable part. */
+  def eccentricities(symEdges: DataFrame, sources: Seq[Long],
+                     maxHops: Int = 64): DataFrame = {
+    val s = symEdges.sparkSession
+    import s.implicits._
+    val e = ckptHash(symEdges.select("src", "dst"), "src")
+    var settled = sources.map(x => (x, x, 0L)).toDF("id", "tag", "level")
+      .localCheckpoint()
+    var frontier = settled
+    var h = 0
+    var live = true
+    while (live && h < maxHops) {
+      val next = frontier.select(col("id").as("src"), col("tag"), col("level"))
+        .join(e, Seq("src"))
+        .select(col("dst").as("id"), col("tag"), (col("level") + 1L).as("level"))
+        .join(settled.select("id", "tag"), Seq("id", "tag"), "left_anti")
+        .groupBy(col("id"), col("tag")).agg(min(col("level")).as("level"))
+        .localCheckpoint()
+      live = next.count() > 0
+      if (live) {
+        val merged = settled.union(next).localCheckpoint()
+        freeCkpt(settled)
+        if (h > 0) freeCkpt(frontier)
+        settled = merged
+        frontier = next
+      } else {
+        freeCkpt(next)
+      }
+      h += 1
+    }
+    val out = settled.groupBy(col("tag").as("source"))
+      .agg(max(col("level")).as("ecc"), count(lit(1)).as("n_reached"))
+      .orderBy(col("source"))
+      .localCheckpoint()
+    freeCkpt(settled); freeCkpt(e)
+    out
+  }
+
   /** Synchronous label-propagation community detection: every round each
     * vertex adopts the most frequent label among its in-neighbors (ties →
     * smallest label); vertices with no in-edges keep their label. Run for

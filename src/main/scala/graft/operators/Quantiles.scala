@@ -34,21 +34,24 @@ object Quantiles {
     import s.implicits._
     val v = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
     // rank within group: ties ordered arbitrarily among EQUAL values, so
-    // v_r is still a pure function of the multiset
-    val ranked = v.withColumn("r",
-      row_number().over(Window.partitionBy(col("g")).orderBy(col("v"))) - lit(1))
+    // v_r is still a pure function of the multiset. The interpolation
+    // neighbor v_{r+1} rides the SAME window as lead() — one sort pass,
+    // one scan (a second rank join would re-scan and re-sort the fact
+    // table; .explain showed zero exchange reuse)
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+    val ranked = v.select(col("g"), col("v"),
+      (row_number().over(w) - lit(1)).as("rr"),
+      lead(col("v"), 1).over(w).as("v_next"))
     val counts = v.groupBy(col("g")).agg(count(lit(1)).as("n"))
     val pFrame = ps.toDF("pnum", "pden")
     val idx = counts.crossJoin(broadcast(pFrame))
       .withColumn("rr", expr("(pnum * (n - 1)) div pden"))
       .withColumn("rem", expr("(pnum * (n - 1)) % pden"))
-    val lo = idx.join(ranked.select(col("g"), col("r").as("rr"), col("v").as("vlo")),
-      Seq("g", "rr"))
-    val hi = lo.join(
-      ranked.select(col("g"), (col("r") - lit(1)).as("rr"), col("v").as("vhi")),
-      Seq("g", "rr"), "left")
-      .withColumn("vhi", coalesce(col("vhi"), col("vlo")))
-    hi.select(col("g"), col("pnum"), col("pden"),
+    idx.join(ranked, Seq("g", "rr"))
+      .select(col("g"), col("pnum"), col("pden"),
+        col("v").as("vlo"), coalesce(col("v_next"), col("v")).as("vhi"),
+        col("rem"))
+      .select(col("g"), col("pnum"), col("pden"),
         (col("vlo") * lit(scale) +
           expr(s"((vhi - vlo) * $scale * rem) div pden")).as("q_scaled"))
       .orderBy(col("g"), col("pnum"), col("pden"))

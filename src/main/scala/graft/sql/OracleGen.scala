@@ -66,6 +66,26 @@ object OracleGen {
       s" SELECT id, lbl AS $outName FROM l$k ORDER BY id")
   }
 
+  /** Tagged multi-source BFS eccentricities: the `nSources` smallest
+    * vertices each run a BFS (state keyed (id, tag)); after k rounds,
+    * per-source max level + reach count. Mirrors
+    * graft.graph.Algos.eccentricities. */
+  def eccSql(withBody: String, nSources: Int, k: Int): String = {
+    val steps = (1 to k).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT id, tag, MIN(level) AS level FROM (
+         |SELECT id, tag, level FROM d${i - 1}
+         |UNION ALL
+         |SELECT e.dst AS id, d.tag, d.level + 1 AS level
+         |FROM d${i - 1} d JOIN e ON d.id = e.src
+         |) t GROUP BY id, tag)""".stripMargin.replace('\n', ' ')
+    }
+    (s"WITH $withBody, d0 AS MATERIALIZED (SELECT src AS id, src AS tag, CAST(0 AS BIGINT) AS level " +
+      s"FROM (SELECT DISTINCT src FROM e ORDER BY src LIMIT $nSources)), " +
+      steps.mkString(", ") +
+      s" SELECT tag AS source, MAX(level) AS ecc, COUNT(*) AS n_reached " +
+      s"FROM d$k GROUP BY tag ORDER BY source")
+  }
+
   /** K rounds of synchronous label-propagation community detection
     * (neighborhood mode, ties → min label, keep-old when no in-edges).
     * Mirrors graft.graph.Algos.lpa exactly. */

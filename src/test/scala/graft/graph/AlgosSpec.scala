@@ -209,6 +209,39 @@ class AlgosSpec extends SparkSpec {
     assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (7L, 9L), (9L, 9L)))
   }
 
+  test("eccentricities: tagged multi-source BFS on a path graph") {
+    // path 1-2-3-4-5 (symmetric): ecc(1)=4, ecc(2)=3; all 5 reached
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val sym = (p ++ p.map(x => (x._2, x._1))).toDF("src", "dst")
+    val got = Algos.eccentricities(sym, Seq(1L, 2L))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L, 5L), (2L, 3L, 5L)))
+  }
+
+  test("eccentricities stay within the reachable component") {
+    // two components: {1,2} and {10,11,12} path; source 1 and 10
+    val p = Seq((1L, 2L), (10L, 11L), (11L, 12L))
+    val sym = (p ++ p.map(x => (x._2, x._1))).toDF("src", "dst")
+    val got = Algos.eccentricities(sym, Seq(1L, 10L))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 2L), (10L, 2L, 3L)))
+  }
+
+  test("edgeJaccard: hand-computed on K4 minus one edge") {
+    // K4 on {1,2,3,4} without edge (3,4): N(1)={2,3,4} N(2)={1,3,4}
+    // N(3)={1,2} N(4)={1,2}
+    // edge (1,2): common {3,4} → 2/(3+3-2-2)=2/2 → 1e6
+    // edge (1,3): common {2} → 1/(3+2-2-1)=1/2 → 5e5 (same for 1-4, 2-3, 2-4)
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("u", "v")
+    val got = Algos.edgeJaccard(pairs, topK = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 1000000L),
+      (1L, 3L, 1L, 500000L), (1L, 4L, 1L, 500000L),
+      (2L, 3L, 1L, 500000L), (2L, 4L, 1L, 500000L)))
+  }
+
   /** Plain-collections LPA with the identical rule (neighborhood mode,
     * min-label ties, keep-old with no in-edges) — an implementation
     * independent of the DataFrame plan. */
