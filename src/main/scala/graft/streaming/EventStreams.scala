@@ -71,6 +71,56 @@ object EventStreams {
     }
   }
 
+  final case class FunnelState(tSignup: Long, tClick: Long, tPurchase: Long)
+
+  final case class FunnelHit(user_id: Long, t_signup_ms: Long,
+                             t_click_ms: Long, t_purchase_ms: Long)
+
+  /** Streaming funnel state machine via flatMapGroupsWithState — the
+    * engine's custom-multi-stage-state path (sessionization is a single
+    * counter; this carries an ordered stage vector). Per user: earliest
+    * signup, then earliest click at-or-after it, then earliest purchase
+    * at-or-after that; emits EXACTLY ONE row per user the moment the
+    * third stage completes (Update mode, empty iterator otherwise), so
+    * downstream sees completions as they happen instead of re-scanning
+    * the feed. Events are time-sorted within each micro-batch; with
+    * batches fed in event-time order the result equals the batch funnel
+    * (q_funnel semantics; StreamingSpec asserts parity on a split
+    * fixture). State per user is three longs — O(users), not O(events).
+    */
+  object Funnel {
+    private val Unset = Long.MinValue
+
+    def updateState(userId: Long, rows: Iterator[Event],
+                    state: GroupState[FunnelState]): Iterator[FunnelHit] = {
+      var st = state.getOption.getOrElse(FunnelState(Unset, Unset, Unset))
+      val completedBefore = st.tPurchase != Unset
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val t = e.ts.getTime
+        e.event_type match {
+          case "signup" if st.tSignup == Unset =>
+            st = st.copy(tSignup = t)
+          case "click" if st.tSignup != Unset && st.tClick == Unset && t >= st.tSignup =>
+            st = st.copy(tClick = t)
+          case "purchase" if st.tClick != Unset && st.tPurchase == Unset && t >= st.tClick =>
+            st = st.copy(tPurchase = t)
+          case _ => ()
+        }
+      }
+      state.update(st)
+      if (!completedBefore && st.tPurchase != Unset)
+        Iterator(FunnelHit(userId, st.tSignup, st.tClick, st.tPurchase))
+      else Iterator.empty
+    }
+
+    def run(events: Dataset[Event]): Dataset[FunnelHit] = {
+      val spark = events.sparkSession
+      import spark.implicits._
+      events.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateState)
+    }
+  }
+
   /** Streaming exact dedup: first occurrence of each key wins, duplicate
     * arrivals within the watermark bound are dropped, and key state is
     * evicted once the watermark passes it — the incremental twin of

@@ -30,6 +30,36 @@ class StreamingSpec extends SparkSpec {
     query.stop()
   }
 
+  test("streaming funnel emits one completion per user, matching batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    def tev(id: Long, sec: Long, user: Long, ty: String) =
+      Event(id, new Timestamp(sec * 1000L), user, ty, 1.0)
+    val input = MemoryStream[Event]
+    val query = EventStreams.Funnel.run(input.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("update").start()
+    // user 1 completes across batches; user 2's purchase precedes its
+    // click (incomplete); user 3's click precedes signup then a valid one
+    input.addData(
+      tev(1, 100, 1, "signup"), tev(2, 150, 1, "click"),
+      tev(10, 100, 2, "signup"), tev(11, 120, 2, "purchase"),
+      tev(20, 50, 3, "click"), tev(21, 80, 3, "signup"))
+    query.processAllAvailable()
+    input.addData(
+      tev(3, 300, 1, "purchase"),
+      tev(22, 90, 3, "click"), tev(23, 95, 3, "purchase"),
+      tev(4, 400, 1, "purchase")) // second purchase: must NOT re-emit
+    query.processAllAvailable()
+    val got = spark.table("funnel").as[EventStreams.FunnelHit]
+      .collect().map(h => h.user_id -> ((h.t_signup_ms, h.t_click_ms, h.t_purchase_ms)))
+      .toMap
+    assert(spark.table("funnel").count() == 2) // exactly one row per completed user
+    assert(got(1L) == ((100000L, 150000L, 300000L)))
+    assert(got(3L) == ((80000L, 90000L, 95000L)))
+    assert(!got.contains(2L))
+    query.stop()
+  }
+
   test("streaming incremental dedup probes the stored index per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     // standing corpus signed ONCE into a stored index (batch side)
