@@ -680,6 +680,12 @@ object Queries {
     Algos.eccentricities(e, sources)
   }
 
+  /** Node-embedding walk corpus ([[graft.graph.Algos.randomWalks]]):
+    * one 3-step deterministic walk per vertex; every hop replayed by the
+    * oracle through the same md5-indexed adjacency rule. */
+  private def qWalks(s: SparkSession, dir: String): DataFrame =
+    Algos.randomWalks(custSuppSymE(s, dir).select("src", "dst"), len = 3)
+
   /** Link strength on the part co-occurrence graph
     * ([[graft.graph.Algos.edgeJaccard]]): neighborhood Jaccard per
     * existing edge via the triangle-intersection kernel. */
@@ -808,6 +814,7 @@ object Queries {
     "q_graph_lpa"      -> (qLpa _),
     "q_graph_ecc"      -> (qEcc _),
     "q_graph_edge_jaccard" -> (qEdgeJaccard _),
+    "q_graph_walks"    -> (qWalks _),
     "q_graph_deg_stats" -> (qDegStats _),
     "q_graph_partition_stats" -> (qPartitionStats _),
     "q_graph_prep_stats" -> (qPrepStats _)) ++ PipelineQueries.all ++ CorpusQueries.all
@@ -858,6 +865,7 @@ object Queries {
     "q_graph_lpa"      -> OracleGen.lpaSql(TestGraphs.custSuppSymSql, 4),
     "q_graph_ecc"      -> OracleGen.eccSql(TestGraphs.custSuppSymSql, 4, 16),
     "q_graph_edge_jaccard" -> qEdgeJaccardSql,
+    "q_graph_walks"    -> OracleGen.walksSql(TestGraphs.custSuppSymSql, 3),
     "q_graph_deg_stats" -> qDegStatsSql,
     "q_graph_partition_stats" -> qPartitionStatsSql,
     "q_graph_prep_stats" -> qPrepStatsSql) ++ PipelineQueries.oracles ++ CorpusQueries.oracles

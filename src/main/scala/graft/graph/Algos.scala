@@ -573,6 +573,54 @@ object Algos {
     sup.orderBy(col("u"), col("v"))
   }
 
+  /** Deterministic random-walk corpus: one walk per vertex, `len` steps.
+    * Step i from vertex c on walk w moves to the neighbor at index
+    * md5(w:i:c) mod outdeg(c) in the dst-sorted adjacency — an
+    * RNG-free walk that is a pure function of the graph (re-runnable,
+    * partition-independent, seedless — the sampling-determinism rule the
+    * corpus samplers follow; md5 is engine-portable so a SQL oracle
+    * replays every step). The walk corpus is what a node-embedding
+    * trainer (DeepWalk/node2vec-style) consumes.
+    *
+    * Scale: adjacency ranked once (one window over the edge list);
+    * per step ONE equi-join on (src, idx) — walk count × 1 rows joined
+    * against the ranked adjacency, no per-vertex neighbor collection.
+    * Returns (walk, step, vertex), steps 0..len. */
+  def randomWalks(symEdges: DataFrame, len: Int): DataFrame = {
+    val e = symEdges.select("src", "dst").distinct()
+    val w = Window.partitionBy(col("src")).orderBy(col("dst"))
+    val adj = e.select(col("src"), col("dst"),
+      (row_number().over(w) - lit(1)).cast("long").as("idx")).localCheckpoint()
+    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    // engine-portable uniform: first 6 md5 hex digits (Corpus.md5Uniform's
+    // rule, inlined to keep graph free of the pipeline package)
+    def u(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 6), 16, 10).cast("long")
+    var cur = verticesOf(e)
+      .select(col("id").as("walk"), col("id").as("cur")).localCheckpoint()
+    // per-step frames stay checkpointed until the FINAL union
+    // materializes (freeing inside the loop would pull blocks out from
+    // under the still-lazy acc — the edgeJaccard lesson)
+    val steps = scala.collection.mutable.ArrayBuffer[DataFrame](cur)
+    var acc = cur.select(col("walk"), lit(0).as("step"), col("cur").as("vertex"))
+    for (i <- 1 to len) {
+      val nxt = cur.select(col("walk"), col("cur").as("src"))
+        .join(deg, Seq("src"))
+        .withColumn("idx", pmod(
+          u(concat(col("walk").cast("string"), lit(s":$i:"), col("src").cast("string"))),
+          col("deg")))
+        .join(adj, Seq("src", "idx"))
+        .select(col("walk"), col("dst").as("cur"))
+        .localCheckpoint()
+      acc = acc.union(nxt.select(col("walk"), lit(i).as("step"), col("cur").as("vertex")))
+      steps += nxt
+      cur = nxt
+    }
+    val out = acc.orderBy(col("walk"), col("step")).localCheckpoint()
+    steps.foreach(freeCkpt); freeCkpt(adj); freeCkpt(deg)
+    out
+  }
+
   /** Edge-neighborhood Jaccard similarity (link strength): for each
     * existing canonical edge (u,v), |N(u)∩N(v)| / |N(u)∪N(v)\{u,v}| as
     * a floor-scaled e6 BIGINT — the triangle-intersection kernel

@@ -66,6 +66,35 @@ object OracleGen {
       s" SELECT id, lbl AS $outName FROM l$k ORDER BY id")
   }
 
+  /** DuckDB twin of the md5-prefix uniform (first 6 hex digits as a
+    * BIGINT): digit-by-digit base-16 accumulation. */
+  def hex6(h: String): String =
+    s"""CAST(list_sum(list_transform(range(0, 6), i ->
+       |(strpos('0123456789abcdef', substring($h, CAST(i + 1 AS INT), 1)) - 1)
+       |* CAST(power(16, 5 - i) AS BIGINT))) AS BIGINT)""".stripMargin.replace('\n', ' ')
+
+  /** `len`-step deterministic random walks (one per vertex): step i picks
+    * dst-sorted neighbor index md5(walk:i:cur) mod outdeg. Mirrors
+    * graft.graph.Algos.randomWalks. */
+  def walksSql(withBody: String, len: Int): String = {
+    val steps = (1 to len).map { i =>
+      val h = hex6(s"md5(CAST(w.walk AS VARCHAR) || ':$i:' || CAST(w.cur AS VARCHAR))")
+      s"""w$i AS MATERIALIZED (SELECT w.walk, a.dst AS cur
+         |FROM w${i - 1} w
+         |JOIN deg d ON d.src = w.cur
+         |JOIN adj a ON a.src = w.cur AND a.idx = $h % d.deg)""".stripMargin.replace('\n', ' ')
+    }
+    val outs = (s"SELECT walk, 0 AS step, walk AS vertex FROM w0" +:
+      (1 to len).map(i => s"SELECT walk, $i AS step, cur AS vertex FROM w$i")).mkString(" UNION ALL ")
+    (s"WITH $withBody, ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM e), " +
+      "adj AS MATERIALIZED (SELECT src, dst, CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS idx FROM ed), " +
+      "deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM adj GROUP BY src), " +
+      "v AS MATERIALIZED (SELECT DISTINCT src AS id FROM ed UNION SELECT DISTINCT dst FROM ed), " +
+      "w0 AS MATERIALIZED (SELECT id AS walk, id AS cur FROM v), " +
+      steps.mkString(", ") +
+      s" SELECT walk, step, vertex FROM ($outs) z ORDER BY walk, step")
+  }
+
   /** Tagged multi-source BFS eccentricities: the `nSources` smallest
     * vertices each run a BFS (state keyed (id, tag)); after k rounds,
     * per-source max level + reach count. Mirrors

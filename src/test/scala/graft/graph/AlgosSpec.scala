@@ -227,6 +227,35 @@ class AlgosSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 2L), (10L, 2L, 3L)))
   }
 
+  /** Independent md5 walk reference using java MessageDigest directly. */
+  private def walkRef(edges: Seq[(Long, Long)], len: Int): Seq[(Long, Int, Long)] = {
+    val adj = edges.distinct.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(_._2).distinct.sorted
+    }
+    def u6(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 6), 16)
+    }
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    verts.flatMap { v =>
+      var cur = v
+      (v, 0, v) +: (1 to len).map { i =>
+        val ns = adj(cur)
+        cur = ns((u6(s"$v:$i:$cur") % ns.size).toInt)
+        (v, i, cur)
+      }
+    }
+  }
+
+  test("randomWalks matches the independent md5 reference") {
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val sym = (p ++ p.map(x => (x._2, x._1))).distinct
+    val got = Algos.randomWalks(sym.toDF("src", "dst"), len = 3)
+      .as[(Long, Int, Long)].collect().toSeq.sortBy(x => (x._1, x._2))
+    assert(got == walkRef(sym, 3))
+  }
+
   test("edgeJaccard: hand-computed on K4 minus one edge") {
     // K4 on {1,2,3,4} without edge (3,4): N(1)={2,3,4} N(2)={1,3,4}
     // N(3)={1,2} N(4)={1,2}
