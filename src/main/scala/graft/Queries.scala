@@ -680,6 +680,15 @@ object Queries {
     Algos.eccentricities(e, sources)
   }
 
+  /** Minimum spanning forest of the customer–supplier graph
+    * ([[graft.graph.Algos.mst]], Borůvka). No SQL oracle — union-find
+    * is not SQL-expressible — so this row is the documented weaker
+    * rows-only check; determinism + Kruskal equality are pinned by
+    * AlgosSpec instead. */
+  private def qMst(s: SparkSession, dir: String): DataFrame =
+    Algos.mst(TestGraphs.custSupp(Tables(s, dir))
+      .select(col("src").as("u"), col("dst").as("v"), col("w")))
+
   /** Node-embedding walk corpus ([[graft.graph.Algos.randomWalks]]):
     * one 3-step deterministic walk per vertex; every hop replayed by the
     * oracle through the same md5-indexed adjacency rule. */
@@ -815,6 +824,7 @@ object Queries {
     "q_graph_ecc"      -> (qEcc _),
     "q_graph_edge_jaccard" -> (qEdgeJaccard _),
     "q_graph_walks"    -> (qWalks _),
+    "q_graph_mst"      -> (qMst _),
     "q_graph_deg_stats" -> (qDegStats _),
     "q_graph_partition_stats" -> (qPartitionStats _),
     "q_graph_prep_stats" -> (qPrepStats _)) ++ PipelineQueries.all ++ CorpusQueries.all

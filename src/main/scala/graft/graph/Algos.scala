@@ -573,6 +573,74 @@ object Algos {
     sup.orderBy(col("u"), col("v"))
   }
 
+  /** Minimum spanning forest via Borůvka: each round every component
+    * picks its lightest incident cross-component edge (total order
+    * (w, u, v) — the deterministic tie-break that makes the MSF unique
+    * and equal to Kruskal's under the same order, which the spec
+    * asserts), the chosen edges contract via [[wcc]] on the component
+    * graph, and components at least halve — O(log n) rounds. Reference
+    * analog: the classic Pregel MST formulation (min-edge gather +
+    * supervertex contraction).
+    *
+    * Scale: per round one edge⋈label join pair + a struct-min agg (all
+    * map-side combinable) + a WCC on the CONTRACTED component graph
+    * (≤ #components nodes, shrinking geometrically). Driver sees one
+    * scalar per round. Input canonical pairs (u < v, integral w);
+    * output the chosen edges (u, v, w). */
+  def mst(pairs: DataFrame, opts: PregelOptions = PregelOptions(maxSupersteps = 30)): DataFrame = {
+    val s = pairs.sparkSession
+    var edges = pairs.select(col("u"), col("v"), col("w")).distinct().localCheckpoint()
+    var comp = verticesOf(edges.select(col("u").as("src"), col("v").as("dst")))
+      .select(col("id"), col("id").as("c")).localCheckpoint()
+    var chosen: DataFrame = null
+    var merges = 1L
+    var round = 0
+    while (merges > 0 && round < opts.maxSupersteps) {
+      val lab = edges
+        .join(comp.select(col("id").as("u"), col("c").as("cu")), Seq("u"))
+        .join(comp.select(col("id").as("v"), col("c").as("cv")), Seq("v"))
+        .filter(col("cu") =!= col("cv"))
+      val e = struct(col("w"), col("u"), col("v")).as("e")
+      val cand = lab.select(col("cu").as("comp"), e)
+        .union(lab.select(col("cv").as("comp"), e))
+        .groupBy(col("comp")).agg(min(col("e")).as("m"))
+        .select(col("m.u").as("u"), col("m.v").as("v"), col("m.w").as("w"))
+        .distinct()
+        .localCheckpoint()
+      merges = cand.count()
+      if (merges > 0) {
+        val acc = if (chosen == null) cand
+          else chosen.union(cand).localCheckpoint()
+        // contract the chosen edges' component graph and relabel
+        val cg = cand
+          .join(comp.select(col("id").as("u"), col("c").as("cu")), Seq("u"))
+          .join(comp.select(col("id").as("v"), col("c").as("cv")), Seq("v"))
+          .select(col("cu").as("src"), col("cv").as("dst"))
+        val sym = cg.union(cg.select(col("dst").as("src"), col("src").as("dst")))
+        val relab = wcc(sym, opts).withColumnRenamed("id", "c")
+        val nextComp = comp.join(relab, Seq("c"), "left")
+          .select(col("id"), coalesce(col("component"), col("c")).as("c"))
+          .localCheckpoint()
+        freeCkpt(comp); freeCkpt(relab) // relab = wcc's final label frame
+        if (chosen != null) { freeCkpt(chosen); freeCkpt(cand) }
+        comp = nextComp
+        chosen = if (chosen == null) cand else acc
+      } else {
+        freeCkpt(cand)
+      }
+      round += 1
+    }
+    freeCkpt(edges)
+    val out =
+      if (chosen == null) s.emptyDataFrame
+      else {
+        val o = chosen.orderBy(col("u"), col("v")).localCheckpoint()
+        freeCkpt(chosen); freeCkpt(comp)
+        o
+      }
+    out
+  }
+
   /** Deterministic random-walk corpus: one walk per vertex, `len` steps.
     * Step i from vertex c on walk w moves to the neighbor at index
     * md5(w:i:c) mod outdeg(c) in the dst-sorted adjacency — an

@@ -227,6 +227,48 @@ class AlgosSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 2L), (10L, 2L, 3L)))
   }
 
+  /** Kruskal with the same (w, u, v) total order — union-find, an
+    * implementation independent of the Borůvka DataFrame loop. */
+  private def kruskal(edges: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.distinct.sortBy { case (u, v, w) => (w, u, v) }.flatMap { case (u, v, w) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru == rv) None else { parent(ru) = rv; Some((u, v, w)) }
+    }
+  }
+
+  test("mst equals Kruskal under the same edge order (fixture)") {
+    // square 1-2-3-4 with a heavy diagonal and a pendant
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 1L), (1L, 4L, 5L),
+      (1L, 3L, 9L), (4L, 5L, 2L))
+    val got = Algos.mst(e.toDF("u", "v", "w"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got == kruskal(e).sorted)
+    assert(got.map(_._3).sum == 6L) // 1+2+1+2
+  }
+
+  test("mst equals Kruskal on random graphs (incl. disconnected forest)") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 3) {
+      val n = 25
+      val e = (0 until 80).map { _ =>
+        val u = rnd.nextInt(n).toLong
+        val v = rnd.nextInt(n).toLong
+        (math.min(u, v), math.max(u, v), (1 + rnd.nextInt(9)).toLong)
+      }.filter(x => x._1 != x._2).distinct
+        // drop parallel edges with different weights: keep min per pair
+        .groupBy(x => (x._1, x._2)).map { case ((u, v), xs) => (u, v, xs.map(_._3).min) }
+        .toSeq
+      val got = Algos.mst(e.toDF("u", "v", "w"))
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(got == kruskal(e).sorted, s"trial=$trial")
+    }
+  }
+
   /** Independent md5 walk reference using java MessageDigest directly. */
   private def walkRef(edges: Seq[(Long, Long)], len: Int): Seq[(Long, Int, Long)] = {
     val adj = edges.distinct.groupBy(_._1).map { case (s, es) =>
