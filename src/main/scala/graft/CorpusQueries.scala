@@ -407,6 +407,19 @@ object CorpusQueries {
        |CAST(SUM(bits) * 1000000 // COUNT(*) AS BIGINT) AS bits_per_bigram_e6
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
+  /** Hash-priority weighted sample ([[Corpus.weightedSample]]): 50 docs
+    * biased toward large n_chars, exact-integer priorities. */
+  private def qSampleWeighted(s: SparkSession, dir: String): DataFrame =
+    Corpus.weightedSample(Tables(s, dir).documents
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      k = 50, weightCol = "n_chars")
+
+  private val qSampleWeightedSql =
+    s"""SELECT doc_id, source, n_chars,
+       |(${hex6Sql("md5(CAST(doc_id AS VARCHAR))")} * 1000000) // n_chars AS priority
+       |FROM documents
+       |ORDER BY priority, doc_id LIMIT 50""".stripMargin.replace('\n', ' ')
+
   // --- hashed linear classifier / inverted index / temperature mix -----
 
   /** Hashed linear quality scorer ([[Corpus.hashedLinearScore]]): the
@@ -473,6 +486,7 @@ object CorpusQueries {
     "q_bpe_encode"        -> (qBpeEncode _),
     "q_text_bigram_surprisal" -> (qTextBigramSurprisal _),
     "q_text_markup"       -> (qTextMarkup _),
+    "q_sample_weighted"   -> (qSampleWeighted _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_index_postings"    -> (qIndexPostings _),
     "q_mix_temperature"   -> (qMixTemperature _))
@@ -493,6 +507,7 @@ object CorpusQueries {
     "q_bpe_encode"        -> qBpeEncodeSql,
     "q_text_bigram_surprisal" -> qTextBigramSurprisalSql,
     "q_text_markup"       -> qTextMarkupSql,
+    "q_sample_weighted"   -> qSampleWeightedSql,
     "q_quality_classifier" -> qQualityClassifierSql,
     "q_index_postings"    -> qIndexPostingsSql,
     "q_mix_temperature"   -> qMixTemperatureSql)

@@ -126,6 +126,49 @@ object Queries {
 
   // `ts` is read as a BIGINT of epoch nanoseconds (see Tables.events doc):
   // integral arithmetic on it is exactly reproducible in the oracle.
+  /** Anti-join churn query: customers with no order since 2001-01-01
+    * (left_anti — Spark's native hash anti path, no NOT-IN rewrite; the
+    * order-side filter is pushed into the scan before the join build). */
+  private def qAntiCustomers(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val recent = t.orders
+      .filter(col("o_orderdate") >= to_timestamp(lit("2001-01-01")))
+    t.customer.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val qAntiCustomersSql =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin.replace('\n', ' ')
+
+  /** Revenue deciles: customers ntile(10)-bucketed by total spend
+    * (unique (rev desc, custkey) order makes the bucketing a pure
+    * function of the data — NTILE's remainder-to-early-buckets rule is
+    * shared SQL semantics). */
+  private def qNtile(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val rev = t.orders.groupBy(col("o_custkey"))
+      .agg(e2(sum(col("o_totalprice"))).as("rev_e2"))
+    rev.withColumn("decile",
+        ntile(10).over(Window.orderBy(col("rev_e2").desc, col("o_custkey")))
+          .cast("long")) // BIGINT on both engines (DuckDB NTILE is int64)
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("rev_e2")).as("sum_rev_e2"))
+      .orderBy(col("decile"))
+  }
+
+  private val qNtileSql =
+    """WITH rev AS (SELECT o_custkey,
+      |CAST(FLOOR(SUM(o_totalprice) * 100) AS BIGINT) AS rev_e2
+      |FROM orders GROUP BY 1),
+      |d AS (SELECT rev_e2, NTILE(10) OVER (ORDER BY rev_e2 DESC, o_custkey) AS decile FROM rev)
+      |SELECT decile, COUNT(*) AS n_customers,
+      |CAST(SUM(rev_e2) AS BIGINT) AS sum_rev_e2
+      |FROM d GROUP BY 1 ORDER BY decile""".stripMargin.replace('\n', ' ')
+
   /** Full CUBE over (returnflag, linestatus): all four grouping sets in
     * one pass (Spark expands to a single Expand + hash agg — map-side
     * combinable, one shuffle). COALESCE to the 'ALL' sentinel AFTER
@@ -785,6 +828,8 @@ object Queries {
     "q05_nation_rev"   -> (q05 _),
     "q06_filter_sum"   -> (q06 _),
     "q_rollup"         -> (qRollup _),
+    "q_anti_customers" -> (qAntiCustomers _),
+    "q_ntile_deciles"  -> (qNtile _),
     "q_cube"           -> (qCube _),
     "q_pivot"          -> (qPivot _),
     "q_moving_avg"     -> (qMovingAvg _),
@@ -835,6 +880,8 @@ object Queries {
     "q05_nation_rev"   -> q05Sql,
     "q06_filter_sum"   -> q06Sql,
     "q_rollup"         -> qRollupSql,
+    "q_anti_customers" -> qAntiCustomersSql,
+    "q_ntile_deciles"  -> qNtileSql,
     "q_cube"           -> qCubeSql,
     "q_pivot"          -> qPivotSql,
     "q_moving_avg"     -> qMovingAvgSql,

@@ -148,6 +148,22 @@ object Corpus {
       .drop("__rn")
   }
 
+  /** Deterministic weight-biased sample: rank rows by the integer
+    * priority key md5(id)·10⁶ div weight and keep the k smallest —
+    * heavier rows draw smaller priorities, so selection probability
+    * grows with weight (the hash-priority analogue of
+    * Efraimidis–Spirakis u^(1/w) sampling, kept in exact integers
+    * because ^(1/w) needs libm pow — the documented cross-engine trap).
+    * Same determinism contract as [[stratifiedSample]]: membership is a
+    * pure function of the row, re-runnable, partition-independent. */
+  def weightedSample(docs: DataFrame, k: Int, weightCol: String,
+                     idCol: String = "doc_id"): DataFrame = {
+    docs.withColumn("priority",
+        idiv(md5Uniform(col(idCol).cast("string")) * lit(1000000L), col(weightCol)))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
+
   // --- PII scrubbing ----------------------------------------------------
 
   /** ASCII email and long-digit-run patterns, RE2-compatible (the oracle
