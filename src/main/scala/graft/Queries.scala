@@ -126,6 +126,29 @@ object Queries {
 
   // `ts` is read as a BIGINT of epoch nanoseconds (see Tables.events doc):
   // integral arithmetic on it is exactly reproducible in the oracle.
+  /** Semi-structured extraction: the JSON `props` payload parsed with
+    * the engine's native JSON path functions (get_json_object — a
+    * codegen'd expression, no UDF) and aggregated as exact integers.
+    * The "schema-on-read attribute bag" shape event pipelines carry. */
+  private def qPropsJson(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    t.events.select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        count(when(col("k") >= 50, lit(1))).as("n_high"))
+      .orderBy(col("event_type"))
+  }
+
+  private val qPropsJsonSql =
+    """WITH e AS (SELECT event_type,
+      |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |SELECT event_type, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k,
+      |MIN(k) AS min_k, MAX(k) AS max_k,
+      |COUNT(*) FILTER (WHERE k >= 50) AS n_high
+      |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin.replace('\n', ' ')
+
   /** Anti-join churn query: customers with no order since 2001-01-01
     * (left_anti — Spark's native hash anti path, no NOT-IN rewrite; the
     * order-side filter is pushed into the scan before the join build). */
@@ -829,6 +852,7 @@ object Queries {
     "q06_filter_sum"   -> (q06 _),
     "q_rollup"         -> (qRollup _),
     "q_anti_customers" -> (qAntiCustomers _),
+    "q_props_json"     -> (qPropsJson _),
     "q_ntile_deciles"  -> (qNtile _),
     "q_cube"           -> (qCube _),
     "q_pivot"          -> (qPivot _),
@@ -881,6 +905,7 @@ object Queries {
     "q06_filter_sum"   -> q06Sql,
     "q_rollup"         -> qRollupSql,
     "q_anti_customers" -> qAntiCustomersSql,
+    "q_props_json"     -> qPropsJsonSql,
     "q_ntile_deciles"  -> qNtileSql,
     "q_cube"           -> qCubeSql,
     "q_pivot"          -> qPivotSql,

@@ -115,6 +115,15 @@ object GraftRunner {
               Algos.kTruss(edges.filter(col("src") < col("dst"))
                   .select(col("src").as("u"), col("dst").as("v")).distinct(),
                 k = opts.getOrElse("k", "4").toInt)
+            case "lpa"   => Algos.lpa(edges, rounds = iters)
+            case "ecc"   => Algos.eccentricities(edges,
+              source.map(Seq(_)).getOrElse(Seq(minSrc(edges))))
+            case "walks" => Algos.randomWalks(edges, len = opts.getOrElse("len", "4").toInt)
+            case "mst" =>
+              val we = if (edges.columns.contains("w")) edges
+                else edges.withColumn("w", lit(1L))
+              Algos.mst(we.filter(col("src") < col("dst"))
+                .select(col("src").as("u"), col("dst").as("v"), col("w")))
             case other => System.err.println(s"unknown algo: $other"); usage(); sys.exit(2); null
           }
         }
@@ -171,7 +180,8 @@ object GraftRunner {
       |  or --gen uniform|ws --vertices N --degree N [--seed N]
       |     [--local-ratio permille] [--beta permille]   (benchmark inputs)
       |  graph algo: pagerank pagerank-conv wpagerank sssp bfs wcc scc
-      |              degrees mis triangles ktruss [--k N]
+      |              degrees mis triangles ktruss [--k N] lpa ecc
+      |              walks [--len N] mst
       |              ([--tol X] [--convergence
       |              sum|max|sum_rel|max_rel|rmse] for pagerank-conv)
       |or: GraftRunner <op> --docs <parquet> --out <path> [--k N] [--budget N]
