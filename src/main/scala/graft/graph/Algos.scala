@@ -697,7 +697,13 @@ object Algos {
   def edgeJaccard(pairs: DataFrame, topK: Int): DataFrame = {
     val e = pairs.select(col("u"), col("v"))
     val sup = edgeSupport(e)
-    val deg = pairDegrees(e)
+    // degrees from the CHECKPOINTED support frame (same edge set), not
+    // from `pairs` — the input is often an expensive lazy derivation
+    // (self-join + distinct) that a second scan would recompute. (At
+    // sf0.1 the query is support-pass-bound — 16.4s, the one full
+    // intersection pass over 1.2M part-co-occurrence edges — so this is
+    // hygiene, not the bottleneck.)
+    val deg = pairDegrees(sup)
     val out = sup
       .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
