@@ -475,6 +475,46 @@ object PipelineQueries {
        |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rcos_e4 DESC, n_id) <= 5
        |ORDER BY q_id, rcos_e4 DESC, n_id""".stripMargin.replace('\n', ' ')
 
+  /** Filtered ANN through the REAL persisted-index path: the index is
+    * written cluster-partitioned by label, then probed with a metadata
+    * predicate (vec_id ≤ 300) composed INTO the scan — partition pruning
+    * from the probes, row-group pushdown from the predicate. Oracle
+    * replays probe→filter→rank logically (q_ann_ivf's chain + the
+    * predicate). */
+  private def qAnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfidx_f")
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(path).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    Similarity.writeIvfIndex(emb.select(col("vec_id"), col("embedding")),
+      emb.select(col("vec_id"), col("label").as("cluster")), path.toString)
+    Similarity.ivfIndexFilteredTopK(s, path.toString, queriesOf(emb),
+      k = 5, nprobe = 2, predicate = col("vec_id") <= 300)
+  }
+
+  private val qAnnFilteredSql =
+    s"""WITH cent AS MATERIALIZED (SELECT label,
+       |list(m ORDER BY pos) AS cv FROM (
+       |SELECT label, pos, FLOOR(AVG(CAST(embedding[pos] AS DOUBLE)) * 1000000) / 1000000 AS m
+       |FROM embeddings, unnest(range(1, 65)) AS t(pos)
+       |GROUP BY label, pos) g GROUP BY label),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |probes AS MATERIALIZED (SELECT q_id, qv, label FROM (
+       |SELECT q.q_id, q.qv, c.label,
+       |CAST(FLOOR(${cosSql("q.qv", "c.cv")} * 1000000) AS BIGINT) AS rc
+       |FROM cent c CROSS JOIN q)
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rc DESC, label) <= 2),
+       |sc AS (SELECT p.q_id, e.vec_id AS n_id,
+       |CAST(FLOOR(${cosSql("p.qv", "e.embedding")} * 10000) AS BIGINT) AS rcos_e4
+       |FROM embeddings e JOIN probes p ON e.label = p.label AND e.vec_id <> p.q_id
+       |WHERE e.vec_id <= 300)
+       |SELECT q_id, n_id, rcos_e4 FROM sc
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rcos_e4 DESC, n_id) <= 5
+       |ORDER BY q_id, rcos_e4 DESC, n_id""".stripMargin.replace('\n', ' ')
+
   /** IVF over TRAINED clusters: deterministic Lloyd's k-means (k=8,
     * 2 iterations, seeds = 8 lowest vec_ids) assigns every vector, then
     * ivfTopK probes the 2 nearest trained centroids per query. The
@@ -741,6 +781,7 @@ object PipelineQueries {
     "q_ann_brute"        -> (qAnnBrute _),
     "q_ann_sq"           -> (qAnnSq _),
     "q_ann_ivf"          -> (qAnnIvf _),
+    "q_ann_filtered"     -> (qAnnFiltered _),
     "q_ann_ivf_trained"  -> (qAnnIvfTrained _),
     "q_ann_lsh"          -> (qAnnLsh _),
     "q_ann_pq"           -> (qAnnPq _),
@@ -769,6 +810,7 @@ object PipelineQueries {
     "q_ann_brute"        -> qAnnBruteSql,
     "q_ann_sq"           -> qAnnSqSql,
     "q_ann_ivf"          -> qAnnIvfSql,
+    "q_ann_filtered"     -> qAnnFilteredSql,
     "q_ann_ivf_trained"  -> qAnnIvfTrainedSql,
     "q_ann_lsh"          -> qAnnLshSql,
     "q_ann_pq"           -> qAnnPqSql,

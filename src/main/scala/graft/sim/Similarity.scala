@@ -347,6 +347,42 @@ object Similarity {
       .orderBy(col("q_id"), col("rcos_e4").desc, col("n_id"))
   }
 
+  /** Filtered ANN over the persisted IVF index: metadata predicate AND
+    * vector search composed in one scan — cluster probing prunes
+    * partition DIRECTORIES (PartitionFilters) while the row predicate
+    * pushes into the parquet row groups (PushedFilters); scoring sees
+    * only rows surviving both. The "search only documents matching a
+    * predicate" shape every retrieval stack needs — done in the scan,
+    * never as a post-rank filter (which silently under-fills k).
+    * `predicate` must reference columns stored in the index data files.
+    */
+  def ivfIndexFilteredTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                           queries: DataFrame, k: Int, nprobe: Int,
+                           predicate: Column): DataFrame = {
+    val cent = spark.read.parquet(s"$path/centroids")
+    val probes = cent.join(broadcast(queries), lit(true))
+      .withColumn("rc", graft.sql.Exact.e6(cosine(col("qv"), col("cv"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rc").desc, col("cluster"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("qv"), col("cluster"))
+    val probedIds = probes.select(col("cluster").cast("long"))
+      .distinct().collect().map(_.getLong(0))
+    val indexed = spark.read.parquet(s"$path/data")
+      .where(col("cluster").isin(probedIds: _*)) // prunes partition dirs
+      .filter(predicate)                         // pushes into row groups
+      .withColumn("cluster", col("cluster").cast("long"))
+    indexed.join(probes.withColumn("cluster", col("cluster").cast("long")),
+        Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rcos_e4", graft.sql.Exact.e4(cosine(col("qv"), col("embedding"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rcos_e4").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rcos_e4"))
+      .orderBy(col("q_id"), col("rcos_e4").desc, col("n_id"))
+  }
+
   /** IVF-style ANN: probe the `nprobe` closest centroids per query, exact
     * search within probed buckets only. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,

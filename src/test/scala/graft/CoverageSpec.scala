@@ -91,6 +91,27 @@ class CoverageSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("salted join replicates via explode, never BroadcastNestedLoop") {
+    import spark.implicits._
+    val skewed = (0 until 100).map(i => (1L, i.toLong)).toDF("k", "payload")
+    val dim = Seq((1L, "x")).toDF("k", "name")
+    val plan = graft.graph.Skew.saltedJoin(skewed, dim, "k", salt = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), plan.take(600))
+    assert(plan.contains("Generate explode") || plan.contains("explode"), plan.take(600))
+  }
+
+  test("quantiles rank pass scans its input once (single Window)") {
+    import spark.implicits._
+    val df = (0 until 200).map(i => ("g", i.toLong)).toDF("g", "v")
+    val plan = graft.operators.Quantiles
+      .exactScaled(df, "v", "g", Seq((1, 2)), 100L)
+      .queryExecution.executedPlan.toString
+    // row_number and the lead() interpolation neighbor must share ONE
+    // Window operator — a second Window would mean a second sort pass
+    assert("(?s)Window".r.findAllIn(plan).size == 1, plan.take(1200))
+  }
+
   test("SQL extensions expose the native expressions as SQL functions") {
     graft.sql.GraftExtensions.register(spark)
     val viaSql = spark.sql("SELECT simhash60(array('abc', 'def', 'ghi')) AS h")

@@ -209,6 +209,31 @@ class PipelineSpec extends SparkSpec {
       "data scan carried no cluster partition filter:\n" + plan.take(800))
   }
 
+  test("filtered IVF query composes partition pruning with predicate pushdown") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.9f, 0.1f)), (4L, Seq(0.1f, 0.9f)),
+      (5L, Seq(0.95f, 0.05f)), (6L, Seq(0.05f, 0.95f)),
+      (7L, Seq(0.85f, 0.15f))
+    ).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivff").toString
+    Similarity.writeIvfIndex(e, Similarity.kmeansAssign(e, k = 2, iters = 2), path)
+    val q = e.filter($"vec_id" === 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val got = Similarity.ivfIndexFilteredTopK(spark, path, q, k = 3, nprobe = 1,
+      predicate = $"vec_id" <= 5)
+    val rows = got.as[(Long, Long, Long)].collect()
+    // same-direction bucket holds {1,5,7}; the range predicate keeps {1,5}
+    assert(rows.map(_._2).toSet == Set(1L, 5L))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(cluster"),
+      "no cluster partition filter:\n" + plan.take(800))
+    // the row predicate must reach the parquet reader itself (row-group
+    // pruning), not live in a post-scan Filter only
+    assert(plan.contains("LessThanOrEqual(vec_id,5"),
+      "vec_id predicate not pushed:\n" + plan.take(1200))
+  }
+
   // deterministic pseudo-random ASCII text (no RNG in tests)
   private def rndText(seed: Long, n: Int): String = {
     var s = seed * 6364136223846793005L + 1442695040888963407L
