@@ -126,6 +126,25 @@ object Queries {
 
   // `ts` is read as a BIGINT of epoch nanoseconds (see Tables.events doc):
   // integral arithmetic on it is exactly reproducible in the oracle.
+  /** Z-order key computation ([[graft.operators.ZOrder.zValue]]): the
+    * Morton interleave of (user_id, day) as a codegen'd bit expression,
+    * oracle-matched bit-for-bit — the correctness half of the z-order
+    * layout story (the file-locality half is the PipelineSpec
+    * fewer-files-touched assert). */
+  private def qZorderKeys(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.events.filter(col("event_id") < 200)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 86400000000000").as("day"))
+      .withColumn("z", graft.operators.ZOrder.zValue(col("user_id"), col("day")))
+      .orderBy(col("event_id"))
+  }
+
+  private val qZorderKeysSql =
+    s"""SELECT event_id, user_id, epoch_ns(ts) // 86400000000000 AS day,
+       |${graft.operators.ZOrder.zValueSql("user_id", "(epoch_ns(ts) // 86400000000000)")} AS z
+       |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin.replace('\n', ' ')
+
   /** Semi-structured extraction: the JSON `props` payload parsed with
     * the engine's native JSON path functions (get_json_object — a
     * codegen'd expression, no UDF) and aggregated as exact integers.
@@ -853,6 +872,7 @@ object Queries {
     "q_rollup"         -> (qRollup _),
     "q_anti_customers" -> (qAntiCustomers _),
     "q_props_json"     -> (qPropsJson _),
+    "q_zorder_keys"    -> (qZorderKeys _),
     "q_ntile_deciles"  -> (qNtile _),
     "q_cube"           -> (qCube _),
     "q_pivot"          -> (qPivot _),
@@ -906,6 +926,7 @@ object Queries {
     "q_rollup"         -> qRollupSql,
     "q_anti_customers" -> qAntiCustomersSql,
     "q_props_json"     -> qPropsJsonSql,
+    "q_zorder_keys"    -> qZorderKeysSql,
     "q_ntile_deciles"  -> qNtileSql,
     "q_cube"           -> qCubeSql,
     "q_pivot"          -> qPivotSql,

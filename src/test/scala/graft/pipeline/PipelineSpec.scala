@@ -234,6 +234,31 @@ class PipelineSpec extends SparkSpec {
       "vec_id predicate not pushed:\n" + plan.take(1200))
   }
 
+  test("z-order layout localizes BOTH filter columns to few files") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val rows = for (u <- 0 until 64; d <- 0 until 64) yield (u.toLong, d.toLong)
+    val df = rows.toDF("user_id", "day")
+    val zDir = java.nio.file.Files.createTempDirectory("zord").toString
+    val rDir = java.nio.file.Files.createTempDirectory("rrob").toString
+    graft.operators.ZOrder.clusterBy(df, "user_id", "day", numFiles = 16)
+      .write.mode("overwrite").parquet(zDir)
+    df.repartition(16).write.mode("overwrite").parquet(rDir)
+    def filesMatching(dir: String, pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(dir).filter(pred)
+        .select(input_file_name()).distinct().count()
+    for (pred <- Seq(
+        col("user_id") >= 10 && col("user_id") <= 13,   // narrow on a
+        col("day") >= 40 && col("day") <= 43,           // narrow on b
+        col("user_id") < 8 && col("day") < 8)) {        // narrow on both
+      val z = filesMatching(zDir, pred)
+      val r = filesMatching(rDir, pred)
+      // round-robin scatters matches across every file; the z layout
+      // keeps either dimension within a contiguous band of files
+      assert(r == 16L, s"round-robin should touch all files, got $r")
+      assert(z <= 8L, s"z-order should localize, touched $z files for $pred")
+    }
+  }
+
   // deterministic pseudo-random ASCII text (no RNG in tests)
   private def rndText(seed: Long, n: Int): String = {
     var s = seed * 6364136223846793005L + 1442695040888963407L
