@@ -60,6 +60,42 @@ class StreamingSpec extends SparkSpec {
     query.stop()
   }
 
+  test("upsert sink rewrites only touched buckets and keeps newest per user") {
+    implicit val sqlCtx = spark.sqlContext
+    def uev(id: Long, sec: Long, user: Long, v: Double) =
+      Event(id, new Timestamp(sec * 1000L), user, "purchase", v)
+    val path = java.nio.file.Files.createTempDirectory("upsert").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("upsert_ck").toString
+    val input = MemoryStream[Event]
+    val query = EventStreams.UpsertSink.run(input.toDS(), path, numBuckets = 4,
+      checkpoint = ckpt)
+    // batch 1: users 0..3 land in buckets 0..3
+    input.addData(uev(1, 100, 0, 1.0), uev(2, 100, 1, 2.0),
+      uev(3, 100, 2, 3.0), uev(4, 100, 3, 4.0), uev(5, 200, 0, 9.0))
+    query.processAllAvailable()
+    def state(): Map[Long, (Long, Double)] =
+      spark.read.parquet(path).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[Long]("event_id"), r.getAs[Double]("value")))).toMap
+    assert(state() == Map(0L -> ((5L, 9.0)), 1L -> ((2L, 2.0)),
+      2L -> ((3L, 3.0)), 3L -> ((4L, 4.0))))
+    // snapshot mtimes of bucket 2's files (untouched by batch 2)
+    def bucketFiles(b: Int): Map[String, Long] = {
+      val d = new java.io.File(s"$path/bucket=$b")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = bucketFiles(2)
+    // batch 2: update user 0 (bucket 0), new user 5 (bucket 1); an OLDER
+    // event for user 3 must NOT displace the stored newer row
+    input.addData(uev(6, 300, 0, 7.0), uev(7, 100, 5, 5.0), uev(8, 50, 3, 0.5))
+    query.processAllAvailable()
+    assert(state() == Map(0L -> ((6L, 7.0)), 1L -> ((2L, 2.0)),
+      2L -> ((3L, 3.0)), 3L -> ((4L, 4.0)), 5L -> ((7L, 5.0))))
+    assert(bucketFiles(2) == before, "untouched bucket was rewritten")
+    query.stop()
+  }
+
   test("streaming incremental dedup probes the stored index per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     // standing corpus signed ONCE into a stored index (batch side)
