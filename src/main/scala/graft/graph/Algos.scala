@@ -754,8 +754,12 @@ object Algos {
       }
       h += 1
     }
+    // ecc (max), reach size, and the closeness numerator (sum of hop
+    // distances) all fall out of the same settled frame — one BFS pays
+    // for every distance-based centrality of the source set
     val out = settled.groupBy(col("tag").as("source"))
-      .agg(max(col("level")).as("ecc"), count(lit(1)).as("n_reached"))
+      .agg(max(col("level")).as("ecc"), count(lit(1)).as("n_reached"),
+        sum(col("level")).as("dist_sum"))
       .orderBy(col("source"))
       .localCheckpoint()
     freeCkpt(settled); freeCkpt(e)

@@ -111,7 +111,8 @@ object OracleGen {
     (s"WITH $withBody, d0 AS MATERIALIZED (SELECT src AS id, src AS tag, CAST(0 AS BIGINT) AS level " +
       s"FROM (SELECT DISTINCT src FROM e ORDER BY src LIMIT $nSources)), " +
       steps.mkString(", ") +
-      s" SELECT tag AS source, MAX(level) AS ecc, COUNT(*) AS n_reached " +
+      s" SELECT tag AS source, MAX(level) AS ecc, COUNT(*) AS n_reached, " +
+      s"CAST(SUM(level) AS BIGINT) AS dist_sum " +
       s"FROM d$k GROUP BY tag ORDER BY source")
   }
 

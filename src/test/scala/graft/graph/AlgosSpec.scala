@@ -214,8 +214,9 @@ class AlgosSpec extends SparkSpec {
     val p = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
     val sym = (p ++ p.map(x => (x._2, x._1))).toDF("src", "dst")
     val got = Algos.eccentricities(sym, Seq(1L, 2L))
-      .as[(Long, Long, Long)].collect().toSeq
-    assert(got == Seq((1L, 4L, 5L), (2L, 3L, 5L)))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // dist_sum(1) = 0+1+2+3+4 = 10; dist_sum(2) = 1+0+1+2+3 = 7
+    assert(got == Seq((1L, 4L, 5L, 10L), (2L, 3L, 5L, 7L)))
   }
 
   test("eccentricities stay within the reachable component") {
@@ -223,8 +224,8 @@ class AlgosSpec extends SparkSpec {
     val p = Seq((1L, 2L), (10L, 11L), (11L, 12L))
     val sym = (p ++ p.map(x => (x._2, x._1))).toDF("src", "dst")
     val got = Algos.eccentricities(sym, Seq(1L, 10L))
-      .as[(Long, Long, Long)].collect().toSeq
-    assert(got == Seq((1L, 1L, 2L), (10L, 2L, 3L)))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 2L, 1L), (10L, 2L, 3L, 3L)))
   }
 
   /** Kruskal with the same (w, u, v) total order — union-find, an
