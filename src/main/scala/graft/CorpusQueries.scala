@@ -420,6 +420,21 @@ object CorpusQueries {
        |FROM documents
        |ORDER BY priority, doc_id LIMIT 50""".stripMargin.replace('\n', ' ')
 
+  /** Count-min heavy-hitter estimates for the 10 most frequent tokens
+    * ([[graft.functions.Sketches.cmsEstimates]], d=3 w=256): estimate
+    * AND exact count side by side, integer-reproducible. */
+  private def qTopkCms(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir).documents
+      .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("token"))
+    val probes = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(10).select(col("token"))
+    graft.functions.Sketches.cmsEstimates(toks, "token", probes, d = 3, w = 256)
+  }
+
+  private val qTopkCmsSql = graft.functions.Sketches.cmsEstimatesSql(
+    s"(SELECT unnest(${tokSql()}) AS token FROM documents) z", "token",
+    topN = 10, d = 3, w = 256)
+
   // --- hashed linear classifier / inverted index / temperature mix -----
 
   /** Hashed linear quality scorer ([[Corpus.hashedLinearScore]]): the
@@ -487,6 +502,7 @@ object CorpusQueries {
     "q_text_bigram_surprisal" -> (qTextBigramSurprisal _),
     "q_text_markup"       -> (qTextMarkup _),
     "q_sample_weighted"   -> (qSampleWeighted _),
+    "q_topk_cms"          -> (qTopkCms _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_index_postings"    -> (qIndexPostings _),
     "q_mix_temperature"   -> (qMixTemperature _))
@@ -508,6 +524,7 @@ object CorpusQueries {
     "q_text_bigram_surprisal" -> qTextBigramSurprisalSql,
     "q_text_markup"       -> qTextMarkupSql,
     "q_sample_weighted"   -> qSampleWeightedSql,
+    "q_topk_cms"          -> qTopkCmsSql,
     "q_quality_classifier" -> qQualityClassifierSql,
     "q_index_postings"    -> qIndexPostingsSql,
     "q_mix_temperature"   -> qMixTemperatureSql)

@@ -54,6 +54,62 @@ object Sketches {
       .orderBy(col("g"))
   }
 
+  /** Count-min sketch + point estimates, fully oracle-reproducible:
+    * d independent md5-derived hash rows over w buckets; a key's
+    * estimate is the MIN of its d bucket counters (overestimates only,
+    * by collision mass ≈ N/w per row). Building the sketch is one
+    * map-side-combined (row, bucket) count — the fixed d·w-cell state
+    * that makes heavy-hitter counting feasible when the key universe
+    * dwarfs memory. Returns the probe keys' estimates NEXT TO their
+    * exact counts so the error is measured, not guessed (same honesty
+    * contract as [[kmvDistinct]]).
+    *
+    * Scale: the sketch agg touches d rows per input row (a generate of
+    * d integers — codegen'd); the probe side joins the d·w-cell sketch
+    * (broadcast — it is tiny by construction) to the probe keys. */
+  def cmsEstimates(df: DataFrame, keyCol: String, probes: DataFrame,
+                   d: Int = 3, w: Int = 64): DataFrame = {
+    val keys = df.select(col(keyCol).cast("string").as("k"))
+    val cells = keys
+      .select(col("k"), explode(sequence(lit(0), lit(d - 1))).as("row"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(concat(col("row").cast("string"), lit(":"), col("k"))), 1, 6), 16, 10)
+          .cast("long"), lit(w.toLong)))
+      .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("c"))
+    val exact = keys.groupBy(col("k")).agg(count(lit(1)).as("n_exact"))
+    val probeCells = probes.select(col(keyCol).cast("string").as("k"))
+      .select(col("k"), explode(sequence(lit(0), lit(d - 1))).as("row"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(concat(col("row").cast("string"), lit(":"), col("k"))), 1, 6), 16, 10)
+          .cast("long"), lit(w.toLong)))
+    probeCells.join(broadcast(cells), Seq("row", "bucket"))
+      .groupBy(col("k")).agg(min(col("c")).as("cms_est"))
+      .join(exact, Seq("k"))
+      .select(col("k"), col("n_exact"), col("cms_est"))
+      .orderBy(col("k"))
+  }
+
+  /** DuckDB twin of [[cmsEstimates]] for probe keys chosen as the
+    * `topN` most frequent values of `keyExpr` (ties by key). */
+  def cmsEstimatesSql(table: String, keyExpr: String, topN: Int,
+                      d: Int = 3, w: Int = 64): String = {
+    def bucket(row: String, k: String) =
+      s"""CAST(list_sum(list_transform(range(0, 6), i ->
+         |(strpos('0123456789abcdef', substring(md5(CAST($row AS VARCHAR) || ':' || $k), CAST(i + 1 AS INT), 1)) - 1)
+         |* CAST(power(16, 5 - i) AS BIGINT))) AS BIGINT) % $w""".stripMargin.replace('\n', ' ')
+    s"""WITH keys AS (SELECT CAST($keyExpr AS VARCHAR) AS k FROM $table),
+       |cells AS MATERIALIZED (SELECT row, ${bucket("row", "k")} AS bucket, COUNT(*) AS c
+       |FROM keys CROSS JOIN range(0, $d) AS t(row) GROUP BY 1, 2),
+       |exact AS (SELECT k, COUNT(*) AS n_exact FROM keys GROUP BY k),
+       |probes AS (SELECT k FROM exact ORDER BY n_exact DESC, k LIMIT $topN),
+       |pc AS (SELECT p.k, t.row, ${bucket("t.row", "p.k")} AS bucket
+       |FROM probes p CROSS JOIN range(0, $d) AS t(row))
+       |SELECT pc.k, exact.n_exact, MIN(cells.c) AS cms_est
+       |FROM pc JOIN cells ON cells.row = pc.row AND cells.bucket = pc.bucket
+       |JOIN exact ON exact.k = pc.k
+       |GROUP BY pc.k, exact.n_exact ORDER BY pc.k""".stripMargin.replace('\n', ' ')
+  }
+
   /** (k−1)·2^60 — exceeds BIGINT, carried as a decimal string. */
   private def numerator(k: Int): java.math.BigInteger =
     java.math.BigInteger.valueOf(k - 1L).multiply(java.math.BigInteger.valueOf(HashSpace))

@@ -23,6 +23,24 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(r._3 - 2000L) <= 600L, s"estimate ${r._3}")
   }
 
+  test("cms estimates never undercount and are exact without collisions") {
+    import org.apache.spark.sql.functions.col
+    // 4 keys, w=64: collision-free with overwhelming likelihood under
+    // md5 — estimates must equal exact counts; with heavy load (w=2)
+    // they must only ever overestimate
+    val df = (Seq.fill(10)("a") ++ Seq.fill(5)("b") ++ Seq.fill(2)("c") ++ Seq("d"))
+      .toDF("k")
+    val probes = Seq("a", "b", "c", "d").toDF("k")
+    val wide = Sketches.cmsEstimates(df, "k", probes, d = 3, w = 64)
+      .as[(String, Long, Long)].collect()
+      .map { case (k, n, e) => k -> ((n, e)) }.toMap
+    assert(wide == Map("a" -> ((10L, 10L)), "b" -> ((5L, 5L)),
+      "c" -> ((2L, 2L)), "d" -> ((1L, 1L))))
+    val tight = Sketches.cmsEstimates(df, "k", probes, d = 2, w = 2)
+      .select(col("n_exact"), col("cms_est")).as[(Long, Long)].collect()
+    assert(tight.forall { case (n, e) => e >= n })
+  }
+
   test("kmv estimate is invariant under duplication and partitioning") {
     val base = (0 until 1000).map(i => ("g", i)).toDF("g", "k")
     val est1 = Sketches.kmvDistinct(base, "k", "g", 32)
