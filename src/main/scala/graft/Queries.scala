@@ -819,6 +819,23 @@ object Queries {
        |SELECT COUNT(*) AS n_vertices, MIN(d) AS min_deg, MAX(d) AS max_deg,
        |CAST(FLOOR(AVG(d) * 10000) AS BIGINT) AS avg_deg_e4, median(d) AS median_deg FROM d""".stripMargin.replace('\n', ' ')
 
+  /** Log-binned degree distribution (power-law inspection — the first
+    * plot anyone makes of a graph): bucket = ⌊log₂(out-degree)⌋ via the
+    * integer bin-length idiom (no libm), counts per bucket. */
+  private def qDegHist(s: SparkSession, dir: String): DataFrame =
+    custSuppE(s, dir)
+      .groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .select((length(bin(col("d"))) - 1).cast("long").as("log2_deg"))
+      .groupBy(col("log2_deg")).agg(count(lit(1)).as("n_vertices"))
+      .orderBy(col("log2_deg"))
+
+  private val qDegHistSql =
+    s"""WITH ce AS MATERIALIZED (${TestGraphs.custSuppSql}),
+       |d AS (SELECT src, COUNT(*) AS d FROM ce GROUP BY src)
+       |SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS log2_deg,
+       |COUNT(*) AS n_vertices
+       |FROM d GROUP BY 1 ORDER BY log2_deg""".stripMargin.replace('\n', ' ')
+
   /** Partitioning-quality stats (edge locality + avg bucket fanout) of
     * the id-mod-8 placement over the customer–supplier graph. */
   private def qPartitionStats(s: SparkSession, dir: String): DataFrame =
@@ -915,6 +932,7 @@ object Queries {
     "q_graph_walks"    -> (qWalks _),
     "q_graph_mst"      -> (qMst _),
     "q_graph_deg_stats" -> (qDegStats _),
+    "q_graph_deg_hist" -> (qDegHist _),
     "q_graph_partition_stats" -> (qPartitionStats _),
     "q_graph_prep_stats" -> (qPrepStats _)) ++ PipelineQueries.all ++ CorpusQueries.all
 
@@ -970,6 +988,7 @@ object Queries {
     "q_graph_edge_jaccard" -> qEdgeJaccardSql,
     "q_graph_walks"    -> OracleGen.walksSql(TestGraphs.custSuppSymSql, 3),
     "q_graph_deg_stats" -> qDegStatsSql,
+    "q_graph_deg_hist" -> qDegHistSql,
     "q_graph_partition_stats" -> qPartitionStatsSql,
     "q_graph_prep_stats" -> qPrepStatsSql) ++ PipelineQueries.oracles ++ CorpusQueries.oracles
 }
