@@ -618,6 +618,203 @@ object Queries {
       |FROM x JOIN c ON c.user_id = x.user_id AND c.ct >= x.es AND c.ct <= x.ee
       |GROUP BY x.error_id ORDER BY x.error_id""".stripMargin.replace('\n', ' ')
 
+  /** Gaps-and-islands: per-user activity merged into bursts separated by
+    * > 30 min of silence — the classic lag + running-flag-sum rewrite
+    * (two window passes over ONE (user, ts) sort; the partition key is
+    * the shuffle key, so at 100 TB this is a single exchange). Island
+    * membership is order-tie-proof: equal timestamps have gap 0, so any
+    * tie order yields the same islands; (ts, event_id) ordering makes the
+    * running sum itself deterministic too. */
+  private def qGapsIslands(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val gapUs = 1800000000L // 30 min; micros on both engines (as q_asof_purchase)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val lagTs = lag(col("ts_us"), 1).over(w)
+    t.events.select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+      .withColumn("nf", when(lagTs.isNull || col("ts_us") - lagTs > lit(gapUs), 1L).otherwise(0L))
+      .withColumn("island", sum(col("nf")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("island"))
+  }
+
+  private val qGapsIslandsSql =
+    """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |f AS (SELECT user_id, event_id, ts_us,
+      |CASE WHEN LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+      |OR ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000
+      |THEN 1 ELSE 0 END AS nf FROM ev),
+      |i AS (SELECT user_id, ts_us, CAST(SUM(nf) OVER (PARTITION BY user_id
+      |ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island FROM f)
+      |SELECT user_id, island, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us, COUNT(*) AS n_events
+      |FROM i GROUP BY 1, 2 ORDER BY user_id, island""".stripMargin.replace('\n', ' ')
+
+  /** Irregular GROUPING SETS — the shape neither CUBE nor ROLLUP covers
+    * (three sets, no grand total), with an explicit grouping-id
+    * provenance column computed the same way on both engines. Spark
+    * expands to one Expand + single hash agg: one shuffle for all three
+    * granularities. */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.orders.groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), e2(sum(col("o_totalprice"))).as("rev_e2"),
+        (grouping(col("o_orderpriority")) * lit(2) + grouping(col("o_orderstatus")))
+          .cast("long").as("gid"))
+      .select(col("gid"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        col("cnt"), col("rev_e2"))
+      .orderBy(col("gid"), col("pri"), col("st"))
+  }
+
+  private val qGroupingSetsSql =
+    """SELECT CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+      |COALESCE(o_orderpriority, 'ALL') AS pri, COALESCE(o_orderstatus, 'ALL') AS st,
+      |COUNT(*) AS cnt, CAST(FLOOR(SUM(o_totalprice) * 100) AS BIGINT) AS rev_e2
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), (o_orderstatus))
+      |ORDER BY gid, pri, st""".stripMargin.replace('\n', ' ')
+
+  /** Data-quality expectation suite (the deequ/great-expectations shape):
+    * referential integrity, primary-key uniqueness, domain and null
+    * checks, each reduced to a violation count. Every check is an
+    * independent scan-and-count — at 100 TB they run as parallel jobs
+    * over pruned column subsets; a zero row is as meaningful as a
+    * non-zero one (the oracle pins both). */
+  private def qDqChecks(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    def chk(name: String, violations: DataFrame): DataFrame =
+      violations.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"))
+    val checks = Seq(
+      chk("doc_empty_text", t.documents.filter(length(trim(col("text"))) === 0)),
+      chk("event_null_user", t.events.filter(col("user_id").isNull)),
+      chk("lineitem_bad_qty",
+        t.lineitem.filter(col("l_quantity") <= 0 || col("l_quantity") > 100)),
+      chk("lineitem_dup_pk",
+        t.lineitem.groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1)),
+      chk("lineitem_orphan_order",
+        t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"), "left_anti")),
+      chk("order_dup_pk",
+        t.orders.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c")).filter(col("c") > 1)),
+      chk("order_null_date", t.orders.filter(col("o_orderdate").isNull)),
+      chk("order_orphan_customer",
+        t.orders.join(t.customer, col("o_custkey") === col("c_custkey"), "left_anti")))
+    checks.reduce(_ unionByName _).orderBy(col("check_name"))
+  }
+
+  private val qDqChecksSql =
+    """SELECT * FROM (
+      |SELECT 'doc_empty_text' AS check_name, (SELECT COUNT(*) FROM documents WHERE LENGTH(TRIM(text)) = 0) AS n_violations
+      |UNION ALL SELECT 'event_null_user', (SELECT COUNT(*) FROM events WHERE user_id IS NULL)
+      |UNION ALL SELECT 'lineitem_bad_qty', (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0 OR l_quantity > 100)
+      |UNION ALL SELECT 'lineitem_dup_pk', (SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1) d)
+      |UNION ALL SELECT 'lineitem_orphan_order', (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |UNION ALL SELECT 'order_dup_pk', (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1) d)
+      |UNION ALL SELECT 'order_null_date', (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL)
+      |UNION ALL SELECT 'order_orphan_customer', (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |) t ORDER BY check_name""".stripMargin.replace('\n', ' ')
+
+  private val profileCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate")
+
+  /** One-pass column profiling (null + exact-distinct counts for every
+    * lineitem column) — the table-stats operator every warehouse needs.
+    * All 22 aggregates run in ONE job: Spark expands the multi-DISTINCT
+    * agg to an Expand (×11 input replication, each replica one pruned
+    * column wide) + a single hash agg. At 100 TB swap count_distinct for
+    * approx_count_distinct and the Expand disappears — kept exact here
+    * because exact is what the oracle can pin. */
+  private def qProfile(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val aggs = count(lit(1)).as("n_rows") +: profileCols.flatMap(c =>
+      Seq(count(col(c)).as(s"${c}__nn"), count_distinct(col(c)).as(s"${c}__nd")))
+    val stackArgs = profileCols.map(c => s"'$c', ${c}__nn, ${c}__nd").mkString(", ")
+    t.lineitem.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${profileCols.length}, $stackArgs) AS (col_name, n_notnull, n_distinct)")
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_notnull")).as("n_nulls"), col("n_distinct"))
+      .orderBy(col("col_name"))
+  }
+
+  private val qProfileSql =
+    "SELECT col_name, n_rows, n_nulls, n_distinct FROM (" +
+      profileCols.map(c =>
+        s"SELECT '$c' AS col_name, COUNT(*) AS n_rows, COUNT(*) - COUNT($c) AS n_nulls, " +
+          s"COUNT(DISTINCT $c) AS n_distinct FROM lineitem").mkString(" UNION ALL ") +
+      ") t ORDER BY col_name"
+
+  /** Bloom-pruned semi-join ([[graft.operators.BloomSemiJoin]]): orders
+    * of BUILDING-segment customers, with the probe side pre-filtered by
+    * a deterministic 64 Kbit filter before the exact broadcast
+    * semi-join. Result-invisible (the oracle runs the plain semi-join);
+    * the pruning itself is asserted in OperatorsSpec. */
+  private def qBloomPrune(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val keys = t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    graft.operators.BloomSemiJoin.prunedSemiJoin(t.orders, "o_custkey", keys, "c_custkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), e2(sum(col("o_totalprice"))).as("rev_e2"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val qBloomPruneSql =
+    """SELECT o_orderpriority, COUNT(*) AS cnt,
+      |CAST(FLOOR(SUM(o_totalprice) * 100) AS BIGINT) AS rev_e2
+      |FROM orders WHERE o_custkey IN
+      |(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin.replace('\n', ' ')
+
+  /** Length-banded fuzzy similarity join: every distinct part name is
+    * deterministically corrupted (one md5-positioned character replaced)
+    * and matched back against the catalog at Levenshtein ≤ 2. Candidate
+    * generation is an EQUI-join on exploded length bands (edit distance
+    * d bounds |len(a)−len(b)| ≤ d), so no cross product ever forms; the
+    * quadratic edit-distance kernel runs on candidates only. At 100 TB
+    * the band key extends to (length band, first token) the same way
+    * the n-gram dedup blocks. Planted corruptions guarantee ≥ 1 match
+    * per probe in both engines. */
+  private def qFuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val names = t.part.select(col("p_name")).distinct()
+    val probes = names
+      .withColumn("pos",
+        pmod(graft.pipeline.Corpus.md5Uniform(col("p_name")),
+          length(col("p_name")).cast("long")))
+      .select(col("p_name").as("src_name"),
+        expr("concat(substring(p_name, 1, cast(pos as int)), 'x', " +
+          "substring(p_name, cast(pos as int) + 2, 100))").as("corrupted"))
+      .withColumn("bl", explode(array((-2 to 2).map(d =>
+        length(col("corrupted")) + lit(d)): _*)))
+    probes.join(names, length(col("p_name")) === col("bl"))
+      .filter(levenshtein(col("corrupted"), col("p_name")) <= 2)
+      .select(col("src_name"), col("corrupted"), col("p_name").as("match_name"),
+        levenshtein(col("corrupted"), col("p_name")).cast("long").as("dist"))
+      .orderBy(col("src_name"), col("match_name"))
+  }
+
+  private val qFuzzyJoinSql = {
+    val pos = s"${OracleGen.hex6("md5(p_name)")} % LENGTH(p_name)"
+    s"""WITH names AS (SELECT DISTINCT p_name FROM part),
+       |co AS (SELECT p_name AS src_name,
+       |concat(substring(p_name, 1, CAST($pos AS INT)), 'x',
+       |substring(p_name, CAST($pos AS INT) + 2, 100)) AS corrupted FROM names)
+       |SELECT c.src_name, c.corrupted, n.p_name AS match_name,
+       |CAST(levenshtein(c.corrupted, n.p_name) AS BIGINT) AS dist
+       |FROM co c JOIN names n ON ABS(LENGTH(n.p_name) - LENGTH(c.corrupted)) <= 2
+       |AND levenshtein(c.corrupted, n.p_name) <= 2
+       |ORDER BY c.src_name, n.p_name""".stripMargin.replace('\n', ' ')
+  }
+
   // ------------------------------------------------------------------
   // graph corpus (SURVEY §2.9) on graphs derived from the tables
   // ------------------------------------------------------------------
@@ -907,6 +1104,12 @@ object Queries {
     "q_sliding"        -> (qSliding _),
     "q_asof_purchase"  -> (qAsofPurchase _),
     "q_range_attrib"   -> (qRangeAttrib _),
+    "q_gaps_islands"   -> (qGapsIslands _),
+    "q_grouping_sets"  -> (qGroupingSets _),
+    "q_dq_checks"      -> (qDqChecks _),
+    "q_profile"        -> (qProfile _),
+    "q_bloom_prune"    -> (qBloomPrune _),
+    "q_fuzzy_join"     -> (qFuzzyJoin _),
     "q_graph_degrees"  -> (qDegrees _),
     "q_graph_wcc"      -> (qWcc _),
     "q_graph_sssp"     -> (qSssp _),
@@ -962,6 +1165,12 @@ object Queries {
     "q_sliding"        -> qSlidingSql,
     "q_asof_purchase"  -> qAsofPurchaseSql,
     "q_range_attrib"   -> qRangeAttribSql,
+    "q_gaps_islands"   -> qGapsIslandsSql,
+    "q_grouping_sets"  -> qGroupingSetsSql,
+    "q_dq_checks"      -> qDqChecksSql,
+    "q_profile"        -> qProfileSql,
+    "q_bloom_prune"    -> qBloomPruneSql,
+    "q_fuzzy_join"     -> qFuzzyJoinSql,
     "q_graph_degrees"  -> qDegreesSql,
     "q_graph_wcc"      -> OracleGen.labelPropSql(TestGraphs.custSuppSymSql, 12, isMin = true, "component"),
     "q_graph_sssp"     -> OracleGen.ssspSql(TestGraphs.custSuppSymSql, 16),
