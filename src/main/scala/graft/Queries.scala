@@ -1007,6 +1007,43 @@ object Queries {
     Algos.lpa(custSuppSymE(s, dir).select("src", "dst"), rounds = 4)
       .orderBy(col("id"))
 
+  /** Harmonic centrality of the 4 smallest vertices — the
+    * disconnect-robust closeness, riding the same tagged multi-source
+    * BFS as q_graph_ecc ([[graft.graph.Algos.harmonicCentrality]]). */
+  private def qHarmonic(s: SparkSession, dir: String): DataFrame = {
+    val e = custSuppSymE(s, dir).select("src", "dst")
+    val sources = e.select(col("src")).distinct().orderBy(col("src"))
+      .limit(4).collect().map(_.getLong(0)).toSeq
+    Algos.harmonicCentrality(e, sources)
+      .select(col("source"), e6(col("harmonic")).as("harmonic_e6"),
+        col("n_reached"))
+      .orderBy(col("source"))
+  }
+
+  /** HITS hubs/authorities on the DIRECTED customer→supplier graph
+    * ([[graft.graph.Algos.hits]], 4 L1-normalized rounds): suppliers
+    * accumulate authority, customers hub weight — the bipartite shape
+    * makes both sides non-trivial. Oracle unrolls the identical
+    * normalize-divide recurrence. */
+  private def qHits(s: SparkSession, dir: String): DataFrame =
+    Algos.hits(custSuppE(s, dir).select("src", "dst"), iterations = 4)
+      .select(col("id"), e6(col("auth")).as("auth_e6"),
+        e6(col("hub")).as("hub_e6"))
+      .orderBy(col("id"))
+
+  /** Newman-Girvan modularity summands of the 4-round LPA partition
+    * ([[graft.graph.Algos.modularity]] ∘ [[graft.graph.Algos.lpa]]) —
+    * the "was this community structure real" follow-up every LPA run
+    * needs. Exact integer numerators; one scalar m2. */
+  private def qModularity(s: SparkSession, dir: String): DataFrame = {
+    val e = custSuppSymE(s, dir).select("src", "dst")
+    val comm = Algos.lpa(e, rounds = 4)
+    Algos.modularity(e, comm)
+      .select(col("community"), col("n_members"), col("internal2"),
+        col("deg_sum"), e6(col("contrib")).as("contrib_e6"))
+      .orderBy(col("community"))
+  }
+
   private def qDegStats(s: SparkSession, dir: String): DataFrame =
     Algos.degreeStats(custSuppE(s, dir))
 
@@ -1131,6 +1168,9 @@ object Queries {
     "q_graph_rwr"      -> (qRwr _),
     "q_graph_lpa"      -> (qLpa _),
     "q_graph_ecc"      -> (qEcc _),
+    "q_graph_harmonic" -> (qHarmonic _),
+    "q_graph_hits"     -> (qHits _),
+    "q_graph_modularity" -> (qModularity _),
     "q_graph_edge_jaccard" -> (qEdgeJaccard _),
     "q_graph_walks"    -> (qWalks _),
     "q_graph_mst"      -> (qMst _),
@@ -1194,6 +1234,10 @@ object Queries {
     "q_graph_rwr"      -> OracleGen.rwrSql(TestGraphs.custSuppSymSql, 5, 0.85, 0.15),
     "q_graph_lpa"      -> OracleGen.lpaSql(TestGraphs.custSuppSymSql, 4),
     "q_graph_ecc"      -> OracleGen.eccSql(TestGraphs.custSuppSymSql, 4, 16),
+    "q_graph_harmonic" -> OracleGen.harmonicSql(TestGraphs.custSuppSymSql, 4, 16),
+    "q_graph_hits"     -> OracleGen.hitsSql(
+      s"ce AS MATERIALIZED (${TestGraphs.custSuppSql}), e AS MATERIALIZED (SELECT src, dst FROM ce)", 4),
+    "q_graph_modularity" -> OracleGen.modularitySql(TestGraphs.custSuppSymSql, 4),
     "q_graph_edge_jaccard" -> qEdgeJaccardSql,
     "q_graph_walks"    -> OracleGen.walksSql(TestGraphs.custSuppSymSql, 3),
     "q_graph_deg_stats" -> qDegStatsSql,

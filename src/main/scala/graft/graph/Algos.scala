@@ -727,6 +727,46 @@ object Algos {
     * source; on a disconnected graph ecc is over the reachable part. */
   def eccentricities(symEdges: DataFrame, sources: Seq[Long],
                      maxHops: Int = 64): DataFrame = {
+    val settled = taggedBfs(symEdges, sources, maxHops)
+    // ecc (max), reach size, and the closeness numerator (sum of hop
+    // distances) all fall out of the same settled frame — one BFS pays
+    // for every distance-based centrality of the source set
+    val out = settled.groupBy(col("tag").as("source"))
+      .agg(max(col("level")).as("ecc"), count(lit(1)).as("n_reached"),
+        sum(col("level")).as("dist_sum"))
+      .orderBy(col("source"))
+      .localCheckpoint()
+    freeCkpt(settled)
+    out
+  }
+
+  /** Harmonic centrality Σ 1/d(s, v) per source — the disconnect-robust
+    * closeness variant (unreachable vertices contribute 0 instead of
+    * poisoning the mean). Rides the SAME tagged multi-source BFS as
+    * [[eccentricities]]; only the final aggregate differs. Returns
+    * (source, harmonic DOUBLE, n_reached) — callers floor-scale the
+    * double for oracle comparison. */
+  def harmonicCentrality(symEdges: DataFrame, sources: Seq[Long],
+                         maxHops: Int = 64): DataFrame = {
+    val settled = taggedBfs(symEdges, sources, maxHops)
+    val out = settled.groupBy(col("tag").as("source"))
+      .agg(sum(when(col("level") > 0, lit(1.0) / col("level"))
+        .otherwise(lit(0.0))).as("harmonic"), count(lit(1)).as("n_reached"))
+      .orderBy(col("source"))
+      .localCheckpoint()
+    freeCkpt(settled)
+    out
+  }
+
+  /** The shared tagged multi-source BFS behind the distance centralities:
+    * state is (id, tag, level) — |sources|× the single-source frame, one
+    * loop instead of |sources| loops (each round: frontier⋈edges + an
+    * anti-join against the settled set + a min-combine; BFS levels are
+    * final on first arrival, so the frontier is exactly the new rows).
+    * Returns the settled frame as a managed checkpoint — callers MUST
+    * freeCkpt it after materializing their aggregate. */
+  private def taggedBfs(symEdges: DataFrame, sources: Seq[Long],
+                        maxHops: Int): DataFrame = {
     val s = symEdges.sparkSession
     import s.implicits._
     val e = ckptHash(symEdges.select("src", "dst"), "src")
@@ -754,15 +794,91 @@ object Algos {
       }
       h += 1
     }
-    // ecc (max), reach size, and the closeness numerator (sum of hop
-    // distances) all fall out of the same settled frame — one BFS pays
-    // for every distance-based centrality of the source set
-    val out = settled.groupBy(col("tag").as("source"))
-      .agg(max(col("level")).as("ecc"), count(lit(1)).as("n_reached"),
-        sum(col("level")).as("dist_sum"))
-      .orderBy(col("source"))
+    freeCkpt(e)
+    settled
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999, public algorithm) on a
+    * directed graph, fixed-iteration L1-normalized variant: per round
+    *   a(v) = Σ_{u→v} h(u), normalized to Σa = 1;
+    *   h(u) = Σ_{u→v} a(v), normalized to Σh = 1.
+    * L1 (not the textbook L2) keeps the arithmetic to sum + divide —
+    * both IEEE-correctly-rounded, so a SQL oracle replays it exactly
+    * (to the e6 floor; the global Σ is the broadcast-scalar pattern of
+    * [[pagerank]]). Fixed iterations, not convergence: the result is a
+    * pure function of the graph the oracle can unroll.
+    *
+    * Scale: per round two edge⋈score shuffles (one per direction) + two
+    * scalar aggs; iterated state is one row per vertex, checkpointed
+    * with declared hash(id) layout. Returns (id, auth, hub) doubles. */
+  def hits(edges: DataFrame, iterations: Int): DataFrame = {
+    val e = ckptHash(edges.select("src", "dst"), "src")
+    val v = ckptHash(verticesOf(e), "id")
+    var h = ckptHash(v.select(col("id"), lit(1.0).as("h")), "id")
+    var a: DataFrame = null
+    var i = 0
+    while (i < iterations) {
+      val araw = v.join(
+          e.join(h.select(col("id").as("src"), col("h")), Seq("src"))
+            .groupBy(col("dst").as("id")).agg(sum(col("h")).as("x")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("x"), lit(0.0)).as("a"))
+      val aN = ckptHash(
+        araw.crossJoin(broadcast(araw.agg(sum(col("a")).as("s"))))
+          .select(col("id"), (col("a") / col("s")).as("a")), "id")
+      val hraw = v.join(
+          e.join(aN.select(col("id").as("dst"), col("a")), Seq("dst"))
+            .groupBy(col("src").as("id")).agg(sum(col("a")).as("x")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("x"), lit(0.0)).as("h"))
+      val hN = ckptHash(
+        hraw.crossJoin(broadcast(hraw.agg(sum(col("h")).as("s"))))
+          .select(col("id"), (col("h") / col("s")).as("h")), "id")
+      freeCkpt(h)
+      if (a != null) freeCkpt(a)
+      h = hN
+      a = aN
+      i += 1
+    }
+    val out = a.join(h, Seq("id"))
+      .select(col("id"), col("a").as("auth"), col("h").as("hub"))
+      .orderBy(col("id"))
       .localCheckpoint()
-    freeCkpt(settled); freeCkpt(e)
+    freeCkpt(a); freeCkpt(h); freeCkpt(v); freeCkpt(e)
+    out
+  }
+
+  /** Per-community modularity decomposition of a vertex partition over a
+    * symmetric edge list: for community c with directed-internal-edge
+    * count i2(c) and member degree sum d(c) over m2 directed edges,
+    *   contrib(c) = i2(c)/m2 − (d(c)/m2)²
+    * (the Newman-Girvan summand; Q = Σ_c contrib). All inputs are exact
+    * integer counts and m2 is ONE driver scalar, so both engines divide
+    * identical operands — deterministic to the e6 floor. Two shuffles:
+    * members⋈degrees and the double label join on the edge list. */
+  def modularity(symEdges: DataFrame, communities: DataFrame): DataFrame = {
+    // the edge list is scanned three times (m2, degrees, label join) —
+    // checkpoint so an expensive upstream derivation runs once
+    val e = symEdges.select("src", "dst").localCheckpoint()
+    val m2 = e.count().toDouble // driver scalar (master-collects-scalars)
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    val cd = communities.join(deg, Seq("id"), "left")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(coalesce(col("d"), lit(0L))).as("deg_sum"))
+    val ie = e
+      .join(communities.select(col("id").as("src"), col("community").as("cs")), Seq("src"))
+      .join(communities.select(col("id").as("dst"), col("community").as("cd2")), Seq("dst"))
+      .filter(col("cs") === col("cd2"))
+      .groupBy(col("cs").as("community")).agg(count(lit(1)).as("internal2"))
+    val out = cd.join(ie, Seq("community"), "left")
+      .select(col("community"), col("n_members"),
+        coalesce(col("internal2"), lit(0L)).as("internal2"), col("deg_sum"),
+        (coalesce(col("internal2"), lit(0L)) / lit(m2)
+          - (col("deg_sum") / lit(m2)) * (col("deg_sum") / lit(m2))).as("contrib"))
+      .orderBy(col("community"))
+      .localCheckpoint() // materialize before freeing the edge checkpoint
+    freeCkpt(e)
     out
   }
 

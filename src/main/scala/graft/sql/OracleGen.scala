@@ -119,7 +119,11 @@ object OracleGen {
   /** K rounds of synchronous label-propagation community detection
     * (neighborhood mode, ties → min label, keep-old when no in-edges).
     * Mirrors graft.graph.Algos.lpa exactly. */
-  def lpaSql(withBody: String, k: Int): String = {
+  def lpaSql(withBody: String, k: Int): String =
+    s"WITH ${lpaBody(withBody, k)} SELECT id, lbl AS community FROM l$k ORDER BY id"
+
+  /** The shared CTE chain behind lpaSql/modularitySql: binds v, l0..l$k. */
+  private def lpaBody(withBody: String, k: Int): String = {
     val steps = (1 to k).map { i =>
       s"""c$i AS (SELECT e.dst AS id, l.lbl AS lbl, COUNT(*) AS c
          |FROM l${i - 1} l JOIN e ON l.id = e.src GROUP BY 1, 2),
@@ -129,9 +133,67 @@ object OracleGen {
          |l$i AS MATERIALIZED (SELECT l.id, COALESCE(p.lbl, l.lbl) AS lbl
          |FROM l${i - 1} l LEFT JOIN p$i p ON p.id = l.id)""".stripMargin.replace('\n', ' ')
     }
+    (s"$withBody, v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), " +
+      "l0 AS MATERIALIZED (SELECT id, id AS lbl FROM v), " + steps.mkString(", "))
+  }
+
+  /** Per-community modularity summand over the k-round LPA partition:
+    * i2/m2 − (d/m2)² with exact integer inputs and one scalar m2.
+    * Mirrors graft.graph.Algos.modularity composed with Algos.lpa. */
+  def modularitySql(withBody: String, k: Int): String =
+    (s"WITH ${lpaBody(withBody, k)}, " +
+      s"lab AS MATERIALIZED (SELECT id, lbl FROM l$k), " +
+      "m AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS m2 FROM e), " +
+      "deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src), " +
+      "cd AS MATERIALIZED (SELECT lab.lbl AS community, COUNT(*) AS n_members, " +
+      "CAST(SUM(COALESCE(deg.d, 0)) AS BIGINT) AS deg_sum " +
+      "FROM lab LEFT JOIN deg ON deg.id = lab.id GROUP BY 1), " +
+      "ie AS MATERIALIZED (SELECT la.lbl AS community, COUNT(*) AS internal2 " +
+      "FROM e JOIN lab la ON la.id = e.src JOIN lab lb ON lb.id = e.dst AND la.lbl = lb.lbl GROUP BY 1) " +
+      "SELECT cd.community, cd.n_members, CAST(COALESCE(ie.internal2, 0) AS BIGINT) AS internal2, cd.deg_sum, " +
+      "CAST(FLOOR((COALESCE(ie.internal2, 0) / (SELECT m2 FROM m) " +
+      "- (cd.deg_sum / (SELECT m2 FROM m)) * (cd.deg_sum / (SELECT m2 FROM m))) * 1000000) AS BIGINT) AS contrib_e6 " +
+      "FROM cd LEFT JOIN ie ON ie.community = cd.community ORDER BY cd.community")
+
+  /** Tagged multi-source harmonic centrality: the eccSql BFS with the
+    * Σ 1/level aggregate. Mirrors graft.graph.Algos.harmonicCentrality. */
+  def harmonicSql(withBody: String, nSources: Int, k: Int): String = {
+    val steps = (1 to k).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT id, tag, MIN(level) AS level FROM (
+         |SELECT id, tag, level FROM d${i - 1}
+         |UNION ALL
+         |SELECT e.dst AS id, d.tag, d.level + 1 AS level
+         |FROM d${i - 1} d JOIN e ON d.id = e.src
+         |) t GROUP BY id, tag)""".stripMargin.replace('\n', ' ')
+    }
+    (s"WITH $withBody, d0 AS MATERIALIZED (SELECT src AS id, src AS tag, CAST(0 AS BIGINT) AS level " +
+      s"FROM (SELECT DISTINCT src FROM e ORDER BY src LIMIT $nSources)), " +
+      steps.mkString(", ") +
+      s" SELECT tag AS source, " +
+      "CAST(FLOOR(SUM(CASE WHEN level > 0 THEN 1.0 / level ELSE CAST(0 AS DOUBLE) END) * 1000000) AS BIGINT) AS harmonic_e6, " +
+      s"COUNT(*) AS n_reached FROM d$k GROUP BY tag ORDER BY source")
+  }
+
+  /** K L1-normalized HITS rounds: a from h (normalize), h from a
+    * (normalize). Mirrors graft.graph.Algos.hits arithmetic exactly;
+    * final values floor-scaled to e6. */
+  def hitsSql(withBody: String, k: Int): String = {
+    val steps = (1 to k).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT v.id, COALESCE(s.x, CAST(0 AS DOUBLE)) AS a FROM v
+         |LEFT JOIN (SELECT e.dst AS id, SUM(h.h) AS x FROM h${i - 1} h JOIN e ON h.id = e.src GROUP BY e.dst) s
+         |ON v.id = s.id),
+         |a$i AS MATERIALIZED (SELECT id, a / (SELECT SUM(a) FROM ar$i) AS a FROM ar$i),
+         |hr$i AS MATERIALIZED (SELECT v.id, COALESCE(s.x, CAST(0 AS DOUBLE)) AS h FROM v
+         |LEFT JOIN (SELECT e.src AS id, SUM(a.a) AS x FROM a$i a JOIN e ON a.id = e.dst GROUP BY e.src) s
+         |ON v.id = s.id),
+         |h$i AS MATERIALIZED (SELECT id, h / (SELECT SUM(h) FROM hr$i) AS h FROM hr$i)""".stripMargin.replace('\n', ' ')
+    }
     (s"WITH $withBody, v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), " +
-      "l0 AS MATERIALIZED (SELECT id, id AS lbl FROM v), " + steps.mkString(", ") +
-      s" SELECT id, lbl AS community FROM l$k ORDER BY id")
+      "h0 AS MATERIALIZED (SELECT id, CAST(1 AS DOUBLE) AS h FROM v), " +
+      steps.mkString(", ") +
+      s" SELECT a.id, CAST(FLOOR(a.a * 1000000) AS BIGINT) AS auth_e6, " +
+      s"CAST(FLOOR(h.h * 1000000) AS BIGINT) AS hub_e6 " +
+      s"FROM a$k a JOIN h$k h ON a.id = h.id ORDER BY a.id")
   }
 
   /** K PageRank iterations with teleport resetProb/n over a graph with no

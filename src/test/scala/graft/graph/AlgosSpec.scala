@@ -353,4 +353,41 @@ class AlgosSpec extends SparkSpec {
       .orderBy("id").as[(Long, Long)].collect().toMap
     assert(got == lpaRef(sym, 3))
   }
+
+  test("harmonicCentrality: hand-computed on the path graph") {
+    // path 1-2-3-4-5: harm(1) = 1 + 1/2 + 1/3 + 1/4; harm(3) = 2(1 + 1/2)
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val sym = (p ++ p.map(x => (x._2, x._1))).toDF("src", "dst")
+    val got = Algos.harmonicCentrality(sym, Seq(1L, 3L))
+      .as[(Long, Double, Long)].collect()
+      .map { case (s, h, n) => s -> (h, n) }.toMap
+    assert(math.abs(got(1L)._1 - (1.0 + 0.5 + 1.0 / 3 + 0.25)) < 1e-12)
+    assert(math.abs(got(3L)._1 - 3.0) < 1e-12)
+    assert(got(1L)._2 == 5L && got(3L)._2 == 5L)
+  }
+
+  test("hits: hand-computed on a two-authority star") {
+    // 1→10, 2→10, 3→11: after 2 L1 rounds a = (0.8, 0.2) on {10, 11},
+    // h = (4/9, 4/9, 1/9) on {1, 2, 3}; the other side of each score is 0
+    val e = Seq((1L, 10L), (2L, 10L), (3L, 11L)).toDF("src", "dst")
+    val got = Algos.hits(e, iterations = 2)
+      .as[(Long, Double, Double)].collect()
+      .map { case (id, a, h) => id -> (a, h) }.toMap
+    assert(math.abs(got(10L)._1 - 0.8) < 1e-12 && got(10L)._2 == 0.0)
+    assert(math.abs(got(11L)._1 - 0.2) < 1e-12 && got(11L)._2 == 0.0)
+    assert(math.abs(got(1L)._2 - 4.0 / 9) < 1e-12 && got(1L)._1 == 0.0)
+    assert(math.abs(got(2L)._2 - 4.0 / 9) < 1e-12)
+    assert(math.abs(got(3L)._2 - 1.0 / 9) < 1e-12)
+  }
+
+  test("modularity: two disjoint triangles under the exact partition") {
+    // per community: i2 = 6, d = 6, m2 = 12 → contrib = 1/2 − 1/4 = 1/4
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val sym = (pairs ++ pairs.map(x => (x._2, x._1))).toDF("src", "dst")
+    val comm = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("id", "community")
+    val got = Algos.modularity(sym, comm)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, 6L, 6L, 0.25), (4L, 3L, 6L, 6L, 0.25)))
+  }
 }
