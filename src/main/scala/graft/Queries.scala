@@ -815,6 +815,40 @@ object Queries {
        |ORDER BY c.src_name, n.p_name""".stripMargin.replace('\n', ' ')
   }
 
+  /** Ranking-function tour over customer revenue: rank, dense_rank,
+    * percent_rank, cume_dist and the gap to the next customer — the
+    * remaining window-function family in one pass (ONE sort over a
+    * unique (rev desc, custkey) order, so every rank is a pure function
+    * of the data; the two fractional ranks are small-integer ratios,
+    * exact-rounded in both engines, floored at e6). */
+  private def qWindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val rev = t.orders.groupBy(col("o_custkey"))
+      .agg(e2(sum(col("o_totalprice"))).as("rev_e2"))
+    val w = Window.orderBy(col("rev_e2").desc, col("o_custkey"))
+    rev.select(col("o_custkey"), col("rev_e2"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        e6(percent_rank().over(w)).as("pct_rank_e6"),
+        e6(cume_dist().over(w)).as("cume_dist_e6"),
+        (col("rev_e2") - coalesce(lead(col("rev_e2"), 1).over(w), lit(0L)))
+          .as("gap_to_next_e2"))
+      .orderBy(col("rnk"))
+  }
+
+  private val qWindowFuncsSql =
+    """WITH rev AS (SELECT o_custkey,
+      |CAST(FLOOR(SUM(o_totalprice) * 100) AS BIGINT) AS rev_e2
+      |FROM orders GROUP BY 1)
+      |SELECT o_custkey, rev_e2,
+      |CAST(RANK() OVER w AS BIGINT) AS rnk,
+      |CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+      |CAST(FLOOR(PERCENT_RANK() OVER w * 1000000) AS BIGINT) AS pct_rank_e6,
+      |CAST(FLOOR(CUME_DIST() OVER w * 1000000) AS BIGINT) AS cume_dist_e6,
+      |rev_e2 - COALESCE(LEAD(rev_e2) OVER w, 0) AS gap_to_next_e2
+      |FROM rev WINDOW w AS (ORDER BY rev_e2 DESC, o_custkey)
+      |ORDER BY rnk""".stripMargin.replace('\n', ' ')
+
   // ------------------------------------------------------------------
   // graph corpus (SURVEY §2.9) on graphs derived from the tables
   // ------------------------------------------------------------------
@@ -1044,6 +1078,26 @@ object Queries {
       .orderBy(col("community"))
   }
 
+  /** Degree assortativity of the customer–supplier graph
+    * ([[graft.graph.Algos.assortativity]]): strongly negative on a
+    * bipartite hub structure — low-degree customers attach to
+    * high-degree suppliers. Exact integer sums; one double formula. */
+  private def qAssortativity(s: SparkSession, dir: String): DataFrame =
+    Algos.assortativity(custSuppSymE(s, dir).select("src", "dst"))
+      .select(col("m"), col("suv"), e6(col("r")).as("r_e6"))
+
+  private val qAssortativitySql =
+    s"""WITH ${TestGraphs.custSuppSymSql},
+       |deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src),
+       |j AS MATERIALIZED (SELECT du.d AS du, dv.d AS dv FROM e
+       |JOIN deg du ON du.id = e.src JOIN deg dv ON dv.id = e.dst),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(du) AS BIGINT) AS su,
+       |CAST(SUM(dv) AS BIGINT) AS sv, CAST(SUM(du * dv) AS BIGINT) AS suv,
+       |CAST(SUM(du * du) AS BIGINT) AS suu, CAST(SUM(dv * dv) AS BIGINT) AS svv FROM j)
+       |SELECT m, suv, CAST(FLOOR((CAST(m * suv - su * sv AS DOUBLE)
+       |/ sqrt(CAST(m * suu - su * su AS DOUBLE) * CAST(m * svv - sv * sv AS DOUBLE)))
+       |* 1000000) AS BIGINT) AS r_e6 FROM st""".stripMargin.replace('\n', ' ')
+
   private def qDegStats(s: SparkSession, dir: String): DataFrame =
     Algos.degreeStats(custSuppE(s, dir))
 
@@ -1141,6 +1195,8 @@ object Queries {
     "q_sliding"        -> (qSliding _),
     "q_asof_purchase"  -> (qAsofPurchase _),
     "q_range_attrib"   -> (qRangeAttrib _),
+    "q_window_funcs"   -> (qWindowFuncs _),
+    "q_graph_assortativity" -> (qAssortativity _),
     "q_gaps_islands"   -> (qGapsIslands _),
     "q_grouping_sets"  -> (qGroupingSets _),
     "q_dq_checks"      -> (qDqChecks _),
@@ -1205,6 +1261,8 @@ object Queries {
     "q_sliding"        -> qSlidingSql,
     "q_asof_purchase"  -> qAsofPurchaseSql,
     "q_range_attrib"   -> qRangeAttribSql,
+    "q_window_funcs"   -> qWindowFuncsSql,
+    "q_graph_assortativity" -> qAssortativitySql,
     "q_gaps_islands"   -> qGapsIslandsSql,
     "q_grouping_sets"  -> qGroupingSetsSql,
     "q_dq_checks"      -> qDqChecksSql,

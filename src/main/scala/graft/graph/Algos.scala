@@ -848,6 +848,31 @@ object Algos {
     out
   }
 
+  /** Degree assortativity (Newman 2002, public formula): the Pearson
+    * correlation of the degrees at the two ends of an edge, over a
+    * symmetric edge list. Every aggregate is an exact BIGINT sum
+    * (degrees are integers), so the final double expression
+    *   r = (m·Σdudv − Σdu·Σdv) / √((m·Σdu² − Σdu²)·(m·Σdv² − Σdv²))
+    * runs on identical scalars in any engine (÷ and √ are both IEEE
+    * correctly rounded — the hash-safe subset). One degree agg, one
+    * edge⋈degree join, one scalar agg; the BIGINT sums hold to ~10¹⁸
+    * (≫ any graph whose degree list fits a warehouse — beyond that the
+    * sums move to DECIMAL(38), same plan). Returns one row
+    * (m, suv, r DOUBLE). */
+  def assortativity(symEdges: DataFrame): DataFrame = {
+    val e = symEdges.select("src", "dst")
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    e.join(deg.select(col("id").as("src"), col("d").as("du")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("d").as("dv")), Seq("dst"))
+      .agg(count(lit(1)).as("m"), sum(col("du")).as("su"), sum(col("dv")).as("sv"),
+        sum(col("du") * col("dv")).as("suv"), sum(col("du") * col("du")).as("suu"),
+        sum(col("dv") * col("dv")).as("svv"))
+      .select(col("m"), col("suv"),
+        ((col("m") * col("suv") - col("su") * col("sv")).cast("double")
+          / sqrt((col("m") * col("suu") - col("su") * col("su")).cast("double")
+            * (col("m") * col("svv") - col("sv") * col("sv")).cast("double"))).as("r"))
+  }
+
   /** Per-community modularity decomposition of a vertex partition over a
     * symmetric edge list: for community c with directed-internal-edge
     * count i2(c) and member degree sum d(c) over m2 directed edges,
