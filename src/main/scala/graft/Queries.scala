@@ -1078,6 +1078,19 @@ object Queries {
       .orderBy(col("community"))
   }
 
+  /** Source-sampled Brandes betweenness from the 4 smallest vertices
+    * ([[graft.graph.Algos.betweenness]]): forward σ-counting BFS +
+    * backward dependency peel, both level-synchronous. Sampled sources
+    * is the standard at-scale estimator (exact Brandes is Θ(V·E)). */
+  private def qBetweenness(s: SparkSession, dir: String): DataFrame = {
+    val e = custSuppSymE(s, dir).select("src", "dst")
+    val sources = e.select(col("src")).distinct().orderBy(col("src"))
+      .limit(4).collect().map(_.getLong(0)).toSeq
+    Algos.betweenness(e, sources)
+      .select(col("id"), e4(col("bc")).as("bc_e4"))
+      .orderBy(col("id"))
+  }
+
   /** Degree assortativity of the customer–supplier graph
     * ([[graft.graph.Algos.assortativity]]): strongly negative on a
     * bipartite hub structure — low-degree customers attach to
@@ -1227,6 +1240,7 @@ object Queries {
     "q_graph_harmonic" -> (qHarmonic _),
     "q_graph_hits"     -> (qHits _),
     "q_graph_modularity" -> (qModularity _),
+    "q_graph_betweenness" -> (qBetweenness _),
     "q_graph_edge_jaccard" -> (qEdgeJaccard _),
     "q_graph_walks"    -> (qWalks _),
     "q_graph_mst"      -> (qMst _),
@@ -1296,6 +1310,7 @@ object Queries {
     "q_graph_hits"     -> OracleGen.hitsSql(
       s"ce AS MATERIALIZED (${TestGraphs.custSuppSql}), e AS MATERIALIZED (SELECT src, dst FROM ce)", 4),
     "q_graph_modularity" -> OracleGen.modularitySql(TestGraphs.custSuppSymSql, 4),
+    "q_graph_betweenness" -> OracleGen.betweennessSql(TestGraphs.custSuppSymSql, 4, 16),
     "q_graph_edge_jaccard" -> qEdgeJaccardSql,
     "q_graph_walks"    -> OracleGen.walksSql(TestGraphs.custSuppSymSql, 3),
     "q_graph_deg_stats" -> qDegStatsSql,

@@ -848,6 +848,94 @@ object Algos {
     out
   }
 
+  /** Source-sampled betweenness centrality (Brandes 2001, public
+    * algorithm): bc(v) = Σ_{s ∈ sources} δ_s(v), where δ is Brandes'
+    * dependency. Two phases, both level-synchronous:
+    *
+    *  - FORWARD: the tagged BFS of [[taggedBfs]] extended with the
+    *    shortest-path count σ — a vertex first reached in round h+1
+    *    takes σ = Σ σ(level-h neighbors), which is exactly a sum over
+    *    that round's frontier (every level-h vertex IS in the round-h
+    *    frontier), so σ rides the existing frontier⋈edges join for free.
+    *  - BACKWARD: levels peel from the deepest up;
+    *    δ(v) = Σ_{w: lv(w)=lv(v)+1} (σ_v/σ_w)·(1 + δ_w). Per round one
+    *    level-slice⋈edges⋈level-slice join — work ∝ slice size, the
+    *    delta-frontier shape again.
+    *
+    * σ values are exact BIGINTs; δ is the one double chain (÷, +, ×,
+    * all correctly rounded on identical operands), so an unrolled SQL
+    * oracle replays the recurrence to the floor-scale. Driver traffic:
+    * one max(level) scalar. Sampled sources (not all-pairs) is the
+    * standard 100 TB posture — exact Brandes is Θ(|V|·|E|).
+    * Returns (id, bc DOUBLE) for every vertex with a nonzero
+    * dependency; sources themselves accumulate no δ. */
+  def betweenness(symEdges: DataFrame, sources: Seq[Long],
+                  maxHops: Int = 32): DataFrame = {
+    val s = symEdges.sparkSession
+    import s.implicits._
+    val e = ckptHash(symEdges.select("src", "dst"), "src")
+    var settled = sources.map(x => (x, x, 0L, 1L)).toDF("id", "tag", "level", "sigma")
+      .localCheckpoint()
+    var frontier = settled
+    var h = 0
+    var live = true
+    while (live && h < maxHops) {
+      val next = frontier.select(col("id").as("src"), col("tag"), col("sigma"))
+        .join(e, Seq("src"))
+        .select(col("dst").as("id"), col("tag"), col("sigma"))
+        .join(settled.select("id", "tag"), Seq("id", "tag"), "left_anti")
+        .groupBy(col("id"), col("tag"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("id"), col("tag"), lit((h + 1).toLong).as("level"), col("sigma"))
+        .localCheckpoint()
+      live = next.count() > 0
+      if (live) {
+        val merged = settled.union(next).localCheckpoint()
+        freeCkpt(settled)
+        if (h > 0) freeCkpt(frontier)
+        settled = merged
+        frontier = next
+      } else {
+        freeCkpt(next)
+      }
+      h += 1
+    }
+    val maxLevel = settled.agg(max(col("level"))).first().getLong(0)
+    // backward accumulation, deepest level first; deltaUp carries the
+    // (id, tag, delta) rows of level l+1 (empty at the deepest level)
+    var deltaUp = s.emptyDataset[(Long, Long, Double)].toDF("id", "tag", "delta")
+    val perLevel = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var l = maxLevel - 1
+    while (l >= 1) {
+      val up = settled.filter(col("level") === l + 1)
+        .select(col("id").as("w_id"), col("tag").as("tag_w"), col("sigma").as("sigma_w"))
+        .join(deltaUp.select(col("id").as("w_id"), col("tag").as("tag_w"), col("delta")),
+          Seq("w_id", "tag_w"), "left")
+        .select(col("w_id"), col("tag_w"), col("sigma_w"),
+          coalesce(col("delta"), lit(0.0)).as("delta_w"))
+      val dl = settled.filter(col("level") === l)
+        .select(col("id"), col("tag"), col("sigma"))
+        .join(e, col("id") === col("src"))
+        .join(up, col("dst") === col("w_id") && col("tag") === col("tag_w"))
+        .groupBy(col("id"), col("tag"))
+        .agg(sum((col("sigma").cast("double") / col("sigma_w"))
+          * (lit(1.0) + col("delta_w"))).as("delta"))
+        .localCheckpoint()
+      perLevel += dl
+      deltaUp = dl
+      l -= 1
+    }
+    val out =
+      (if (perLevel.isEmpty) deltaUp
+       else perLevel.reduce(_ unionByName _))
+        .groupBy(col("id")).agg(sum(col("delta")).as("bc"))
+        .orderBy(col("id"))
+        .localCheckpoint()
+    perLevel.foreach(freeCkpt)
+    freeCkpt(settled); freeCkpt(e)
+    out
+  }
+
   /** Degree assortativity (Newman 2002, public formula): the Pearson
     * correlation of the degrees at the two ends of an edge, over a
     * symmetric edge list. Every aggregate is an exact BIGINT sum

@@ -174,6 +174,50 @@ object OracleGen {
       s"COUNT(*) AS n_reached FROM d$k GROUP BY tag ORDER BY source")
   }
 
+  /** Source-sampled Brandes betweenness: k BFS-level rounds, then σ by
+    * level DP, then the backward δ recurrence unrolled deepest-first.
+    * Mirrors graft.graph.Algos.betweenness arithmetic exactly
+    * ((σ_v/σ_w)·(1+δ_w) on identical operands); output floored at e4. */
+  def betweennessSql(withBody: String, nSources: Int, k: Int): String = {
+    val lvSteps = (1 to k).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT id, tag, MIN(level) AS level FROM (
+         |SELECT id, tag, level FROM d${i - 1}
+         |UNION ALL
+         |SELECT e.dst AS id, d.tag, d.level + 1 AS level
+         |FROM d${i - 1} d JOIN e ON d.id = e.src
+         |) t GROUP BY id, tag)""".stripMargin.replace('\n', ' ')
+    }
+    val sigSteps = (1 to k).map { l =>
+      s"""s$l AS MATERIALIZED (SELECT lv.id, lv.tag, CAST($l AS BIGINT) AS level,
+         |CAST(SUM(sp.sigma) AS BIGINT) AS sigma
+         |FROM lv JOIN e ON e.dst = lv.id
+         |JOIN s${l - 1} sp ON sp.id = e.src AND sp.tag = lv.tag
+         |WHERE lv.level = $l GROUP BY lv.id, lv.tag)""".stripMargin.replace('\n', ' ')
+    }
+    val sigUnion = (0 to k).map(l => s"SELECT id, tag, level, sigma FROM s$l").mkString(" UNION ALL ")
+    val delSteps = (k - 1 to 1 by -1).map { l =>
+      s"""del$l AS MATERIALIZED (SELECT v.id, v.tag,
+         |SUM((CAST(v.sigma AS DOUBLE) / w.sigma) * (1.0 + COALESCE(dw.delta, CAST(0 AS DOUBLE)))) AS delta
+         |FROM sig v JOIN e ON e.src = v.id
+         |JOIN sig w ON w.id = e.dst AND w.tag = v.tag AND w.level = v.level + 1
+         |LEFT JOIN del${l + 1} dw ON dw.id = w.id AND dw.tag = w.tag
+         |WHERE v.level = $l GROUP BY v.id, v.tag)""".stripMargin.replace('\n', ' ')
+    }
+    val delUnion = (1 to k - 1).map(l => s"SELECT id, delta FROM del$l").mkString(" UNION ALL ")
+    (s"WITH $withBody, " +
+      s"d0 AS MATERIALIZED (SELECT src AS id, src AS tag, CAST(0 AS BIGINT) AS level " +
+      s"FROM (SELECT DISTINCT src FROM e ORDER BY src LIMIT $nSources)), " +
+      lvSteps.mkString(", ") + ", " +
+      s"lv AS MATERIALIZED (SELECT id, tag, level FROM d$k), " +
+      "s0 AS MATERIALIZED (SELECT id, tag, CAST(0 AS BIGINT) AS level, CAST(1 AS BIGINT) AS sigma FROM lv WHERE level = 0), " +
+      sigSteps.mkString(", ") + ", " +
+      s"sig AS MATERIALIZED ($sigUnion), " +
+      s"del$k AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS tag, CAST(NULL AS DOUBLE) AS delta WHERE 1 = 0), " +
+      delSteps.mkString(", ") + " " +
+      s"SELECT id, CAST(FLOOR(SUM(delta) * 10000) AS BIGINT) AS bc_e4 " +
+      s"FROM ($delUnion) u GROUP BY id ORDER BY id")
+  }
+
   /** K L1-normalized HITS rounds: a from h (normalize), h from a
     * (normalize). Mirrors graft.graph.Algos.hits arithmetic exactly;
     * final values floor-scaled to e6. */

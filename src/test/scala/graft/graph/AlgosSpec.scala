@@ -380,6 +380,26 @@ class AlgosSpec extends SparkSpec {
     assert(math.abs(got(3L)._2 - 1.0 / 9) < 1e-12)
   }
 
+  test("betweenness: hand-computed Brandes on the path graph") {
+    // path 1-2-3-4-5, sources {1, 3}:
+    //   δ₁(2)=3, δ₁(3)=2, δ₁(4)=1; δ₃(2)=1, δ₃(4)=1
+    //   → bc(2)=4, bc(3)=2, bc(4)=2 (endpoints accumulate nothing)
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val sym = (p ++ p.map(x => (x._2, x._1))).toDF("src", "dst")
+    val got = Algos.betweenness(sym, Seq(1L, 3L))
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((2L, 4.0), (3L, 2.0), (4L, 2.0)))
+  }
+
+  test("betweenness: star center carries all dependencies") {
+    // star 1-{2,3,4,5}, source 2: δ₂(1) = 3 (paths to 3, 4, 5)
+    val p = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    val sym = (p ++ p.map(x => (x._2, x._1))).toDF("src", "dst")
+    val got = Algos.betweenness(sym, Seq(2L))
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3.0)))
+  }
+
   test("modularity: two disjoint triangles under the exact partition") {
     // per community: i2 = 6, d = 6, m2 = 12 → contrib = 1/2 − 1/4 = 1/4
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
