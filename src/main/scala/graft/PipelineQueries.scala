@@ -262,6 +262,25 @@ object PipelineQueries {
        |UNION ALL SELECT idb, ida FROM dup)""".stripMargin.replace('\n', ' '),
     12, isMin = true, "canonical")
 
+  /** Retention policy on the same clusters: keep the LONGEST member per
+    * multi-member cluster ([[graft.dedup.Dedup.keepBestPerCluster]],
+    * score = n_chars, max-id tiebreak) — the quality-aware alternative to
+    * min-id survival. */
+  private def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    Dedup.keepBestPerCluster(docs,
+      Dedup.minhashDupPairs(docs).select(col("a"), col("b")))
+  }
+
+  private val qDedupKeepBestSql =
+    s"""WITH j AS MATERIALIZED (SELECT z.canonical AS cluster, z.id, d.n_chars
+       |FROM ($qDedupClustersSql) z JOIN documents d ON d.doc_id = z.id),
+       |r AS (SELECT cluster, id, n_chars,
+       |COUNT(*) OVER (PARTITION BY cluster) AS n_members,
+       |ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n_chars DESC, id DESC) AS rn FROM j)
+       |SELECT cluster, n_members, id AS kept_doc, n_chars AS kept_score
+       |FROM r WHERE rn = 1 AND n_members >= 2 ORDER BY cluster""".stripMargin.replace('\n', ' ')
+
   /** The dedup action: corpus minus non-canonical cluster members. */
   private def qDedupFiltered(s: SparkSession, dir: String): DataFrame =
     Dedup.dropDuplicateDocs(
@@ -774,6 +793,7 @@ object PipelineQueries {
     "q_dedup_simhash"    -> (qDedupSimhash _),
     "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _),
     "q_dedup_clusters"   -> (qDedupClusters _),
+    "q_dedup_keep_best"  -> (qDedupKeepBest _),
     "q_dedup_filtered"   -> (qDedupFiltered _),
     "q_dedup_ngram"      -> (qDedupNgram _),
     "q_dedup_cdc"        -> (qDedupCdc _),
@@ -803,6 +823,7 @@ object PipelineQueries {
     "q_dedup_simhash"    -> qDedupSimhashSql,
     "q_dedup_simhash_pairs" -> qDedupSimhashPairsSql,
     "q_dedup_clusters"   -> qDedupClustersSql,
+    "q_dedup_keep_best"  -> qDedupKeepBestSql,
     "q_dedup_filtered"   -> qDedupFilteredSql,
     "q_dedup_ngram"      -> qDedupNgramSql,
     "q_dedup_cdc"        -> qDedupCdcSql,

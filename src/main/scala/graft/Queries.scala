@@ -815,6 +815,38 @@ object Queries {
        |ORDER BY c.src_name, n.p_name""".stripMargin.replace('\n', ' ')
   }
 
+  /** FULL OUTER merge of two sparse hourly rollups (purchase revenue vs
+    * error counts): at hour granularity both one-sided regions and the
+    * overlap are populated, exercising the join type's three output
+    * shapes. USING-column join, so the key coalesces natively; one
+    * shuffle per rollup + the outer join on the shared hour key. */
+  private def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val purch = t.events.filter(col("event_type") === "purchase")
+      .select(expr("ts div 3600000000000").as("h"), col("value"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_purchases"), e2(sum(col("value"))).as("rev_e2"))
+    val errs = t.events.filter(col("event_type") === "error")
+      .select(expr("ts div 3600000000000").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("n_errors"))
+    purch.join(errs, Seq("h"), "full_outer")
+      .select(col("h"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("rev_e2"), lit(0L)).as("rev_e2"),
+        coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+      .orderBy(col("h"))
+  }
+
+  private val qFullOuterSql =
+    """WITH p AS (SELECT epoch_ns(ts) // 3600000000000 AS h, COUNT(*) AS n_purchases,
+      |CAST(FLOOR(SUM(value) * 100) AS BIGINT) AS rev_e2
+      |FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |x AS (SELECT epoch_ns(ts) // 3600000000000 AS h, COUNT(*) AS n_errors
+      |FROM events WHERE event_type = 'error' GROUP BY 1)
+      |SELECT COALESCE(p.h, x.h) AS h, COALESCE(n_purchases, 0) AS n_purchases,
+      |COALESCE(rev_e2, 0) AS rev_e2, COALESCE(n_errors, 0) AS n_errors
+      |FROM p FULL OUTER JOIN x ON p.h = x.h ORDER BY h""".stripMargin.replace('\n', ' ')
+
   /** Ranking-function tour over customer revenue: rank, dense_rank,
     * percent_rank, cume_dist and the gap to the next customer — the
     * remaining window-function family in one pass (ONE sort over a
@@ -1209,6 +1241,7 @@ object Queries {
     "q_asof_purchase"  -> (qAsofPurchase _),
     "q_range_attrib"   -> (qRangeAttrib _),
     "q_window_funcs"   -> (qWindowFuncs _),
+    "q_full_outer"     -> (qFullOuter _),
     "q_graph_assortativity" -> (qAssortativity _),
     "q_gaps_islands"   -> (qGapsIslands _),
     "q_grouping_sets"  -> (qGroupingSets _),
@@ -1276,6 +1309,7 @@ object Queries {
     "q_asof_purchase"  -> qAsofPurchaseSql,
     "q_range_attrib"   -> qRangeAttribSql,
     "q_window_funcs"   -> qWindowFuncsSql,
+    "q_full_outer"     -> qFullOuterSql,
     "q_graph_assortativity" -> qAssortativitySql,
     "q_gaps_islands"   -> qGapsIslandsSql,
     "q_grouping_sets"  -> qGroupingSetsSql,

@@ -226,6 +226,27 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Retention-policy variant of [[dropDuplicateDocs]]: per multi-member
+    * dup cluster keep the BEST member by (score desc, id desc) instead of
+    * the min id — the rule real corpora apply (longest / highest-quality
+    * survivor). The argmax is a struct max (no window, map-side
+    * combinable); one members⋈scores join + one per-cluster agg on top of
+    * the cluster pass. Returns (cluster, n_members, kept_doc,
+    * kept_score) for clusters of size ≥ 2, ordered by cluster. */
+  def keepBestPerCluster(docs: DataFrame, pairs: DataFrame,
+                         idCol: String = "doc_id",
+                         scoreCol: String = "n_chars"): DataFrame = {
+    dupClusters(pairs)
+      .join(docs.select(col(idCol).as("id"), col(scoreCol).as("score")), Seq("id"))
+      .groupBy(col("canonical").as("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("score"), col("id"))).as("m"))
+      .filter(col("n_members") >= 2)
+      .select(col("cluster"), col("n_members"),
+        col("m.id").as("kept_doc"), col("m.score").as("kept_score"))
+      .orderBy(col("cluster"))
+  }
+
   /** Near-dup pairs by word n-gram Jaccard. Candidates come from MinHash
     * LSH banding over the n-gram sets *within* each block (e.g. source) —
     * an equi-join on (block, band, bandHash), so per-block cost is
