@@ -815,6 +815,49 @@ object Queries {
        |ORDER BY c.src_name, n.p_name""".stripMargin.replace('\n', ' ')
   }
 
+  /** IQR outlier detection per order priority: Tukey fences from the
+    * EXACT integer quantiles ([[graft.operators.Quantiles.exactScaled]]
+    * on cent-scaled totals — no doubles anywhere, so the whole fence
+    * arithmetic is bit-reproducible; 1.5·IQR is ×3 div 2). The quantile
+    * pass sorts per group once; the fence check is a second scan joined
+    * against the broadcast per-group bounds. */
+  private def qOutliers(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val cents = t.orders.select(col("o_orderpriority").as("g"),
+      e2(col("o_totalprice")).as("v"))
+    val qs = Quantiles.exactScaled(cents, "v", "g", Seq((1, 4), (3, 4)), 1L)
+    val bounds = qs.groupBy(col("g"))
+      .agg(max(when(col("pnum") === 1, col("q_scaled"))).as("q1"),
+        max(when(col("pnum") === 3, col("q_scaled"))).as("q3"))
+      .select(col("g"), col("q1"), col("q3"),
+        expr("q1 - (3 * (q3 - q1)) div 2").as("lo"),
+        expr("q3 + (3 * (q3 - q1)) div 2").as("hi"))
+    cents.join(broadcast(bounds), Seq("g"))
+      .groupBy(col("g"), col("q1"), col("q3"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("v") < col("lo"), lit(1))).as("n_out_low"),
+        count(when(col("v") > col("hi"), lit(1))).as("n_out_high"))
+      .orderBy(col("g"))
+  }
+
+  private val qOutliersSql = {
+    val qsSql = Quantiles.exactScaledSql("orders",
+      "CAST(FLOOR(o_totalprice * 100) AS BIGINT)", "o_orderpriority",
+      Seq((1, 4), (3, 4)), 1L)
+    s"""WITH b AS MATERIALIZED (SELECT g, q1, q3,
+       |q1 - (3 * (q3 - q1)) // 2 AS lo, q3 + (3 * (q3 - q1)) // 2 AS hi FROM (
+       |SELECT g, MAX(CASE WHEN pnum = 1 THEN q_scaled END) AS q1,
+       |MAX(CASE WHEN pnum = 3 THEN q_scaled END) AS q3
+       |FROM ($qsSql) qs GROUP BY g) t),
+       |v AS (SELECT o_orderpriority AS g,
+       |CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v FROM orders)
+       |SELECT v.g, q1, q3, lo, hi, COUNT(*) AS n,
+       |COUNT(*) FILTER (WHERE v < lo) AS n_out_low,
+       |COUNT(*) FILTER (WHERE v > hi) AS n_out_high
+       |FROM v JOIN b ON v.g = b.g
+       |GROUP BY 1, 2, 3, 4, 5 ORDER BY v.g""".stripMargin.replace('\n', ' ')
+  }
+
   /** FULL OUTER merge of two sparse hourly rollups (purchase revenue vs
     * error counts): at hour granularity both one-sided regions and the
     * overlap are populated, exercising the join type's three output
@@ -1123,6 +1166,16 @@ object Queries {
       .orderBy(col("id"))
   }
 
+  /** Time-respecting earliest-arrival reachability over the temporal
+    * customer–supplier graph ([[graft.graph.Algos.temporalReach]]):
+    * paths may only traverse edges with non-decreasing order days.
+    * 8 fixed relaxation rounds, matched round-for-round by the oracle. */
+  private def qTemporalReach(s: SparkSession, dir: String): DataFrame = {
+    val e = TestGraphs.custSuppTemporal(Tables(s, dir))
+    val source = e.agg(min(col("src"))).first().getLong(0)
+    Algos.temporalReach(e, source, rounds = 8)
+  }
+
   /** Degree assortativity of the customer–supplier graph
     * ([[graft.graph.Algos.assortativity]]): strongly negative on a
     * bipartite hub structure — low-degree customers attach to
@@ -1242,6 +1295,8 @@ object Queries {
     "q_range_attrib"   -> (qRangeAttrib _),
     "q_window_funcs"   -> (qWindowFuncs _),
     "q_full_outer"     -> (qFullOuter _),
+    "q_outliers"       -> (qOutliers _),
+    "q_graph_temporal" -> (qTemporalReach _),
     "q_graph_assortativity" -> (qAssortativity _),
     "q_gaps_islands"   -> (qGapsIslands _),
     "q_grouping_sets"  -> (qGroupingSets _),
@@ -1310,6 +1365,8 @@ object Queries {
     "q_range_attrib"   -> qRangeAttribSql,
     "q_window_funcs"   -> qWindowFuncsSql,
     "q_full_outer"     -> qFullOuterSql,
+    "q_outliers"       -> qOutliersSql,
+    "q_graph_temporal" -> OracleGen.temporalReachSql(TestGraphs.custSuppTemporalSql, 8),
     "q_graph_assortativity" -> qAssortativitySql,
     "q_gaps_islands"   -> qGapsIslandsSql,
     "q_grouping_sets"  -> qGroupingSetsSql,

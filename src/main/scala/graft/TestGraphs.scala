@@ -38,6 +38,25 @@ object TestGraphs {
   val custSuppSymSql: String =
     s"ce AS MATERIALIZED ($custSuppSql), e AS MATERIALIZED (SELECT src, dst, cnt, w FROM ce UNION ALL SELECT dst, src, cnt, w FROM ce)"
 
+  /** Temporal (time-stamped) customer↔supplier edges: one edge per
+    * distinct (customer, supplier, order day) — the time-respecting-path
+    * fixture. t is integral epoch days, so temporal comparisons are
+    * float-free in both engines. */
+  def custSuppTemporal(tb: Tables): DataFrame = {
+    val base = tb.orders.join(tb.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_suppkey") + SuppOffset).as("dst"),
+        expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')").cast("long").as("t"))
+      .distinct()
+    base.union(base.select(col("dst").as("src"), col("src").as("dst"), col("t")))
+  }
+
+  val custSuppTemporalSql: String =
+    s"""ct AS MATERIALIZED (SELECT DISTINCT o_custkey AS src,
+       |l_suppkey + $SuppOffset AS dst,
+       |CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS MATERIALIZED (SELECT src, dst, t FROM ct UNION ALL SELECT dst, src, t FROM ct)""".stripMargin.replace('\n', ' ')
+
   /** Undirected supplier co-purchase pairs (u < v): suppliers that ship
     * the same part. Dense small-world graph for triangle/MIS queries. */
   def suppCoPairs(tb: Tables): DataFrame = {

@@ -848,6 +848,36 @@ object Algos {
     out
   }
 
+  /** Time-respecting (temporal) reachability: earliest-arrival times
+    * from `source` over edges carrying an integral timestamp, where a
+    * path may only traverse edges with non-decreasing times — the
+    * "when could the contagion have reached v" question static
+    * reachability gets wrong (a stale edge cannot forward a newer
+    * arrival). arr(v) = min over in-edges (u, v, t) with arr(u) ≤ t of
+    * t; min-combine relaxation run a FIXED `rounds` count (monotone
+    * recurrence — the unrolled oracle matches round-for-round even
+    * short of the fixpoint, as Bracha-Toueg). Same shuffle shape as
+    * [[sssp]]: per round one arr⋈edges join + a min agg. */
+  def temporalReach(edges: DataFrame, source: Long, rounds: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val e = ckptHash(edges.select("src", "dst", "t"), "src")
+    var a = Seq((source, 0L)).toDF("id", "arr").localCheckpoint()
+    var i = 0
+    while (i < rounds) {
+      val cand = a.select(col("id").as("src"), col("arr"))
+        .join(e, Seq("src")).filter(col("t") >= col("arr"))
+        .select(col("dst").as("id"), col("t").as("arr"))
+      val next = a.union(cand).groupBy(col("id"))
+        .agg(min(col("arr")).as("arr")).localCheckpoint()
+      freeCkpt(a)
+      a = next
+      i += 1
+    }
+    freeCkpt(e)
+    a.orderBy(col("id"))
+  }
+
   /** Source-sampled betweenness centrality (Brandes 2001, public
     * algorithm): bc(v) = Σ_{s ∈ sources} δ_s(v), where δ is Brandes'
     * dependency. Two phases, both level-synchronous:

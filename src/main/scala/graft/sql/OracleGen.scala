@@ -174,6 +174,25 @@ object OracleGen {
       s"COUNT(*) AS n_reached FROM d$k GROUP BY tag ORDER BY source")
   }
 
+  /** K rounds of earliest-arrival temporal relaxation from the minimum
+    * `src` vertex (time-respecting paths: an edge (u, v, t) relaxes only
+    * when arr(u) ≤ t). Mirrors graft.graph.Algos.temporalReach
+    * round-for-round. `withBody` must bind e(src, dst, t). */
+  def temporalReachSql(withBody: String, k: Int): String = {
+    val steps = (1 to k).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT id, MIN(arr) AS arr FROM (
+         |SELECT id, arr FROM d${i - 1}
+         |UNION ALL
+         |SELECT e.dst AS id, e.t AS arr FROM d${i - 1} d
+         |JOIN e ON d.id = e.src AND e.t >= d.arr
+         |) t GROUP BY id)""".stripMargin.replace('\n', ' ')
+    }
+    (s"WITH $withBody, " +
+      "d0 AS MATERIALIZED (SELECT (SELECT MIN(src) FROM e) AS id, CAST(0 AS BIGINT) AS arr), " +
+      steps.mkString(", ") +
+      s" SELECT id, arr FROM d$k ORDER BY id")
+  }
+
   /** Source-sampled Brandes betweenness: k BFS-level rounds, then σ by
     * level DP, then the backward δ recurrence unrolled deepest-first.
     * Mirrors graft.graph.Algos.betweenness arithmetic exactly

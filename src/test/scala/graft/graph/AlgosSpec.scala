@@ -400,6 +400,23 @@ class AlgosSpec extends SparkSpec {
     assert(got == Seq((1L, 3.0)))
   }
 
+  test("temporalReach: stale edges cannot forward newer arrivals") {
+    // 1→2 at t=5, 2→3 at t=3, 2→4 at t=7: statically 3 is reachable,
+    // temporally it is NOT (arrival at 2 is day 5, the 2→3 edge is day 3)
+    val e = Seq((1L, 2L, 5L), (2L, 3L, 3L), (2L, 4L, 7L)).toDF("src", "dst", "t")
+    val got = Algos.temporalReach(e, source = 1L, rounds = 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (2L, 5L), (4L, 7L)))
+  }
+
+  test("temporalReach: a later parallel edge re-opens the path") {
+    // adding 1→2 at t=2 makes 2→3 (t=3) traversable: arr(3) = 3
+    val e = Seq((1L, 2L, 5L), (1L, 2L, 2L), (2L, 3L, 3L)).toDF("src", "dst", "t")
+    val got = Algos.temporalReach(e, source = 1L, rounds = 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (2L, 2L), (3L, 3L)))
+  }
+
   test("modularity: two disjoint triangles under the exact partition") {
     // per community: i2 = 6, d = 6, m2 = 12 → contrib = 1/2 − 1/4 = 1/4
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
