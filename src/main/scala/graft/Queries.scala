@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.graph.{Algos, Prep}
 import graft.functions.Sketches
-import graft.operators.{AsOfJoin, Quantiles, RangeJoin}
+import graft.operators.{AsOfJoin, Quantiles, RangeJoin, Skyline}
 import graft.sql.{Exact, OracleGen}
 import graft.sql.Exact.{e2, e4, e6}
 
@@ -890,6 +890,129 @@ object Queries {
       |COALESCE(rev_e2, 0) AS rev_e2, COALESCE(n_errors, 0) AS n_errors
       |FROM p FULL OUTER JOIN x ON p.h = x.h ORDER BY h""".stripMargin.replace('\n', ' ')
 
+  /** Skyline (Pareto frontier) of lineitem on (minimize extendedprice,
+    * maximize quantity): the dominance query every multi-objective
+    * "best trade-off" report needs. Sort-filter skyline — one window
+    * pass over distinct objective pairs, no O(n²) dominance self-join;
+    * the two-stage bucket-pruned plan is in [[graft.operators.Skyline]]
+    * (local per-bucket skylines shrink the input before the one global
+    * pass, which is what keeps the global sort driver-scale at 100 TB). */
+  private def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Skyline.skyline(
+      t.lineitem.select(e2(col("l_extendedprice")).as("price_e2"),
+        col("l_quantity").cast("long").as("qty")),
+      "price_e2", "qty")
+      .orderBy(col("minv"))
+  }
+
+  private val qSkylineSql =
+    Skyline.skylineSql("lineitem", "CAST(FLOOR(l_extendedprice * 100) AS BIGINT)",
+      "CAST(l_quantity AS BIGINT)") + " ORDER BY minv"
+
+  /** UNPIVOT (melt): wide per-flag measure sums → long (flag, measure,
+    * value) form — the inverse of q_pivot, closing the reshape pair.
+    * Spark's `stack` expands inside the projection (no shuffle beyond
+    * the agg); the oracle replays it as a UNION ALL of one SELECT per
+    * measure over the same rollup CTE. */
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.lineitem.groupBy(col("l_returnflag"))
+      .agg(e2(sum(col("l_quantity"))).as("quantity"),
+        e2(sum(col("l_extendedprice"))).as("extendedprice"),
+        e2(sum(col("l_discount"))).as("discount"),
+        e2(sum(col("l_tax"))).as("tax"))
+      .selectExpr("l_returnflag",
+        "stack(4, 'quantity', quantity, 'extendedprice', extendedprice, " +
+          "'discount', discount, 'tax', tax) as (measure, total_e2)")
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+
+  private val qUnpivotSql =
+    """WITH a AS MATERIALIZED (SELECT l_returnflag,
+      |CAST(FLOOR(SUM(l_quantity) * 100) AS BIGINT) AS quantity,
+      |CAST(FLOOR(SUM(l_extendedprice) * 100) AS BIGINT) AS extendedprice,
+      |CAST(FLOOR(SUM(l_discount) * 100) AS BIGINT) AS discount,
+      |CAST(FLOOR(SUM(l_tax) * 100) AS BIGINT) AS tax
+      |FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, measure, total_e2 FROM (
+      |SELECT l_returnflag, 'quantity' AS measure, quantity AS total_e2 FROM a
+      |UNION ALL SELECT l_returnflag, 'extendedprice', extendedprice FROM a
+      |UNION ALL SELECT l_returnflag, 'discount', discount FROM a
+      |UNION ALL SELECT l_returnflag, 'tax', tax FROM a) u
+      |ORDER BY l_returnflag, measure""".stripMargin.replace('\n', ' ')
+
+  /** Pareto/ABC classification: customers ranked by revenue, running
+    * cumulative share cut at 70%/90% into A/B/C bands — the standard
+    * inventory/CRM 80-20 report. The cumulative and the grand total
+    * ride ONE ordered window pass over the customer AGGREGATE (≪ fact
+    * table — the only global sort is post-agg, same posture as
+    * q_window_funcs); band thresholds compare cum·10 against total·7|9
+    * in exact BIGINT cents, no fractional share until the final e6. */
+  private def qParetoAbc(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val rev = t.orders.groupBy(col("o_custkey"))
+      .agg(e2(sum(col("o_totalprice"))).as("rev"))
+    val ord = Window.orderBy(col("rev").desc, col("o_custkey"))
+    rev.select(col("o_custkey"), col("rev"),
+        sum(col("rev")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+        sum(col("rev")).over(ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("total"))
+      .withColumn("cls",
+        when(col("cum") * 10 <= col("total") * 7, lit("A"))
+          .when(col("cum") * 10 <= col("total") * 9, lit("B"))
+          .otherwise(lit("C")))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("rev")).cast("long").as("rev_e2"),
+        max(col("total")).as("total"))
+      .select(col("cls"), col("n_customers"), col("rev_e2"),
+        expr("(rev_e2 * 1000000) div total").as("share_e6"))
+      .orderBy(col("cls"))
+  }
+
+  private val qParetoAbcSql =
+    """WITH rev AS (SELECT o_custkey,
+      |CAST(FLOOR(SUM(o_totalprice) * 100) AS BIGINT) AS rev FROM orders GROUP BY 1),
+      |c AS (SELECT o_custkey, rev,
+      |SUM(rev) OVER (ORDER BY rev DESC, o_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |SUM(rev) OVER () AS total FROM rev),
+      |k AS (SELECT rev, total,
+      |CASE WHEN cum * 10 <= total * 7 THEN 'A' WHEN cum * 10 <= total * 9 THEN 'B' ELSE 'C' END AS cls FROM c)
+      |SELECT cls, COUNT(*) AS n_customers, CAST(SUM(rev) AS BIGINT) AS rev_e2,
+      |CAST((CAST(SUM(rev) AS BIGINT) * 1000000) // CAST(MAX(total) AS BIGINT) AS BIGINT) AS share_e6
+      |FROM k GROUP BY 1 ORDER BY 1""".stripMargin.replace('\n', ' ')
+
+  /** Smoothed target (mean) encoding of c_mktsegment against the
+    * order-level label "status = F" — the categorical-feature encoder
+    * of every tabular training pipeline. enc = (s + m·p_global)/(n + m)
+    * with m = 10, computed as ONE exact rational
+    * (s·N + m·S)·10⁶ div (N·(n + m)) — both engines divide identical
+    * BIGINTs, so the smoothing is hash-exact, no doubles. Two aggs +
+    * one broadcast scalar join. */
+  private def qTargetEnc(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val lab = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+    val per = lab.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("s"))
+    val glob = lab.agg(count(lit(1)).as("nn"), sum(col("y")).cast("long").as("ss"))
+    per.crossJoin(broadcast(glob))
+      .select(col("seg"), col("n"), col("s"),
+        expr("((s * nn + 10 * ss) * 1000000) div (nn * (n + 10))").as("enc_e6"))
+      .orderBy(col("seg"))
+  }
+
+  private val qTargetEncSql =
+    """WITH lab AS MATERIALIZED (SELECT c_mktsegment AS seg,
+      |CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      |FROM orders JOIN customer ON o_custkey = c_custkey),
+      |p AS (SELECT seg, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS s FROM lab GROUP BY 1),
+      |g AS (SELECT COUNT(*) AS nn, CAST(SUM(y) AS BIGINT) AS ss FROM lab)
+      |SELECT seg, n, s,
+      |CAST(((s * nn + 10 * ss) * 1000000) // (nn * (n + 10)) AS BIGINT) AS enc_e6
+      |FROM p CROSS JOIN g ORDER BY seg""".stripMargin.replace('\n', ' ')
+
   /** Ranking-function tour over customer revenue: rank, dense_rank,
     * percent_rank, cume_dist and the gap to the next customer — the
     * remaining window-function family in one pass (ONE sort over a
@@ -1294,6 +1417,10 @@ object Queries {
     "q_asof_purchase"  -> (qAsofPurchase _),
     "q_range_attrib"   -> (qRangeAttrib _),
     "q_window_funcs"   -> (qWindowFuncs _),
+    "q_skyline"        -> (qSkyline _),
+    "q_unpivot"        -> (qUnpivot _),
+    "q_pareto_abc"     -> (qParetoAbc _),
+    "q_target_enc"     -> (qTargetEnc _),
     "q_full_outer"     -> (qFullOuter _),
     "q_outliers"       -> (qOutliers _),
     "q_graph_temporal" -> (qTemporalReach _),
@@ -1364,6 +1491,10 @@ object Queries {
     "q_asof_purchase"  -> qAsofPurchaseSql,
     "q_range_attrib"   -> qRangeAttribSql,
     "q_window_funcs"   -> qWindowFuncsSql,
+    "q_skyline"        -> qSkylineSql,
+    "q_unpivot"        -> qUnpivotSql,
+    "q_pareto_abc"     -> qParetoAbcSql,
+    "q_target_enc"     -> qTargetEncSql,
     "q_full_outer"     -> qFullOuterSql,
     "q_outliers"       -> qOutliersSql,
     "q_graph_temporal" -> OracleGen.temporalReachSql(TestGraphs.custSuppTemporalSql, 8),
