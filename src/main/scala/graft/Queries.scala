@@ -1013,6 +1013,108 @@ object Queries {
       |CAST(((s * nn + 10 * ss) * 1000000) // (nn * (n + 10)) AS BIGINT) AS enc_e6
       |FROM p CROSS JOIN g ORDER BY seg""".stripMargin.replace('\n', ' ')
 
+  /** Market-basket association rules over order baskets of part brands:
+    * the co-occurrence → support/confidence/lift chain every
+    * recommendation and affinity report runs. Pair generation is the
+    * basket self-join ON the order key (work ∝ Σ basket², never
+    * items × items); per-item counts and the basket total broadcast
+    * back. Confidence and lift are exact integral rationals
+    * (c_xy·10⁶ div c_x and c_xy·N·10⁶ div (c_x·c_y)) so both engines
+    * divide identical BIGINTs. Rules are emitted in both directions;
+    * minimum support 2% of baskets. */
+  private def qAssocRules(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val items = t.lineitem
+      .join(t.part, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
+      .distinct()
+    val ic = items.groupBy(col("item")).agg(count(lit(1)).as("c_item"))
+    val n = items.agg(countDistinct(col("ok")).as("n_baskets"))
+    val pairs = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("x"), col("b.item").as("y"))
+      .agg(count(lit(1)).as("c_xy"))
+    val rules = pairs.select(col("x").as("ante"), col("y").as("cons"), col("c_xy"))
+      .unionByName(pairs.select(col("y").as("ante"), col("x").as("cons"), col("c_xy")))
+    rules
+      .join(broadcast(ic.withColumnRenamed("item", "ante").withColumnRenamed("c_item", "c_ante")), Seq("ante"))
+      .join(broadcast(ic.withColumnRenamed("item", "cons").withColumnRenamed("c_item", "c_cons")), Seq("cons"))
+      .crossJoin(broadcast(n))
+      .filter(col("c_xy") * 50 >= col("n_baskets"))
+      .select(col("ante"), col("cons"), col("c_xy"),
+        expr("(c_xy * 1000000) div c_ante").as("conf_e6"),
+        expr("(c_xy * n_baskets * 1000000) div (c_ante * c_cons)").as("lift_e6"))
+      .orderBy(col("ante"), col("cons"))
+  }
+
+  private val qAssocRulesSql =
+    """WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, p_brand AS item
+      |FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |ic AS (SELECT item, COUNT(*) AS c_item FROM items GROUP BY 1),
+      |n AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM items),
+      |pairs AS (SELECT a.item AS x, b.item AS y, COUNT(*) AS c_xy
+      |FROM items a JOIN items b ON a.ok = b.ok AND a.item < b.item GROUP BY 1, 2),
+      |rules AS (SELECT x AS ante, y AS cons, c_xy FROM pairs
+      |UNION ALL SELECT y, x, c_xy FROM pairs)
+      |SELECT ante, cons, c_xy,
+      |CAST((c_xy * 1000000) // ia.c_item AS BIGINT) AS conf_e6,
+      |CAST((c_xy * n_baskets * 1000000) // (ia.c_item * ic2.c_item) AS BIGINT) AS lift_e6
+      |FROM rules JOIN ic ia ON rules.ante = ia.item
+      |JOIN ic ic2 ON rules.cons = ic2.item CROSS JOIN n
+      |WHERE c_xy * 50 >= n_baskets
+      |ORDER BY ante, cons""".stripMargin.replace('\n', ' ')
+
+  /** Deterministic HyperLogLog distinct-count of event ids per event
+    * type (m = 64 registers; see [[graft.functions.Sketches.hllDistinct]]
+    * for the engine-portable ρ = 27 − length(bin(w)) trick and the
+    * all-integer α·m²/Z estimate). The at-scale replacement for exact
+    * COUNT(DISTINCT): one map-side-combined (group, bucket) max agg —
+    * 64 rows per group cross the shuffle regardless of input size. */
+  private def qHll(s: SparkSession, dir: String): DataFrame =
+    Sketches.hllDistinct(Tables(s, dir).events, "event_id", "event_type")
+
+  private val qHllSql = Sketches.hllDistinctSql("events", "event_id", "event_type")
+
+  /** Robust outlier detection via MAD (median absolute deviation):
+    * per-priority median, the median of |v − med|, and the count beyond
+    * 3·MAD — the heavy-tail-safe companion to q_outliers' IQR fences.
+    * Both medians come from [[graft.operators.Quantiles.exactScaled]]
+    * (floor-interpolated, pure BIGINT cents), the deviation frame rides
+    * a broadcast of the 5-row median table, so the chain is two ranked
+    * passes + two broadcast joins and never leaves exact integers. */
+  private def qMad(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val cents = t.orders.select(col("o_orderpriority").as("g"),
+      e2(col("o_totalprice")).as("v"))
+    val med = Quantiles.exactScaled(cents, "v", "g", Seq((1, 2)), 1L)
+      .select(col("g"), col("q_scaled").as("med"))
+    val dev = cents.join(broadcast(med), Seq("g"))
+      .select(col("g"), abs(col("v") - col("med")).as("d"))
+    val mad = Quantiles.exactScaled(dev, "d", "g", Seq((1, 2)), 1L)
+      .select(col("g"), col("q_scaled").as("mad"))
+    cents.join(broadcast(med), Seq("g")).join(broadcast(mad), Seq("g"))
+      .groupBy(col("g"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        count(when(abs(col("v") - col("med")) > col("mad") * 3, lit(1))).as("n_robust_out"))
+      .orderBy(col("g"))
+  }
+
+  private val qMadSql = {
+    val centsExpr = "CAST(FLOOR(o_totalprice * 100) AS BIGINT)"
+    val medSql = Quantiles.exactScaledSql("orders", centsExpr, "o_orderpriority", Seq((1, 2)), 1L)
+    val devSrc = s"""(SELECT v.g AS g, ABS(v.v - m.med) AS d FROM
+       |(SELECT o_orderpriority AS g, $centsExpr AS v FROM orders) v
+       |JOIN (SELECT g, q_scaled AS med FROM ($medSql) mq) m ON v.g = m.g) devt""".stripMargin.replace('\n', ' ')
+    val madSql = Quantiles.exactScaledSql(devSrc, "d", "g", Seq((1, 2)), 1L)
+    s"""WITH med AS MATERIALIZED (SELECT g, q_scaled AS med FROM ($medSql) mq),
+       |mad AS MATERIALIZED (SELECT g, q_scaled AS mad FROM ($madSql) dq),
+       |v AS (SELECT o_orderpriority AS g, $centsExpr AS v FROM orders)
+       |SELECT v.g, med, mad, COUNT(*) AS n,
+       |COUNT(*) FILTER (WHERE ABS(v - med) > mad * 3) AS n_robust_out
+       |FROM v JOIN med ON v.g = med.g JOIN mad ON v.g = mad.g
+       |GROUP BY 1, 2, 3 ORDER BY v.g""".stripMargin.replace('\n', ' ')
+  }
+
   /** Ranking-function tour over customer revenue: rank, dense_rank,
     * percent_rank, cume_dist and the gap to the next customer — the
     * remaining window-function family in one pass (ONE sort over a
@@ -1418,6 +1520,9 @@ object Queries {
     "q_range_attrib"   -> (qRangeAttrib _),
     "q_window_funcs"   -> (qWindowFuncs _),
     "q_skyline"        -> (qSkyline _),
+    "q_assoc_rules"    -> (qAssocRules _),
+    "q_distinct_hll"   -> (qHll _),
+    "q_mad"            -> (qMad _),
     "q_unpivot"        -> (qUnpivot _),
     "q_pareto_abc"     -> (qParetoAbc _),
     "q_target_enc"     -> (qTargetEnc _),
@@ -1492,6 +1597,9 @@ object Queries {
     "q_range_attrib"   -> qRangeAttribSql,
     "q_window_funcs"   -> qWindowFuncsSql,
     "q_skyline"        -> qSkylineSql,
+    "q_assoc_rules"    -> qAssocRulesSql,
+    "q_distinct_hll"   -> qHllSql,
+    "q_mad"            -> qMadSql,
     "q_unpivot"        -> qUnpivotSql,
     "q_pareto_abc"     -> qParetoAbcSql,
     "q_target_enc"     -> qTargetEncSql,

@@ -128,4 +128,62 @@ object Sketches {
        |ELSE CAST(CAST('${numerator(k)}' AS HUGEINT) // kth.hk AS BIGINT)
        |END AS kmv_est
        |FROM ex LEFT JOIN kth ON ex.g = kth.g ORDER BY ex.g""".stripMargin.replace('\n', ' ')
+
+  /** Deterministic HyperLogLog (Flajolet et al. 2007), m = 64 registers,
+    * engine-portable: hash = first 8 md5 hex digits (32 bits), bucket =
+    * h mod 64, and ρ = leading-zero count of the remaining 26-bit word
+    * + 1 computed EXACTLY as 27 − length(bin(w)) — both engines print
+    * the same minimal binary string, so ρ needs no log2 and no doubles.
+    * The raw estimate α·m²/Z is one integral division: Z is kept scaled
+    * by 2²⁷ (every register term 2^(27−ρ) is an exact BIGINT, unhit
+    * registers contribute 2²⁷ each), α_64 = 709/1000 per the paper, so
+    * est_e2 = (709·m²·2²⁷·100) div (1000·Z_scaled) on identical BIGINT
+    * operands. No small-range correction — the raw estimator is the
+    * deterministic contract; n_exact rides along for error inspection.
+    *
+    * Scale: ONE map-side-combined (group, bucket) max agg over the scan
+    * — 64 rows per group reach the reduce side, vs the full sort KMV
+    * needs. This is the estimator to swap in when exact distinct (the
+    * q_profile Expand) stops fitting; Spark's approx_count_distinct is
+    * the same algorithm with an engine-private hash (no oracle). */
+  def hllDistinct(df: DataFrame, keyCol: String, groupCol: String): DataFrame = {
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("long")
+    val regs = df.select(col(groupCol).as("g"), h.as("h"))
+      .select(col("g"), pmod(col("h"), lit(64L)).as("b"), expr("h div 64").as("w"))
+      .select(col("g"), col("b"),
+        when(col("w") === 0, lit(27L))
+          .otherwise(lit(27L) - length(bin(col("w")))).as("rho"))
+      .groupBy(col("g"), col("b")).agg(max(col("rho")).as("r"))
+    val exact = df.groupBy(col(groupCol).as("g"))
+      .agg(countDistinct(col(keyCol)).as("n_exact"))
+    val num = 709L * 64L * 64L * (1L << 27) * 100L
+    regs.groupBy(col("g"))
+      .agg(sum(expr("shiftleft(cast(1 as bigint), cast(27 - r as int))")).as("z_hit"),
+        count(lit(1)).as("n_hit"))
+      .select(col("g"), col("n_hit"),
+        (col("z_hit") + (lit(64L) - col("n_hit")) * lit(1L << 27)).as("z_scaled"))
+      .join(exact, Seq("g"))
+      .select(col("g"), col("n_exact"), col("n_hit"), col("z_scaled"),
+        expr(s"$num div (1000 * z_scaled)").as("hll_est_e2"))
+      .orderBy(col("g"))
+  }
+
+  /** DuckDB twin of [[hllDistinct]]. */
+  def hllDistinctSql(table: String, keyExpr: String, groupCol: String): String = {
+    val num = 709L * 64L * 64L * (1L << 27) * 100L
+    s"""WITH h AS (SELECT $groupCol AS g,
+       |CAST(('0x' || substring(md5(CAST($keyExpr AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+       |FROM $table),
+       |s AS (SELECT g, h % 64 AS b, h // 64 AS w FROM h),
+       |r AS (SELECT g, b,
+       |MAX(CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END) AS r
+       |FROM s GROUP BY 1, 2),
+       |z AS (SELECT g, COUNT(*) AS n_hit,
+       |CAST(SUM(CAST(1 AS BIGINT) << CAST(27 - r AS INT)) AS BIGINT)
+       |+ (64 - COUNT(*)) * 134217728 AS z_scaled FROM r GROUP BY 1),
+       |e AS (SELECT $groupCol AS g, COUNT(DISTINCT $keyExpr) AS n_exact FROM $table GROUP BY 1)
+       |SELECT z.g, n_exact, n_hit, z_scaled,
+       |CAST($num // (1000 * z_scaled) AS BIGINT) AS hll_est_e2
+       |FROM z JOIN e ON z.g = e.g ORDER BY z.g""".stripMargin.replace('\n', ' ')
+  }
 }

@@ -50,4 +50,28 @@ class SketchesSpec extends SparkSpec {
       .select(col("kmv_est")).as[Long].collect().head
     assert(est1 == est2)
   }
+
+  test("hll estimate is duplication/partition-invariant and within 30% at n=5000") {
+    val base = (0 until 5000).map(i => ("g", i)).toDF("g", "k")
+    val r1 = Sketches.hllDistinct(base, "k", "g")
+      .select(col("n_exact"), col("z_scaled"), col("hll_est_e2"))
+      .as[(Long, Long, Long)].collect().head
+    val r2 = Sketches.hllDistinct(base.union(base).repartition(7), "k", "g")
+      .select(col("n_exact"), col("z_scaled"), col("hll_est_e2"))
+      .as[(Long, Long, Long)].collect().head
+    assert(r1 == r2)
+    assert(r1._1 == 5000L)
+    // raw HLL at m=64: typical error 1.04/sqrt(64) = 13%; assert a loose 30%
+    val est = r1._3 / 100.0
+    assert(est > 3500 && est < 6500, s"est=$est")
+  }
+
+  test("hll registers cover all buckets at large n and rho stays in [1, 27]") {
+    val base = (0 until 20000).map(i => ("g", i)).toDF("g", "k")
+    val row = Sketches.hllDistinct(base, "k", "g")
+      .select(col("n_hit"), col("z_scaled")).as[(Long, Long)].collect().head
+    assert(row._1 == 64L)
+    // all buckets hit with rho >= 1 => z_scaled < 64 * 2^26, and > 0
+    assert(row._2 > 0L && row._2 <= 64L * (1L << 26))
+  }
 }
