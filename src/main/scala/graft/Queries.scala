@@ -1421,6 +1421,55 @@ object Queries {
        |/ sqrt(CAST(m * suu - su * su AS DOUBLE) * CAST(m * svv - sv * sv AS DOUBLE)))
        |* 1000000) AS BIGINT) AS r_e6 FROM st""".stripMargin.replace('\n', ' ')
 
+  /** Link prediction on the part co-purchase graph: top 50 non-edges
+    * by common-neighbor count with the preferential-attachment product
+    * riding along (see [[graft.graph.Algos.linkPredict]] for the wedge
+    * join and the hub cap — 500 is non-binding at test scale, where
+    * max degree ≈ 206, but bounds Σ deg² wedge work at 100 TB). */
+  private def qLinkPred(s: SparkSession, dir: String): DataFrame =
+    Algos.linkPredict(TestGraphs.partCoPairs(Tables(s, dir)), maxMidDeg = 500L)
+      .orderBy(col("cn").desc, col("u"), col("v"))
+      .limit(50)
+
+  private val qLinkPredSql =
+    s"""WITH cp AS MATERIALIZED (${TestGraphs.partCoPairsSql}),
+       |sym AS MATERIALIZED (SELECT u AS a, v AS b FROM cp UNION ALL SELECT v, u FROM cp),
+       |deg AS MATERIALIZED (SELECT a, COUNT(*) AS d FROM sym GROUP BY 1),
+       |cap AS MATERIALIZED (SELECT sym.a, sym.b FROM sym JOIN deg ON sym.a = deg.a WHERE d <= 500),
+       |cn AS MATERIALIZED (SELECT x.b AS u, y.b AS v, COUNT(*) AS cn
+       |FROM cap x JOIN cap y ON x.a = y.a AND x.b < y.b GROUP BY 1, 2),
+       |ne AS (SELECT cn.u, cn.v, cn.cn FROM cn LEFT JOIN cp ON cn.u = cp.u AND cn.v = cp.v
+       |WHERE cp.u IS NULL)
+       |SELECT ne.u, ne.v, cn, du.d * dv.d AS pa
+       |FROM ne JOIN deg du ON ne.u = du.a JOIN deg dv ON ne.v = dv.a
+       |ORDER BY cn DESC, u, v LIMIT 50""".stripMargin.replace('\n', ' ')
+
+  /** Katz-style centrality on the customer→supplier graph, 6 rounds,
+    * attenuation 1/4096 — the exact-integer recurrence contract is in
+    * [[graft.graph.Algos.katz]]; the oracle unrolls all 6 rounds of the
+    * identical BIGINT chain. */
+  private def qKatz(s: SparkSession, dir: String): DataFrame =
+    Algos.katz(custSuppE(s, dir), rounds = 6)
+      .orderBy(col("id"))
+
+  private val qKatzSql = {
+    val rounds = 6
+    val body = (1 to rounds).map { k =>
+      s"""x$k AS MATERIALIZED (SELECT verts.id,
+         |CAST(1000000 + COALESCE(s.s, 0) // 4096 AS BIGINT) AS x
+         |FROM verts LEFT JOIN (SELECT dst, SUM(x) AS s FROM e
+         |JOIN x${k - 1} ON e.src = x${k - 1}.id GROUP BY 1) s
+         |ON verts.id = s.dst)""".stripMargin.replace('\n', ' ')
+    }.mkString(", ")
+    s"""WITH ce AS MATERIALIZED (${TestGraphs.custSuppSql}),
+       |e AS MATERIALIZED (SELECT src, dst FROM ce),
+       |verts AS MATERIALIZED (SELECT DISTINCT id FROM
+       |(SELECT src AS id FROM e UNION ALL SELECT dst FROM e) t),
+       |x0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS x FROM verts),
+       |$body
+       |SELECT id, x AS katz_scaled FROM x$rounds ORDER BY id""".stripMargin.replace('\n', ' ')
+  }
+
   private def qDegStats(s: SparkSession, dir: String): DataFrame =
     Algos.degreeStats(custSuppE(s, dir))
 
@@ -1530,6 +1579,8 @@ object Queries {
     "q_outliers"       -> (qOutliers _),
     "q_graph_temporal" -> (qTemporalReach _),
     "q_graph_assortativity" -> (qAssortativity _),
+    "q_graph_linkpred" -> (qLinkPred _),
+    "q_graph_katz"     -> (qKatz _),
     "q_gaps_islands"   -> (qGapsIslands _),
     "q_grouping_sets"  -> (qGroupingSets _),
     "q_dq_checks"      -> (qDqChecks _),
@@ -1607,6 +1658,8 @@ object Queries {
     "q_outliers"       -> qOutliersSql,
     "q_graph_temporal" -> OracleGen.temporalReachSql(TestGraphs.custSuppTemporalSql, 8),
     "q_graph_assortativity" -> qAssortativitySql,
+    "q_graph_linkpred" -> qLinkPredSql,
+    "q_graph_katz"     -> qKatzSql,
     "q_gaps_islands"   -> qGapsIslandsSql,
     "q_grouping_sets"  -> qGroupingSetsSql,
     "q_dq_checks"      -> qDqChecksSql,

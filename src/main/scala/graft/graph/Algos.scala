@@ -1094,6 +1094,64 @@ object Algos {
       .limit(topK)
   }
 
+  /** Unipartite link prediction on an undirected pair graph (u < v):
+    * score every NON-edge at distance 2 by common-neighbor count plus
+    * the preferential-attachment product deg(u)·deg(v) (Liben-Nowell &
+    * Kleinberg 2003, public formulations — both scores exact integers,
+    * no log weights, so the oracle hash-matches).
+    *
+    * Scale: candidates come from the wedge join through each center
+    * vertex — work ∝ Σ deg(w)², so centers above `maxMidDeg` are
+    * excluded from wedge GENERATION (the standard hub cap, same
+    * discipline as contamination's maxDf; scores become "common
+    * neighbors of degree ≤ cap", replayed identically by the oracle).
+    * True degrees for the PA term still come from the full graph. One
+    * wedge join + one anti-join against the edge set + two broadcast
+    * degree joins. */
+  def linkPredict(pairs: DataFrame, maxMidDeg: Long): DataFrame = {
+    val sym = pairs.select(col("u").as("a"), col("v").as("b"))
+      .union(pairs.select(col("v").as("a"), col("u").as("b")))
+    val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("d"))
+    val capped = sym.join(deg.filter(col("d") <= maxMidDeg), Seq("a"))
+      .select(col("a"), col("b"))
+    val cn = capped.as("x")
+      .join(capped.as("y"), col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+      .groupBy(col("x.b").as("u"), col("y.b").as("v"))
+      .agg(count(lit(1)).as("cn"))
+    cn.join(pairs, Seq("u", "v"), "left_anti")
+      .join(deg.select(col("a").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("a").as("v"), col("d").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("cn"), (col("du") * col("dv")).as("pa"))
+  }
+
+  /** Katz-style attenuated path-count centrality with EXACT integer
+    * attenuation: x₀ = S, x_{k+1}(v) = S + (Σ_{u→v} x_k(u)) div A with
+    * scale S = 10⁶ and attenuation divisor A (α = 1/A; Katz 1953,
+    * public formulation). The floored-integer recurrence is the
+    * deterministic contract — both engines replay the identical BIGINT
+    * chain, sidestepping the cross-engine double-accumulation drift a
+    * float Katz would carry. A must exceed the principal eigenvalue
+    * (≈ mean in-degree here) for the usual convergence reading; the
+    * fixed round count makes the output well-defined either way.
+    * Scale: per round ONE edge⋈state shuffle + one agg — the PageRank
+    * shuffle shape, state one row per vertex. */
+  def katz(edges: DataFrame, rounds: Int, attenDiv: Long = 4096L,
+           scale: Long = 1000000L,
+           opts: PregelOptions = PregelOptions()): DataFrame = {
+    val e = ckptHash(edges.select("src", "dst"), "src")
+    val v = verticesOf(e).persist(StorageLevel.MEMORY_AND_DISK)
+    val init = v.withColumn("x", lit(scale))
+    val res = Pregel.iterate(init, rounds, opts) { (verts, _) =>
+      val sums = verts.join(e, col("id") === col("src"))
+        .groupBy(col("dst")).agg(sum(col("x")).as("s"))
+      verts.drop("x").join(sums, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(scale) + expr(s"coalesce(s, 0L) div $attenDiv")).as("x"))
+    }
+    freeCkpt(e); v.unpersist()
+    res.select(col("id"), col("x").as("katz_scaled"))
+  }
+
   /** Maximal independent set, deterministic id-priority variant of the
     * reference's DistributedIndependentSet
     * (BLOCK8 .../algo/DistributedIndependentSet.java:53-118): a vertex

@@ -427,4 +427,42 @@ class AlgosSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double)].collect().toSeq
     assert(got == Seq((1L, 3L, 6L, 6L, 0.25), (4L, 3L, 6L, 6L, 0.25)))
   }
+
+  test("linkPredict: square graph scores both diagonals, skips edges") {
+    // cycle 1-2-3-4: non-edges (1,3) and (2,4), each with 2 common
+    // neighbors; every vertex has degree 2 so pa = 4
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    val got = Algos.linkPredict(pairs, maxMidDeg = 10L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 2L, 4L), (2L, 4L, 2L, 4L)))
+  }
+
+  test("linkPredict: hub cap excludes wedges through high-degree centers") {
+    // star 0-{1..4}: all leaf pairs share only the center; capping the
+    // center's degree (4) away leaves no candidates, while pa would
+    // still use the TRUE degree if any survived
+    val pairs = (1L to 4L).map(l => (0L, l)).toDF("u", "v")
+    assert(Algos.linkPredict(pairs, maxMidDeg = 3L).count() == 0L)
+    val full = Algos.linkPredict(pairs, maxMidDeg = 4L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(full == (for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b, 1L, 1L)).toSet)
+  }
+
+  test("katz: hand-unrolled integer recurrence on the 3-chain") {
+    // 1→2→3, A=2, S=8: round1 x=(8,12,12); round2 x(3)=8+12/2=14
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Algos.katz(e, rounds = 2, attenDiv = 2L, scale = 8L)
+      .orderBy(col("id")).as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 8L), (2L, 12L), (3L, 14L)))
+  }
+
+  test("katz: floored division is applied per round, not at the end") {
+    // 1→3, 2→3 with A=4, S=10: x1(3) = 10 + (10+10) div 4 = 15;
+    // x2(3) identical (sources never change) — and 15 ≠ 10 + 20/4.0
+    // rounded any other way
+    val e = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val got = Algos.katz(e, rounds = 2, attenDiv = 4L, scale = 10L)
+      .orderBy(col("id")).as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L), (2L, 10L), (3L, 15L)))
+  }
 }
