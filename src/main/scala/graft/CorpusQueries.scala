@@ -483,6 +483,40 @@ object CorpusQueries {
        |CAST((w_e3 * 1000000) // (SELECT CAST(SUM(w_e3) AS BIGINT) FROM w) AS BIGINT) AS share_e6
        |FROM w ORDER BY source""".stripMargin.replace('\n', ' ')
 
+  /** Top-100 bigram collocations by rational PMI (min pair count 5);
+    * arithmetic contract in [[graft.pipeline.Corpus.collocations]]. */
+  private def qCollocations(s: SparkSession, dir: String): DataFrame =
+    Corpus.collocations(Tables(s, dir).documents, minCount = 5L, topK = 100)
+
+  private val qCollocationsSql =
+    s"""WITH toks AS MATERIALIZED (SELECT ${tokSql()} AS tok FROM documents),
+       |uni AS MATERIALIZED (SELECT u.t AS tok, COUNT(*) AS c FROM toks, unnest(tok) AS u(t) GROUP BY 1),
+       |g AS MATERIALIZED (SELECT concat_ws(' ', tok[CAST(i AS INT)], tok[CAST(i + 1 AS INT)]) AS gram
+       |FROM toks, unnest(range(1, greatest(len(tok) - 1, 1) + 1)) AS t(i)),
+       |bi AS MATERIALIZED (SELECT gram, COUNT(*) AS c_xy FROM g GROUP BY 1),
+       |n AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_bi FROM bi),
+       |sp AS (SELECT gram, c_xy, string_split(gram, ' ')[1] AS x,
+       |string_split(gram, ' ')[2] AS y FROM bi WHERE c_xy >= 5)
+       |SELECT gram, c_xy, ux.c AS c_x, uy.c AS c_y,
+       |CAST((c_xy * n_bi * 1000000) // (ux.c * uy.c) AS BIGINT) AS pmi_ratio_e6
+       |FROM sp JOIN uni ux ON sp.x = ux.tok JOIN uni uy ON sp.y = uy.tok CROSS JOIN n
+       |ORDER BY pmi_ratio_e6 DESC, gram LIMIT 100""".stripMargin.replace('\n', ' ')
+
+  /** Hashing-trick sparse features for every 10th document (bounded
+    * output; the operator itself is corpus-wide) — see
+    * [[graft.pipeline.Corpus.hashFeatures]]. */
+  private def qFeatureHash(s: SparkSession, dir: String): DataFrame =
+    Corpus.hashFeatures(
+        Tables(s, dir).documents.filter(col("doc_id") % 10 === 0), buckets = 256)
+      .orderBy(col("doc_id"), col("bucket"))
+
+  private val qFeatureHashSql =
+    s"""WITH d AS (SELECT doc_id, ${tokSql()} AS tok FROM documents WHERE doc_id % 10 = 0),
+       |t AS (SELECT doc_id, u.t AS tok FROM d, unnest(tok) AS u(t)),
+       |b AS (SELECT doc_id, ${hex6Sql("md5(tok)")} % 256 AS bucket FROM t)
+       |SELECT doc_id, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin.replace('\n', ' ')
+
   // --- registry ---------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -505,7 +539,9 @@ object CorpusQueries {
     "q_topk_cms"          -> (qTopkCms _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_index_postings"    -> (qIndexPostings _),
-    "q_mix_temperature"   -> (qMixTemperature _))
+    "q_mix_temperature"   -> (qMixTemperature _),
+    "q_text_pmi"          -> (qCollocations _),
+    "q_feature_hash"      -> (qFeatureHash _))
 
   val oracles: Map[String, String] = Map(
     "q_text_repetition"   -> qTextRepetitionSql,
@@ -527,5 +563,7 @@ object CorpusQueries {
     "q_topk_cms"          -> qTopkCmsSql,
     "q_quality_classifier" -> qQualityClassifierSql,
     "q_index_postings"    -> qIndexPostingsSql,
-    "q_mix_temperature"   -> qMixTemperatureSql)
+    "q_mix_temperature"   -> qMixTemperatureSql,
+    "q_text_pmi"          -> qCollocationsSql,
+    "q_feature_hash"      -> qFeatureHashSql)
 }

@@ -567,4 +567,53 @@ object Corpus {
     per.unpersist()
     out
   }
+
+  // --- collocations (PMI) ----------------------------------------------
+
+  /** Bigram collocation mining by rational PMI: rank word pairs by
+    * c_xy·N / (c_x·c_y) — exp(PMI) — instead of the log form, so the
+    * score stays one exact integral division (the same monotone-rank
+    * trade TF-IDF makes above; cross-engine ln() drifts in the last
+    * ulp). Corpus-wide unigram and bigram counts, a minimum pair count
+    * to kill noise pairs, then the ratio at e6.
+    *
+    * Scale: two explode→agg passes (both map-side combined) + two
+    * equi-joins ON the token (vocabulary-sized frames, NOT broadcast:
+    * a 100 TB vocabulary outgrows the driver) + one broadcast scalar
+    * N. Overflow bound: c_xy·N·10⁶ needs c_xy·N < 9·10¹² — at larger
+    * corpora swap the literal to DECIMAL(38) (documented, same plan). */
+  def collocations(docs: DataFrame, minCount: Long, topK: Int,
+                   textCol: String = "text"): DataFrame = {
+    val toks = docs.select(explode(tokens(col(textCol))).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val bi = docs.select(explode(wordNgramsAll(tokens(col(textCol)), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c_xy"))
+    val n = bi.agg(sum(col("c_xy")).as("n_bi"))
+    bi.filter(col("c_xy") >= minCount)
+      .withColumn("x", split(col("gram"), " ")(0))
+      .withColumn("y", split(col("gram"), " ")(1))
+      .join(uni.select(col("tok").as("x"), col("c").as("c_x")), Seq("x"))
+      .join(uni.select(col("tok").as("y"), col("c").as("c_y")), Seq("y"))
+      .crossJoin(broadcast(n))
+      .select(col("gram"), col("c_xy"), col("c_x"), col("c_y"),
+        idiv(col("c_xy") * col("n_bi") * lit(1000000L), col("c_x") * col("c_y"))
+          .as("pmi_ratio_e6"))
+      .orderBy(col("pmi_ratio_e6").desc, col("gram"))
+      .limit(topK)
+  }
+
+  // --- feature hashing --------------------------------------------------
+
+  /** Hashing-trick featurization (Weinberger et al. 2009): token →
+    * md5-derived bucket in [0, buckets), per-doc sparse count vector as
+    * (doc_id, bucket, cnt) rows — the fixed-width, vocabulary-free
+    * input encoding for downstream linear models ([[hashedLinearScore]]
+    * is the matching scoring pass). Pure codegen'd columns: explode →
+    * pmod(md5, m) → one map-side-combined agg; no vocabulary state at
+    * all, which is the whole point at 100 TB. */
+  def hashFeatures(docs: DataFrame, buckets: Int = 256,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), pmod(md5Uniform(col("tok")), lit(buckets.toLong)).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
 }

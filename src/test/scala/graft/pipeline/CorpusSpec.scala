@@ -257,4 +257,29 @@ class CorpusSpec extends SparkSpec {
     // shares are floor-divided so they sum to ≤ 1e6
     assert(r.map(_._4).sum <= 1000000L)
   }
+
+  test("collocations: a repeated pair outranks independent co-occurrence") {
+    // "a b" always adjacent: ratio = N/4; "x y" co-occur once with
+    // c_x = c_y = 3: ratio = N/9 — 2.25× lower
+    val d = (Seq.fill(4)((1L, "a b")) ++ Seq(
+      (2L, "x y"), (3L, "x q x w"), (4L, "y r y t"))).toDF("doc_id", "text")
+    val r = Corpus.collocations(d, minCount = 1L, topK = 50)
+      .select("gram", "c_xy", "pmi_ratio_e6")
+      .as[(String, Long, Long)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r("a b")._1 == 4L)
+    // N_bi = 11: "a b" → 11e6/4 = 2750000, "x y" → 11e6/9 = 1222222
+    assert(r("a b")._2 == 2750000L)
+    assert(r("x y")._2 == 1222222L)
+  }
+
+  test("hashFeatures: buckets stay in range and counts sum to token count") {
+    val d = Seq((1L, "a b c a"), (2L, "d d")).toDF("doc_id", "text")
+    val r = Corpus.hashFeatures(d, buckets = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(r.forall(x => x._2 >= 0 && x._2 < 8))
+    assert(r.filter(_._1 == 1L).map(_._3).sum == 4L)
+    assert(r.filter(_._1 == 2L).map(_._3).sum == 2L)
+    // same token always lands in the same bucket
+    assert(r.count(_._1 == 2L) == 1)
+  }
 }
