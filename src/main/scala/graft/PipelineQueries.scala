@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.sim.Similarity
-import graft.sql.Exact.{e4, e6}
+import graft.sql.Exact.{e2, e4, e6}
 import graft.text.TextFunctions._
 
 /** Training-data-pipeline query corpus: text analysis, dedup family,
@@ -779,9 +779,41 @@ object PipelineQueries {
       |CAST(list_max(l) AS BIGINT) AS max_abs
       |FROM z ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
+  /** Hive-style partitioned warehouse round trip
+    * ([[graft.io.PartitionedStore]]): events written partitioned by
+    * (event_type, day), read back through a partition-pruned scan
+    * (FormatsSpec asserts the PartitionFilters), aggregated per day.
+    * The oracle replays the aggregate straight off the source table, so
+    * a hash match proves the write→prune→read cycle is lossless. */
+  private def qPartitionedWrite(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_warehouse")
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(path).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    val ev = t.events.select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"),
+      expr("ts div 86400000000000").as("day"))
+    graft.io.PartitionedStore.write(ev, path.toString, Seq("event_type", "day"))
+    graft.io.PartitionedStore.read(s, path.toString)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("day").cast("long").as("day"))
+      .agg(count(lit(1)).as("n"), e2(sum(col("value"))).as("rev_e2"))
+      .orderBy(col("day"))
+  }
+
+  private val qPartitionedWriteSql =
+    """SELECT epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS n,
+      |CAST(FLOOR(SUM(value) * 100) AS BIGINT) AS rev_e2
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin.replace('\n', ' ')
+
   // registry ------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_partitioned_write" -> (qPartitionedWrite _),
     "q_text_stats"       -> (qTextStats _),
     "q_text_bpe"         -> (qTextBpe _),
     "q_text_quality"     -> (qTextQuality _),
@@ -812,6 +844,7 @@ object PipelineQueries {
     "q_multimodal_pixstats" -> (qMultimodalPixstats _))
 
   val oracles: Map[String, String] = Map(
+    "q_partitioned_write" -> qPartitionedWriteSql,
     "q_text_stats"       -> qTextStatsSql,
     "q_text_bpe"         -> qTextBpeSql,
     "q_text_quality"     -> qTextQualitySql,

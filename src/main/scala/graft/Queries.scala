@@ -1115,6 +1115,77 @@ object Queries {
        |GROUP BY 1, 2, 3 ORDER BY v.g""".stripMargin.replace('\n', ' ')
   }
 
+  /** RFM customer segmentation: recency (days since last order),
+    * frequency (order count), monetary (cents) quintiled independently
+    * over UNIQUE orders (metric, custkey) — ntile ties are therefore a
+    * pure function of the data — then rolled up to the 5×5×5 segment
+    * grid. All three ntile windows sort the customer AGGREGATE (1% of
+    * the fact table); ntile is cast to long on the Spark side (int32
+    * vs DuckDB int64 — the documented dtype trap). */
+  private def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val day = expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')").cast("long")
+    val per = t.orders.groupBy(col("o_custkey"))
+      .agg(max(day).as("last_day"), count(lit(1)).as("f"),
+        e2(sum(col("o_totalprice"))).as("m"))
+    val maxDay = per.agg(max(col("last_day")).as("max_day"))
+    val scored = per.crossJoin(broadcast(maxDay))
+      .withColumn("recency", col("max_day") - col("last_day"))
+    scored.select(col("o_custkey"), col("m"),
+        ntile(5).over(Window.orderBy(col("recency").asc, col("o_custkey"))).cast("long").as("r_q"),
+        ntile(5).over(Window.orderBy(col("f").desc, col("o_custkey"))).cast("long").as("f_q"),
+        ntile(5).over(Window.orderBy(col("m").desc, col("o_custkey"))).cast("long").as("m_q"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("m")).cast("long").as("m_sum_e2"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
+  private val qRfmSql =
+    """WITH per AS MATERIALIZED (SELECT o_custkey,
+      |MAX(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)) AS last_day,
+      |COUNT(*) AS f, CAST(FLOOR(SUM(o_totalprice) * 100) AS BIGINT) AS m
+      |FROM orders GROUP BY 1),
+      |mx AS (SELECT MAX(last_day) AS max_day FROM per),
+      |sc AS (SELECT o_custkey, m, max_day - last_day AS recency, f FROM per CROSS JOIN mx),
+      |q AS (SELECT o_custkey, m,
+      |CAST(NTILE(5) OVER (ORDER BY recency ASC, o_custkey) AS BIGINT) AS r_q,
+      |CAST(NTILE(5) OVER (ORDER BY f DESC, o_custkey) AS BIGINT) AS f_q,
+      |CAST(NTILE(5) OVER (ORDER BY m DESC, o_custkey) AS BIGINT) AS m_q FROM sc)
+      |SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
+      |CAST(SUM(m) AS BIGINT) AS m_sum_e2
+      |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin.replace('\n', ' ')
+
+  /** First-order Markov transition matrix over per-user event streams:
+    * consecutive event-type pairs (ordered by micro-truncated ts then
+    * event_id — micros because DuckDB surfaces timestamp[ns] at micro
+    * precision, the documented trap) counted and row-normalized to
+    * exact e6 probabilities. One window pass + two aggs; the matrix is
+    * |types|² rows regardless of input size. */
+  private def qMarkov(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val pairs = t.events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+      .select(col("event_type").as("src"), lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    val c = pairs.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    val tot = c.groupBy(col("src")).agg(sum(col("n")).cast("long").as("n_src"))
+    c.join(broadcast(tot), Seq("src"))
+      .select(col("src"), col("dst"), col("n"),
+        expr("(n * 1000000) div n_src").as("p_e6"))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  private val qMarkovSql =
+    """WITH p AS MATERIALIZED (SELECT event_type AS src,
+      |LEAD(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS dst
+      |FROM events),
+      |c AS MATERIALIZED (SELECT src, dst, COUNT(*) AS n FROM p WHERE dst IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT src, CAST(SUM(n) AS BIGINT) AS n_src FROM c GROUP BY 1)
+      |SELECT c.src, c.dst, n, CAST((n * 1000000) // n_src AS BIGINT) AS p_e6
+      |FROM c JOIN t ON c.src = t.src ORDER BY c.src, c.dst""".stripMargin.replace('\n', ' ')
+
   /** Ranking-function tour over customer revenue: rank, dense_rank,
     * percent_rank, cume_dist and the gap to the next customer — the
     * remaining window-function family in one pass (ONE sort over a
@@ -1572,6 +1643,8 @@ object Queries {
     "q_assoc_rules"    -> (qAssocRules _),
     "q_distinct_hll"   -> (qHll _),
     "q_mad"            -> (qMad _),
+    "q_rfm"            -> (qRfm _),
+    "q_markov"         -> (qMarkov _),
     "q_unpivot"        -> (qUnpivot _),
     "q_pareto_abc"     -> (qParetoAbc _),
     "q_target_enc"     -> (qTargetEnc _),
@@ -1651,6 +1724,8 @@ object Queries {
     "q_assoc_rules"    -> qAssocRulesSql,
     "q_distinct_hll"   -> qHllSql,
     "q_mad"            -> qMadSql,
+    "q_rfm"            -> qRfmSql,
+    "q_markov"         -> qMarkovSql,
     "q_unpivot"        -> qUnpivotSql,
     "q_pareto_abc"     -> qParetoAbcSql,
     "q_target_enc"     -> qTargetEncSql,

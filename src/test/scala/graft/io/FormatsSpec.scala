@@ -132,4 +132,34 @@ class FormatsSpec extends SparkSpec {
     assert(tiny.filter(col("dst").isNull || col("src") === col("dst")).count() == 0)
     assert(tiny.filter(col("dst") < 0 || col("dst") >= 5).count() == 0)
   }
+
+  test("partitioned store: one file per partition, pruned read, row parity") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, s"t${i % 3}", (i % 4).toLong, i * 10L))
+      .toDF("id", "typ", "day", "v")
+    val path = java.nio.file.Files.createTempDirectory("graft_pstore")
+    try {
+      PartitionedStore.write(df, path.toString, Seq("typ", "day"))
+      // one data file per (typ, day) partition — the small-file discipline
+      val files = java.nio.file.Files.walk(path).iterator()
+      val parquets = scala.jdk.CollectionConverters.IteratorHasAsScala(files)
+        .asScala.filter(_.toString.endsWith(".parquet")).toSeq
+      assert(parquets.size == 12, s"expected 12 files, got ${parquets.size}")
+      // pruned read: partition predicate must reach PartitionFilters
+      val back = PartitionedStore.read(spark, path.toString)
+        .filter(col("typ") === "t1" && col("day") === 2L)
+      val plan = back.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [isnotnull(typ"),
+        "no partition filter in scan:\n" + plan.take(600))
+      // row parity against the in-memory frame
+      val got = back.select(col("id"), col("v")).as[(Long, Long)].collect().toSet
+      val exp = df.filter(col("typ") === "t1" && col("day") === 2L)
+        .select(col("id"), col("v")).as[(Long, Long)].collect().toSet
+      assert(got == exp && got.nonEmpty)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(path).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
