@@ -1186,6 +1186,102 @@ object Queries {
       |SELECT c.src, c.dst, n, CAST((n * 1000000) // n_src AS BIGINT) AS p_e6
       |FROM c JOIN t ON c.src = t.src ORDER BY c.src, c.dst""".stripMargin.replace('\n', ' ')
 
+  /** Month-over-month revenue growth: monthly rollup + LAG + exact e6
+    * growth ratio. Both engines truncate integral division toward zero
+    * (verified for negative deltas: −7 div 2 = −7 // 2 = −3), so
+    * negative growth months hash-match too; the first month's growth is
+    * NULL in both. One agg + one ordered window over the ~80-row
+    * monthly frame. */
+  private def qMomGrowth(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val m = t.orders
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("ym"))
+      .agg(e2(sum(col("o_totalprice"))).as("rev"))
+    val w = Window.orderBy(col("ym"))
+    m.select(col("ym"), col("rev"), lag(col("rev"), 1).over(w).as("prev"))
+      .select(col("ym"), col("rev"),
+        expr("((rev - prev) * 1000000) div prev").as("growth_e6"))
+      .orderBy(col("ym"))
+  }
+
+  private val qMomGrowthSql =
+    """WITH m AS (SELECT year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+      |CAST(FLOOR(SUM(o_totalprice) * 100) AS BIGINT) AS rev FROM orders GROUP BY 1),
+      |l AS (SELECT ym, rev, LAG(rev) OVER (ORDER BY ym) AS prev FROM m)
+      |SELECT ym, rev, CAST(((rev - prev) * 1000000) // prev AS BIGINT) AS growth_e6
+      |FROM l ORDER BY ym""".stripMargin.replace('\n', ' ')
+
+  /** Gini coefficient of customer revenue — the inequality metric for
+    * both CRM concentration and token-frequency skew reports. Standard
+    * sorted formula G = (2Σi·x_i − (n+1)Σx_i)/(nΣx_i) over a UNIQUE
+    * (x, custkey) order (Σi·x_i is tie-order-invariant among equal x,
+    * so the rank is a pure function of the multiset). The numerator
+    * ×10⁶ exceeds BIGINT at warehouse scale, so the one division runs
+    * on DECIMAL(38,0)/HUGEINT — exact on both engines (the kmv
+    * precedent). One sort window + one agg. */
+  private def qGini(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val rev = t.orders.groupBy(col("o_custkey"))
+      .agg(e2(sum(col("o_totalprice"))).as("x"))
+    val w = Window.orderBy(col("x"), col("o_custkey"))
+    rev.select(col("x"), row_number().over(w).cast("long").as("i"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).cast("long").as("sx"),
+        sum(col("i") * col("x")).cast("long").as("sxi"))
+      .select(col("n"), col("sx"),
+        expr("CAST(CAST(2 * sxi - (n + 1) * sx AS DECIMAL(38,0)) * 1000000 div " +
+          "(CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)").as("gini_e6"))
+  }
+
+  private val qGiniSql =
+    """WITH rev AS (SELECT o_custkey, CAST(FLOOR(SUM(o_totalprice) * 100) AS BIGINT) AS x
+      |FROM orders GROUP BY 1),
+      |rk AS (SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i FROM rev),
+      |a AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+      |CAST(SUM(i * x) AS BIGINT) AS sxi FROM rk)
+      |SELECT n, sx, CAST((CAST(2 * sxi - (n + 1) * sx AS HUGEINT) * 1000000)
+      |// (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_e6 FROM a""".stripMargin.replace('\n', ' ')
+
+  /** Pearson χ² independence statistic for segment × order-priority —
+    * the categorical feature-relevance test. Per cell the exact
+    * rational ((O·N − r·c)²·10⁴) div (N·r·c) (≡ (O−E)²/E with E =
+    * r·c/N, cleared of fractions); the square exceeds BIGINT at
+    * warehouse scale → DECIMAL(38,0)/HUGEINT per the kmv precedent.
+    * Output: the 15 cells with their contribution and the χ² total
+    * (window sum — identical per row). Three aggs + broadcast joins of
+    * the marginal frames. */
+  private def qChi2(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val lab = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_orderpriority").as("pri"))
+    val cells = lab.groupBy(col("seg"), col("pri")).agg(count(lit(1)).as("obs"))
+    val rTot = lab.groupBy(col("seg")).agg(count(lit(1)).as("rt"))
+    val cTot = lab.groupBy(col("pri")).agg(count(lit(1)).as("ct"))
+    val nTot = lab.agg(count(lit(1)).as("nt"))
+    cells.join(broadcast(rTot), Seq("seg")).join(broadcast(cTot), Seq("pri"))
+      .crossJoin(broadcast(nTot))
+      .select(col("seg"), col("pri"), col("obs"),
+        expr("CAST(CAST(obs * nt - rt * ct AS DECIMAL(38,0)) * (obs * nt - rt * ct) * 10000 div " +
+          "(CAST(nt AS DECIMAL(38,0)) * rt * ct) AS BIGINT)").as("term_e4"))
+      .withColumn("chi2_e4", sum(col("term_e4"))
+        .over(Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .orderBy(col("seg"), col("pri"))
+  }
+
+  private val qChi2Sql =
+    """WITH lab AS MATERIALIZED (SELECT c_mktsegment AS seg, o_orderpriority AS pri
+      |FROM orders JOIN customer ON o_custkey = c_custkey),
+      |cells AS (SELECT seg, pri, COUNT(*) AS obs FROM lab GROUP BY 1, 2),
+      |r AS (SELECT seg, COUNT(*) AS rt FROM lab GROUP BY 1),
+      |c AS (SELECT pri, COUNT(*) AS ct FROM lab GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS nt FROM lab),
+      |t AS (SELECT seg, pri, obs,
+      |CAST(CAST(obs * nt - rt * ct AS HUGEINT) * (obs * nt - rt * ct) * 10000
+      |// (CAST(nt AS HUGEINT) * rt * ct) AS BIGINT) AS term_e4
+      |FROM cells JOIN r USING (seg) JOIN c USING (pri) CROSS JOIN n)
+      |SELECT seg, pri, obs, term_e4,
+      |CAST(SUM(term_e4) OVER () AS BIGINT) AS chi2_e4
+      |FROM t ORDER BY seg, pri""".stripMargin.replace('\n', ' ')
+
   /** Ranking-function tour over customer revenue: rank, dense_rank,
     * percent_rank, cume_dist and the gap to the next customer — the
     * remaining window-function family in one pass (ONE sort over a
@@ -1645,6 +1741,9 @@ object Queries {
     "q_mad"            -> (qMad _),
     "q_rfm"            -> (qRfm _),
     "q_markov"         -> (qMarkov _),
+    "q_mom_growth"     -> (qMomGrowth _),
+    "q_gini"           -> (qGini _),
+    "q_chi2"           -> (qChi2 _),
     "q_unpivot"        -> (qUnpivot _),
     "q_pareto_abc"     -> (qParetoAbc _),
     "q_target_enc"     -> (qTargetEnc _),
@@ -1726,6 +1825,9 @@ object Queries {
     "q_mad"            -> qMadSql,
     "q_rfm"            -> qRfmSql,
     "q_markov"         -> qMarkovSql,
+    "q_mom_growth"     -> qMomGrowthSql,
+    "q_gini"           -> qGiniSql,
+    "q_chi2"           -> qChi2Sql,
     "q_unpivot"        -> qUnpivotSql,
     "q_pareto_abc"     -> qParetoAbcSql,
     "q_target_enc"     -> qTargetEncSql,
