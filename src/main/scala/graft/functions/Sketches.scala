@@ -168,6 +168,35 @@ object Sketches {
       .orderBy(col("g"))
   }
 
+  /** Engine-portable (bucket, ρ) pre-aggregation columns — shared by
+    * the batch estimator above and the STREAMING register maintenance
+    * (EventStreams.hllWindowed): max(ρ) per bucket is associative and
+    * commutative, so registers survive any partial-agg topology —
+    * micro-batches, shuffle partials, state-store merges alike. */
+  private def h32(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  def hllBucket(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(h32(key), lit(64L))
+
+  def hllRho(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val w = shiftright(h32(key), 6) // == h div 64, nonneg
+    when(w === 0, lit(27L)).otherwise(lit(27L) - length(bin(w)))
+  }
+
+  /** Finalize (group, r) registers (one row per HIT bucket) to the
+    * scaled-Z + estimate of [[hllDistinct]] — identical arithmetic. */
+  def hllFinalize(regs: DataFrame, groupCol: String): DataFrame = {
+    val num = 709L * 64L * 64L * (1L << 27) * 100L
+    regs.groupBy(col(groupCol).as("g"))
+      .agg(sum(expr("shiftleft(cast(1 as bigint), cast(27 - r as int))")).as("z_hit"),
+        count(lit(1)).as("n_hit"))
+      .select(col("g"), col("n_hit"),
+        (col("z_hit") + (lit(64L) - col("n_hit")) * lit(1L << 27)).as("z_scaled"))
+      .select(col("g"), col("n_hit"), col("z_scaled"),
+        expr(s"$num div (1000 * z_scaled)").as("hll_est_e2"))
+  }
+
   /** DuckDB twin of [[hllDistinct]]. */
   def hllDistinctSql(table: String, keyExpr: String, groupCol: String): String = {
     val num = 709L * 64L * 64L * (1L << 27) * 100L

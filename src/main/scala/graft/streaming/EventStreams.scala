@@ -184,6 +184,28 @@ object EventStreams {
         .start()
   }
 
+  /** Streaming distinct-count sketch: per tumbling window, the m = 64
+    * deterministic-HLL registers (max ρ per bucket — see
+    * [[graft.functions.Sketches.hllDistinct]]) maintained as a plain
+    * watermarked streaming aggregation. max is associative and
+    * commutative, so micro-batch partials merge losslessly in the state
+    * store, and per-window state is BOUNDED AT 64 ROWS regardless of
+    * stream cardinality — the property that makes distinct-user
+    * counting viable on an unbounded stream where exact
+    * dropDuplicates state would grow with the key universe. Finalize
+    * with [[graft.functions.Sketches.hllFinalize]] (batch, identical
+    * arithmetic — StreamingSpec pins streaming == batch per window). */
+  def hllWindowed(events: DataFrame, keyCol: String,
+                  window_ : String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        graft.functions.Sketches.hllBucket(col(keyCol)).as("b"),
+        graft.functions.Sketches.hllRho(col(keyCol)).as("rho"))
+      .groupBy(window(col("ts"), window_), col("b"))
+      .agg(max(col("rho")).as("r"))
+
   /** Streaming exact dedup: first occurrence of each key wins, duplicate
     * arrivals within the watermark bound are dropped, and key state is
     * evicted once the watermark passes it — the incremental twin of

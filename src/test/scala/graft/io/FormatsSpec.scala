@@ -156,6 +156,35 @@ class FormatsSpec extends SparkSpec {
       val exp = df.filter(col("typ") === "t1" && col("day") === 2L)
         .select(col("id"), col("v")).as[(Long, Long)].collect().toSet
       assert(got == exp && got.nonEmpty)
+
+      // fragment one partition with three extra appends, then compact it
+      val extra = Seq((900L, "t1", 2L, 9000L), (901L, "t1", 2L, 9010L),
+        (902L, "t1", 2L, 9020L)).toDF("id", "typ", "day", "v")
+      extra.repartition(3).write.mode("append")
+        .partitionBy("typ", "day").parquet(path.toString)
+      def filesIn(sub: String) = {
+        val d = path.resolve(sub)
+        scala.jdk.CollectionConverters.IteratorHasAsScala(
+          java.nio.file.Files.walk(d).iterator()).asScala
+          .count(_.toString.endsWith(".parquet"))
+      }
+      assert(filesIn("typ=t1/day=2") == 4) // 1 original + 3 appended
+      PartitionedStore.compact(spark, path.toString, Seq("typ", "day"),
+        col("typ") === "t1" && col("day") === 2L)
+      assert(filesIn("typ=t1/day=2") == 1)
+      // untouched partition keeps its single file; rows survive compaction
+      assert(filesIn("typ=t0/day=0") == 1)
+      val after = PartitionedStore.read(spark, path.toString)
+        .filter(col("typ") === "t1" && col("day") === 2L).count()
+      assert(after == exp.size + 3)
+
+      // retention: drop day=3 partitions by directory delete, no scan
+      val dropped = PartitionedStore.dropPartitions(path.toString,
+        kvs => kvs.get("day").forall(_ != "3"))
+      assert(dropped == 3) // one day=3 leaf per typ
+      val remaining = PartitionedStore.read(spark, path.toString)
+      assert(remaining.filter(col("day") === 3L).count() == 0)
+      assert(remaining.count() == 100 + 3 - df.filter(col("day") === 3L).count())
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(path).iterator().asScala.toSeq.reverse

@@ -250,4 +250,36 @@ class StreamingSpec extends SparkSpec {
     assert(got(0L) == 2L && got(3600L) == 1L)
     query.stop()
   }
+
+  test("streaming hll registers finalize to the batch estimate per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.hllWindowed(input.toDS().toDF(), "user_id")
+      .writeStream.format("memory").queryName("hllregs")
+      .outputMode("update").start()
+    // window 0: users 1..40 (some twice — duplicates must not move
+    // registers); window 1: users 100..110
+    val w0 = (1L to 40L).map(u => ev(u, u % 1800, u)) ++
+      (1L to 10L).map(u => ev(100 + u, 1800 + u, u))
+    val w1 = (100L to 110L).map(u => ev(200 + u, 3600 + u, u))
+    input.addData(w0 ++ w1: _*)
+    query.processAllAvailable()
+    // update mode re-emits rows as they grow: reduce to the final
+    // register value (max — the agg itself) per (window, bucket)
+    val regs = spark.table("hllregs")
+      .select(col("window.start").cast("long").as("g"), col("b"), col("r"))
+      .groupBy("g", "b").agg(max("r").as("r"))
+    val streamed = graft.functions.Sketches.hllFinalize(regs, "g")
+      .select(col("g"), col("z_scaled"), col("hll_est_e2"))
+      .as[(Long, Long, Long)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    // batch twin over the same rows, grouped by the same hour key
+    val batchDf = (w0 ++ w1).toSeq.toDF()
+      .select((expr("cast(ts as long) div 3600") * 3600L).as("g"), col("user_id"))
+    val batch = graft.functions.Sketches.hllDistinct(batchDf, "user_id", "g")
+      .select(col("g"), col("z_scaled"), col("hll_est_e2"))
+      .as[(Long, Long, Long)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(streamed == batch)
+    assert(streamed.contains(0L) && streamed.contains(3600L))
+    query.stop()
+  }
 }
