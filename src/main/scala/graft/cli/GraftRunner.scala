@@ -124,6 +124,12 @@ object GraftRunner {
                 else edges.withColumn("w", lit(1L))
               Algos.mst(we.filter(col("src") < col("dst"))
                 .select(col("src").as("u"), col("dst").as("v"), col("w")))
+            case "katz" => Algos.katz(edges, rounds = iters)
+            case "linkpred" =>
+              Algos.linkPredict(
+                edges.filter(col("src") < col("dst"))
+                  .select(col("src").as("u"), col("dst").as("v")).distinct(),
+                maxMidDeg = opts.getOrElse("maxdeg", "500").toLong)
             case other => System.err.println(s"unknown algo: $other"); usage(); sys.exit(2); null
           }
         }
@@ -181,7 +187,7 @@ object GraftRunner {
       |     [--local-ratio permille] [--beta permille]   (benchmark inputs)
       |  graph algo: pagerank pagerank-conv wpagerank sssp bfs wcc scc
       |              degrees mis triangles ktruss [--k N] lpa ecc
-      |              walks [--len N] mst
+      |              walks [--len N] mst katz linkpred [--maxdeg N]
       |              ([--tol X] [--convergence
       |              sum|max|sum_rel|max_rel|rmse] for pagerank-conv)
       |or: GraftRunner <op> --docs <parquet> --out <path> [--k N] [--budget N]
