@@ -756,6 +756,33 @@ object PipelineQueries {
       |FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin.replace('\n', ' ')
 
+  /** Perceptual average-hash of every document-as-image: 60-cell aHash
+    * ([[graft.multimodal.Multimodal.averageHash]]), exact-integer bit
+    * rule, so the oracle recomputes the hash from the text bytes (the
+    * pixstats pure-ASCII fixture contract). Sentinels replayed via the
+    * same LEFT JOIN + COALESCE discipline as q_multimodal_pixstats. */
+  private def qMultimodalAhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.averageHash(Multimodal.documentsAsPpm(Tables(s, dir).documents))
+      .toDF().orderBy(col("doc_id"))
+
+  private val qMultimodalAhashSql =
+    """WITH px AS MATERIALIZED (SELECT doc_id,
+      |ascii(substring(text, CAST(i AS INT), 1)) AS v,
+      |((i - 1) * 60) // length(text) AS cell
+      |FROM documents, unnest(range(1, length(text) + 1)) AS t(i)),
+      |cl AS (SELECT doc_id, cell, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS nc
+      |FROM px GROUP BY 1, 2),
+      |tt AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS ts, COUNT(*) AS n
+      |FROM px GROUP BY 1),
+      |h AS (SELECT cl.doc_id,
+      |CAST(SUM(CASE WHEN s * n > ts * nc
+      |THEN (CAST(1 AS BIGINT) << CAST(cell AS INT)) ELSE 0 END) AS BIGINT) AS ahash
+      |FROM cl JOIN tt ON cl.doc_id = tt.doc_id GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(tt.n, 0) AS n_px, COALESCE(h.ahash, -1) AS ahash
+      |FROM documents d LEFT JOIN tt ON d.doc_id = tt.doc_id
+      |LEFT JOIN h ON d.doc_id = h.doc_id
+      |ORDER BY d.doc_id""".stripMargin.replace('\n', ' ')
+
   /** PCM sample energy round trip: the data chunk's bytes follow the
     * construction pattern i % 253, so the oracle recomputes the exact
     * |amplitude| sums from the formulas while Spark DECODES the real
@@ -841,7 +868,8 @@ object PipelineQueries {
     "q_multimodal_wav"   -> (qMultimodalWav _),
     "q_multimodal_energy" -> (qMultimodalEnergy _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
-    "q_multimodal_pixstats" -> (qMultimodalPixstats _))
+    "q_multimodal_pixstats" -> (qMultimodalPixstats _),
+    "q_multimodal_ahash" -> (qMultimodalAhash _))
 
   val oracles: Map[String, String] = Map(
     "q_partitioned_write" -> qPartitionedWriteSql,
@@ -872,5 +900,6 @@ object PipelineQueries {
     "q_multimodal_wav"   -> qMultimodalWavSql,
     "q_multimodal_energy" -> qMultimodalEnergySql,
     "q_multimodal_frames" -> qMultimodalFramesSql,
-    "q_multimodal_pixstats" -> qMultimodalPixstatsSql)
+    "q_multimodal_pixstats" -> qMultimodalPixstatsSql,
+    "q_multimodal_ahash" -> qMultimodalAhashSql)
 }

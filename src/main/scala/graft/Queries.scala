@@ -1282,6 +1282,36 @@ object Queries {
       |CAST(SUM(term_e4) OVER () AS BIGINT) AS chi2_e4
       |FROM t ORDER BY seg, pri""".stripMargin.replace('\n', ' ')
 
+  /** Concentration/diversity metrics per nation over customer segments:
+    * Herfindahl index Σ(cᵢ/n)² and Gini impurity 1 − Σ(cᵢ/n)² — the
+    * log-free diversity pair (Shannon entropy would drag cross-engine
+    * ln() ulp drift into the hash; these are exact rationals:
+    * Σcᵢ²·10⁶ div n² and (n² − Σcᵢ²)·10⁶ div n², floored
+    * INDEPENDENTLY, so the two columns need not sum to 10⁶). Two
+    * map-side-combined aggs. */
+  private def qDiversity(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.customer
+      .groupBy(col("c_nationkey").cast("long").as("nation"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("nation"))
+      .agg(sum(col("c")).cast("long").as("n"),
+        sum(col("c") * col("c")).cast("long").as("s2"))
+      .select(col("nation"), col("n"),
+        expr("(s2 * 1000000) div (n * n)").as("hhi_e6"),
+        expr("((n * n - s2) * 1000000) div (n * n)").as("impurity_e6"))
+      .orderBy(col("nation"))
+  }
+
+  private val qDiversitySql =
+    """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment,
+      |COUNT(*) AS c FROM customer GROUP BY 1, 2),
+      |a AS (SELECT nation, CAST(SUM(c) AS BIGINT) AS n,
+      |CAST(SUM(c * c) AS BIGINT) AS s2 FROM c GROUP BY 1)
+      |SELECT nation, n, CAST((s2 * 1000000) // (n * n) AS BIGINT) AS hhi_e6,
+      |CAST(((n * n - s2) * 1000000) // (n * n) AS BIGINT) AS impurity_e6
+      |FROM a ORDER BY nation""".stripMargin.replace('\n', ' ')
+
   /** Ranking-function tour over customer revenue: rank, dense_rank,
     * percent_rank, cume_dist and the gap to the next customer — the
     * remaining window-function family in one pass (ONE sort over a
@@ -1769,6 +1799,7 @@ object Queries {
     "q_mom_growth"     -> (qMomGrowth _),
     "q_gini"           -> (qGini _),
     "q_chi2"           -> (qChi2 _),
+    "q_diversity"      -> (qDiversity _),
     "q_unpivot"        -> (qUnpivot _),
     "q_pareto_abc"     -> (qParetoAbc _),
     "q_target_enc"     -> (qTargetEnc _),
@@ -1853,6 +1884,7 @@ object Queries {
     "q_mom_growth"     -> qMomGrowthSql,
     "q_gini"           -> qGiniSql,
     "q_chi2"           -> qChi2Sql,
+    "q_diversity"      -> qDiversitySql,
     "q_unpivot"        -> qUnpivotSql,
     "q_pareto_abc"     -> qParetoAbcSql,
     "q_target_enc"     -> qTargetEncSql,

@@ -345,6 +345,60 @@ object Multimodal {
       })
   }
 
+  /** Perceptual average-hash (aHash) of a P6 payload: the pixel stream
+    * is split into `cells` contiguous ranges (cell(i) = i·cells div n —
+    * the 1-D analogue of the classic 8×8 grid), and cell c's bit is set
+    * iff its mean exceeds the global mean — compared as the EXACT
+    * cross-multiplication sum_c·n > total·n_c, so the hash is pure
+    * integer arithmetic and a SQL oracle replays it bit-for-bit.
+    * 60 cells keep the hash in the engine's 60-bit discipline.
+    * Near-identical images flip few cells → small hamming distance;
+    * pair them with the simhash band machinery (Dedup) when needed.
+    * Sentinels follow [[pixelStats]]: unparseable → (-1, -1), zero
+    * pixels → (0, -1); flagged, never dropped. Per-partition kernel —
+    * a codec loop is not a Catalyst expression (same justification as
+    * the other media kernels). */
+  final case class AHash(doc_id: Long, n_px: Long, ahash: Long)
+
+  def averageHash(media: DataFrame, cells: Int = 60,
+                  idCol: String = "doc_id",
+                  payloadCol: String = "payload"): Dataset[AHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).as("doc_id"), col(payloadCol).as("payload"))
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        decodePpmAt(r.payload, 0) match {
+          case Some((_, _, _, hdrLen)) =>
+            val n = r.payload.length - hdrLen
+            if (n <= 0) AHash(r.doc_id, 0L, -1L)
+            else {
+              val sums = new Array[Long](cells)
+              val cnts = new Array[Long](cells)
+              var total = 0L
+              var i = 0
+              while (i < n) {
+                val v = r.payload(hdrLen + i) & 0xff
+                val c = (i.toLong * cells / n).toInt
+                sums(c) += v
+                cnts(c) += 1
+                total += v
+                i += 1
+              }
+              var hash = 0L
+              var c = 0
+              while (c < cells) {
+                if (cnts(c) > 0 && sums(c) * n > total * cnts(c))
+                  hash |= 1L << c
+                c += 1
+              }
+              AHash(r.doc_id, n.toLong, hash)
+            }
+          case None => AHash(r.doc_id, -1L, -1L)
+        }
+      })
+  }
+
   /** Nearest-neighbor resize of a P6 payload: output pixel (x, y) copies
     * input pixel (⌊x·w/newW⌋, ⌊y·h/newH⌋), all 3 channels — the
     * partition-local shape of image preprocessing (the resize kernel a

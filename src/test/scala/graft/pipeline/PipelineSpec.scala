@@ -508,6 +508,34 @@ class PipelineSpec extends SparkSpec {
     assert(got(1) == ((2L, -1L, -1L, -1, -1)))
   }
 
+  test("average hash sets exactly the above-mean cells") {
+    // 4 pixels, 4 cells: values 10,10,30,30, mean 20 → bits 2,3 → 0b1100
+    val img = "P6\n4 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](10, 10, 30, 30)
+    // constant image: no cell exceeds the mean → hash 0
+    val flat = "P6\n2 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](7, 7, 7, 7, 7, 7)
+    // header-only payload → zero pixels → (0, -1); junk → (-1, -1)
+    val empty = "P6\n0 0\n255\n".getBytes("US-ASCII")
+    val media = Seq((1L, img), (2L, flat), (3L, empty),
+      (4L, "junk".getBytes("US-ASCII"))).toDF("doc_id", "payload")
+    val got = Multimodal.averageHash(media, cells = 4).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect()
+    assert(got(0) == ((1L, 4L, 12L)))
+    assert(got(1) == ((2L, 6L, 0L)))
+    assert(got(2) == ((3L, 0L, -1L)))
+    assert(got(3) == ((4L, -1L, -1L)))
+  }
+
+  test("average hash: near-identical images land within small hamming distance") {
+    val base = Array.tabulate[Byte](120)(i => ((i * 7) % 200).toByte)
+    val tweaked = base.clone(); tweaked(5) = (tweaked(5) + 3).toByte
+    val hdr = "P6\n40 1\n255\n".getBytes("US-ASCII")
+    val media = Seq((1L, hdr ++ base), (2L, hdr ++ tweaked)).toDF("doc_id", "payload")
+    val hs = Multimodal.averageHash(media).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().map(_._3)
+    val hamming = java.lang.Long.bitCount(hs(0) ^ hs(1))
+    assert(hamming <= 2, s"hamming $hamming")
+  }
+
   test("wav sample stats decode real PCM bytes at the walked data offset") {
     // 8-bit: bytes 0,1,2,3 → |b−128| = 128,127,126,125
     val m8 = Seq((1L, Multimodal.encodeWav(1, 8000, 8, 4)))
