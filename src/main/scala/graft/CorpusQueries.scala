@@ -517,6 +517,44 @@ object CorpusQueries {
        |SELECT doc_id, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin.replace('\n', ' ')
 
+  /** Corpus snapshot diff — the daily "what changed between ingests"
+    * report: two deterministic snapshot views of the documents table
+    * (old = doc_id < 400; new = doc_id ≥ 100 with every 7th doc's text
+    * perturbed) full-outer-joined on doc_id and classified
+    * added/removed/changed/unchanged by content md5. One shuffle on the
+    * id; at 100 TB both sides are partitioned snapshot reads and the
+    * md5 rides the scan. */
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    val old = d.filter(col("doc_id") < 400)
+      .select(col("doc_id"), md5(col("text")).as("h_old"))
+    val nw = d.filter(col("doc_id") >= 100)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, md5(concat(col("text"), lit("!"))))
+          .otherwise(md5(col("text"))).as("h_new"))
+    old.join(nw, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") =!= col("h_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("cls"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_id"),
+        max(col("doc_id")).as("last_id"))
+      .orderBy(col("cls"))
+  }
+
+  private val qSnapshotDiffSql =
+    """WITH o AS (SELECT doc_id, md5(text) AS h_old FROM documents WHERE doc_id < 400),
+      |n AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN md5(text || '!')
+      |ELSE md5(text) END AS h_new FROM documents WHERE doc_id >= 100),
+      |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |CASE WHEN h_old IS NULL THEN 'added' WHEN h_new IS NULL THEN 'removed'
+      |WHEN h_old <> h_new THEN 'changed' ELSE 'unchanged' END AS cls
+      |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      |SELECT cls, COUNT(*) AS n, MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin.replace('\n', ' ')
+
   // --- registry ---------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -541,7 +579,8 @@ object CorpusQueries {
     "q_index_postings"    -> (qIndexPostings _),
     "q_mix_temperature"   -> (qMixTemperature _),
     "q_text_pmi"          -> (qCollocations _),
-    "q_feature_hash"      -> (qFeatureHash _))
+    "q_feature_hash"      -> (qFeatureHash _),
+    "q_snapshot_diff"     -> (qSnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
     "q_text_repetition"   -> qTextRepetitionSql,
@@ -565,5 +604,6 @@ object CorpusQueries {
     "q_index_postings"    -> qIndexPostingsSql,
     "q_mix_temperature"   -> qMixTemperatureSql,
     "q_text_pmi"          -> qCollocationsSql,
-    "q_feature_hash"      -> qFeatureHashSql)
+    "q_feature_hash"      -> qFeatureHashSql,
+    "q_snapshot_diff"     -> qSnapshotDiffSql)
 }
