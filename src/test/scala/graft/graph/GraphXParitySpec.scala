@@ -68,4 +68,25 @@ class GraphXParitySpec extends SparkSpec {
       assert(math.abs(pr * n - gx(id)) < 1e-8, s"vertex $id: ${pr * n} vs ${gx(id)}")
     }
   }
+
+  test("katz agrees with a GraphX Pregel replay of the integer recurrence") {
+    // same floored-BIGINT contract, computed by the RDD engine path:
+    // x' = S + (Σ in-x) div A — exact equality required, no tolerance
+    val rounds = 4
+    val scale = 1000000L
+    val atten = 16L
+    val ours = Algos.katz(edgesDf, rounds, attenDiv = atten, scale = scale)
+      .as[(Long, Long)].collect().toMap
+    var xs = gxGraph.mapVertices((_, _) => scale)
+    for (_ <- 1 to rounds) {
+      val sums = xs.aggregateMessages[Long](
+        tc => tc.sendToDst(tc.srcAttr), _ + _)
+      xs = xs.outerJoinVertices(sums) { (_, _, s) =>
+        scale + s.getOrElse(0L) / atten
+      }
+    }
+    val gx = xs.vertices.collect().toMap
+    assert(ours.size == gx.size && ours.nonEmpty)
+    ours.foreach { case (id, x) => assert(gx(id) == x, s"vertex $id") }
+  }
 }
