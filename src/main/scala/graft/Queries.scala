@@ -1312,6 +1312,105 @@ object Queries {
       |CAST(((n * n - s2) * 1000000) // (n * n) AS BIGINT) AS impurity_e6
       |FROM a ORDER BY nation""".stripMargin.replace('\n', ' ')
 
+  /** Quantity-weighted median price per return flag
+    * ([[graft.operators.Quantiles.weightedMedian]]): smallest price
+    * whose running quantity reaches half the total — 2·cumw ≥ W in
+    * exact integers. */
+  private def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Quantiles.weightedMedian(
+      t.lineitem.select(col("l_returnflag").as("g"),
+        e2(col("l_extendedprice")).as("price"),
+        floor(col("l_quantity")).cast("long").as("qty")),
+      "price", "qty", "g")
+  }
+
+  private val qWeightedMedianSql = Quantiles.weightedMedianSql(
+    "lineitem", "CAST(FLOOR(l_extendedprice * 100) AS BIGINT)",
+    "CAST(FLOOR(l_quantity) AS BIGINT)", "l_returnflag")
+
+  /** Top-3 parts per brand by revenue — the per-group top-k retrieval
+    * every catalog/dashboard runs (rank window over the part aggregate,
+    * unique (rev desc, partkey) order; the window partitions by brand,
+    * so no global sort). */
+  private def qGroupedTopK(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val rev = t.lineitem.join(t.part, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(e2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev_e2"))
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("rev_e2").desc, col("p_partkey"))
+    rev.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .orderBy(col("p_brand"), col("rk"))
+  }
+
+  private val qGroupedTopKSql =
+    """WITH rev AS (SELECT p_brand, p_partkey,
+      |CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS rev_e2
+      |FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+      |rk AS (SELECT p_brand, p_partkey, rev_e2,
+      |CAST(ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY rev_e2 DESC, p_partkey) AS BIGINT) AS rk
+      |FROM rev)
+      |SELECT p_brand, p_partkey, rev_e2, rk FROM rk WHERE rk <= 3
+      |ORDER BY p_brand, rk""".stripMargin.replace('\n', ' ')
+
+  /** HLL set algebra — the MERGEABILITY that makes the sketch useful:
+    * registers for ordering customers (A) and all customers (B) are
+    * bucket-wise max-merged into A∪B, and |A∩B| is estimated by
+    * inclusion-exclusion est(A) + est(B) − est(A∪B), all in the exact
+    * integer arithmetic of [[graft.functions.Sketches]]. The exact
+    * intersection rides along (honesty contract). Register merge is the
+    * distributed-rollup primitive: per-day sketches union into
+    * per-month without rescanning — this query is that merge in
+    * miniature. */
+  private def qHllAlgebra(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sketches
+    val t = Tables(s, dir)
+    val a = t.orders.select(lit("A").as("side"), col("o_custkey").as("k"))
+    val b = t.customer.select(lit("B").as("side"), col("c_custkey").as("k"))
+    val regs = a.unionByName(b)
+      .select(col("side"), Sketches.hllBucket(col("k")).as("b"),
+        Sketches.hllRho(col("k")).as("rho"))
+      .groupBy(col("side"), col("b")).agg(max(col("rho")).as("r"))
+    val union = regs.groupBy(col("b")).agg(max(col("r")).as("r"))
+      .withColumn("side", lit("U"))
+    val ests = Sketches.hllFinalize(regs.unionByName(union.select(col("side"), col("b"), col("r"))), "side")
+      .groupBy().pivot("g", Seq("A", "B", "U")).agg(first(col("hll_est_e2")))
+    val exact = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact_intersect"))
+    ests.crossJoin(broadcast(exact))
+      .select(col("A").as("est_a_e2"), col("B").as("est_b_e2"),
+        col("U").as("est_union_e2"),
+        (col("A") + col("B") - col("U")).as("est_intersect_e2"),
+        col("n_exact_intersect"))
+  }
+
+  private val qHllAlgebraSql = {
+    val num = 709L * 64L * 64L * (1L << 27) * 100L
+    s"""WITH k AS MATERIALIZED (
+       |SELECT 'A' AS side, CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h FROM orders
+       |UNION ALL
+       |SELECT 'B', CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) FROM customer),
+       |r0 AS MATERIALIZED (SELECT side, h % 64 AS b,
+       |MAX(CASE WHEN h // 64 = 0 THEN 27 ELSE 27 - length(bin(h // 64)) END) AS r
+       |FROM k GROUP BY 1, 2),
+       |ru AS (SELECT 'U' AS side, b, MAX(r) AS r FROM r0 GROUP BY 2),
+       |regs AS (SELECT * FROM r0 UNION ALL SELECT * FROM ru),
+       |z AS (SELECT side, COUNT(*) AS n_hit,
+       |CAST(SUM(CAST(1 AS BIGINT) << CAST(27 - r AS INT)) AS BIGINT)
+       |+ (64 - COUNT(*)) * 134217728 AS z_scaled FROM regs GROUP BY 1),
+       |e AS (SELECT side, CAST($num // (1000 * z_scaled) AS BIGINT) AS est FROM z),
+       |x AS (SELECT COUNT(DISTINCT o_custkey) AS n_exact_intersect
+       |FROM orders JOIN customer ON o_custkey = c_custkey)
+       |SELECT
+       |(SELECT est FROM e WHERE side = 'A') AS est_a_e2,
+       |(SELECT est FROM e WHERE side = 'B') AS est_b_e2,
+       |(SELECT est FROM e WHERE side = 'U') AS est_union_e2,
+       |(SELECT est FROM e WHERE side = 'A') + (SELECT est FROM e WHERE side = 'B')
+       |- (SELECT est FROM e WHERE side = 'U') AS est_intersect_e2,
+       |n_exact_intersect FROM x""".stripMargin.replace('\n', ' ')
+  }
+
   /** Ranking-function tour over customer revenue: rank, dense_rank,
     * percent_rank, cume_dist and the gap to the next customer — the
     * remaining window-function family in one pass (ONE sort over a
@@ -1800,6 +1899,9 @@ object Queries {
     "q_gini"           -> (qGini _),
     "q_chi2"           -> (qChi2 _),
     "q_diversity"      -> (qDiversity _),
+    "q_weighted_median" -> (qWeightedMedian _),
+    "q_grouped_topk"   -> (qGroupedTopK _),
+    "q_hll_algebra"    -> (qHllAlgebra _),
     "q_unpivot"        -> (qUnpivot _),
     "q_pareto_abc"     -> (qParetoAbc _),
     "q_target_enc"     -> (qTargetEnc _),
@@ -1885,6 +1987,9 @@ object Queries {
     "q_gini"           -> qGiniSql,
     "q_chi2"           -> qChi2Sql,
     "q_diversity"      -> qDiversitySql,
+    "q_weighted_median" -> qWeightedMedianSql,
+    "q_grouped_topk"   -> qGroupedTopKSql,
+    "q_hll_algebra"    -> qHllAlgebraSql,
     "q_unpivot"        -> qUnpivotSql,
     "q_pareto_abc"     -> qParetoAbcSql,
     "q_target_enc"     -> qTargetEncSql,

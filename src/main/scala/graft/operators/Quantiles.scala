@@ -57,6 +57,38 @@ object Quantiles {
       .orderBy(col("g"), col("pnum"), col("pden"))
   }
 
+  /** Lower weighted median per group: the smallest v whose running
+    * weight reaches half the total — 2·cumw ≥ W in exact integers, no
+    * halving division. The survey/econometrics aggregate (quantity-
+    * weighted price, population-weighted income) Spark lacks natively.
+    * Same shape as [[exactScaled]]: one per-group sort window + a tiny
+    * total agg + one broadcast join; the conditional min replaces the
+    * rank equi-join (no second pass). */
+  def weightedMedian(df: DataFrame, valueCol: String, weightCol: String,
+                     groupCol: String): DataFrame = {
+    val v = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"),
+      col(weightCol).cast("long").as("w"))
+    val win = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = v.withColumn("cumw", sum(col("w")).over(win))
+    val tot = v.groupBy(col("g")).agg(sum(col("w")).cast("long").as("tw"))
+    cum.join(broadcast(tot), Seq("g"))
+      .groupBy(col("g"), col("tw"))
+      .agg(min(when(col("cumw") * 2 >= col("tw"), col("v"))).as("wmedian"))
+      .select(col("g"), col("tw"), col("wmedian"))
+      .orderBy(col("g"))
+  }
+
+  /** DuckDB twin of [[weightedMedian]]. */
+  def weightedMedianSql(table: String, valueExpr: String, weightExpr: String,
+                        groupCol: String): String =
+    s"""WITH v AS (SELECT $groupCol AS g, $valueExpr AS v, $weightExpr AS w FROM $table),
+       |c AS (SELECT g, v, SUM(w) OVER (PARTITION BY g ORDER BY v
+       |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw FROM v),
+       |t AS (SELECT g, CAST(SUM(w) AS BIGINT) AS tw FROM v GROUP BY 1)
+       |SELECT c.g, tw, CAST(MIN(CASE WHEN cumw * 2 >= tw THEN v END) AS BIGINT) AS wmedian
+       |FROM c JOIN t ON c.g = t.g GROUP BY 1, 2 ORDER BY c.g""".stripMargin.replace('\n', ' ')
+
   /** DuckDB twin of [[exactScaled]] over table `table`, value expression
     * `valueExpr` (must already be BIGINT), group column `groupCol`. */
   def exactScaledSql(table: String, valueExpr: String, groupCol: String,

@@ -17,6 +17,28 @@ class QuantilesSpec extends SparkSpec {
     vlo * scale + (vhi - vlo) * scale * rem / pden
   }
 
+  test("weightedMedian matches the smallest-v-reaching-half-weight rule") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 300).map(i =>
+      (s"g${i % 3}", rnd.nextInt(50).toLong, 1L + rnd.nextInt(9).toLong))
+    val got = Quantiles.weightedMedian(rows.toDF("g", "v", "w"), "v", "w", "g")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val sorted = rs.map(r => (r._2, r._3)).sortBy(_._1)
+      val tw = sorted.map(_._2).sum
+      var cum = 0L
+      val exp = sorted.collectFirst {
+        case (v, w) if { cum += w; cum * 2 >= tw } => v
+      }.get
+      assert(got(g) == exp, s"group $g")
+    }
+    // degenerate: single row is its own weighted median
+    val one = Quantiles.weightedMedian(
+      Seq(("x", 7L, 3L)).toDF("g", "v", "w"), "v", "w", "g")
+      .as[(String, Long, Long)].collect().head
+    assert(one == (("x", 3L, 7L)))
+  }
+
   test("exactScaled matches a plain-BigInt reference on random groups") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 500).map(i =>
