@@ -1411,6 +1411,71 @@ object Queries {
        |n_exact_intersect FROM x""".stripMargin.replace('\n', ' ')
   }
 
+  /** Lag-1 autocorrelation of daily order revenue — the "is today like
+    * yesterday" time-series diagnostic. Pearson r over (x_t, x_{t+1})
+    * pairs from one LEAD window; all six sums are exact BIGINTs and the
+    * final ÷+√ runs on identical operands in both engines (the
+    * assortativity discipline), floored at e6. */
+  private def qAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val daily = t.orders
+      .groupBy(expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')").cast("long").as("d"))
+      .agg(e2(sum(col("o_totalprice"))).as("x"))
+    val pairs = daily
+      .select(col("x"), lead(col("x"), 1).over(Window.orderBy(col("d"))).as("y"))
+      .filter(col("y").isNotNull)
+    // product sums exceed BIGINT (Σx² ~ 10¹⁹ already at sf0.01) →
+    // DECIMAL(38,0) on the Spark side, HUGEINT in the oracle
+    pairs.agg(count(lit(1)).as("m"),
+        sum(col("x")).cast("long").as("sx"), sum(col("y")).cast("long").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .select(col("m"),
+        e6(expr("CAST(m * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)") /
+          sqrt(expr("CAST(m * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)") *
+            expr("CAST(m * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)"))).as("r_e6"))
+  }
+
+  private val qAutocorrSql =
+    """WITH daily AS (SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+      |CAST(FLOOR(SUM(o_totalprice) * 100) AS BIGINT) AS x FROM orders GROUP BY 1),
+      |p AS (SELECT x, LEAD(x) OVER (ORDER BY d) AS y FROM daily),
+      |st AS (SELECT COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy,
+      |SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      |FROM p WHERE y IS NOT NULL)
+      |SELECT m, CAST(FLOOR((CAST(m * sxy - sx * sy AS DOUBLE)
+      |/ sqrt(CAST(m * sxx - sx * sx AS DOUBLE) * CAST(m * syy - sy * sy AS DOUBLE)))
+      |* 1000000) AS BIGINT) AS r_e6 FROM st""".stripMargin.replace('\n', ' ')
+
+  /** Anomalous revenue days by the 2σ rule with ZERO doubles: the test
+    * |x − μ| > 2σ is cleared of fractions to (x·n − S)² > 4(nΣx² − S²)
+    * — both sides exact (the square rides DECIMAL(38)/HUGEINT, the kmv
+    * precedent), so day-level anomaly flags are structurally
+    * hash-stable, no epsilon at the boundary. One daily rollup + one
+    * broadcast scalar join. */
+  private def qAnomalyDays(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val daily = t.orders
+      .groupBy(expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')").cast("long").as("d"))
+      .agg(e2(sum(col("o_totalprice"))).as("x"))
+    val st = daily.agg(count(lit(1)).as("n"), sum(col("x")).cast("long").as("sxs"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+    daily.crossJoin(broadcast(st))
+      .filter(expr("CAST(x * n - sxs AS DECIMAL(38,0)) * (x * n - sxs) > " +
+        "4 * (n * sxx - CAST(sxs AS DECIMAL(38,0)) * sxs)"))
+      .select(col("d"), col("x"), col("n"))
+      .orderBy(col("d"))
+  }
+
+  private val qAnomalyDaysSql =
+    """WITH daily AS (SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+      |CAST(FLOOR(SUM(o_totalprice) * 100) AS BIGINT) AS x FROM orders GROUP BY 1),
+      |st AS (SELECT COUNT(*) AS n, SUM(x) AS sxs, SUM(x * x) AS sxx FROM daily)
+      |SELECT d, x, CAST(n AS BIGINT) AS n FROM daily CROSS JOIN st
+      |WHERE CAST(x * n - sxs AS HUGEINT) * (x * n - sxs) > 4 * (n * sxx - sxs * sxs)
+      |ORDER BY d""".stripMargin.replace('\n', ' ')
+
   /** Ranking-function tour over customer revenue: rank, dense_rank,
     * percent_rank, cume_dist and the gap to the next customer — the
     * remaining window-function family in one pass (ONE sort over a
@@ -1902,6 +1967,8 @@ object Queries {
     "q_weighted_median" -> (qWeightedMedian _),
     "q_grouped_topk"   -> (qGroupedTopK _),
     "q_hll_algebra"    -> (qHllAlgebra _),
+    "q_autocorr"       -> (qAutocorr _),
+    "q_anomaly_days"   -> (qAnomalyDays _),
     "q_unpivot"        -> (qUnpivot _),
     "q_pareto_abc"     -> (qParetoAbc _),
     "q_target_enc"     -> (qTargetEnc _),
@@ -1990,6 +2057,8 @@ object Queries {
     "q_weighted_median" -> qWeightedMedianSql,
     "q_grouped_topk"   -> qGroupedTopKSql,
     "q_hll_algebra"    -> qHllAlgebraSql,
+    "q_autocorr"       -> qAutocorrSql,
+    "q_anomaly_days"   -> qAnomalyDaysSql,
     "q_unpivot"        -> qUnpivotSql,
     "q_pareto_abc"     -> qParetoAbcSql,
     "q_target_enc"     -> qTargetEncSql,
