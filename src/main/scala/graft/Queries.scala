@@ -1856,6 +1856,53 @@ object Queries {
        |SELECT id, x AS katz_scaled FROM x$rounds ORDER BY id""".stripMargin.replace('\n', ' ')
   }
 
+  /** Edge reciprocity of the directed supplier ring: the fraction of
+    * directed edges whose reverse also exists — the standard
+    * directed-graph symmetry diagnostic (1.0 ⟺ effectively
+    * undirected). One self-join ON the reversed key + exact e6 ratio. */
+  private def qReciprocity(s: SparkSession, dir: String): DataFrame = {
+    val e = TestGraphs.suppRing(Tables(s, dir)).select(col("src"), col("dst")).distinct()
+    val recip = e.as("a").join(e.as("b"),
+      col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+    val n = e.count()
+    recip.agg(count(lit(1)).as("n_reciprocal"))
+      .select(lit(n).as("n_edges"), col("n_reciprocal"),
+        expr("(n_reciprocal * 1000000) div " + n).as("reciprocity_e6"))
+  }
+
+  private val qReciprocitySql =
+    s"""WITH r AS MATERIALIZED (${TestGraphs.suppRingSql}),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM r),
+       |n AS (SELECT COUNT(*) AS n_edges FROM e),
+       |rc AS (SELECT COUNT(*) AS n_reciprocal FROM e a
+       |JOIN e b ON a.src = b.dst AND a.dst = b.src)
+       |SELECT n_edges, n_reciprocal,
+       |CAST((n_reciprocal * 1000000) // n_edges AS BIGINT) AS reciprocity_e6
+       |FROM rc CROSS JOIN n""".stripMargin.replace('\n', ' ')
+
+  /** Equi-width histogram of order totals (20 bins over the exact cent
+    * range): bin = (x − min)·20 div (max − min + 1), all integers, so
+    * bin edges are identical in both engines — the generic-value
+    * companion to the log-binned degree histogram. Two aggs + one
+    * broadcast of the (min, max) scalar row. */
+  private def qHistogram(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val cents = t.orders.select(e2(col("o_totalprice")).as("x"))
+    val mm = cents.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    cents.crossJoin(broadcast(mm))
+      .select(expr("((x - mn) * 20) div (mx - mn + 1)").as("bin"), col("x"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .orderBy(col("bin"))
+  }
+
+  private val qHistogramSql =
+    """WITH c AS (SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS x FROM orders),
+      |mm AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM c)
+      |SELECT ((x - mn) * 20) // (mx - mn + 1) AS bin, COUNT(*) AS n,
+      |MIN(x) AS lo, MAX(x) AS hi
+      |FROM c CROSS JOIN mm GROUP BY 1 ORDER BY 1""".stripMargin.replace('\n', ' ')
+
   private def qDegStats(s: SparkSession, dir: String): DataFrame =
     Algos.degreeStats(custSuppE(s, dir))
 
@@ -1969,6 +2016,8 @@ object Queries {
     "q_hll_algebra"    -> (qHllAlgebra _),
     "q_autocorr"       -> (qAutocorr _),
     "q_anomaly_days"   -> (qAnomalyDays _),
+    "q_graph_reciprocity" -> (qReciprocity _),
+    "q_histogram"      -> (qHistogram _),
     "q_unpivot"        -> (qUnpivot _),
     "q_pareto_abc"     -> (qParetoAbc _),
     "q_target_enc"     -> (qTargetEnc _),
@@ -2059,6 +2108,8 @@ object Queries {
     "q_hll_algebra"    -> qHllAlgebraSql,
     "q_autocorr"       -> qAutocorrSql,
     "q_anomaly_days"   -> qAnomalyDaysSql,
+    "q_graph_reciprocity" -> qReciprocitySql,
+    "q_histogram"      -> qHistogramSql,
     "q_unpivot"        -> qUnpivotSql,
     "q_pareto_abc"     -> qParetoAbcSql,
     "q_target_enc"     -> qTargetEncSql,
