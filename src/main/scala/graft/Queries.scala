@@ -1476,6 +1476,68 @@ object Queries {
       |WHERE CAST(x * n - sxs AS HUGEINT) * (x * n - sxs) > 4 * (n * sxx - sxs * sxs)
       |ORDER BY d""".stripMargin.replace('\n', ' ')
 
+  /** Time-to-convert: for each user, the gap from first view to the
+    * first purchase AT OR AFTER it, summarized as exact quantiles of
+    * whole seconds ([[graft.operators.Quantiles.exactScaled]]). Two
+    * per-user min-aggs + one grouped quantile pass; micro-truncated
+    * timestamps per the ns-vs-us trap. */
+  private def qTimeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val firstView = t.events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(expr("ts div 1000")).as("v_us"))
+    val purch = t.events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 1000").as("p_us"))
+    val deltas = firstView.join(purch, Seq("user_id"))
+      .filter(col("p_us") >= col("v_us"))
+      .groupBy(col("user_id"), col("v_us")).agg(min(col("p_us")).as("p_us"))
+      .select(lit("all").as("g"), expr("(p_us - v_us) div 1000000").as("gap_s"))
+    Quantiles.exactScaled(deltas, "gap_s", "g", Seq((1, 4), (1, 2), (3, 4)), 1L)
+  }
+
+  private val qTimeToConvertSql = {
+    val src = """(SELECT 'all' AS g, (p_us - v_us) // 1000000 AS gap_s FROM (
+      |SELECT fv.user_id, v_us, MIN(epoch_us(e.ts)) AS p_us
+      |FROM (SELECT user_id, MIN(epoch_us(ts)) AS v_us FROM events
+      |WHERE event_type = 'view' GROUP BY 1) fv
+      |JOIN events e ON e.user_id = fv.user_id AND e.event_type = 'purchase'
+      |AND epoch_us(e.ts) >= v_us GROUP BY 1, 2) d) ttc""".stripMargin.replace('\n', ' ')
+    Quantiles.exactScaledSql(src, "gap_s", "g", Seq((1, 4), (1, 2), (3, 4)), 1L)
+  }
+
+  /** DAU / MAU engagement: per calendar month, the mean daily active
+    * users over the days the month actually has data, the month's
+    * distinct actives, and the stickiness ratio Σdau·10⁶ div
+    * (n_days·mau) — the standard product-engagement report. Two
+    * distinct-count aggs + one join; the at-scale swap for the exact
+    * distincts is [[graft.functions.Sketches.hllDistinct]] (documented,
+    * same plan shape). */
+  private def qActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val ev = t.events.select(col("user_id"),
+      expr("ts div 86400000000000").as("day"),
+      expr("ts div 86400000000000 div 30").as("mon"))
+    val dau = ev.groupBy(col("mon"), col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val mau = ev.groupBy(col("mon")).agg(countDistinct(col("user_id")).as("mau"))
+    dau.groupBy(col("mon"))
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).cast("long").as("sum_dau"))
+      .join(mau, Seq("mon"))
+      .select(col("mon"), col("n_days"), col("sum_dau"), col("mau"),
+        expr("(sum_dau * 1000000) div (n_days * mau)").as("stickiness_e6"))
+      .orderBy(col("mon"))
+  }
+
+  private val qActiveUsersSql =
+    """WITH ev AS MATERIALIZED (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+      |epoch_ns(ts) // 86400000000000 // 30 AS mon FROM events),
+      |dau AS (SELECT mon, day, COUNT(DISTINCT user_id) AS dau FROM ev GROUP BY 1, 2),
+      |mau AS (SELECT mon, COUNT(DISTINCT user_id) AS mau FROM ev GROUP BY 1),
+      |d AS (SELECT mon, COUNT(*) AS n_days, CAST(SUM(dau) AS BIGINT) AS sum_dau
+      |FROM dau GROUP BY 1)
+      |SELECT d.mon, n_days, sum_dau, mau,
+      |CAST((sum_dau * 1000000) // (n_days * mau) AS BIGINT) AS stickiness_e6
+      |FROM d JOIN mau ON d.mon = mau.mon ORDER BY d.mon""".stripMargin.replace('\n', ' ')
+
   /** Ranking-function tour over customer revenue: rank, dense_rank,
     * percent_rank, cume_dist and the gap to the next customer — the
     * remaining window-function family in one pass (ONE sort over a
@@ -1710,7 +1772,8 @@ object Queries {
     val sources = e.select(col("src")).distinct().orderBy(col("src"))
       .limit(4).collect().map(_.getLong(0)).toSeq
     Algos.harmonicCentrality(e, sources)
-      .select(col("source"), e6(col("harmonic")).as("harmonic_e6"),
+      .select(col("source"),
+        expr(s"(harmonic_num * 1000000) div ${Algos.HarmonicLcm}").as("harmonic_e6"),
         col("n_reached"))
       .orderBy(col("source"))
   }
@@ -2018,6 +2081,8 @@ object Queries {
     "q_anomaly_days"   -> (qAnomalyDays _),
     "q_graph_reciprocity" -> (qReciprocity _),
     "q_histogram"      -> (qHistogram _),
+    "q_time_to_convert" -> (qTimeToConvert _),
+    "q_active_users"   -> (qActiveUsers _),
     "q_unpivot"        -> (qUnpivot _),
     "q_pareto_abc"     -> (qParetoAbc _),
     "q_target_enc"     -> (qTargetEnc _),
@@ -2110,6 +2175,8 @@ object Queries {
     "q_anomaly_days"   -> qAnomalyDaysSql,
     "q_graph_reciprocity" -> qReciprocitySql,
     "q_histogram"      -> qHistogramSql,
+    "q_time_to_convert" -> qTimeToConvertSql,
+    "q_active_users"   -> qActiveUsersSql,
     "q_unpivot"        -> qUnpivotSql,
     "q_pareto_abc"     -> qParetoAbcSql,
     "q_target_enc"     -> qTargetEncSql,

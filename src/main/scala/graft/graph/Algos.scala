@@ -740,18 +740,30 @@ object Algos {
     out
   }
 
+  /** lcm(1..16): common denominator for the exact harmonic numerator —
+    * Σ 1/d becomes Σ (L div d) / L, pure BIGINT for d ≤ 16 (and a
+    * deterministic floored term beyond — identical in any engine). */
+  val HarmonicLcm: Long = 720720L
+
   /** Harmonic centrality Σ 1/d(s, v) per source — the disconnect-robust
     * closeness variant (unreachable vertices contribute 0 instead of
     * poisoning the mean). Rides the SAME tagged multi-source BFS as
     * [[eccentricities]]; only the final aggregate differs. Returns
-    * (source, harmonic DOUBLE, n_reached) — callers floor-scale the
-    * double for oracle comparison. */
+    * (source, harmonic DOUBLE, harmonic_num, n_reached):
+    * `harmonic_num` = Σ (HarmonicLcm div d) is the EXACT integer form —
+    * the double Σ 1/d is order-dependent across runs and can land
+    * exactly ON a floor-scale boundary (observed: Σ = 805.25 exactly →
+    * e6 floor flipped 805249999 ↔ 805250000 between runs), so hashable
+    * outputs must use the numerator, not the double. */
   def harmonicCentrality(symEdges: DataFrame, sources: Seq[Long],
                          maxHops: Int = 64): DataFrame = {
     val settled = taggedBfs(symEdges, sources, maxHops)
     val out = settled.groupBy(col("tag").as("source"))
       .agg(sum(when(col("level") > 0, lit(1.0) / col("level"))
-        .otherwise(lit(0.0))).as("harmonic"), count(lit(1)).as("n_reached"))
+        .otherwise(lit(0.0))).as("harmonic"),
+        sum(when(col("level") > 0, expr(s"$HarmonicLcm div level"))
+          .otherwise(lit(0L))).cast("long").as("harmonic_num"),
+        count(lit(1)).as("n_reached"))
       .orderBy(col("source"))
       .localCheckpoint()
     freeCkpt(settled)

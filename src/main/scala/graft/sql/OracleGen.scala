@@ -170,7 +170,9 @@ object OracleGen {
       s"FROM (SELECT DISTINCT src FROM e ORDER BY src LIMIT $nSources)), " +
       steps.mkString(", ") +
       s" SELECT tag AS source, " +
-      "CAST(FLOOR(SUM(CASE WHEN level > 0 THEN 1.0 / level ELSE CAST(0 AS DOUBLE) END) * 1000000) AS BIGINT) AS harmonic_e6, " +
+      // exact rational form: Σ (720720 // d) — the double Σ 1/d can sit
+      // exactly on a floor boundary and flip with summation order
+      "CAST((CAST(SUM(CASE WHEN level > 0 THEN 720720 // level ELSE 0 END) AS BIGINT) * 1000000) // 720720 AS BIGINT) AS harmonic_e6, " +
       s"COUNT(*) AS n_reached FROM d$k GROUP BY tag ORDER BY source")
   }
 

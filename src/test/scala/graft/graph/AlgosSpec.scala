@@ -359,11 +359,14 @@ class AlgosSpec extends SparkSpec {
     val p = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
     val sym = (p ++ p.map(x => (x._2, x._1))).toDF("src", "dst")
     val got = Algos.harmonicCentrality(sym, Seq(1L, 3L))
-      .as[(Long, Double, Long)].collect()
-      .map { case (s, h, n) => s -> (h, n) }.toMap
+      .as[(Long, Double, Long, Long)].collect()
+      .map { case (s, h, num, n) => s -> ((h, num, n)) }.toMap
     assert(math.abs(got(1L)._1 - (1.0 + 0.5 + 1.0 / 3 + 0.25)) < 1e-12)
     assert(math.abs(got(3L)._1 - 3.0) < 1e-12)
-    assert(got(1L)._2 == 5L && got(3L)._2 == 5L)
+    // exact numerators over lcm 720720: 1 + 1/2 + 1/3 + 1/4 = 25/12
+    assert(got(1L)._2 == 720720L * 25 / 12)
+    assert(got(3L)._2 == 720720L * 3)
+    assert(got(1L)._3 == 5L && got(3L)._3 == 5L)
   }
 
   test("hits: hand-computed on a two-authority star") {
