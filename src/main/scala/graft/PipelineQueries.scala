@@ -783,6 +783,43 @@ object PipelineQueries {
       |LEFT JOIN h ON d.doc_id = h.doc_id
       |ORDER BY d.doc_id""".stripMargin.replace('\n', ' ')
 
+  /** Image near-dup pairs over the perceptual hash: 60-bit aHash split
+    * into 12×5-bit bands; hamming ≤ 11 < 12 guarantees one identical
+    * band (pigeonhole — the simhash discipline), so candidates come
+    * from a band equi-join and the exact bit_count(xor) check runs on
+    * candidates only. Completes the image-dedup story:
+    * decode → hash → band-join → verify, never all-pairs. (Natural
+    * minimum hamming in this corpus is 8 — threshold 11 keeps the 4
+    * genuinely most-similar image pairs.) */
+  private def qMultimodalAhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val h = Multimodal.averageHash(Multimodal.documentsAsPpm(Tables(s, dir).documents))
+      .toDF().filter(col("ahash") >= 0)
+    val bands = h.select(col("doc_id"), col("ahash"),
+        explode(expr("sequence(0, 11)")).as("band"))
+      .withColumn("bv", expr("(ahash >> cast(band * 5 as int)) & 31"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"),
+        expr("bit_count(a.ahash ^ b.ahash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 11)
+      .orderBy(col("u"), col("v"))
+  }
+
+  private val qMultimodalAhashPairsSql =
+    s"""WITH ah AS MATERIALIZED ($qMultimodalAhashSql),
+       |h AS (SELECT doc_id, ahash FROM ah WHERE ahash >= 0),
+       |bands AS MATERIALIZED (SELECT doc_id, ahash, band,
+       |(ahash >> CAST(band * 5 AS INT)) & 31 AS bv
+       |FROM h, unnest(range(0, 12)) AS t(band)),
+       |cand AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v,
+       |CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+       |AND a.doc_id < b.doc_id)
+       |SELECT u, v, hamming FROM cand WHERE hamming <= 11
+       |ORDER BY u, v""".stripMargin.replace('\n', ' ')
+
   /** PCM sample energy round trip: the data chunk's bytes follow the
     * construction pattern i % 253, so the oracle recomputes the exact
     * |amplitude| sums from the formulas while Spark DECODES the real
@@ -869,7 +906,8 @@ object PipelineQueries {
     "q_multimodal_energy" -> (qMultimodalEnergy _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_pixstats" -> (qMultimodalPixstats _),
-    "q_multimodal_ahash" -> (qMultimodalAhash _))
+    "q_multimodal_ahash" -> (qMultimodalAhash _),
+    "q_multimodal_ahash_pairs" -> (qMultimodalAhashPairs _))
 
   val oracles: Map[String, String] = Map(
     "q_partitioned_write" -> qPartitionedWriteSql,
@@ -901,5 +939,6 @@ object PipelineQueries {
     "q_multimodal_energy" -> qMultimodalEnergySql,
     "q_multimodal_frames" -> qMultimodalFramesSql,
     "q_multimodal_pixstats" -> qMultimodalPixstatsSql,
-    "q_multimodal_ahash" -> qMultimodalAhashSql)
+    "q_multimodal_ahash" -> qMultimodalAhashSql,
+    "q_multimodal_ahash_pairs" -> qMultimodalAhashPairsSql)
 }
