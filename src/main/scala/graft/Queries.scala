@@ -1538,6 +1538,97 @@ object Queries {
       |CAST((sum_dau * 1000000) // (n_days * mau) AS BIGINT) AS stickiness_e6
       |FROM d JOIN mau ON d.mon = mau.mon ORDER BY d.mon""".stripMargin.replace('\n', ' ')
 
+  /** Deterministic train/val/test split audit: md5(doc_id) mod 100
+    * buckets 80/10/10, reported with per-split doc and token counts AND
+    * the pairwise overlap count (structurally zero — the audit row a
+    * pipeline must PROVE, not assume; same md5-uniform machinery as the
+    * stratified sampler so re-runs and engines agree). */
+  private def qSplit3Way(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val u = pmod(graft.pipeline.Corpus.md5Uniform(col("doc_id").cast("string")), lit(100L))
+    val tagged = t.documents.select(col("doc_id"), col("n_chars"),
+      when(u < 80, lit("train")).when(u < 90, lit("val")).otherwise(lit("test")).as("split"))
+    val per = tagged.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("n_chars"))
+    val overlap = tagged.as("a").join(tagged.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.split") =!= col("b.split"))
+      .agg(count(lit(1)).as("n_overlap"))
+    per.crossJoin(broadcast(overlap)).orderBy(col("split"))
+  }
+
+  private val qSplit3WaySql = {
+    val u = OracleGen.hex6("md5(CAST(doc_id AS VARCHAR))") + " % 100"
+    s"""WITH tg AS MATERIALIZED (SELECT doc_id, n_chars,
+       |CASE WHEN $u < 80 THEN 'train' WHEN $u < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM documents),
+       |per AS (SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+       |FROM tg GROUP BY 1),
+       |ov AS (SELECT COUNT(*) AS n_overlap FROM tg a JOIN tg b
+       |ON a.doc_id = b.doc_id AND a.split <> b.split)
+       |SELECT split, n_docs, n_chars, n_overlap FROM per CROSS JOIN ov
+       |ORDER BY split""".stripMargin.replace('\n', ' ')
+  }
+
+  /** Cumulative distinct users per day WITHOUT a running-distinct state:
+    * each user collapses to their first-seen day, and the growth curve
+    * is the running sum of first-occurrence counts — the exact identity
+    * that makes "users to date" a one-window query instead of an
+    * ever-growing distinct set (the at-scale trick; state is one row
+    * per user, then one row per day). */
+  private def qCumulativeUsers(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val firstDay = t.events.groupBy(col("user_id"))
+      .agg(min(expr("ts div 86400000000000")).as("day"))
+    firstDay.groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      .withColumn("users_to_date",
+        sum(col("new_users")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .orderBy(col("day"))
+  }
+
+  private val qCumulativeUsersSql =
+    """WITH f AS (SELECT user_id, MIN(epoch_ns(ts) // 86400000000000) AS day
+      |FROM events GROUP BY 1),
+      |d AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY 1)
+      |SELECT day, new_users, CAST(SUM(new_users) OVER (ORDER BY day
+      |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS users_to_date
+      |FROM d ORDER BY day""".stripMargin.replace('\n', ' ')
+
+  /** Day-over-day churn: users active on day d split by whether they
+    * return on d+1 — retained/churned counts and the exact e6 churn
+    * rate per day (the cohort table's operational companion; 29
+    * transitions over this corpus' 30-day span). One distinct
+    * (user, day) frame, one self-join on (user, d+1). */
+  private def qChurn(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val um = t.events
+      .select(col("user_id"), expr("ts div 86400000000000").as("mon"))
+      .distinct()
+    val last = um.agg(max(col("mon")).as("last_mon"))
+    um.as("a").crossJoin(broadcast(last))
+      .filter(col("a.mon") < col("last_mon"))
+      .join(um.as("b"),
+        col("a.user_id") === col("b.user_id") && col("b.mon") === col("a.mon") + 1,
+        "left_outer")
+      .groupBy(col("a.mon").as("mon"))
+      .agg(count(lit(1)).as("n_active"),
+        count(col("b.user_id")).as("n_retained"))
+      .select(col("mon"), col("n_active"), col("n_retained"),
+        expr("((n_active - n_retained) * 1000000) div n_active").as("churn_e6"))
+      .orderBy(col("mon"))
+  }
+
+  private val qChurnSql =
+    """WITH um AS MATERIALIZED (SELECT DISTINCT user_id,
+      |epoch_ns(ts) // 86400000000000 AS mon FROM events),
+      |mx AS (SELECT MAX(mon) AS last_mon FROM um)
+      |SELECT a.mon, COUNT(*) AS n_active, COUNT(b.user_id) AS n_retained,
+      |CAST(((COUNT(*) - COUNT(b.user_id)) * 1000000) // COUNT(*) AS BIGINT) AS churn_e6
+      |FROM um a CROSS JOIN mx
+      |LEFT JOIN um b ON a.user_id = b.user_id AND b.mon = a.mon + 1
+      |WHERE a.mon < last_mon
+      |GROUP BY 1 ORDER BY 1""".stripMargin.replace('\n', ' ')
+
   /** Ranking-function tour over customer revenue: rank, dense_rank,
     * percent_rank, cume_dist and the gap to the next customer — the
     * remaining window-function family in one pass (ONE sort over a
@@ -2083,6 +2174,9 @@ object Queries {
     "q_histogram"      -> (qHistogram _),
     "q_time_to_convert" -> (qTimeToConvert _),
     "q_active_users"   -> (qActiveUsers _),
+    "q_split_3way"     -> (qSplit3Way _),
+    "q_cumulative_users" -> (qCumulativeUsers _),
+    "q_churn"          -> (qChurn _),
     "q_unpivot"        -> (qUnpivot _),
     "q_pareto_abc"     -> (qParetoAbc _),
     "q_target_enc"     -> (qTargetEnc _),
@@ -2177,6 +2271,9 @@ object Queries {
     "q_histogram"      -> qHistogramSql,
     "q_time_to_convert" -> qTimeToConvertSql,
     "q_active_users"   -> qActiveUsersSql,
+    "q_split_3way"     -> qSplit3WaySql,
+    "q_cumulative_users" -> qCumulativeUsersSql,
+    "q_churn"          -> qChurnSql,
     "q_unpivot"        -> qUnpivotSql,
     "q_pareto_abc"     -> qParetoAbcSql,
     "q_target_enc"     -> qTargetEncSql,
