@@ -1629,6 +1629,60 @@ object Queries {
       |WHERE a.mon < last_mon
       |GROUP BY 1 ORDER BY 1""".stripMargin.replace('\n', ' ')
 
+  /** Join-key skew profile for the order→customer key: top-10 heaviest
+    * keys with exact e6 row shares plus the max/mean skew ratio — the
+    * diagnostic a planner (or the salting pass, q_skew_salted) consumes
+    * BEFORE choosing a mitigation. One count agg + one tiny top-k sort;
+    * the ratio is (max·n_keys·10⁶) div total, all BIGINTs. */
+  private def qSkewProfile(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val c = t.orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    val st = c.agg(count(lit(1)).as("n_keys"), sum(col("n")).cast("long").as("total"),
+      max(col("n")).as("mx"))
+    c.crossJoin(broadcast(st))
+      .select(col("o_custkey"), col("n"),
+        expr("(n * 1000000) div total").as("share_e6"),
+        expr("(mx * n_keys * 1000000) div total").as("skew_ratio_e6"))
+      .orderBy(col("n").desc, col("o_custkey"))
+      .limit(10)
+  }
+
+  private val qSkewProfileSql =
+    """WITH c AS MATERIALIZED (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1),
+      |st AS (SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS total, MAX(n) AS mx FROM c)
+      |SELECT o_custkey, n, CAST((n * 1000000) // total AS BIGINT) AS share_e6,
+      |CAST((mx * n_keys * 1000000) // total AS BIGINT) AS skew_ratio_e6
+      |FROM c CROSS JOIN st ORDER BY n DESC, o_custkey LIMIT 10""".stripMargin.replace('\n', ' ')
+
+  /** Readability signals per document: words, sentence-break runs,
+    * vowel-group (syllable-proxy) count, and the two exact e6 ratios
+    * (words per break, vowel groups per word) that parameterize every
+    * Flesch-style score — the constants' double arithmetic is left to
+    * the consumer, so the signals stay hash-exact. Pure codegen'd
+    * regexp columns, one projection. */
+  private def qReadability(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.documents.select(col("doc_id"),
+        expr("size(split(trim(text), '\\\\s+'))").cast("long").as("n_words"),
+        expr("size(regexp_extract_all(text, '[.!?]+', 0))").cast("long").as("n_breaks"),
+        expr("size(regexp_extract_all(lower(text), '[aeiou]+', 0))").cast("long").as("n_vgroups"))
+      .select(col("doc_id"), col("n_words"), col("n_breaks"), col("n_vgroups"),
+        expr("(n_words * 1000000) div greatest(n_breaks, 1)").as("words_per_sent_e6"),
+        expr("(n_vgroups * 1000000) div greatest(n_words, 1)").as("vgroups_per_word_e6"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qReadabilitySql =
+    """WITH b AS (SELECT doc_id,
+      |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+      |CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_breaks,
+      |CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT) AS n_vgroups
+      |FROM documents)
+      |SELECT doc_id, n_words, n_breaks, n_vgroups,
+      |CAST((n_words * 1000000) // greatest(n_breaks, 1) AS BIGINT) AS words_per_sent_e6,
+      |CAST((n_vgroups * 1000000) // greatest(n_words, 1) AS BIGINT) AS vgroups_per_word_e6
+      |FROM b ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
   /** Ranking-function tour over customer revenue: rank, dense_rank,
     * percent_rank, cume_dist and the gap to the next customer — the
     * remaining window-function family in one pass (ONE sort over a
@@ -2177,6 +2231,8 @@ object Queries {
     "q_split_3way"     -> (qSplit3Way _),
     "q_cumulative_users" -> (qCumulativeUsers _),
     "q_churn"          -> (qChurn _),
+    "q_skew_profile"   -> (qSkewProfile _),
+    "q_readability"    -> (qReadability _),
     "q_unpivot"        -> (qUnpivot _),
     "q_pareto_abc"     -> (qParetoAbc _),
     "q_target_enc"     -> (qTargetEnc _),
@@ -2274,6 +2330,8 @@ object Queries {
     "q_split_3way"     -> qSplit3WaySql,
     "q_cumulative_users" -> qCumulativeUsersSql,
     "q_churn"          -> qChurnSql,
+    "q_skew_profile"   -> qSkewProfileSql,
+    "q_readability"    -> qReadabilitySql,
     "q_unpivot"        -> qUnpivotSql,
     "q_pareto_abc"     -> qParetoAbcSql,
     "q_target_enc"     -> qTargetEncSql,
