@@ -1831,6 +1831,46 @@ object Queries {
   private def qScc(s: SparkSession, dir: String): DataFrame =
     Algos.scc(TestGraphs.suppRing(Tables(s, dir))).orderBy(col("id"))
 
+  /** Bow-tie macro-structure of the wait-for graph
+    * ([[graft.graph.Algos.bowtie]]): the supplier ring is one giant SCC
+    * (gcd(7, n) = 1 ⇒ the +7 edges cycle through every vertex), so
+    * core = the ring, out = the suppliers those ring customers wait on,
+    * in = ∅ (nothing outside the ring points into it — a pinned
+    * zero-row class, the dq_checks discipline), other = the remaining
+    * customers. The oracle reuses the SCC transitive-closure doubling
+    * plus two closure-probe reach sets. */
+  private def qBowtie(s: SparkSession, dir: String): DataFrame =
+    Algos.bowtie(TestGraphs.waitFor(Tables(s, dir)))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .orderBy(col("cls"))
+
+  private val qBowtieSql = {
+    val k = 8
+    val steps = (1 to k).map { i =>
+      s"c$i AS MATERIALIZED (SELECT DISTINCT x.a, y.b FROM c${i - 1} x JOIN c${i - 1} y ON x.b = y.a)"
+    }.mkString(", ")
+    s"""WITH ${TestGraphs.waitForSql},
+       |v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+       |c0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION SELECT id AS a, id AS b FROM v),
+       |$steps,
+       |scc AS MATERIALIZED (SELECT f.a AS id, MAX(f.b) AS comp FROM c$k f
+       |JOIN c$k r ON f.a = r.b AND f.b = r.a GROUP BY f.a),
+       |core AS (SELECT comp FROM (SELECT comp, COUNT(*) AS n FROM scc GROUP BY 1) z
+       |ORDER BY n DESC, comp LIMIT 1),
+       |cv AS MATERIALIZED (SELECT id FROM scc JOIN core USING (comp)),
+       |fwd AS MATERIALIZED (SELECT DISTINCT c.b AS id FROM c$k c JOIN cv ON c.a = cv.id),
+       |bwd AS MATERIALIZED (SELECT DISTINCT c.a AS id FROM c$k c JOIN cv ON c.b = cv.id),
+       |cls AS (SELECT v.id,
+       |CASE WHEN cc.id IS NOT NULL THEN 'core'
+       |WHEN b.id IS NOT NULL THEN 'in'
+       |WHEN f.id IS NOT NULL THEN 'out' ELSE 'other' END AS cls
+       |FROM v LEFT JOIN cv cc ON v.id = cc.id
+       |LEFT JOIN bwd b ON v.id = b.id LEFT JOIN fwd f ON v.id = f.id)
+       |SELECT cls, COUNT(*) AS n, MIN(id) AS min_id, MAX(id) AS max_id
+       |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin.replace('\n', ' ')
+  }
+
   private def qNorm(s: SparkSession, dir: String): DataFrame =
     Prep.normalizeEdgeWeights(custSuppE(s, dir).select("src", "dst", "w"))
       .select(col("src"), col("dst"), e6(col("w")).as("wn_e6"))
@@ -2260,6 +2300,7 @@ object Queries {
     "q_graph_tri_closing" -> (qTriClosing _),
     "q_graph_mis"      -> (qMis _),
     "q_graph_scc"      -> (qScc _),
+    "q_graph_bowtie"   -> (qBowtie _),
     "q_graph_kcore"    -> (qKcore _),
     "q_graph_clustering" -> (qClustering _),
     "q_graph_deadlock" -> (qDeadlock _),
@@ -2361,6 +2402,7 @@ object Queries {
     "q_graph_tri_closing" -> qTriClosingSql,
     "q_graph_mis"      -> OracleGen.misSql(TestGraphs.suppCoSymSql, 10),
     "q_graph_scc"      -> OracleGen.sccSql(s"e AS MATERIALIZED (${TestGraphs.suppRingSql})", 8),
+    "q_graph_bowtie"   -> qBowtieSql,
     "q_graph_kcore"    -> OracleGen.kCoreSql(TestGraphs.custSuppSymSql, 30, 12),
     "q_graph_clustering" -> qClusteringSql,
     "q_graph_deadlock" -> OracleGen.deadlockSql(TestGraphs.waitForSql, 8),

@@ -1164,6 +1164,57 @@ object Algos {
     res.select(col("id"), col("x").as("katz_scaled"))
   }
 
+  /** Bow-tie decomposition (Broder et al. 2000, the classic web-graph
+    * macro-structure): vertices classified against the LARGEST SCC —
+    * `core` (in it), `in` (reach it), `out` (reached from it), `other`
+    * (neither). Composes [[scc]] with two frontier-expansion loops
+    * (forward and on reversed edges) seeded by the core — each round
+    * one edge join + distinct, iterated to fixpoint, state one row per
+    * reached vertex; driver traffic is the per-round count scalar. A
+    * vertex reaching AND reached by the core is in the core SCC by
+    * definition, so the four classes partition the vertex set. */
+  def bowtie(edges: DataFrame, opts: PregelOptions = PregelOptions()): DataFrame = {
+    val e = ckptHash(edges.select("src", "dst"), "src")
+    val comp = scc(e, opts)
+    val core = comp.groupBy(col("comp")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("comp")).limit(1).select(col("comp"))
+    val coreSet = comp.join(broadcast(core), Seq("comp")).select(col("id"))
+      .localCheckpoint()
+
+    def reach(ed: DataFrame): DataFrame = {
+      var r = coreSet
+      var n = r.count()
+      var live = true
+      while (live) {
+        val nxt = r.join(ed, r("id") === ed("src"))
+          .select(ed("dst").as("id")).union(r).distinct().localCheckpoint()
+        val n2 = nxt.count()
+        if (n2 > n) {
+          if (!(r eq coreSet)) freeCkpt(r)
+          r = nxt; n = n2
+        } else { freeCkpt(nxt); live = false }
+      }
+      r
+    }
+
+    val fwd = reach(e)
+    val bwd = reach(e.select(col("dst").as("src"), col("src").as("dst")))
+    val out = verticesOf(e)
+      .join(coreSet.withColumnRenamed("id", "cid"), col("id") === col("cid"), "left")
+      .join(bwd.withColumnRenamed("id", "bid"), col("id") === col("bid"), "left")
+      .join(fwd.withColumnRenamed("id", "fid"), col("id") === col("fid"), "left")
+      .select(col("id"),
+        when(col("cid").isNotNull, lit("core"))
+          .when(col("bid").isNotNull, lit("in"))
+          .when(col("fid").isNotNull, lit("out"))
+          .otherwise(lit("other")).as("cls"))
+      .localCheckpoint()
+    freeCkpt(e); if (!(fwd eq coreSet)) freeCkpt(fwd)
+    if (!(bwd eq coreSet)) freeCkpt(bwd)
+    freeCkpt(coreSet)
+    out
+  }
+
   /** Maximal independent set, deterministic id-priority variant of the
     * reference's DistributedIndependentSet
     * (BLOCK8 .../algo/DistributedIndependentSet.java:53-118): a vertex

@@ -451,6 +451,15 @@ class AlgosSpec extends SparkSpec {
     assert(full == (for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b, 1L, 1L)).toSet)
   }
 
+  test("bowtie: all four classes on a hand-built graph") {
+    // core {10, 11} (2-cycle), in: 1→10, out: 11→20, other: 30→31
+    val e = Seq((10L, 11L), (11L, 10L), (1L, 10L), (11L, 20L), (30L, 31L))
+      .toDF("src", "dst")
+    val got = Algos.bowtie(e).as[(Long, String)].collect().toMap
+    assert(got == Map(10L -> "core", 11L -> "core", 1L -> "in",
+      20L -> "out", 30L -> "other", 31L -> "other"))
+  }
+
   test("katz: hand-unrolled integer recurrence on the 3-chain") {
     // 1→2→3, A=2, S=8: round1 x=(8,12,12); round2 x(3)=8+12/2=14
     val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
