@@ -1683,6 +1683,83 @@ object Queries {
       |CAST((n_vgroups * 1000000) // greatest(n_words, 1) AS BIGINT) AS vgroups_per_word_e6
       |FROM b ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
+  /** Burst (rate-limit) detection: per user, the max event count in
+    * any TRAILING 24h value window — a RANGE frame (the one frame type
+    * the corpus hadn't showcased: the window is defined by the
+    * timestamp VALUE span, so same-microsecond ties land in the same
+    * frame and the count is tie-order-proof by construction, unlike a
+    * ROWS spelling). Users with a burst ≥ 8 reported with their peak. */
+  private def qRateLimit(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+      .rangeBetween(-86400000000L, 0L)
+    t.events.select(col("user_id"), expr("ts div 1000").as("t"))
+      .withColumn("burst", count(lit(1)).over(w))
+      .groupBy(col("user_id")).agg(max(col("burst")).as("max_burst"))
+      .filter(col("max_burst") >= 8)
+      .orderBy(col("user_id"))
+  }
+
+  private val qRateLimitSql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+      |b AS (SELECT user_id, COUNT(*) OVER (PARTITION BY user_id ORDER BY t
+      |RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS burst FROM e)
+      |SELECT user_id, CAST(MAX(burst) AS BIGINT) AS max_burst FROM b
+      |GROUP BY 1 HAVING MAX(burst) >= 8 ORDER BY user_id""".stripMargin.replace('\n', ' ')
+
+  /** Pairwise Pearson correlation matrix over the three lineitem
+    * measures (quantity, price, discount), each pre-scaled to exact
+    * integers — all product sums on DECIMAL(38)/HUGEINT (the
+    * autocorr discipline), one ÷+√ per pair on identical operands.
+    * ONE aggregation computes all nine sums; the 3×3 upper triangle
+    * unpivots from a single row. */
+  private def qCorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val m = t.lineitem.select(
+      floor(col("l_quantity")).cast("long").as("a"),
+      e2(col("l_extendedprice")).as("b"),
+      e2(col("l_discount")).as("c"))
+    def d38(x: String, y: String) = sum(expr(s"CAST($x AS DECIMAL(38,0)) * $y"))
+    val st = m.agg(count(lit(1)).as("n"),
+      sum(col("a")).cast("long").as("sa"), sum(col("b")).cast("long").as("sb"),
+      sum(col("c")).cast("long").as("sc"),
+      d38("a", "a").as("saa"), d38("b", "b").as("sbb"), d38("c", "c").as("scc"),
+      d38("a", "b").as("sab"), d38("a", "c").as("sac"), d38("b", "c").as("sbc"))
+    def rExpr(sxy: String, sx: String, sy: String, sxx: String, syy: String) =
+      e6(expr(s"CAST(n * $sxy - CAST($sx AS DECIMAL(38,0)) * $sy AS DOUBLE)") /
+        sqrt(expr(s"CAST(n * $sxx - CAST($sx AS DECIMAL(38,0)) * $sx AS DOUBLE)") *
+          expr(s"CAST(n * $syy - CAST($sy AS DECIMAL(38,0)) * $sy AS DOUBLE)")))
+    st.select(col("n"),
+        rExpr("sab", "sa", "sb", "saa", "sbb").as("qty_price"),
+        rExpr("sac", "sa", "sc", "saa", "scc").as("qty_disc"),
+        rExpr("sbc", "sb", "sc", "sbb", "scc").as("price_disc"))
+      .selectExpr("n",
+        "stack(3, 'qty_price', qty_price, 'qty_disc', qty_disc, " +
+          "'price_disc', price_disc) as (pair, r_e6)")
+      .orderBy(col("pair"))
+  }
+
+  private val qCorrMatrixSql = {
+    def rSql(sxy: String, sx: String, sy: String, sxx: String, syy: String) =
+      s"""CAST(FLOOR((CAST(n * $sxy - $sx * $sy AS DOUBLE)
+         |/ sqrt(CAST(n * $sxx - $sx * $sx AS DOUBLE) * CAST(n * $syy - $sy * $sy AS DOUBLE)))
+         |* 1000000) AS BIGINT)""".stripMargin.replace('\n', ' ')
+    s"""WITH m AS (SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS a,
+       |CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS b,
+       |CAST(FLOOR(l_discount * 100) AS BIGINT) AS c FROM lineitem),
+       |st AS (SELECT COUNT(*) AS n, SUM(a) AS sa, SUM(b) AS sb, SUM(c) AS sc,
+       |SUM(a * a) AS saa, SUM(b * b) AS sbb, SUM(c * c) AS scc,
+       |SUM(a * b) AS sab, SUM(a * c) AS sac, SUM(b * c) AS sbc FROM m),
+       |r AS (SELECT n, ${rSql("sab", "sa", "sb", "saa", "sbb")} AS qty_price,
+       |${rSql("sac", "sa", "sc", "saa", "scc")} AS qty_disc,
+       |${rSql("sbc", "sb", "sc", "sbb", "scc")} AS price_disc FROM st)
+       |SELECT n, pair, r_e6 FROM (
+       |SELECT n, 'qty_price' AS pair, qty_price AS r_e6 FROM r
+       |UNION ALL SELECT n, 'qty_disc', qty_disc FROM r
+       |UNION ALL SELECT n, 'price_disc', price_disc FROM r) u
+       |ORDER BY pair""".stripMargin.replace('\n', ' ')
+  }
+
   /** Ranking-function tour over customer revenue: rank, dense_rank,
     * percent_rank, cume_dist and the gap to the next customer — the
     * remaining window-function family in one pass (ONE sort over a
@@ -2273,6 +2350,8 @@ object Queries {
     "q_churn"          -> (qChurn _),
     "q_skew_profile"   -> (qSkewProfile _),
     "q_readability"    -> (qReadability _),
+    "q_rate_limit"     -> (qRateLimit _),
+    "q_corr_matrix"    -> (qCorrMatrix _),
     "q_unpivot"        -> (qUnpivot _),
     "q_pareto_abc"     -> (qParetoAbc _),
     "q_target_enc"     -> (qTargetEnc _),
@@ -2373,6 +2452,8 @@ object Queries {
     "q_churn"          -> qChurnSql,
     "q_skew_profile"   -> qSkewProfileSql,
     "q_readability"    -> qReadabilitySql,
+    "q_rate_limit"     -> qRateLimitSql,
+    "q_corr_matrix"    -> qCorrMatrixSql,
     "q_unpivot"        -> qUnpivotSql,
     "q_pareto_abc"     -> qParetoAbcSql,
     "q_target_enc"     -> qTargetEncSql,
