@@ -125,6 +125,7 @@ object GraftRunner {
               Algos.mst(we.filter(col("src") < col("dst"))
                 .select(col("src").as("u"), col("dst").as("v"), col("w")))
             case "katz" => Algos.katz(edges, rounds = iters)
+            case "bowtie" => Algos.bowtie(edges)
             case "linkpred" =>
               Algos.linkPredict(
                 edges.filter(col("src") < col("dst"))
@@ -187,7 +188,7 @@ object GraftRunner {
       |     [--local-ratio permille] [--beta permille]   (benchmark inputs)
       |  graph algo: pagerank pagerank-conv wpagerank sssp bfs wcc scc
       |              degrees mis triangles ktruss [--k N] lpa ecc
-      |              walks [--len N] mst katz linkpred [--maxdeg N]
+      |              walks [--len N] mst katz linkpred [--maxdeg N] bowtie
       |              ([--tol X] [--convergence
       |              sum|max|sum_rel|max_rel|rmse] for pagerank-conv)
       |or: GraftRunner <op> --docs <parquet> --out <path> [--k N] [--budget N]

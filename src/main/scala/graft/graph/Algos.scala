@@ -1186,8 +1186,14 @@ object Algos {
       var n = r.count()
       var live = true
       while (live) {
-        val nxt = r.join(ed, r("id") === ed("src"))
-          .select(ed("dst").as("id")).union(r).distinct().localCheckpoint()
+        // checkpoint the expansion BEFORE the union: Union's constraint
+        // rewrite chokes (key-not-found) when one child carries join
+        // constraints over attributes absent from the mapping — two
+        // leaf-like children sidestep the optimizer bug
+        val step = r.select(col("id").as("src")).join(ed, Seq("src"))
+          .select(col("dst").as("id")).distinct().localCheckpoint()
+        val nxt = step.union(r).distinct().localCheckpoint()
+        freeCkpt(step)
         val n2 = nxt.count()
         if (n2 > n) {
           if (!(r eq coreSet)) freeCkpt(r)
