@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.pipeline.Corpus
@@ -555,6 +556,49 @@ object CorpusQueries {
       |SELECT cls, COUNT(*) AS n, MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin.replace('\n', ' ')
 
+  /** End-to-end preprocessing capstone — the four pipeline stages a
+    * training-data run actually chains, composed as ONE declarative
+    * plan so Catalyst sees (and optimizes) the whole lineage:
+    * quality gate (≥ 20 tokens, ≥ 30% distinct) → exact dedup
+    * (min-doc_id survivor per content md5) → deterministic 50% sample
+    * (md5-uniform) → per-source rollup. Every stage reuses an operator
+    * family oracled on its own elsewhere; this query pins their
+    * COMPOSITION (stage order matters: dedup before sampling keeps the
+    * sample rate honest). One explode-agg + two hash aggs + one final
+    * rollup — no stage materializes an intermediate. */
+  private def qPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    val toks = d.select(col("doc_id"), col("source"), col("text"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"),
+      size(array_distinct(TextFunctions.tokens(col("text")))).cast("long").as("n_uniq"))
+    val quality = toks.filter(col("n_tok") >= 20 &&
+      col("n_uniq") * 10 >= col("n_tok") * 3)
+    val deduped = quality
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    val sampled = deduped.filter(
+      pmod(Corpus.md5Uniform(col("doc_id").cast("string")), lit(2L)) === 0)
+    sampled.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("n_tokens"),
+        min(col("doc_id")).as("first_id"), max(col("doc_id")).as("last_id"))
+      .orderBy(col("source"))
+  }
+
+  private val qPipelineE2eSql =
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, source, text,
+       |CAST(len(${tokSql()}) AS BIGINT) AS n_tok,
+       |CAST(len(list_distinct(${tokSql()})) AS BIGINT) AS n_uniq
+       |FROM documents),
+       |q AS (SELECT * FROM t WHERE n_tok >= 20 AND n_uniq * 10 >= n_tok * 3),
+       |dd AS (SELECT * FROM q QUALIFY
+       |ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+       |sm AS (SELECT * FROM dd WHERE
+       |${hex6Sql("md5(CAST(doc_id AS VARCHAR))")} % 2 = 0)
+       |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+       |FROM sm GROUP BY 1 ORDER BY 1""".stripMargin.replace('\n', ' ')
+
   // --- registry ---------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -580,7 +624,8 @@ object CorpusQueries {
     "q_mix_temperature"   -> (qMixTemperature _),
     "q_text_pmi"          -> (qCollocations _),
     "q_feature_hash"      -> (qFeatureHash _),
-    "q_snapshot_diff"     -> (qSnapshotDiff _))
+    "q_snapshot_diff"     -> (qSnapshotDiff _),
+    "q_pipeline_e2e"      -> (qPipelineE2e _))
 
   val oracles: Map[String, String] = Map(
     "q_text_repetition"   -> qTextRepetitionSql,
@@ -605,5 +650,6 @@ object CorpusQueries {
     "q_mix_temperature"   -> qMixTemperatureSql,
     "q_text_pmi"          -> qCollocationsSql,
     "q_feature_hash"      -> qFeatureHashSql,
-    "q_snapshot_diff"     -> qSnapshotDiffSql)
+    "q_snapshot_diff"     -> qSnapshotDiffSql,
+    "q_pipeline_e2e"      -> qPipelineE2eSql)
 }
