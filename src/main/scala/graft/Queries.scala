@@ -1760,6 +1760,74 @@ object Queries {
        |ORDER BY pair""".stripMargin.replace('\n', ' ')
   }
 
+  /** Simple OLS regression of quantity on discount (the elasticity
+    * probe): slope = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²) and intercept =
+    * (Σy − slope·Σx)/n, both as one divide on exact
+    * DECIMAL(38)/HUGEINT sums (the autocorr discipline) floored at e6
+    * — plus r² from the same six sums. ONE aggregation, one row out:
+    * distributed linear regression without a single intermediate
+    * materialization. */
+  private def qRegression(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val m = t.lineitem.select(e2(col("l_discount")).as("x"),
+      floor(col("l_quantity")).cast("long").as("y"))
+    val st = m.agg(count(lit(1)).as("n"),
+      sum(col("x")).cast("long").as("sx"), sum(col("y")).cast("long").as("sy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+      sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+    st.select(col("n"),
+      e6(expr("CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)") /
+        expr("CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)")).as("slope_e6"),
+      e6((expr("CAST(sy AS DOUBLE)") -
+        (expr("CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)") /
+          expr("CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)")) *
+          expr("CAST(sx AS DOUBLE)")) / expr("CAST(n AS DOUBLE)")).as("intercept_e6"),
+      e6(expr("CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)") *
+        expr("CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)") /
+        (expr("CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)") *
+          expr("CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)"))).as("r2_e6"))
+  }
+
+  private val qRegressionSql =
+    """WITH m AS (SELECT CAST(FLOOR(l_discount * 100) AS BIGINT) AS x,
+      |CAST(FLOOR(l_quantity) AS BIGINT) AS y FROM lineitem),
+      |st AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy FROM m)
+      |SELECT n,
+      |CAST(FLOOR((CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * 1000000) AS BIGINT) AS slope_e6,
+      |CAST(FLOOR(((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS intercept_e6,
+      |CAST(FLOOR((CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+      |/ (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))) * 1000000) AS BIGINT) AS r2_e6
+      |FROM st""".stripMargin.replace('\n', ' ')
+
+  /** Day-of-week seasonality: revenue share and the seasonal index
+    * (day mean ÷ overall mean) per weekday, both exact rationals —
+    * index_e6 = (s_d·n)·10⁶ div (n_d·s) needs no mean materialized.
+    * One rollup + one broadcast scalar. */
+  private def qSeasonal(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val d = t.orders.select(
+      pmod(expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"), lit(7)).cast("long").as("dow"),
+      e2(col("o_totalprice")).as("v"))
+    val per = d.groupBy(col("dow")).agg(count(lit(1)).as("n_d"), sum(col("v")).cast("long").as("s_d"))
+    val tot = d.agg(count(lit(1)).as("n"), sum(col("v")).cast("long").as("st"))
+    per.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_d"), col("s_d"),
+        expr("(s_d * 1000000) div st").as("share_e6"),
+        expr("CAST(CAST(s_d AS DECIMAL(38,0)) * n * 1000000 div (CAST(n_d AS DECIMAL(38,0)) * st) AS BIGINT)").as("index_e6"))
+      .orderBy(col("dow"))
+  }
+
+  private val qSeasonalSql =
+    """WITH d AS (SELECT (CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) % 7) AS dow,
+      |CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+      |p AS (SELECT dow, COUNT(*) AS n_d, CAST(SUM(v) AS BIGINT) AS s_d FROM d GROUP BY 1),
+      |t AS (SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS st FROM d)
+      |SELECT dow, n_d, s_d, CAST((s_d * 1000000) // st AS BIGINT) AS share_e6,
+      |CAST(CAST(s_d AS HUGEINT) * n * 1000000 // (CAST(n_d AS HUGEINT) * st) AS BIGINT) AS index_e6
+      |FROM p CROSS JOIN t ORDER BY dow""".stripMargin.replace('\n', ' ')
+
   /** Ranking-function tour over customer revenue: rank, dense_rank,
     * percent_rank, cume_dist and the gap to the next customer — the
     * remaining window-function family in one pass (ONE sort over a
@@ -2352,6 +2420,8 @@ object Queries {
     "q_readability"    -> (qReadability _),
     "q_rate_limit"     -> (qRateLimit _),
     "q_corr_matrix"    -> (qCorrMatrix _),
+    "q_regression"     -> (qRegression _),
+    "q_seasonal"       -> (qSeasonal _),
     "q_unpivot"        -> (qUnpivot _),
     "q_pareto_abc"     -> (qParetoAbc _),
     "q_target_enc"     -> (qTargetEnc _),
@@ -2454,6 +2524,8 @@ object Queries {
     "q_readability"    -> qReadabilitySql,
     "q_rate_limit"     -> qRateLimitSql,
     "q_corr_matrix"    -> qCorrMatrixSql,
+    "q_regression"     -> qRegressionSql,
+    "q_seasonal"       -> qSeasonalSql,
     "q_unpivot"        -> qUnpivotSql,
     "q_pareto_abc"     -> qParetoAbcSql,
     "q_target_enc"     -> qTargetEncSql,
