@@ -599,6 +599,36 @@ object CorpusQueries {
        |MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
        |FROM sm GROUP BY 1 ORDER BY 1""".stripMargin.replace('\n', ' ')
 
+  /** Zipf-law check over the corpus vocabulary: for the top 20 tokens
+    * by frequency (unique (cnt desc, token) order), the product
+    * rank·freq as an exact e6 share of rank-1's frequency — under
+    * Zipf, zipf_e6 ≈ constant across ranks. Log-free by construction
+    * (the log-log slope is the consumer's; these invariants are
+    * hash-exact). One explode-agg + one 20-row window. */
+  private def qTextZipf(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir).documents
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    toks.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 20)
+      .withColumn("f1", max(when(col("rank") === 1, col("cnt"))).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("rank"), col("token"), col("cnt"),
+        expr("(rank * cnt * 1000000) div f1").as("zipf_e6"))
+      .orderBy(col("rank"))
+  }
+
+  private val qTextZipfSql =
+    s"""WITH toks AS MATERIALIZED (SELECT unnest(${tokSql()}) AS token FROM documents),
+       |c AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1),
+       |r AS (SELECT token, cnt,
+       |CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
+       |FROM c QUALIFY rank <= 20),
+       |f AS (SELECT MAX(CASE WHEN rank = 1 THEN cnt END) AS f1 FROM r)
+       |SELECT rank, token, cnt, CAST((rank * cnt * 1000000) // f1 AS BIGINT) AS zipf_e6
+       |FROM r CROSS JOIN f ORDER BY rank""".stripMargin.replace('\n', ' ')
+
   // --- registry ---------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -625,7 +655,8 @@ object CorpusQueries {
     "q_text_pmi"          -> (qCollocations _),
     "q_feature_hash"      -> (qFeatureHash _),
     "q_snapshot_diff"     -> (qSnapshotDiff _),
-    "q_pipeline_e2e"      -> (qPipelineE2e _))
+    "q_pipeline_e2e"      -> (qPipelineE2e _),
+    "q_text_zipf"         -> (qTextZipf _))
 
   val oracles: Map[String, String] = Map(
     "q_text_repetition"   -> qTextRepetitionSql,
@@ -651,5 +682,6 @@ object CorpusQueries {
     "q_text_pmi"          -> qCollocationsSql,
     "q_feature_hash"      -> qFeatureHashSql,
     "q_snapshot_diff"     -> qSnapshotDiffSql,
-    "q_pipeline_e2e"      -> qPipelineE2eSql)
+    "q_pipeline_e2e"      -> qPipelineE2eSql,
+    "q_text_zipf"         -> qTextZipfSql)
 }

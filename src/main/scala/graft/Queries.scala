@@ -2016,6 +2016,37 @@ object Queries {
        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin.replace('\n', ' ')
   }
 
+  /** Directed triad census on the supplier ring: cyclic triangles
+    * (a→b→c→a) vs transitive/feed-forward ones (a→b→c, a→c) — the
+    * motif distinction at the base of network-motif analysis (Milo et
+    * al. 2002, public method). Two edge joins chase a→b→c, then the
+    * closing edge's DIRECTION classifies; each cycle is counted three
+    * times (rotations) and each FFL once per its unique topological
+    * order, so cycles div 3 + ffl = total distinct triads. Exact
+    * counts, shuffle-bound joins on the edge key. */
+  private def qTriadCensus(s: SparkSession, dir: String): DataFrame = {
+    val e = TestGraphs.suppRing(Tables(s, dir)).select(col("src"), col("dst")).distinct()
+    val paths = e.as("e1").join(e.as("e2"), col("e1.dst") === col("e2.src"))
+      .filter(col("e1.src") =!= col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val cyc = paths.join(e.select(col("src").as("c"), col("dst").as("a")), Seq("a", "c"))
+      .agg(count(lit(1)).as("n3"))
+    val ffl = paths.join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("nf"))
+    cyc.crossJoin(broadcast(ffl))
+      .select(expr("n3 div 3").as("n_cycles"), col("nf").as("n_ffl"))
+  }
+
+  private val qTriadCensusSql =
+    s"""WITH r AS MATERIALIZED (${TestGraphs.suppRingSql}),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM r),
+       |p AS MATERIALIZED (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |FROM e e1 JOIN e e2 ON e1.dst = e2.src WHERE e1.src <> e2.dst),
+       |cy AS (SELECT COUNT(*) AS n3 FROM p JOIN e ON e.src = p.c AND e.dst = p.a),
+       |ff AS (SELECT COUNT(*) AS nf FROM p JOIN e ON e.src = p.a AND e.dst = p.c)
+       |SELECT CAST(n3 // 3 AS BIGINT) AS n_cycles, nf AS n_ffl
+       |FROM cy CROSS JOIN ff""".stripMargin.replace('\n', ' ')
+
   private def qNorm(s: SparkSession, dir: String): DataFrame =
     Prep.normalizeEdgeWeights(custSuppE(s, dir).select("src", "dst", "w"))
       .select(col("src"), col("dst"), e6(col("w")).as("wn_e6"))
@@ -2410,6 +2441,7 @@ object Queries {
     "q_autocorr"       -> (qAutocorr _),
     "q_anomaly_days"   -> (qAnomalyDays _),
     "q_graph_reciprocity" -> (qReciprocity _),
+    "q_graph_triads"   -> (qTriadCensus _),
     "q_histogram"      -> (qHistogram _),
     "q_time_to_convert" -> (qTimeToConvert _),
     "q_active_users"   -> (qActiveUsers _),
@@ -2514,6 +2546,7 @@ object Queries {
     "q_autocorr"       -> qAutocorrSql,
     "q_anomaly_days"   -> qAnomalyDaysSql,
     "q_graph_reciprocity" -> qReciprocitySql,
+    "q_graph_triads"   -> qTriadCensusSql,
     "q_histogram"      -> qHistogramSql,
     "q_time_to_convert" -> qTimeToConvertSql,
     "q_active_users"   -> qActiveUsersSql,
