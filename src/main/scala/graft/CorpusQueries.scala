@@ -629,6 +629,35 @@ object CorpusQueries {
        |SELECT rank, token, cnt, CAST((rank * cnt * 1000000) // f1 AS BIGINT) AS zipf_e6
        |FROM r CROSS JOIN f ORDER BY rank""".stripMargin.replace('\n', ' ')
 
+  /** Vocabulary richness per source: token count, type count, hapax
+    * legomena (types occurring once IN that source), type-token ratio
+    * and hapax share — the corpus-linguistics diversity panel, all
+    * exact integers (two explode-aggs, map-side combined). */
+  private def qTextHapax(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables(s, dir).documents
+      .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    tf.groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        count(when(col("c") === 1, lit(1))).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("(n_types * 1000000) div n_tokens").as("ttr_e6"),
+        expr("(n_hapax * 1000000) div n_types").as("hapax_share_e6"))
+      .orderBy(col("source"))
+  }
+
+  private val qTextHapaxSql =
+    s"""WITH tf AS MATERIALIZED (SELECT source, u.t AS tok, COUNT(*) AS c
+       |FROM (SELECT source, ${tokSql()} AS tk FROM documents) d, unnest(tk) AS u(t)
+       |GROUP BY 1, 2),
+       |a AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_types,
+       |COUNT(*) FILTER (WHERE c = 1) AS n_hapax FROM tf GROUP BY 1)
+       |SELECT source, n_tokens, n_types, n_hapax,
+       |CAST((n_types * 1000000) // n_tokens AS BIGINT) AS ttr_e6,
+       |CAST((n_hapax * 1000000) // n_types AS BIGINT) AS hapax_share_e6
+       |FROM a ORDER BY source""".stripMargin.replace('\n', ' ')
+
   // --- registry ---------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -656,7 +685,8 @@ object CorpusQueries {
     "q_feature_hash"      -> (qFeatureHash _),
     "q_snapshot_diff"     -> (qSnapshotDiff _),
     "q_pipeline_e2e"      -> (qPipelineE2e _),
-    "q_text_zipf"         -> (qTextZipf _))
+    "q_text_zipf"         -> (qTextZipf _),
+    "q_text_hapax"        -> (qTextHapax _))
 
   val oracles: Map[String, String] = Map(
     "q_text_repetition"   -> qTextRepetitionSql,
@@ -683,5 +713,6 @@ object CorpusQueries {
     "q_feature_hash"      -> qFeatureHashSql,
     "q_snapshot_diff"     -> qSnapshotDiffSql,
     "q_pipeline_e2e"      -> qPipelineE2eSql,
-    "q_text_zipf"         -> qTextZipfSql)
+    "q_text_zipf"         -> qTextZipfSql,
+    "q_text_hapax"        -> qTextHapaxSql)
 }

@@ -1828,6 +1828,30 @@ object Queries {
       |CAST(CAST(s_d AS HUGEINT) * n * 1000000 // (CAST(n_d AS HUGEINT) * st) AS BIGINT) AS index_e6
       |FROM p CROSS JOIN t ORDER BY dow""".stripMargin.replace('\n', ' ')
 
+  /** Inter-arrival latency per event type: consecutive-event gaps (one
+    * LAG window over the micro-truncated global order per type) fed to
+    * [[graft.operators.Quantiles.exactScaled]] for exact p50/p95 in
+    * milliseconds — the arrival-process profile a capacity model needs.
+    * Unique (ts_us, event_id) order makes gaps a pure data function. */
+  private def qInterarrival(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"), col("event_id"))
+    val gaps = t.events
+      .select(col("event_type"), col("event_id"), expr("ts div 1000").as("ts_us"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type").as("g"), expr("(ts_us - prev) div 1000").as("gap_ms"))
+    Quantiles.exactScaled(gaps, "gap_ms", "g", Seq((1, 2), (19, 20)), 1L)
+  }
+
+  private val qInterarrivalSql = {
+    val src = """(SELECT event_type AS g, (t - prev) // 1000 AS gap_ms FROM (
+      |SELECT event_type, epoch_us(ts) AS t,
+      |LAG(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS prev
+      |FROM events) z WHERE prev IS NOT NULL) ia""".stripMargin.replace('\n', ' ')
+    Quantiles.exactScaledSql(src, "gap_ms", "g", Seq((1, 2), (19, 20)), 1L)
+  }
+
   /** Ranking-function tour over customer revenue: rank, dense_rank,
     * percent_rank, cume_dist and the gap to the next customer — the
     * remaining window-function family in one pass (ONE sort over a
@@ -2454,6 +2478,7 @@ object Queries {
     "q_corr_matrix"    -> (qCorrMatrix _),
     "q_regression"     -> (qRegression _),
     "q_seasonal"       -> (qSeasonal _),
+    "q_interarrival"   -> (qInterarrival _),
     "q_unpivot"        -> (qUnpivot _),
     "q_pareto_abc"     -> (qParetoAbc _),
     "q_target_enc"     -> (qTargetEnc _),
@@ -2559,6 +2584,7 @@ object Queries {
     "q_corr_matrix"    -> qCorrMatrixSql,
     "q_regression"     -> qRegressionSql,
     "q_seasonal"       -> qSeasonalSql,
+    "q_interarrival"   -> qInterarrivalSql,
     "q_unpivot"        -> qUnpivotSql,
     "q_pareto_abc"     -> qParetoAbcSql,
     "q_target_enc"     -> qTargetEncSql,
