@@ -9,8 +9,6 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries timestamp[ns]; surface as epoch-nano BIGINT
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: exercise the scan/shuffle/agg/join/codegen paths so
@@ -53,8 +51,16 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
+        // A failed query must be UN-MASKABLE: record a NEGATIVE elapsed
+        // time and log it. (Round 5 silently recorded 20 analysis-time
+        // failures as 0.06-0.13s "successes", hiding a full breakage.)
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+        val dt0 = (System.nanoTime() - t0) / 1e9
+        val dt = if (ok) dt0 else -dt0
         // harness hygiene runs OUTSIDE the timed window — it's
         // between-query bookkeeping, not query cost:
         // clearCache drops only catalog-tracked datasets; localCheckpoint
@@ -75,9 +81,12 @@ object Bench {
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // total sums SUCCESSFUL queries only; failures (negative entries) are
+    // surfaced in an explicit errors list so they can never read as fast.
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","queries":$qs}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_err":${errs.size},"errors":${errs.mkString("[", ",", "]")},"sf":"$sfDir","queries":$qs}"""
     println(line)
     // Belt-and-braces: also persist the full line to a file the judge can
     // read even if the stdout capture clips.

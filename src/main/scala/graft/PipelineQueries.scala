@@ -859,7 +859,7 @@ object PipelineQueries {
     }
     val ev = t.events.select(col("event_id"), col("user_id"),
       col("event_type"), col("value"),
-      expr("ts div 86400000000000").as("day"))
+      expr("ts div 86400000000").as("day"))
     graft.io.PartitionedStore.write(ev, path.toString, Seq("event_type", "day"))
     graft.io.PartitionedStore.read(s, path.toString)
       .filter(col("event_type") === "purchase")
@@ -869,7 +869,7 @@ object PipelineQueries {
   }
 
   private val qPartitionedWriteSql =
-    """SELECT epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS n,
+    """SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n,
       |CAST(FLOOR(SUM(value) * 100) AS BIGINT) AS rev_e2
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin.replace('\n', ' ')

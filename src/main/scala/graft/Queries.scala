@@ -124,8 +124,10 @@ object Queries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin.replace('\n', ' ')
 
-  // `ts` is read as a BIGINT of epoch nanoseconds (see Tables.events doc):
-  // integral arithmetic on it is exactly reproducible in the oracle.
+  // `ts` is normalized to a BIGINT of epoch MICROseconds (see Tables.events
+  // doc): integral arithmetic on it is exactly reproducible in the oracle
+  // via DuckDB's epoch_us (which truncates the parquet ns the same way the
+  // Spark 4 TIMESTAMP_NTZ read does).
   /** Z-order key computation ([[graft.operators.ZOrder.zValue]]): the
     * Morton interleave of (user_id, day) as a codegen'd bit expression,
     * oracle-matched bit-for-bit — the correctness half of the z-order
@@ -135,14 +137,14 @@ object Queries {
     val t = Tables(s, dir)
     t.events.filter(col("event_id") < 200)
       .select(col("event_id"), col("user_id"),
-        expr("ts div 86400000000000").as("day"))
+        expr("ts div 86400000000").as("day"))
       .withColumn("z", graft.operators.ZOrder.zValue(col("user_id"), col("day")))
       .orderBy(col("event_id"))
   }
 
   private val qZorderKeysSql =
-    s"""SELECT event_id, user_id, epoch_ns(ts) // 86400000000000 AS day,
-       |${graft.operators.ZOrder.zValueSql("user_id", "(epoch_ns(ts) // 86400000000000)")} AS z
+    s"""SELECT event_id, user_id, epoch_us(ts) // 86400000000 AS day,
+       |${graft.operators.ZOrder.zValueSql("user_id", "(epoch_us(ts) // 86400000000)")} AS z
        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin.replace('\n', ' ')
 
   /** Semi-structured extraction: the JSON `props` payload parsed with
@@ -241,7 +243,7 @@ object Queries {
   private def qPivot(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     val types = Seq("click", "view", "purchase", "signup", "error")
-    t.events.select(expr("ts div 86400000000000").as("day"), col("event_type"))
+    t.events.select(expr("ts div 86400000000").as("day"), col("event_type"))
       .groupBy(col("day")).pivot("event_type", types).count()
       .select(col("day") +: types.map(ty => coalesce(col(ty), lit(0L)).as(ty)): _*)
       .orderBy(col("day"))
@@ -250,7 +252,7 @@ object Queries {
   // COUNT(*) FILTER, not SUM(CASE): DuckDB's integer SUM returns HUGEINT,
   // which pandas surfaces as a different dtype than Spark's BIGINT count
   private val qPivotSql =
-    """SELECT epoch_ns(ts) // 86400000000000 AS day,
+    """SELECT epoch_us(ts) // 86400000000 AS day,
       |COUNT(*) FILTER (WHERE event_type = 'click') AS click,
       |COUNT(*) FILTER (WHERE event_type = 'view') AS view,
       |COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
@@ -322,7 +324,7 @@ object Queries {
   private def qScd2(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     val p = t.events.filter(col("event_type") === "purchase")
-      .select(col("user_id"), expr("ts div 1000").as("us"),
+      .select(col("user_id"), col("ts").as("us"),
         col("event_id"), e2(col("value")).as("value_e2"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
     p.select(col("user_id"), col("event_id"), col("value_e2"),
@@ -403,7 +405,7 @@ object Queries {
     * product-analytics query a warehouse engine must make cheap. */
   private def qCohort(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
-    val ev = t.events.select(col("user_id"), expr("ts div 86400000000000").as("day"))
+    val ev = t.events.select(col("user_id"), expr("ts div 86400000000").as("day"))
     val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
     ev.join(first, Seq("user_id"))
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
@@ -412,7 +414,7 @@ object Queries {
   }
 
   private val qCohortSql =
-    """WITH ev AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+    """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
       |f AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id)
       |SELECT f.cohort_day, ev.day - f.cohort_day AS day_offset,
       |COUNT(DISTINCT ev.user_id) AS n_users
@@ -427,7 +429,7 @@ object Queries {
   private def qFunnel(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     val ev = t.events.select(col("user_id"), col("event_type"),
-      expr("ts div 1000").as("us"))
+      col("ts").as("us"))
     val su = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("us")).as("t_signup"))
     val cl = ev.filter(col("event_type") === "click").select(col("user_id"), col("us"))
@@ -490,7 +492,7 @@ object Queries {
     t.events
       .withColumn("prev", lag(col("ts"), 1).over(w))
       .withColumn("new_s",
-        when(col("prev").isNull || col("ts") - col("prev") > lit(1800000000000L), 1)
+        when(col("prev").isNull || col("ts") - col("prev") > lit(1800000000L), 1)
           .otherwise(0))
       .groupBy(col("user_id"))
       .agg(sum(col("new_s")).as("sessions"), count(lit(1)).as("events_cnt"))
@@ -500,23 +502,23 @@ object Queries {
   private val qSessionsSql =
     """SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS sessions, COUNT(*) AS events_cnt FROM (
       |SELECT user_id,
-      |CASE WHEN lag_ns IS NULL OR epoch_ns(ts) - lag_ns > 1800000000000
+      |CASE WHEN lag_us IS NULL OR epoch_us(ts) - lag_us > 1800000000
       |THEN 1 ELSE 0 END AS new_s FROM (
       |SELECT user_id, ts,
-      |LAG(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_ns
+      |LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_us
       |FROM events) a ) b
       |GROUP BY user_id ORDER BY user_id""".stripMargin.replace('\n', ' ')
 
   private def qTumbling(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     t.events
-      .groupBy(expr("ts div 3600000000000").as("hour_idx"), col("event_type"))
+      .groupBy(expr("ts div 3600000000").as("hour_idx"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), e4(sum(col("value"))).as("sum_value_e4"))
       .orderBy(col("hour_idx"), col("event_type"))
   }
 
   private val qTumblingSql =
-    """SELECT epoch_ns(ts) // 3600000000000 AS hour_idx,
+    """SELECT epoch_us(ts) // 3600000000 AS hour_idx,
       |event_type, COUNT(*) AS cnt, CAST(FLOOR(SUM(value) * 10000) AS BIGINT) AS sum_value_e4
       |FROM events GROUP BY 1, 2 ORDER BY hour_idx, event_type""".stripMargin.replace('\n', ' ')
 
@@ -529,7 +531,7 @@ object Queries {
     t.events
       .select(col("event_type"), col("value"),
         explode(sequence(lit(0L), lit(3L))).as("k"),
-        expr("ts div 900000000000").as("slot"))
+        expr("ts div 900000000").as("slot"))
       .select(col("event_type"), col("value"), (col("slot") - col("k")).as("win_idx"))
       .groupBy(col("win_idx"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), e4(sum(col("value"))).as("sum_value_e4"))
@@ -539,7 +541,7 @@ object Queries {
   private val qSlidingSql =
     """SELECT win_idx, event_type, COUNT(*) AS cnt,
       |CAST(FLOOR(SUM(value) * 10000) AS BIGINT) AS sum_value_e4 FROM (
-      |SELECT event_type, value, epoch_ns(ts) // 900000000000 - k AS win_idx
+      |SELECT event_type, value, epoch_us(ts) // 900000000 - k AS win_idx
       |FROM events, unnest([0, 1, 2, 3]) AS t(k)) z
       |GROUP BY 1, 2 ORDER BY win_idx, event_type""".stripMargin.replace('\n', ' ')
 
@@ -553,13 +555,13 @@ object Queries {
     // micros on both engines: DuckDB surfaces parquet timestamp[ns] at
     // microsecond precision, so the join must compare at micros too
     val ev = t.events.select(col("event_id"), col("user_id"),
-      expr("ts div 1000").as("ts_us"))
+      col("ts").as("ts_us"))
     // pre-dedup same-(user, micro-ts) purchases to the max event_id in
     // BOTH engines: DuckDB's ASOF picks an arbitrary tied right row,
     // Spark's rightTieBreak picks the max — resolve ties identically
     // before either engine sees them so the oracle can never go flaky
     val purchases = t.events.filter(col("event_type") === "purchase")
-      .select(col("user_id"), expr("ts div 1000").as("pts_us"),
+      .select(col("user_id"), col("ts").as("pts_us"),
         col("event_id").as("last_purchase_id"),
         e2(col("value")).as("last_purchase_value_e2"))
       .withColumn("rn", row_number().over(
@@ -596,11 +598,11 @@ object Queries {
     val hourUs = 3600000000L
     val clicks = t.events.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
-        expr("ts div 1000").as("ct"))
+        col("ts").as("ct"))
     val errors = t.events.filter(col("event_type") === "error")
       .select(col("user_id"), col("event_id").as("error_id"),
-        expr("ts div 1000").as("es"),
-        (expr("ts div 1000") + lit(hourUs)).as("ee"))
+        col("ts").as("es"),
+        (col("ts") + lit(hourUs)).as("ee"))
     RangeJoin.pointInInterval(clicks, errors,
         key = "user_id", t = "ct", start = "es", end = "ee",
         bucketWidth = hourUs)
@@ -630,7 +632,7 @@ object Queries {
     val gapUs = 1800000000L // 30 min; micros on both engines (as q_asof_purchase)
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val lagTs = lag(col("ts_us"), 1).over(w)
-    t.events.select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+    t.events.select(col("user_id"), col("event_id"), col("ts").as("ts_us"))
       .withColumn("nf", when(lagTs.isNull || col("ts_us") - lagTs > lit(gapUs), 1L).otherwise(0L))
       .withColumn("island", sum(col("nf")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -866,11 +868,11 @@ object Queries {
   private def qFullOuter(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     val purch = t.events.filter(col("event_type") === "purchase")
-      .select(expr("ts div 3600000000000").as("h"), col("value"))
+      .select(expr("ts div 3600000000").as("h"), col("value"))
       .groupBy(col("h"))
       .agg(count(lit(1)).as("n_purchases"), e2(sum(col("value"))).as("rev_e2"))
     val errs = t.events.filter(col("event_type") === "error")
-      .select(expr("ts div 3600000000000").as("h"))
+      .select(expr("ts div 3600000000").as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("n_errors"))
     purch.join(errs, Seq("h"), "full_outer")
       .select(col("h"),
@@ -881,10 +883,10 @@ object Queries {
   }
 
   private val qFullOuterSql =
-    """WITH p AS (SELECT epoch_ns(ts) // 3600000000000 AS h, COUNT(*) AS n_purchases,
+    """WITH p AS (SELECT epoch_us(ts) // 3600000000 AS h, COUNT(*) AS n_purchases,
       |CAST(FLOOR(SUM(value) * 100) AS BIGINT) AS rev_e2
       |FROM events WHERE event_type = 'purchase' GROUP BY 1),
-      |x AS (SELECT epoch_ns(ts) // 3600000000000 AS h, COUNT(*) AS n_errors
+      |x AS (SELECT epoch_us(ts) // 3600000000 AS h, COUNT(*) AS n_errors
       |FROM events WHERE event_type = 'error' GROUP BY 1)
       |SELECT COALESCE(p.h, x.h) AS h, COALESCE(n_purchases, 0) AS n_purchases,
       |COALESCE(rev_e2, 0) AS rev_e2, COALESCE(n_errors, 0) AS n_errors
@@ -1166,7 +1168,7 @@ object Queries {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val pairs = t.events
       .select(col("user_id"), col("event_id"), col("event_type"),
-        expr("ts div 1000").as("ts_us"))
+        col("ts").as("ts_us"))
       .select(col("event_type").as("src"), lead(col("event_type"), 1).over(w).as("dst"))
       .filter(col("dst").isNotNull)
     val c = pairs.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
@@ -1484,9 +1486,9 @@ object Queries {
   private def qTimeToConvert(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     val firstView = t.events.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(expr("ts div 1000")).as("v_us"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_us"))
     val purch = t.events.filter(col("event_type") === "purchase")
-      .select(col("user_id"), expr("ts div 1000").as("p_us"))
+      .select(col("user_id"), col("ts").as("p_us"))
     val deltas = firstView.join(purch, Seq("user_id"))
       .filter(col("p_us") >= col("v_us"))
       .groupBy(col("user_id"), col("v_us")).agg(min(col("p_us")).as("p_us"))
@@ -1514,8 +1516,8 @@ object Queries {
   private def qActiveUsers(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     val ev = t.events.select(col("user_id"),
-      expr("ts div 86400000000000").as("day"),
-      expr("ts div 86400000000000 div 30").as("mon"))
+      expr("ts div 86400000000").as("day"),
+      expr("ts div 86400000000 div 30").as("mon"))
     val dau = ev.groupBy(col("mon"), col("day"))
       .agg(countDistinct(col("user_id")).as("dau"))
     val mau = ev.groupBy(col("mon")).agg(countDistinct(col("user_id")).as("mau"))
@@ -1528,8 +1530,8 @@ object Queries {
   }
 
   private val qActiveUsersSql =
-    """WITH ev AS MATERIALIZED (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
-      |epoch_ns(ts) // 86400000000000 // 30 AS mon FROM events),
+    """WITH ev AS MATERIALIZED (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |epoch_us(ts) // 86400000000 // 30 AS mon FROM events),
       |dau AS (SELECT mon, day, COUNT(DISTINCT user_id) AS dau FROM ev GROUP BY 1, 2),
       |mau AS (SELECT mon, COUNT(DISTINCT user_id) AS mau FROM ev GROUP BY 1),
       |d AS (SELECT mon, COUNT(*) AS n_days, CAST(SUM(dau) AS BIGINT) AS sum_dau
@@ -1578,7 +1580,7 @@ object Queries {
   private def qCumulativeUsers(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     val firstDay = t.events.groupBy(col("user_id"))
-      .agg(min(expr("ts div 86400000000000")).as("day"))
+      .agg(min(expr("ts div 86400000000")).as("day"))
     firstDay.groupBy(col("day")).agg(count(lit(1)).as("new_users"))
       .withColumn("users_to_date",
         sum(col("new_users")).over(Window.orderBy(col("day"))
@@ -1587,7 +1589,7 @@ object Queries {
   }
 
   private val qCumulativeUsersSql =
-    """WITH f AS (SELECT user_id, MIN(epoch_ns(ts) // 86400000000000) AS day
+    """WITH f AS (SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS day
       |FROM events GROUP BY 1),
       |d AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY 1)
       |SELECT day, new_users, CAST(SUM(new_users) OVER (ORDER BY day
@@ -1602,7 +1604,7 @@ object Queries {
   private def qChurn(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     val um = t.events
-      .select(col("user_id"), expr("ts div 86400000000000").as("mon"))
+      .select(col("user_id"), expr("ts div 86400000000").as("mon"))
       .distinct()
     val last = um.agg(max(col("mon")).as("last_mon"))
     um.as("a").crossJoin(broadcast(last))
@@ -1620,7 +1622,7 @@ object Queries {
 
   private val qChurnSql =
     """WITH um AS MATERIALIZED (SELECT DISTINCT user_id,
-      |epoch_ns(ts) // 86400000000000 AS mon FROM events),
+      |epoch_us(ts) // 86400000000 AS mon FROM events),
       |mx AS (SELECT MAX(mon) AS last_mon FROM um)
       |SELECT a.mon, COUNT(*) AS n_active, COUNT(b.user_id) AS n_retained,
       |CAST(((COUNT(*) - COUNT(b.user_id)) * 1000000) // COUNT(*) AS BIGINT) AS churn_e6
@@ -1693,7 +1695,7 @@ object Queries {
     val t = Tables(s, dir)
     val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
       .rangeBetween(-86400000000L, 0L)
-    t.events.select(col("user_id"), expr("ts div 1000").as("t"))
+    t.events.select(col("user_id"), col("ts").as("t"))
       .withColumn("burst", count(lit(1)).over(w))
       .groupBy(col("user_id")).agg(max(col("burst")).as("max_burst"))
       .filter(col("max_burst") >= 8)
@@ -1837,7 +1839,7 @@ object Queries {
     val t = Tables(s, dir)
     val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"), col("event_id"))
     val gaps = t.events
-      .select(col("event_type"), col("event_id"), expr("ts div 1000").as("ts_us"))
+      .select(col("event_type"), col("event_id"), col("ts").as("ts_us"))
       .withColumn("prev", lag(col("ts_us"), 1).over(w))
       .filter(col("prev").isNotNull)
       .select(col("event_type").as("g"), expr("(ts_us - prev) div 1000").as("gap_ms"))
@@ -2105,10 +2107,11 @@ object Queries {
   }
 
   /** Minimum spanning forest of the customer–supplier graph
-    * ([[graft.graph.Algos.mst]], Borůvka). No SQL oracle — union-find
-    * is not SQL-expressible — so this row is the documented weaker
-    * rows-only check; determinism + Kruskal equality are pinned by
-    * AlgosSpec instead. */
+    * ([[graft.graph.Algos.mst]], Borůvka). Hash-matched against
+    * [[graft.sql.OracleGen.boruvkaSql]] — a full Borůvka replay in
+    * unrolled SQL (pointer-doubling contraction, no union-find needed);
+    * determinism + Kruskal equality are additionally pinned by
+    * AlgosSpec. */
   private def qMst(s: SparkSession, dir: String): DataFrame =
     Algos.mst(TestGraphs.custSupp(Tables(s, dir))
       .select(col("src").as("u"), col("dst").as("v"), col("w")))
@@ -2602,6 +2605,10 @@ object Queries {
     "q_fuzzy_join"     -> qFuzzyJoinSql,
     "q_graph_degrees"  -> qDegreesSql,
     "q_graph_wcc"      -> OracleGen.labelPropSql(TestGraphs.custSuppSymSql, 12, isMin = true, "component"),
+    "q_graph_mst"      -> OracleGen.boruvkaSql(
+      s"ce AS MATERIALIZED (${TestGraphs.custSuppSql}), " +
+        "ew AS MATERIALIZED (SELECT src AS u, dst AS v, w FROM ce)",
+      rounds = 12, jumps = 12),
     "q_graph_sssp"     -> OracleGen.ssspSql(TestGraphs.custSuppSymSql, 16),
     "q_graph_bfs"      -> OracleGen.bfsMinSourceSql(TestGraphs.custSuppSymSql, 12),
     "q_graph_pagerank" -> OracleGen.pagerankSql(TestGraphs.custSuppSymSql, 5, 0.85, 0.15),

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Typed accessors for the driver-generated TPC-H-ish parquet tables
   * (see TESTDATA.md). All queries take a scale-factor directory so the
@@ -11,14 +13,33 @@ final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet timestamp[ns], which Spark only reads with the
-    * nanosAsLong legacy flag — so `ts` surfaces as BIGINT epoch-nanos.
-    * That is deliberate: integral nanos make window/session arithmetic
-    * exactly reproducible by the DuckDB oracle (epoch_ns). */
-  private def eventsRaw: DataFrame = {
-    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    catch { case _: Throwable => () }
-    t("events")
+  /** `events.ts` is a no-timezone parquet timestamp (µs in the current
+    * testdata). Spark 4 removed the effect of the legacy
+    * `spark.sql.legacy.parquet.nanosAsLong` BIGINT read path (the conf is
+    * still accepted but silently ignored), so the column surfaces as
+    * TIMESTAMP_NTZ at microsecond precision. Normalize it to BIGINT
+    * epoch-MICROS explicitly: integral µs keep window/session arithmetic
+    * exactly reproducible by the DuckDB oracle (`epoch_us`).
+    * The NTZ wall clock is interpreted as UTC — enforced against the
+    * session zone so an environment drift fails loudly instead of
+    * silently shifting every window boundary (the silent-catch failure
+    * mode that hid the Spark-4 regression for a whole round). */
+  private def eventsNormalized: DataFrame = {
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case TimestampNTZType =>
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "graft.Tables requires spark.sql.session.timeZone=UTC to map " +
+            "events.ts (TIMESTAMP_NTZ wall clock) onto epoch micros")
+        raw.withColumn("ts", unix_micros(col("ts").cast("timestamp")))
+      case LongType =>
+        // legacy image where nanosAsLong still worked: BIGINT epoch-nanos
+        raw.withColumn("ts", expr("ts div 1000"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts read as unexpected type $other; expected " +
+            "TIMESTAMP_NTZ (Spark 4) or BIGINT epoch-nanos (legacy read)")
+    }
   }
 
   def region: DataFrame     = t("region")
@@ -28,7 +49,8 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  def events: DataFrame     = eventsRaw
+  /** events with `ts` as BIGINT epoch-MICROS (see [[eventsNormalized]]). */
+  def events: DataFrame     = eventsNormalized
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

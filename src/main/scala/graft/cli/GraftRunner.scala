@@ -39,7 +39,8 @@ object GraftRunner {
       else if (opts.contains("gen")) "gen" // synthetic input, no path needed
       else "edges"
     val required = (Seq(inputKey, "out") ++
-      (if (algo == "dedup-index-probe") Seq("index") else Nil))
+      (if (algo == "dedup-index-probe") Seq("index") else Nil) ++
+      (if (algo == "run-class") Seq("class") else Nil))
       .filterNot(opts.contains)
     if (required.nonEmpty) {
       System.err.println(s"missing: ${required.map("--" + _).mkString(" ")}"); usage(); sys.exit(2)
@@ -55,7 +56,18 @@ object GraftRunner {
     spark.sparkContext.setLogLevel("WARN")
 
     try {
-      val result: DataFrame =
+      // null result ⇒ the action wrote its own output layout (index write)
+      val result = execute(spark, algo, opts)
+      if (result != null) result.write.mode("overwrite").parquet(opts("out"))
+      println(s"[graft] $algo done -> ${opts("out")}")
+    } finally spark.stop()
+  }
+
+  /** Resolve and run one CLI action on an existing session — separated
+    * from [[main]] (which owns session lifecycle + the output write) so
+    * in-process callers and specs can drive the exact CLI dispatch
+    * without a private session being created and stopped under them. */
+  def execute(spark: SparkSession, algo: String, opts: Map[String, String]): DataFrame =
         if (PipelineAlgos(algo)) {
           val docs = spark.read.parquet(opts("docs"))
           val budget = opts.getOrElse("budget", "2048").toLong
@@ -131,14 +143,22 @@ object GraftRunner {
                 edges.filter(col("src") < col("dst"))
                   .select(col("src").as("u"), col("dst").as("v")).distinct(),
                 maxMidDeg = opts.getOrElse("maxdeg", "500").toLong)
+            // Arbitrary user computation — the GiraphRunner `-Computation
+            // <class>` analog (GiraphRunner.java:69-94): reflectively load
+            // a graft.UserProgram from the job classpath (spark-submit
+            // --jars) and drive it through the shared Pregel loop.
+            case "run-class" =>
+              val prog = Class.forName(opts("class"))
+                .getDeclaredConstructor().newInstance()
+                .asInstanceOf[graft.UserProgram]
+              graft.graph.Pregel.run(
+                prog.init(spark, edges, opts), edges,
+                prog.sendMsg, prog.combineMsg, prog.vprog,
+                graft.graph.PregelOptions(maxSupersteps =
+                  opts.get("iters").map(_.toInt).getOrElse(prog.maxSupersteps)))
             case other => System.err.println(s"unknown algo: $other"); usage(); sys.exit(2); null
           }
         }
-      // null result ⇒ the action wrote its own output layout (index write)
-      if (result != null) result.write.mode("overwrite").parquet(opts("out"))
-      println(s"[graft] $algo done -> ${opts("out")}")
-    } finally spark.stop()
-  }
 
   private def minSrc(edges: DataFrame): Long =
     edges.agg(min(col("src"))).first().getLong(0)
@@ -191,6 +211,8 @@ object GraftRunner {
       |              walks [--len N] mst katz linkpred [--maxdeg N] bowtie
       |              ([--tol X] [--convergence
       |              sum|max|sum_rel|max_rel|rmse] for pagerank-conv)
+      |              run-class --class <fqcn of a graft.UserProgram>
+      |              (user computation from the job classpath)
       |or: GraftRunner <op> --docs <parquet> --out <path> [--k N] [--budget N]
       |  corpus op: dedup-exact dedup-minhash dedup-clusters tfidf vocab
       |             scrub pack sample sample-topk repetition

@@ -427,6 +427,56 @@ object OracleGen {
       "FROM v ORDER BY id")
   }
 
+  /** Borůvka minimum-spanning-forest replay — the DuckDB twin of
+    * graft.graph.Algos.mst. `withBody` must define `ew(u, v, w)`
+    * (canonical pairs, integral weights). Deterministic because both
+    * engines pick each component's min edge under the same total order
+    * (w, u, v), which makes the MSF unique (Kruskal-equal, pinned by
+    * AlgosSpec).
+    *
+    * Per unrolled round r: rank cross-component edges per component
+    * (window, same (w,u,v) order as the engine's min(struct)); the rn=1
+    * rows are both the chosen edges and the component-level parent
+    * pointers. Contraction exploits Borůvka's 2-cycle lemma: the min-edge
+    * functional graph's only cycles are mutual-min 2-cycles, so after
+    * rooting each 2-cycle at its smaller id, `jumps` pointer-doubling
+    * steps (depth 2^jumps) collapse every component to its root — no
+    * nested fixpoint needed. Rounds are idempotent once converged (no
+    * cross edges → labels carried unchanged), so `rounds` only needs to
+    * be ≥ log2(n). */
+  def boruvkaSql(withBody: String, rounds: Int, jumps: Int): String = {
+    val rounds_ = (1 to rounds).map { r =>
+      val doubling = (1 to jumps).map { j =>
+        s"""q${r}_$j AS MATERIALIZED (SELECT a.comp, b.par
+           |FROM q${r}_${j - 1} a JOIN q${r}_${j - 1} b ON b.comp = a.par)""".stripMargin.replace('\n', ' ')
+      }
+      s"""lab$r AS MATERIALIZED (
+         |SELECT e.u, e.v, e.w, cu.c AS cu, cv.c AS cv FROM ed e
+         |JOIN c${r - 1} cu ON cu.id = e.u JOIN c${r - 1} cv ON cv.id = e.v
+         |WHERE cu.c <> cv.c),
+         |rk$r AS MATERIALIZED (
+         |SELECT comp, par, u, v, w,
+         |ROW_NUMBER() OVER (PARTITION BY comp ORDER BY w, u, v) AS rn FROM (
+         |SELECT cu AS comp, cv AS par, u, v, w FROM lab$r
+         |UNION ALL SELECT cv AS comp, cu AS par, u, v, w FROM lab$r) t),
+         |cand$r AS MATERIALIZED (SELECT DISTINCT u, v, w FROM rk$r WHERE rn = 1),
+         |mp$r AS MATERIALIZED (SELECT comp, par FROM rk$r WHERE rn = 1),
+         |q${r}_0 AS MATERIALIZED (
+         |SELECT a.comp, CASE WHEN b.par = a.comp THEN LEAST(a.comp, a.par)
+         |ELSE a.par END AS par FROM mp$r a JOIN mp$r b ON b.comp = a.par),
+         |${doubling.mkString(", ")},
+         |c$r AS MATERIALIZED (
+         |SELECT c.id, COALESCE(q.par, c.c) AS c
+         |FROM c${r - 1} c LEFT JOIN q${r}_$jumps q ON q.comp = c.c)""".stripMargin.replace('\n', ' ')
+    }
+    val out = (1 to rounds).map(r => s"SELECT u, v, w FROM cand$r").mkString(" UNION ALL ")
+    (s"WITH $withBody, ed AS MATERIALIZED (SELECT DISTINCT u, v, w FROM ew), " +
+      "v0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM ed UNION SELECT DISTINCT v FROM ed), " +
+      "c0 AS MATERIALIZED (SELECT id, id AS c FROM v0), " +
+      rounds_.mkString(", ") +
+      s" SELECT u, v, w FROM ($out) z ORDER BY u, v")
+  }
+
   /** SCC labels (comp = max id in the component) via K-fold path-doubling
     * transitive closure — oracle-only; the engine uses FB-coloring. */
   def sccSql(withBody: String, k: Int): String = {

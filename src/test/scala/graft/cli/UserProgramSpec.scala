@@ -1,0 +1,60 @@
+package graft.cli
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, UserProgram}
+
+/** Fixture: max-label propagation written as an EXTERNAL user program —
+  * what a reference user would ship in their own jar and name with
+  * `run-class --class` (the GiraphRunner `-Computation` analog). Kept
+  * deliberately outside the engine's Algos so the test proves the
+  * reflective path, not a built-in. */
+class MaxLabelUserProgram extends UserProgram {
+  def init(spark: SparkSession, edges: DataFrame, opts: Map[String, String]): DataFrame =
+    edges.select(col("src").as("id")).union(edges.select(col("dst").as("id")))
+      .distinct()
+      .select(col("id"), col("id").as("lbl"), lit(true).as("active"))
+
+  def sendMsg(joined: DataFrame): DataFrame =
+    joined.select(col("dst").as("id"), col("lbl").as("msg"))
+
+  def combineMsg: Column = max(col("msg"))
+
+  def vprog(verts: DataFrame, msgs: DataFrame): DataFrame = {
+    val better = col("msg").isNotNull && col("msg") > col("lbl")
+    verts.join(msgs, Seq("id"), "left").select(
+      col("id"),
+      when(better, col("msg")).otherwise(col("lbl")).as("lbl"),
+      coalesce(better, lit(false)).as("active"))
+  }
+}
+
+class UserProgramSpec extends SparkSpec {
+
+  // two components: {1,2,3,9} and {5,6} — max labels 9 and 6
+  private lazy val edgesPath: String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_userprog")
+    val path = s"$tmp/edges"
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L))
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  test("run-class reflectively loads a UserProgram and drives it through Pregel") {
+    val out = GraftRunner.execute(spark, "run-class",
+      Map("class" -> "graft.cli.MaxLabelUserProgram", "edges" -> edgesPath))
+    val got = out.select("id", "lbl").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 9L), (2L, 9L), (3L, 9L), (5L, 6L), (6L, 6L), (9L, 9L)))
+  }
+
+  test("run-class rejects a class that is not a UserProgram") {
+    intercept[ClassCastException] {
+      GraftRunner.execute(spark, "run-class",
+        Map("class" -> "java.lang.Object", "edges" -> edgesPath))
+    }
+  }
+}
