@@ -143,6 +143,15 @@ object GraftRunner {
                 edges.filter(col("src") < col("dst"))
                   .select(col("src").as("u"), col("dst").as("v")).distinct(),
                 maxMidDeg = opts.getOrElse("maxdeg", "500").toLong)
+            // Messaging / aggregator stress drivers (reference
+            // RandomMessageBenchmark / AggregatorsBenchmark analogs)
+            case "bench-messages" => graft.graph.BenchDrivers.randomMessages(
+              edges, supersteps = iters,
+              msgsPerVertex = opts.getOrElse("msgs", "3").toInt,
+              payloadBytes = opts.getOrElse("bytes", "64").toInt)
+            case "bench-aggregators" => graft.graph.BenchDrivers.aggregatorStress(
+              edges, supersteps = iters,
+              nAggs = opts.getOrElse("naggs", "16").toInt)
             // Arbitrary user computation — the GiraphRunner `-Computation
             // <class>` analog (GiraphRunner.java:69-94): reflectively load
             // a graft.UserProgram from the job classpath (spark-submit
@@ -213,6 +222,8 @@ object GraftRunner {
       |              sum|max|sum_rel|max_rel|rmse] for pagerank-conv)
       |              run-class --class <fqcn of a graft.UserProgram>
       |              (user computation from the job classpath)
+      |              bench-messages [--msgs N] [--bytes N] (msg stress)
+      |              bench-aggregators [--naggs N] (aggregator stress)
       |or: GraftRunner <op> --docs <parquet> --out <path> [--k N] [--budget N]
       |  corpus op: dedup-exact dedup-minhash dedup-clusters tfidf vocab
       |             scrub pack sample sample-topk repetition
