@@ -574,6 +574,74 @@ object PipelineQueries {
        |ORDER BY q_id, rcos_e4 DESC, n_id""".stripMargin.replace('\n', ' ')
   }
 
+  /** The q_dedup_embedding planted-clone corpus (3 lowest-id vectors
+    * cloned with coordinate 0 halved — planted cosine ≥ 0.94, exact in
+    * IEEE754 on both engines), shared by the SemDeDup pair. */
+  private def semCorpus(emb: DataFrame): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    base.unionByName(base.filter(col("vec_id") < 3).select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, (x.cast("double") * lit(0.5)).cast("float")).otherwise(x))
+        .as("embedding")))
+  }
+
+  /** SemDeDup semantic dedup ([[graft.sim.Similarity.semanticDupPairs]]):
+    * k=8 / 1-round deterministic k-means blocks the planted corpus, then
+    * within-cluster pairs are kept at floor-e4 cosine ≥ 9000. The oracle
+    * replays the identical seed→assign→update→assign chain and the
+    * cluster-scoped pair join — a planted clone is found only if the
+    * k-means blocking lands it next to its original, so the query proves
+    * the SemDeDup recall mechanism, not just the cosine kernel. */
+  private def qSemDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDupPairs(semCorpus(Tables(s, dir).embeddings),
+      k = 8, iters = 1, thresholdE4 = 9000L)
+
+  /** SemDeDup keep-list: transitive closure over the semantic pairs
+    * (WCC, min-id canonical — [[graft.dedup.Dedup.dupClusters]]); the
+    * oracle closes the same pair set with unrolled min-label
+    * propagation. */
+  private def qSemDedupKeep(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(qSemDedup(s, dir).select(col("a"), col("b")))
+      .orderBy(col("id"))
+
+  /** Shared oracle prefix for the SemDeDup pair: planted corpus →
+    * k-means chain (c0 seeds, a1 assign, c1 update, a2 final assign —
+    * exactly kmeansAssign(k=8, iters=1)) → cluster-scoped pairs `pr`. */
+  private val semPairsCtes: String = {
+    def assignCte(t: Int) =
+      s"""a$t AS MATERIALIZED (SELECT vec_id, embedding, cid AS cluster FROM (
+         |SELECT e.vec_id, e.embedding, c.cid,
+         |ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |CAST(FLOOR(${cosSql("e.embedding", "c.cv")} * 1000000) AS BIGINT) DESC, c.cid) AS rn
+         |FROM emb_all e CROSS JOIN c${t - 1} c) sz$t WHERE rn = 1)""".stripMargin.replace('\n', ' ')
+    def centCte(t: Int) =
+      s"""c$t AS MATERIALIZED (SELECT cluster AS cid, list(m ORDER BY pos) AS cv FROM (
+         |SELECT cluster, pos, FLOOR(AVG(CAST(embedding[pos] AS DOUBLE)) * 1000000) / 1000000 AS m
+         |FROM a$t, unnest(range(1, 65)) AS su$t(pos) GROUP BY cluster, pos) sg$t GROUP BY cluster)""".stripMargin.replace('\n', ' ')
+    s"""emb_all AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+       |UNION ALL SELECT vec_id + 1000000,
+       |list_transform(range(1, 65), i -> CASE WHEN i = 1
+       |THEN CAST(CAST(embedding[1] AS DOUBLE) * 0.5 AS REAL)
+       |ELSE embedding[i] END)
+       |FROM embeddings WHERE vec_id < 3),
+       |c0 AS MATERIALIZED (SELECT vec_id AS cid, embedding AS cv FROM emb_all
+       |WHERE vec_id IN (SELECT vec_id FROM emb_all ORDER BY vec_id LIMIT 8)),
+       |${assignCte(1)}, ${centCte(1)}, ${assignCte(2)},
+       |pr AS MATERIALIZED (SELECT x.vec_id AS a, y.vec_id AS b,
+       |CAST(FLOOR(${cosSql("x.embedding", "y.embedding")} * 10000) AS BIGINT) AS cos_e4
+       |FROM a2 x JOIN a2 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |WHERE CAST(FLOOR(${cosSql("x.embedding", "y.embedding")} * 10000) AS BIGINT) >= 9000)""".stripMargin.replace('\n', ' ')
+  }
+
+  private val qSemDedupSql =
+    s"WITH $semPairsCtes SELECT a, b, cos_e4 FROM pr ORDER BY a, b"
+
+  private val qSemDedupKeepSql = graft.sql.OracleGen.labelPropSql(
+    semPairsCtes +
+      ", e AS MATERIALIZED (SELECT a AS src, b AS dst FROM pr UNION ALL SELECT b AS src, a AS dst FROM pr)",
+    8, isMin = true, "canonical")
+
   /** Product-quantized ANN: m=4 subspaces × ksub=8 codes (deterministic
     * per-subspace Lloyd's, 1 iteration), ADC candidate rank against the
     * reconstructed vectors, exact rescore of the top k·4. The oracle
@@ -894,6 +962,8 @@ object PipelineQueries {
     "q_dedup_ngram"      -> (qDedupNgram _),
     "q_dedup_cdc"        -> (qDedupCdc _),
     "q_dedup_embedding"  -> (qDedupEmb _),
+    "q_dedup_semantic"   -> (qSemDedup _),
+    "q_dedup_semantic_keep" -> (qSemDedupKeep _),
     "q_ann_brute"        -> (qAnnBrute _),
     "q_ann_sq"           -> (qAnnSq _),
     "q_ann_ivf"          -> (qAnnIvf _),
@@ -927,6 +997,8 @@ object PipelineQueries {
     "q_dedup_ngram"      -> qDedupNgramSql,
     "q_dedup_cdc"        -> qDedupCdcSql,
     "q_dedup_embedding"  -> qDedupEmbSql,
+    "q_dedup_semantic"   -> qSemDedupSql,
+    "q_dedup_semantic_keep" -> qSemDedupKeepSql,
     "q_ann_brute"        -> qAnnBruteSql,
     "q_ann_sq"           -> qAnnSqSql,
     "q_ann_ivf"          -> qAnnIvfSql,

@@ -383,6 +383,38 @@ object Similarity {
       .orderBy(col("q_id"), col("rcos_e4").desc, col("n_id"))
   }
 
+  /** SemDeDup-style semantic deduplication (the "cluster, then pair
+    * within the cluster" pattern of Abbas et al. 2023, arXiv:2303.09540):
+    * deterministic k-means ([[kmeansAssign]]) provides the blocking, the
+    * within-cluster self-join provides candidates, and the FLOOR-e4
+    * cosine ≥ `thresholdE4` decides — integral threshold on both engines,
+    * so there is no float-boundary flake by construction. Returns
+    * (a, b, cos_e4) with a < b, ordered.
+    *
+    * Scale: the candidate set is cluster-scoped — Σ|cᵢ|² like every other
+    * blocked dedup here (MinHash bands, SimHash bands, CDC chunks), never
+    * an all-pairs join; at corpus scale k is chosen so clusters average
+    * ~1k vectors (the SemDeDup operating point). The assignment runs ONCE
+    * and is checkpointed with measured stats so the self-join's two sides
+    * read the same materialized frame (and AQE sees a real size, not the
+    * "huge" LogicalRDD default that forces sort-merge — the round-5
+    * lesson). */
+  def semanticDupPairs(corpus: DataFrame, k: Int, iters: Int,
+                       thresholdE4: Long): DataFrame = {
+    val assigned = kmeansAssign(corpus, k, iters)
+    val withC = org.apache.spark.sql.graft.CheckpointBridge.localCheckpointStats(
+      corpus.select(col("vec_id"), col("embedding"))
+        .join(assigned, Seq("vec_id")))
+    withC.select(col("cluster"), col("vec_id").as("a"), col("embedding").as("va"))
+      .join(withC.select(col("cluster"), col("vec_id").as("b"),
+        col("embedding").as("vb")), Seq("cluster"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos_e4", graft.sql.Exact.e4(cosine(col("va"), col("vb"))))
+      .filter(col("cos_e4") >= thresholdE4)
+      .select(col("a"), col("b"), col("cos_e4"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** IVF-style ANN: probe the `nprobe` closest centroids per query, exact
     * search within probed buckets only. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,

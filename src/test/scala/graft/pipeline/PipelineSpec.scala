@@ -339,6 +339,36 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(600))
   }
 
+  test("semanticDupPairs: cluster-blocked recall of planted clones, no false positives") {
+    def vec(seed: Long): Seq[Float] = {
+      var s = seed
+      (0 until 64).map { _ =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 33) % 2003).toFloat / 2003.0f - 0.5f
+      }
+    }
+    // 4 direction-clusters with enough noise that same-cluster members
+    // stay WELL below the 0.90 threshold (~0.73), while a planted clone
+    // (coordinate 0 halved) stays above it (≥ 0.94) — the test fails on
+    // either a recall break (clone mis-clustered / filtered) or a
+    // precision break (cluster-mates paired).
+    val centers = (0 until 4).map(c => vec(2000L + c))
+    val base = (1L to 40L).map { i =>
+      val c = centers(((i - 1) % 4).toInt)
+      val n = vec(500L + i)
+      (i, c.zip(n).map { case (cv, nv) => cv + 0.6f * nv })
+    }
+    val clones = (1L to 3L).map { i =>
+      val v = base((i - 1).toInt)._2
+      (100L + i, v.updated(0, v.head * 0.5f))
+    }
+    val corpus = (base ++ clones).toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticDupPairs(corpus, k = 4, iters = 2,
+      thresholdE4 = 9000L)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 101L), (2L, 102L), (3L, 103L)))
+  }
+
   test("ann recall@10 floors per tier vs brute-force truth") {
     // 8 planted direction-clusters, 15 members each + noise — the shape
     // real embedding corpora have (ANN on uniform random data is
