@@ -19,19 +19,22 @@ final case class Tables(spark: SparkSession, dir: String) {
     * still accepted but silently ignored), so the column surfaces as
     * TIMESTAMP_NTZ at microsecond precision. Normalize it to BIGINT
     * epoch-MICROS explicitly: integral µs keep window/session arithmetic
-    * exactly reproducible by the DuckDB oracle (`epoch_us`).
-    * The NTZ wall clock is interpreted as UTC — enforced against the
-    * session zone so an environment drift fails loudly instead of
-    * silently shifting every window boundary (the silent-catch failure
-    * mode that hid the Spark-4 regression for a whole round). */
+    * exactly reproducible by the DuckDB oracle (`epoch_us`). The
+    * conversion is wall-clock NTZ arithmetic (`timestampdiff` against the
+    * NTZ epoch), so it is independent of the session timezone by
+    * construction — SchemaPinSpec asserts both the dtype and the
+    * zone-invariance, the two canaries for the read-path drift that went
+    * unseen for a whole round behind a silent catch. */
   private def eventsNormalized: DataFrame = {
     val raw = t("events")
     raw.schema("ts").dataType match {
       case TimestampNTZType =>
-        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
-          "graft.Tables requires spark.sql.session.timeZone=UTC to map " +
-            "events.ts (TIMESTAMP_NTZ wall clock) onto epoch micros")
-        raw.withColumn("ts", unix_micros(col("ts").cast("timestamp")))
+        // timestampdiff over two NTZ values is pure wall-clock arithmetic
+        // — no session-timezone dependency at all (a cast through
+        // TIMESTAMP would silently shift every window boundary under a
+        // non-UTC session; SchemaPinSpec asserts the invariance)
+        raw.withColumn("ts",
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"))
       case LongType =>
         // legacy image where nanosAsLong still worked: BIGINT epoch-nanos
         raw.withColumn("ts", expr("ts div 1000"))

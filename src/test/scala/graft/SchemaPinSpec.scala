@@ -71,15 +71,20 @@ class SchemaPinSpec extends SparkSpec {
       s"events.ts range [$lo,$hi] is not epoch-micros scale")
   }
 
-  test("Tables.events refuses a non-UTC session zone (fails loudly)") {
+  test("Tables.events epoch-micros are session-timezone-INDEPENDENT") {
+    // The NTZ wall clock must map to the same integers under any session
+    // zone — a conversion routed through TIMESTAMP would shift every
+    // window boundary by the zone offset and this asserts it cannot.
     assume(have, s"$dir not present")
     val prev = spark.conf.get("spark.sql.session.timeZone")
-    try {
-      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-      val ex = intercept[IllegalArgumentException] {
-        Tables(spark, dir).events
-      }
-      assert(ex.getMessage.contains("UTC"))
-    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+    val utc =
+      try Tables(spark, dir).events.selectExpr("min(ts)", "max(ts)").head()
+      finally spark.conf.set("spark.sql.session.timeZone", prev)
+    val ny =
+      try {
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        Tables(spark, dir).events.selectExpr("min(ts)", "max(ts)").head()
+      } finally spark.conf.set("spark.sql.session.timeZone", prev)
+    assert(utc === ny)
   }
 }

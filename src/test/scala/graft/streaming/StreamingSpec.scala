@@ -236,6 +236,52 @@ class StreamingSpec extends SparkSpec {
     assert(out.toMap.apply(0L) == 2L)
   }
 
+  test("streaming tumbling over the REAL events table equals the batch buckets") {
+    // Round-5 lesson: every streaming spec used synthetic fixtures, so a
+    // Spark-image type shift in the real table went unseen. This parity
+    // runs the actual testdata through the streaming path: Tables.events
+    // (BIGINT epoch-µs) → µs-precise Timestamps → tumblingCounts, then
+    // compares every (hour, type) bucket against the batch aggregation
+    // that q_tumbling uses.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    implicit val sqlCtx = spark.sqlContext
+    val t = graft.Tables(spark, dir)
+    def usTs(us: Long): Timestamp = {
+      val ts = new Timestamp(us / 1000000L * 1000L)
+      ts.setNanos(((us % 1000000L) * 1000L).toInt)
+      ts
+    }
+    val rows = t.events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)].collect()
+      .map(r => EventStreams.Event(r._1, usTs(r._2), r._3, r._4, r._5))
+    val input = MemoryStream[EventStreams.Event]
+    val query = EventStreams.tumblingCounts(input.toDS().toDF())
+      .writeStream.format("memory").queryName("tumbling_real")
+      .outputMode("update").start()
+    input.addData(rows.toIndexedSeq: _*) // one batch → one update per bucket
+    query.processAllAvailable()
+    val streamed = spark.table("tumbling_real")
+      .selectExpr("CAST(window.start AS LONG) div 3600 AS hour_idx",
+        "event_type", "cnt", "sum_value")
+      .as[(Long, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val batch = t.events
+      .groupBy(expr("ts div 3600000000").as("hour_idx"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
+      .as[(Long, String, Long, Double)].collect()
+    assert(batch.nonEmpty && batch.length == streamed.size)
+    batch.foreach { case (h, ty, cnt, sv) =>
+      val (scnt, ssv) = streamed((h, ty))
+      assert(scnt == cnt, s"cnt mismatch at ($h,$ty)")
+      // double sums differ only by reorder ulps between the two engines
+      assert(math.abs(ssv - sv) <= 1e-6 * (1 + math.abs(sv)),
+        s"sum mismatch at ($h,$ty): $ssv vs $sv")
+    }
+    query.stop()
+  }
+
   test("streaming tumbling counts equal the batch aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
