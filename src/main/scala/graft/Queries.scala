@@ -2106,6 +2106,14 @@ object Queries {
     Algos.eccentricities(e, sources)
   }
 
+  /** Diameter lower bound of the customer–supplier graph via the
+    * classic double sweep ([[graft.graph.Algos.doubleSweep]]): BFS from
+    * the min vertex, re-BFS from the farthest reached (deterministic
+    * tie-break), report its eccentricity. The oracle unrolls both BFS
+    * chains and replays the same farthest pick. */
+  private def qDiameter(s: SparkSession, dir: String): DataFrame =
+    Algos.doubleSweep(custSuppSymE(s, dir).select("src", "dst"))
+
   /** Minimum spanning forest of the customer–supplier graph
     * ([[graft.graph.Algos.mst]], Borůvka). Hash-matched against
     * [[graft.sql.OracleGen.boruvkaSql]] — a full Borůvka replay in
@@ -2501,6 +2509,7 @@ object Queries {
     "q_graph_wcc"      -> (qWcc _),
     "q_graph_sssp"     -> (qSssp _),
     "q_graph_bfs"      -> (qBfs _),
+    "q_graph_diameter" -> (qDiameter _),
     "q_graph_pagerank" -> (qPagerank _),
     "q_graph_maxprop"  -> (qMaxProp _),
     "q_graph_cc_events" -> (qCcEvents _),
@@ -2611,6 +2620,7 @@ object Queries {
       rounds = 12, jumps = 12),
     "q_graph_sssp"     -> OracleGen.ssspSql(TestGraphs.custSuppSymSql, 16),
     "q_graph_bfs"      -> OracleGen.bfsMinSourceSql(TestGraphs.custSuppSymSql, 12),
+    "q_graph_diameter" -> OracleGen.doubleSweepSql(TestGraphs.custSuppSymSql, 16),
     "q_graph_pagerank" -> OracleGen.pagerankSql(TestGraphs.custSuppSymSql, 5, 0.85, 0.15),
     "q_graph_maxprop"  -> OracleGen.labelPropSql(TestGraphs.custSuppSymSql, 12, isMin = false, "max_id"),
     "q_graph_cc_events" -> qCcEventsSql,

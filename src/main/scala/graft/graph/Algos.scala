@@ -718,6 +718,24 @@ object Algos {
     out
   }
 
+  /** Double-sweep diameter lower bound (the classic 2-BFS estimator,
+    * exact on trees and near-exact on real-world graphs): BFS from the
+    * min-id vertex, hop to the farthest reached vertex (ties: min id —
+    * deterministic, oracle-replayable), BFS again; the second
+    * eccentricity is the bound. Two [[bfs]] runs + two driver scalars —
+    * the whole-graph work is the two BSP sweeps, nothing else. Returns
+    * one row (start_id, far_id, diameter_lb). */
+  def doubleSweep(symEdges: DataFrame): DataFrame = {
+    val s = symEdges.sparkSession
+    val src = symEdges.agg(min(col("src"))).first().getLong(0)
+    val b1 = bfs(symEdges, Seq(src))
+    val far = b1.orderBy(col("level").desc, col("id")).limit(1)
+      .first().getLong(0)
+    val ecc = bfs(symEdges, Seq(far)).agg(max(col("level"))).first().getLong(0)
+    import s.implicits._
+    Seq((src, far, ecc)).toDF("start_id", "far_id", "diameter_lb")
+  }
+
   /** Per-source eccentricity via ONE tagged multi-source BFS: state is
     * (id, tag, level) — |sources|× the single-source frame, one loop
     * instead of |sources| loops (each round: frontier⋈edges + an

@@ -50,6 +50,26 @@ object OracleGen {
       s" SELECT id, level FROM d$k ORDER BY id"
   }
 
+  /** Double-sweep diameter replay (graft.graph.Algos.doubleSweep): BFS
+    * from min src (d-chain), farthest-reached pick (level desc, id), BFS
+    * from it (f-chain), one-row output. */
+  def doubleSweepSql(withBody: String, k: Int): String = {
+    def chain(p: String, seed: String) =
+      s"${p}0 AS MATERIALIZED ($seed), " + (1 to k).map { i =>
+        s"""$p$i AS MATERIALIZED (SELECT id, MIN(level) AS level FROM (
+           |SELECT id, level FROM $p${i - 1}
+           |UNION ALL
+           |SELECT e.dst AS id, d.level + 1 AS level FROM $p${i - 1} d JOIN e ON d.id = e.src
+           |) t GROUP BY id)""".stripMargin.replace('\n', ' ')
+      }.mkString(", ")
+    (s"WITH $withBody, " +
+      chain("d", "SELECT (SELECT MIN(src) FROM e) AS id, CAST(0 AS BIGINT) AS level") + ", " +
+      s"far AS MATERIALIZED (SELECT id FROM d$k ORDER BY level DESC, id LIMIT 1), " +
+      chain("f", "SELECT (SELECT id FROM far) AS id, CAST(0 AS BIGINT) AS level") +
+      s" SELECT (SELECT MIN(src) FROM e) AS start_id, (SELECT id FROM far) AS far_id," +
+      s" (SELECT MAX(level) FROM f$k) AS diameter_lb")
+  }
+
   /** K rounds of min- or max-label propagation over all vertices of `e`.
     * outName: result column name (component / max_id). */
   def labelPropSql(withBody: String, k: Int, isMin: Boolean, outName: String): String = {

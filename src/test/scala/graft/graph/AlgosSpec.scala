@@ -228,6 +228,23 @@ class AlgosSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 2L, 1L), (10L, 2L, 3L, 3L)))
   }
 
+  test("doubleSweep finds the exact diameter of a path graph") {
+    // path 1-2-3-4-5: sweep 1 from min id 1 reaches 5 at level 4;
+    // sweep 2 from 5 has eccentricity 4 — the true diameter
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val sym = (p ++ p.map(x => (x._2, x._1))).toDF("src", "dst")
+    val r = Algos.doubleSweep(sym).as[(Long, Long, Long)].head()
+    assert(r === ((1L, 5L, 4L)))
+  }
+
+  test("doubleSweep tie-breaks the farthest vertex by min id") {
+    // star with two leaves at distance 2 (ids 7 and 9): pick 7
+    val p = Seq((1L, 2L), (2L, 7L), (2L, 9L))
+    val sym = (p ++ p.map(x => (x._2, x._1))).toDF("src", "dst")
+    val r = Algos.doubleSweep(sym).as[(Long, Long, Long)].head()
+    assert(r === ((1L, 7L, 2L)))
+  }
+
   /** Kruskal with the same (w, u, v) total order — union-find, an
     * implementation independent of the Borůvka DataFrame loop. */
   private def kruskal(edges: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] = {
