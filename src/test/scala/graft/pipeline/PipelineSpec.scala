@@ -369,6 +369,18 @@ class PipelineSpec extends SparkSpec {
     assert(pairs === Set((1L, 101L), (2L, 102L), (3L, 103L)))
   }
 
+  test("semanticDupPairs candidate join is cluster-scoped, never cartesian") {
+    import spark.implicits._
+    val corpus = (1L to 30L).map(i =>
+      (i, (0 until 64).map(d => ((i * 31 + d) % 97).toFloat / 97f)))
+      .toDF("vec_id", "embedding")
+    val plan = Similarity.semanticDupPairs(corpus, k = 4, iters = 1,
+      thresholdE4 = 9000L).queryExecution.executedPlan.toString
+    // the pair join must key on the k-means cluster — a cartesian here
+    // is the all-pairs explosion the blocking exists to prevent
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
   test("ann recall@10 floors per tier vs brute-force truth") {
     // 8 planted direction-clusters, 15 members each + noise — the shape
     // real embedding corpora have (ANN on uniform random data is
