@@ -658,6 +658,53 @@ object CorpusQueries {
        |CAST((n_hapax * 1000000) // n_types AS BIGINT) AS hapax_share_e6
        |FROM a ORDER BY source""".stripMargin.replace('\n', ' ')
 
+  // --- duplicated spans -------------------------------------------------
+
+  /** Token-10-gram duplicated-span rollup per doc (docs sharing any
+    * 10-token window with another doc). Both engines key on the same
+    * 60-bit md5 gram fingerprint. */
+  private def qDedupSpans(s: SparkSession, dir: String): DataFrame =
+    Corpus.dupSpans(Tables(s, dir).documents, n = 10).orderBy(col("doc_id"))
+
+  private val qDedupSpansSql =
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, ${tokSql()} AS tok FROM documents),
+       |g0 AS MATERIALIZED (SELECT doc_id, concat_ws(' ',
+       |${(0 until 10).map(o => s"tok[CAST(i + $o AS INT)]").mkString(", ")}) AS gram
+       |FROM t, unnest(range(1, greatest(len(tok) - 9, 1) + 1)) AS u(i)),
+       |g AS MATERIALIZED (SELECT doc_id,
+       |CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT) AS gk FROM g0),
+       |dup AS (SELECT gk FROM g GROUP BY gk HAVING COUNT(DISTINCT doc_id) >= 2),
+       |r AS (SELECT g.doc_id, COUNT(*) AS n_windows,
+       |COUNT(*) FILTER (WHERE dup.gk IS NOT NULL) AS n_dup
+       |FROM g LEFT JOIN dup ON g.gk = dup.gk GROUP BY g.doc_id)
+       |SELECT doc_id, n_windows, n_dup,
+       |CAST((n_dup * 1000000) // n_windows AS BIGINT) AS dup_frac_e6
+       |FROM r WHERE n_dup > 0 ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
+  // --- Gopher quality rules ---------------------------------------------
+
+  /** Gopher rule panel: per-rule integer flags + conjunction. Pure
+    * projection in both engines (no shuffle on the Spark side). */
+  private def qQualityGopher(s: SparkSession, dir: String): DataFrame =
+    Corpus.gopherRules(Tables(s, dir).documents).orderBy(col("doc_id"))
+
+  private val qQualityGopherSql =
+    s"""WITH t AS (SELECT doc_id, ${tokSql()} AS tok FROM documents),
+       |b AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_words,
+       |CAST(list_sum(list_transform(tok, x -> length(x))) AS BIGINT) AS sum_len,
+       |CAST(len(list_intersect(list_distinct(tok),
+       |['the', 'a', 'of', 'to', 'and'])) AS BIGINT) AS stop_hits FROM t),
+       |m AS (SELECT doc_id, n_words,
+       |(sum_len * 1000000) // greatest(n_words, 1) AS mean_wlen_e6, stop_hits FROM b),
+       |f AS (SELECT doc_id, n_words, mean_wlen_e6, stop_hits,
+       |CAST(CASE WHEN n_words BETWEEN 10 AND 1000 THEN 1 ELSE 0 END AS BIGINT) AS r_words,
+       |CAST(CASE WHEN mean_wlen_e6 BETWEEN 3000000 AND 10000000 THEN 1 ELSE 0 END AS BIGINT) AS r_wlen,
+       |CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop
+       |FROM m)
+       |SELECT doc_id, n_words, mean_wlen_e6, stop_hits, r_words, r_wlen, r_stop,
+       |r_words * r_wlen * r_stop AS pass
+       |FROM f ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
   // --- registry ---------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -686,7 +733,9 @@ object CorpusQueries {
     "q_snapshot_diff"     -> (qSnapshotDiff _),
     "q_pipeline_e2e"      -> (qPipelineE2e _),
     "q_text_zipf"         -> (qTextZipf _),
-    "q_text_hapax"        -> (qTextHapax _))
+    "q_text_hapax"        -> (qTextHapax _),
+    "q_dedup_spans"       -> (qDedupSpans _),
+    "q_quality_gopher"    -> (qQualityGopher _))
 
   val oracles: Map[String, String] = Map(
     "q_text_repetition"   -> qTextRepetitionSql,
@@ -714,5 +763,7 @@ object CorpusQueries {
     "q_snapshot_diff"     -> qSnapshotDiffSql,
     "q_pipeline_e2e"      -> qPipelineE2eSql,
     "q_text_zipf"         -> qTextZipfSql,
-    "q_text_hapax"        -> qTextHapaxSql)
+    "q_text_hapax"        -> qTextHapaxSql,
+    "q_dedup_spans"       -> qDedupSpansSql,
+    "q_quality_gopher"    -> qQualityGopherSql)
 }

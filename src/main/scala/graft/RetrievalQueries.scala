@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.pipeline.Retrieval
+
+/** Retrieval query corpus (round 6): BM25 term scoring, hybrid
+  * sparse+dense reciprocal-rank fusion, and MMR diversification — the
+  * query-side retrieval surface over the same documents/embeddings
+  * tables the dedup and ANN families index. All-integer scoring (exact
+  * rationals for BM25's k1/b, pure linear forms for RRF/MMR), so every
+  * oracle is hash-exact.
+  */
+object RetrievalQueries {
+
+  private val Terms = Seq("spark", "vector", "merge")
+  private def termsSql = Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+
+  private def tokSql(src: String) =
+    s"SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token FROM $src"
+
+  private val cosSql: (String, String) => String = (x, y) =>
+    s"""(list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))
+       |/ (sqrt(list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($x[i] AS DOUBLE))))
+       |* sqrt(list_sum(list_transform(range(1, 65), i -> CAST($y[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))))))""".stripMargin.replace('\n', ' ')
+
+  /** The shared BM25 CTE chain over token source `toks` (must provide
+    * (doc_id, token)); yields `bm` = (doc_id, n_terms, score_e6). */
+  private def bm25Ctes = s"""dl AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+     |tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS n_toks FROM dl),
+     |tf AS MATERIALIZED (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+     |WHERE token IN $termsSql GROUP BY 1, 2),
+     |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+     |sc AS (SELECT tf.doc_id,
+     |(n_docs * 1000000) // df.df AS idf_e6,
+     |(tf.tf * 44 * n_toks * 1000000) // (20 * n_toks * tf.tf + 6 * n_toks + 18 * dl.dl * n_docs) AS sat_e6
+     |FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN tot),
+     |bm AS (SELECT doc_id, COUNT(*) AS n_terms,
+     |CAST(SUM((idf_e6 * sat_e6) // 1000000) AS BIGINT) AS score_e6 FROM sc GROUP BY 1)""".stripMargin.replace('\n', ' ')
+
+  // --- q_bm25 -----------------------------------------------------------
+
+  private def qBm25(s: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25(Tables(s, dir).documents, Terms, k = 15)
+
+  private val qBm25Sql =
+    s"""WITH toks AS MATERIALIZED (${tokSql("documents")}),
+       |$bm25Ctes
+       |SELECT doc_id, n_terms, score_e6 FROM bm
+       |QUALIFY ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) <= 15
+       |ORDER BY score_e6 DESC, doc_id""".stripMargin.replace('\n', ' ')
+
+  // --- q_retrieval_hybrid ----------------------------------------------
+
+  private def qHybrid(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    Retrieval.hybridRrf(t.documents, t.embeddings, Terms, queryVecId = 0L, k = 10)
+  }
+
+  private val qHybridSql =
+    s"""WITH j AS MATERIALIZED (SELECT d.doc_id, d.text, e.embedding
+       |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+       |toks AS MATERIALIZED (${tokSql("j")}),
+       |$bm25Ctes,
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |dense AS (SELECT j.doc_id,
+       |CAST(FLOOR(${cosSql("q.qv", "j.embedding")} * 10000) AS BIGINT) AS rcos_e4
+       |FROM j, q WHERE j.doc_id <> 0),
+       |r AS (SELECT dense.doc_id, rcos_e4, COALESCE(bm.score_e6, 0) AS score_e6
+       |FROM dense LEFT JOIN bm USING (doc_id)),
+       |rk AS (SELECT doc_id,
+       |CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank_bm25,
+       |CAST(ROW_NUMBER() OVER (ORDER BY rcos_e4 DESC, doc_id) AS BIGINT) AS rank_vec
+       |FROM r),
+       |f AS (SELECT doc_id, rank_bm25, rank_vec,
+       |CAST(1000000 // (60 + rank_bm25) + 1000000 // (60 + rank_vec) AS BIGINT) AS rrf_e6
+       |FROM rk)
+       |SELECT doc_id, rank_bm25, rank_vec, rrf_e6 FROM f
+       |QUALIFY ROW_NUMBER() OVER (ORDER BY rrf_e6 DESC, doc_id) <= 10
+       |ORDER BY rrf_e6 DESC, doc_id""".stripMargin.replace('\n', ' ')
+
+  // --- q_ann_mmr --------------------------------------------------------
+
+  private val MmrCand = 12
+  private val MmrK = 6
+
+  private def qMmr(s: SparkSession, dir: String): DataFrame =
+    Retrieval.mmrRerank(Tables(s, dir).embeddings, queryVecId = 0L,
+      nCand = MmrCand, k = MmrK)
+
+  /** Unrolled greedy chain: p{i} is step i's pick, sel{i} the picked-set
+    * prefix. Same integer MMR form as the engine (7·rel − 3·maxsim). */
+  private val qMmrSql = {
+    val head =
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |c0 AS MATERIALIZED (SELECT e.vec_id, e.embedding,
+         |CAST(FLOOR(${cosSql("q.qv", "e.embedding")} * 10000) AS BIGINT) AS rel_e4
+         |FROM embeddings e, q WHERE e.vec_id <> 0
+         |QUALIFY ROW_NUMBER() OVER (ORDER BY rel_e4 DESC, vec_id) <= $MmrCand),
+         |p1 AS (SELECT vec_id, rel_e4, 7 * rel_e4 AS mmr, 1 AS step FROM c0
+         |ORDER BY mmr DESC, vec_id LIMIT 1),
+         |sel1 AS (SELECT vec_id FROM p1)""".stripMargin.replace('\n', ' ')
+    val steps = (2 to MmrK).map { i =>
+      s"""m$i AS (SELECT c.vec_id, c.rel_e4,
+         |MAX(CAST(FLOOR(${cosSql("c.embedding", "s.embedding")} * 10000) AS BIGINT)) AS ms
+         |FROM c0 c, c0 s
+         |WHERE s.vec_id IN (SELECT vec_id FROM sel${i - 1})
+         |AND c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+         |GROUP BY 1, 2),
+         |p$i AS (SELECT vec_id, rel_e4, 7 * rel_e4 - 3 * ms AS mmr, $i AS step FROM m$i
+         |ORDER BY mmr DESC, vec_id LIMIT 1),
+         |sel$i AS (SELECT vec_id FROM sel${i - 1} UNION ALL SELECT vec_id FROM p$i)""".stripMargin.replace('\n', ' ')
+    }
+    val union = (1 to MmrK).map(i => s"SELECT * FROM p$i").mkString(" UNION ALL ")
+    s"""$head, ${steps.mkString(", ")}
+       |SELECT CAST(step AS BIGINT) AS step, vec_id, rel_e4, CAST(mmr AS BIGINT) AS mmr
+       |FROM ($union) ORDER BY step""".stripMargin.replace('\n', ' ')
+  }
+
+  // --- registry ---------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25"             -> (qBm25 _),
+    "q_retrieval_hybrid" -> (qHybrid _),
+    "q_ann_mmr"          -> (qMmr _))
+
+  val oracles: Map[String, String] = Map(
+    "q_bm25"             -> qBm25Sql,
+    "q_retrieval_hybrid" -> qHybridSql,
+    "q_ann_mmr"          -> qMmrSql)
+}

@@ -616,4 +616,72 @@ object Corpus {
     docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
       .select(col("doc_id"), pmod(md5Uniform(col("tok")), lit(buckets.toLong)).as("bucket"))
       .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  // --- duplicated-span detection ---------------------------------------
+
+  /** Token-granular duplicated-span detection (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" exact-
+    * substring pass, at n-token-window granularity instead of a suffix
+    * array): every length-n token window whose gram also occurs in
+    * ANOTHER document is a duplicated span. Per doc: window count,
+    * duplicated-window count, and the duplicated fraction (e6) — the
+    * inputs to span-level cut lists.
+    *
+    * Scale shape: grams travel as 60-bit md5 fingerprints (8-byte
+    * shuffle keys, same rationale as [[contamination]]); the dup-gram
+    * set comes from one map-side-combined distinct-doc count, and the
+    * per-doc rollup is a fingerprint equi-join — never doc×doc. The
+    * gram explode is persisted once and feeds both passes. */
+  def dupSpans(docs: DataFrame, n: Int = 10): DataFrame = {
+    val g = docs.select(col("doc_id"),
+        explode(wordNgramsAll(tokens(col("text")), n)).as("gram"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = g.groupBy(col("gk"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gk"), lit(1L).as("is_dup"))
+    val out = g.join(dup, Seq("gk"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("is_dup"), lit(0L))).cast("long").as("n_dup"))
+      .filter(col("n_dup") > 0)
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        idiv(col("n_dup") * lit(1000000L), col("n_windows")).as("dup_frac_e6"))
+      .localCheckpoint()
+    g.unpersist()
+    out
+  }
+
+  // --- Gopher-rule quality panel ---------------------------------------
+
+  /** The Gopher (Rae et al. 2021) document-quality rule panel: word
+    * count bounds, mean-word-length bounds, and a minimum stop-word hit
+    * count, with the per-rule flags surfaced (a cut list needs to know
+    * WHICH rule fired, not just the conjunction). Everything is
+    * higher-order array functions over the token array — no explode, no
+    * shuffle at all: the whole panel is one codegen'd projection. */
+  def gopherRules(docs: DataFrame,
+                  stopWords: Seq[String] = Seq("the", "a", "of", "to", "and"),
+                  minWords: Long = 10L, maxWords: Long = 1000L,
+                  minWlenE6: Long = 3000000L, maxWlenE6: Long = 10000000L,
+                  minStopHits: Long = 2L): DataFrame = {
+    val tok = tokens(col("text"))
+    val flag = (c: Column) => when(c, lit(1L)).otherwise(lit(0L))
+    docs.select(col("doc_id"),
+        size(tok).cast("long").as("n_words"),
+        aggregate(tok, lit(0L), (acc, x) => acc + length(x).cast("long")).as("sum_len"),
+        size(array_intersect(array_distinct(tok),
+          array(stopWords.map(lit): _*))).cast("long").as("stop_hits"))
+      .select(col("doc_id"), col("n_words"),
+        idiv(col("sum_len") * lit(1000000L), greatest(col("n_words"), lit(1L)))
+          .as("mean_wlen_e6"),
+        col("stop_hits"))
+      .select(col("doc_id"), col("n_words"), col("mean_wlen_e6"), col("stop_hits"),
+        flag(col("n_words").between(minWords, maxWords)).as("r_words"),
+        flag(col("mean_wlen_e6").between(minWlenE6, maxWlenE6)).as("r_wlen"),
+        flag(col("stop_hits") >= minStopHits).as("r_stop"))
+      .withColumn("pass", col("r_words") * col("r_wlen") * col("r_stop"))
+  }
 }

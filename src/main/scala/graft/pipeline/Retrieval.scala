@@ -1,0 +1,166 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sim.Similarity
+import graft.text.TextFunctions.tokens
+
+/** Sparse (BM25), dense (cosine) and hybrid retrieval over the corpus —
+  * the query-side counterpart of the indexing operators
+  * ([[Corpus.invertedIndex]], [[graft.sim.Similarity]]): score documents
+  * for a term query, fuse sparse and dense rank lists, and diversify a
+  * candidate list. The training-data angle: dedup-aware sampling and
+  * eval-set retrieval both start from exactly these primitives.
+  *
+  * Exactness discipline: BM25's k1=1.2 / b=0.75 are carried as the exact
+  * rationals 6/5 and 3/4, the whole per-term score is evaluated in BIGINT
+  * with a single floor division at the end, and the fusion/diversification
+  * scores are pure integer linear forms — the DuckDB oracles replay every
+  * operation bit-for-bit (no float appears anywhere).
+  */
+object Retrieval {
+
+  private def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** BM25 document scores for a bag-of-terms query.
+    *
+    * With k1 = 6/5 and b = 3/4, the per-term score
+    * idf · tf·(k1+1) / (tf + k1·(1−b + b·L·N/A)) over doc length L,
+    * corpus doc count N and corpus token count A reduces to the exact
+    * rational idf · tf·44·A / (20·A·tf + 6·A + 18·L·N). It is evaluated
+    * as sat_e6 = (tf·44·A·10⁶) // (20·A·tf + 6·A + 18·L·N) (the
+    * saturation·(k1+1) factor, e6-scaled) times idf_e6 = (N·10⁶) // df,
+    * then de-scaled once — identical operation order in the oracle, so
+    * the comparison is hash-exact. (The e6 BIGINT pipeline exists for
+    * oracle exactness; magnitudes stay < 2⁶³ through corpus sizes ~10⁹
+    * tokens, and a production deployment would run the same plan shape
+    * in double.)
+    *
+    * Scale shape: ONE explode over the corpus feeds both the per-doc
+    * length aggregate and the term-filtered tf aggregate (the filter is
+    * applied before the tf shuffle, so only query-term postings move);
+    * N/A/df are broadcast scalars. No driver-side data, no all-pairs.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_toks"))
+    val tf = toks.filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(totals), lit(true))
+      .withColumn("idf_e6", idiv(col("n_docs") * lit(1000000L), col("df")))
+      .withColumn("sat_e6", idiv(
+        col("tf") * lit(44L) * col("n_toks") * lit(1000000L),
+        lit(20L) * col("n_toks") * col("tf") + lit(6L) * col("n_toks")
+          + lit(18L) * col("dl") * col("n_docs")))
+      .withColumn("term_e6", idiv(col("idf_e6") * col("sat_e6"), lit(1000000L)))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("term_e6")).cast("long").as("score_e6"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("score_e6").desc, col("doc_id"))))
+      .filter(col("rn") <= k).drop("rn")
+      .orderBy(col("score_e6").desc, col("doc_id"))
+  }
+
+  /** Hybrid sparse+dense retrieval via reciprocal-rank fusion: rank the
+    * intersection corpus (docs that carry an embedding) once by BM25 and
+    * once by cosine to the query vector, then fuse with
+    * rrf_e6 = 10⁶//(60+rank_bm25) + 10⁶//(60+rank_vec). Docs without a
+    * query-term hit rank after all hits (score 0, doc_id order) so both
+    * rank lists are total — the standard RRF-over-full-lists shape.
+    *
+    * Scale shape: the BM25 side is [[bm25]]'s postings-only aggregate;
+    * the dense side is one broadcast (single query vector) scan; the two
+    * global rank windows are over the scored corpus (at a real deployment
+    * rank lists would be cut to top-K before fusion — done here via the
+    * bm25 k cap on the sparse side).
+    */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+                queryVecId: Long, k: Int): DataFrame = {
+    val joined = docs.join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+    val qv = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"))
+    // sparse scores over the full intersection corpus (no cap: the rank
+    // list must be total for RRF; absent docs get score 0)
+    val sparse = bm25(joined, terms, Int.MaxValue)
+      .select(col("doc_id"), col("score_e6"))
+    val dense = joined.join(broadcast(qv), lit(true))
+      .filter(col("doc_id") =!= queryVecId)
+      .select(col("doc_id"),
+        graft.sql.Exact.e4(Similarity.cosine(col("qv"), col("embedding"))).as("rcos_e4"))
+    val ranked = dense.join(sparse, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("score_e6"))
+      .withColumn("rank_bm25", row_number().over(
+        Window.orderBy(col("score_e6").desc, col("doc_id"))).cast("long"))
+      .withColumn("rank_vec", row_number().over(
+        Window.orderBy(col("rcos_e4").desc, col("doc_id"))).cast("long"))
+      .withColumn("rrf_e6",
+        idiv(lit(1000000L), lit(60L) + col("rank_bm25"))
+          + idiv(lit(1000000L), lit(60L) + col("rank_vec")))
+    ranked
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("rrf_e6").desc, col("doc_id"))))
+      .filter(col("rn") <= k).drop("rn")
+      .select(col("doc_id"), col("rank_bm25"), col("rank_vec"), col("rrf_e6"))
+      .orderBy(col("rrf_e6").desc, col("doc_id"))
+  }
+
+  /** Maximal-marginal-relevance diversification of a dense candidate
+    * list: fetch nCand brute-force neighbors of the query vector, then
+    * greedily pick k of them maximizing λ·rel − (1−λ)·max-sim-to-picked
+    * with λ = 0.7, carried ×10 so the score is the pure integer form
+    * mmr = 7·rel_e4 − 3·maxsim_e4 (sign-safe: no integer division whose
+    * floor/truncation semantics could diverge on negatives). Step 1 has
+    * no picked set and scores 7·rel_e4.
+    *
+    * Scale shape: candidate generation is the [[Similarity.bruteTopK]]
+    * scan (swap in the IVF probe at warehouse scale — same contract);
+    * the greedy loop is k driver rounds over the nCand-row candidate
+    * frame with only picked IDs (k scalars) held on the driver.
+    */
+  def mmrRerank(emb: DataFrame, queryVecId: Long, nCand: Int, k: Int): DataFrame = {
+    val qv = emb.filter(col("vec_id") === queryVecId)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val cand = Similarity.bruteTopK(
+        emb.select(col("vec_id"), col("embedding")), qv, nCand)
+      .select(col("n_id").as("vec_id"), col("rcos_e4").as("rel_e4"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var picked = Vector.empty[(Long, Long, Long, Int)] // (vec_id, rel_e4, mmr, step)
+    (1 to k).foreach { step =>
+      val pickedIds = picked.map(_._1)
+      val scored =
+        if (pickedIds.isEmpty)
+          cand.select(col("vec_id"), col("rel_e4"),
+            (lit(7L) * col("rel_e4")).as("mmr"))
+        else {
+          val sel = cand.filter(col("vec_id").isin(pickedIds: _*))
+            .select(col("vec_id").as("s_id"), col("embedding").as("sv"))
+          cand.filter(!col("vec_id").isin(pickedIds: _*))
+            .join(broadcast(sel), lit(true))
+            .withColumn("sim_e4",
+              graft.sql.Exact.e4(Similarity.cosine(col("embedding"), col("sv"))))
+            .groupBy(col("vec_id"), col("rel_e4"))
+            .agg(max(col("sim_e4")).as("maxsim_e4"))
+            .select(col("vec_id"), col("rel_e4"),
+              (lit(7L) * col("rel_e4") - lit(3L) * col("maxsim_e4")).as("mmr"))
+        }
+      val row = scored.orderBy(col("mmr").desc, col("vec_id")).limit(1).collect()(0)
+      picked :+= ((row.getLong(0), row.getLong(1), row.getLong(2), step))
+    }
+    cand.unpersist()
+    val s = emb.sparkSession
+    import s.implicits._
+    picked.toDF("vec_id", "rel_e4", "mmr", "step")
+      .select(col("step").cast("long"), col("vec_id"), col("rel_e4"), col("mmr"))
+      .orderBy(col("step"))
+  }
+}

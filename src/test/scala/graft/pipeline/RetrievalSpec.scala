@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- BM25 -------------------------------------------------------------
+
+  test("bm25 reproduces the exact-rational hand computation") {
+    // corpus: N=3 docs, A=9 tokens; query terms {x, y}
+    val docs = Seq(
+      (1L, "x x y"),       // L=3, tf(x)=2, tf(y)=1
+      (2L, "x z z"),       // L=3, tf(x)=1
+      (3L, "z z z")        // L=3, no hit
+    ).toDF("doc_id", "text")
+    val r = Retrieval.bm25(docs, Seq("x", "y"), k = 10)
+      .as[(Long, Long, Long)].collect()
+
+    // idf_e6(x) = 3e6 // 2 = 1500000 ; idf_e6(y) = 3e6 // 1 = 3000000
+    // den(tf, L) = 20*9*tf + 6*9 + 18*L*3 = 180*tf + 54 + 54*L
+    def term(idf: Long, tf: Long, l: Long): Long = {
+      val sat = tf * 44L * 9L * 1000000L / (180L * tf + 54L + 54L * l)
+      idf * sat / 1000000L
+    }
+    val d1 = term(1500000L, 2L, 3L) + term(3000000L, 1L, 3L)
+    val d2 = term(1500000L, 1L, 3L)
+    assert(r.toSeq == Seq((1L, 2L, d1), (2L, 1L, d2)))
+    assert(d1 > d2) // doc 1 matches both terms, higher tf
+  }
+
+  test("bm25 length normalization: same tf, longer doc scores lower") {
+    val docs = Seq(
+      (1L, "x a"),             // L=2
+      (2L, "x a a a a a a a")  // L=8, same tf(x)=1
+    ).toDF("doc_id", "text")
+    val r = Retrieval.bm25(docs, Seq("x"), k = 10)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    assert(r(1L) > r(2L))
+  }
+
+  // --- hybrid RRF -------------------------------------------------------
+
+  test("hybridRrf fuses a sparse and a dense rank list reciprocally") {
+    // doc 0 is the query vector's own row (excluded from results).
+    // dense ranks (cosine to v0): 1:[1,0] best, then 2, then 3.
+    // sparse ranks (terms {x}): doc 3 highest tf, then 2, then 1 (no hit).
+    val docs = Seq(
+      (0L, "z z"), (1L, "z z z"), (2L, "x z z"), (3L, "x x z")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.99f, 0.1f)),
+      (2L, Array(0.5f, 0.8f)), (3L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val r = Retrieval.hybridRrf(docs, emb, Seq("x"), queryVecId = 0L, k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    val byDoc = r.map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // dense ranks: 1→1, 2→2, 3→3 ; sparse ranks: 3→1, 2→2, 1→3
+    assert(byDoc(1L)._2 == 1L && byDoc(3L)._2 == 3L)
+    assert(byDoc(3L)._1 == 1L && byDoc(1L)._1 == 3L)
+    // symmetric rank profiles (1,3)/(3,1) fuse equal and BEAT (2,2) —
+    // 1/(60+r) is convex: 1e6//61 + 1e6//63 = 16393+15873 = 32266
+    // > 2*(1e6//62) = 32258
+    assert(byDoc(1L)._3 > byDoc(2L)._3 && byDoc(1L)._3 == byDoc(3L)._3)
+    // output ordering: rrf desc, doc_id tiebreak (1 and 3 tie)
+    assert(r.map(_._1).toSeq == Seq(1L, 3L, 2L))
+  }
+
+  // --- MMR --------------------------------------------------------------
+
+  test("mmrRerank diversifies: near-duplicate of the first pick is deferred") {
+    // query=[1,0]; a(1) slightly best; b(2) nearly parallel to a
+    // (sim ≈ 0.9998); c(3) equal relevance to b but reflected across the
+    // query axis (sim to a ≈ 0.29). Greedy relevance would take a then
+    // b-or-c by tiebreak; MMR must take a, then c (b's max-sim to a
+    // erases 3·10⁴ of score, c keeps most of its relevance).
+    val emb = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(0.81f, 0.59f)),
+      (2L, Array(0.8f, 0.6f)),
+      (3L, Array(0.8f, -0.6f))
+    ).toDF("vec_id", "embedding")
+    val r = Retrieval.mmrRerank(emb, queryVecId = 0L, nCand = 3, k = 3)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.map(_._2).toSeq == Seq(1L, 3L, 2L))
+    assert(r.map(_._1).toSeq == Seq(1L, 2L, 3L)) // steps in order
+    // step 1 score is 7*rel with no diversity penalty
+    assert(r(0)._4 == 7L * r(0)._3)
+  }
+
+  // --- duplicated spans -------------------------------------------------
+
+  test("dupSpans flags cross-doc shared windows only") {
+    val docs = Seq(
+      (1L, "a b c d"),   // windows (n=3): "a b c", "b c d"
+      (2L, "x b c d"),   // windows: "x b c", "b c d" → shares "b c d"
+      (3L, "p q r s")    // no shared window → filtered out
+    ).toDF("doc_id", "text")
+    val r = Corpus.dupSpans(docs, n = 3).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.toSeq == Seq((1L, 2L, 1L, 500000L), (2L, 2L, 1L, 500000L)))
+  }
+
+  test("dupSpans counts every duplicated instance, not distinct grams") {
+    // doc 1 repeats the shared window twice → both instances count
+    val docs = Seq(
+      (1L, "b c d b c d"),  // windows: bcd, cdb, dbc, bcd → 2 dup instances
+      (2L, "b c d")         // single window bcd
+    ).toDF("doc_id", "text")
+    val r = Corpus.dupSpans(docs, n = 3).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.toSeq == Seq((1L, 4L, 2L, 500000L), (2L, 1L, 1L, 1000000L)))
+  }
+
+  // --- Gopher rules -----------------------------------------------------
+
+  test("gopherRules: each rule fires independently and pass is their conjunction") {
+    val good = "the quick brown fox jumps over a lazy dog near the riverbank today"
+    val docs = Seq(
+      (1L, good),                                   // all rules pass
+      (2L, "the a short"),                          // < 10 words
+      (3L, ("internationalization " * 12).trim),    // mean word len > 10
+      (4L, "zz yy xx ww vv uu tt ss rr qq pp oo")   // no stopwords
+    ).toDF("doc_id", "text")
+    val r = Corpus.gopherRules(docs).orderBy("doc_id")
+      .select("doc_id", "r_words", "r_wlen", "r_stop", "pass")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(r(0) == ((1L, 1L, 1L, 1L, 1L)))
+    assert(r(1)._2 == 0L && r(1)._5 == 0L)
+    assert(r(2)._3 == 0L && r(2)._5 == 0L)
+    assert(r(3)._4 == 0L && r(3)._5 == 0L)
+  }
+}
