@@ -1924,6 +1924,29 @@ object Queries {
     Algos.bfs(e, Seq(source)).orderBy(col("id"))
   }
 
+  /** Exact sampled-source neighborhood function N(h), h = 0..4 (the
+    * distance-distribution panel; [[graft.graph.Algos.anfSketch]] is the
+    * sketched scale path, spec-asserted against this). Oracle unrolls
+    * the four frontier expansions with distinct pair sets. */
+  private def qNeighborhood(s: SparkSession, dir: String): DataFrame =
+    Algos.neighborhoodFunction(custSuppSymE(s, dir).select("src", "dst"), maxH = 4)
+
+  private val qNeighborhoodSql = {
+    val rounds = (1 to 4).map { h =>
+      s"""r$h AS MATERIALIZED (SELECT DISTINCT tag, v FROM (
+         |SELECT r${h - 1}.tag, e.dst AS v FROM r${h - 1} JOIN e ON r${h - 1}.v = e.src
+         |UNION ALL SELECT tag, v FROM r${h - 1}))""".stripMargin.replace('\n', ' ')
+    }.mkString(", ")
+    val counts = (0 to 4)
+      .map(h => s"SELECT CAST($h AS BIGINT) AS h, COUNT(*) AS n_pairs FROM r$h")
+      .mkString(" UNION ALL ")
+    s"""WITH ${TestGraphs.custSuppSymSql},
+       |v AS (SELECT DISTINCT src AS id FROM e),
+       |r0 AS MATERIALIZED (SELECT id AS tag, id AS v FROM v WHERE id % 37 = 0),
+       |$rounds
+       |SELECT h, n_pairs FROM ($counts) z ORDER BY h""".stripMargin.replace('\n', ' ')
+  }
+
   private def qPagerank(s: SparkSession, dir: String): DataFrame =
     Algos.pagerank(custSuppSymE(s, dir), iterations = 5)
       .select(col("id"), e6(col("pr")).as("pr_e6"))
@@ -2509,6 +2532,7 @@ object Queries {
     "q_graph_wcc"      -> (qWcc _),
     "q_graph_sssp"     -> (qSssp _),
     "q_graph_bfs"      -> (qBfs _),
+    "q_graph_neighborhood" -> (qNeighborhood _),
     "q_graph_diameter" -> (qDiameter _),
     "q_graph_pagerank" -> (qPagerank _),
     "q_graph_maxprop"  -> (qMaxProp _),
@@ -2620,6 +2644,7 @@ object Queries {
       rounds = 12, jumps = 12),
     "q_graph_sssp"     -> OracleGen.ssspSql(TestGraphs.custSuppSymSql, 16),
     "q_graph_bfs"      -> OracleGen.bfsMinSourceSql(TestGraphs.custSuppSymSql, 12),
+    "q_graph_neighborhood" -> qNeighborhoodSql,
     "q_graph_diameter" -> OracleGen.doubleSweepSql(TestGraphs.custSuppSymSql, 16),
     "q_graph_pagerank" -> OracleGen.pagerankSql(TestGraphs.custSuppSymSql, 5, 0.85, 0.15),
     "q_graph_maxprop"  -> OracleGen.labelPropSql(TestGraphs.custSuppSymSql, 12, isMin = false, "max_id"),

@@ -828,6 +828,110 @@ object Algos {
     settled
   }
 
+  /** Exact neighborhood function N(h) over a deterministic 1/sampleMod
+    * vertex sample: the number of (source, vertex) pairs at distance
+    * ≤ h, for h = 0..maxH — the distance-distribution summary behind
+    * effective-diameter estimates (Palmer et al. 2002 ANF; Boldi et al.
+    * 2011 HyperANF). Sources are `id % sampleMod = 0` — a DataFrame
+    * predicate, never a driver-side id list, so the source set scales
+    * with the graph.
+    *
+    * Per round: frontier⋈edges + an anti-join against the settled set +
+    * a min-combine — the [[eccentricities]] frontier discipline, so the
+    * cost is output-linear in newly-reached pairs (no re-distinct of the
+    * whole ball per round). The driver sees maxH+1 count scalars.
+    * [[anfSketch]] is the constant-state sketch variant for when even
+    * the sampled pair frame is too wide (AlgosSpec asserts it tracks
+    * this exact operator). */
+  def neighborhoodFunction(symEdges: DataFrame, maxH: Int = 4,
+                           sampleMod: Long = 37L): DataFrame = {
+    val s = symEdges.sparkSession
+    import s.implicits._
+    val e = ckptHash(symEdges.select("src", "dst"), "src")
+    var settled = ckptHash(
+      verticesOf(e).filter(pmod(col("id"), lit(sampleMod)) === 0L)
+        .select(col("id"), col("id").as("tag"), lit(0L).as("level")), "id")
+    var frontier = settled
+    var counts = Vector((0L, settled.count()))
+    (1 to maxH).foreach { h =>
+      val next = frontier.select(col("id").as("src"), col("tag"), col("level"))
+        .join(e, Seq("src"))
+        .select(col("dst").as("id"), col("tag"), (col("level") + 1L).as("level"))
+        .join(settled.select("id", "tag"), Seq("id", "tag"), "left_anti")
+        .groupBy(col("id"), col("tag")).agg(min(col("level")).as("level"))
+        .localCheckpoint()
+      val merged = settled.union(next).localCheckpoint()
+      counts :+= ((h.toLong, counts.last._2 + next.count()))
+      freeCkpt(settled)
+      if (h > 1) freeCkpt(frontier)
+      settled = merged
+      frontier = next
+    }
+    freeCkpt(settled); freeCkpt(frontier); freeCkpt(e)
+    counts.toDF("h", "n_pairs").orderBy(col("h"))
+  }
+
+  /** HyperANF-style sketched neighborhood function (Boldi et al. 2011,
+    * with Flajolet–Martin bitmap registers instead of HyperLogLog): every
+    * vertex carries `numReg` 64-bit FM bitmaps; register j starts with
+    * only bit ρ(md5(id:j)) set (ρ = lowest-set-bit index, P(ρ=k)=2⁻ᵏ⁻¹),
+    * and one round ORs each vertex's registers with its neighbors'.
+    * After h rounds the registers sketch the h-ball, and
+    * |ball| ≈ 2^R̄ / 0.77351 over the registers' lowest-zero-bit
+    * positions R (Flajolet & Martin 1985). N(h) is the sum of the
+    * per-vertex estimates over ALL vertices.
+    *
+    * This is the 100 TB shape: state is numReg longs per vertex —
+    * constant, never pair-shaped — and a round is one edge shuffle with
+    * a map-side-combinable bit_or aggregate. Deterministic (md5 seeds),
+    * but an ESTIMATOR: it backs [[neighborhoodFunction]] at scale and is
+    * therefore spec-asserted against the exact operator, not
+    * oracle-gated. Returns (h, n_pairs_est DOUBLE) for h = 0..maxH. */
+  def anfSketch(symEdges: DataFrame, maxH: Int = 4, numReg: Int = 64): DataFrame = {
+    val s = symEdges.sparkSession
+    import s.implicits._
+    val e = ckptHash(symEdges.select("src", "dst"), "src")
+    // register j's initial bitmap: the lowest set bit of a 60-bit md5
+    // value (x & -x) — geometric ρ without a count-trailing-zeros builtin
+    val seeded = verticesOf(e).select(col("id"),
+      transform(sequence(lit(0), lit(numReg - 1)), j => {
+        val x = conv(substring(md5(concat(col("id"), lit(":"), j)), 1, 15), 16, 10)
+          .cast("long")
+        x.bitwiseAND(-x)
+      }).as("regs"))
+    var cur = ckptHash(seeded, "id")
+    // per-register estimate: R = index of the lowest ZERO bit of the
+    // union bitmap = log2((~m) & (m+1)); ball ≈ 2^mean(R) / 0.77351
+    val estimate = (df: DataFrame) => df.select(
+      aggregate(
+        transform(col("regs"), m => {
+          val lowZero = bitwise_not(m).bitwiseAND(m + lit(1L)).cast("double")
+          log2(lowZero)
+        }),
+        lit(0.0), (acc, r) => acc + r)
+        .divide(lit(numReg.toDouble)).as("rbar"))
+      .select((pow(lit(2.0), col("rbar")) / lit(0.77351)).as("est"))
+      .agg(sum(col("est"))).first().getDouble(0)
+    var out = Vector((0L, estimate(cur)))
+    (1 to maxH).foreach { h =>
+      val next = cur.select(col("id").as("src"), col("regs"))
+        .join(e, Seq("src"))
+        .select(col("dst").as("id"), posexplode(col("regs")).as(Seq("pos", "m")))
+        .union(cur.select(col("id"), posexplode(col("regs")).as(Seq("pos", "m"))))
+        .groupBy(col("id"), col("pos"))
+        .agg(bit_or(col("m")).as("m"))
+        .groupBy(col("id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("regs"))
+      val ck = ckptHash(next, "id")
+      freeCkpt(cur)
+      cur = ck
+      out :+= ((h.toLong, estimate(cur)))
+    }
+    freeCkpt(cur); freeCkpt(e)
+    out.toDF("h", "n_pairs_est").orderBy(col("h"))
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999, public algorithm) on a
     * directed graph, fixed-iteration L1-normalized variant: per round
     *   a(v) = Σ_{u→v} h(u), normalized to Σa = 1;

@@ -494,4 +494,35 @@ class AlgosSpec extends SparkSpec {
       .orderBy(col("id")).as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 10L), (2L, 10L), (3L, 15L)))
   }
+
+  test("neighborhoodFunction counts exact ball sizes on a path") {
+    // path 1-2-3-4 (symmetric), all vertices sampled:
+    // N(0)=4; N(1)=2+3+3+2=10; N(2)=3+4+4+3=14; N(3)=16 (saturated)
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val e = (p ++ p.map(_.swap)).toDF("src", "dst")
+    val got = Algos.neighborhoodFunction(e, maxH = 4, sampleMod = 1L)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 4L), (1L, 10L), (2L, 14L), (3L, 16L), (4L, 16L)))
+  }
+
+  test("anfSketch tracks the exact neighborhood function on a clique") {
+    // 50-clique: N(1) = N(2) = 2500 (every ball saturates in one hop).
+    // The FM sketch (64 registers, deterministic md5 seeds) must land
+    // within 15% of exact at h ≥ 1 — its operating range is LARGE balls
+    // (the raw Flajolet–Martin estimator is biased high below ~10
+    // elements; that regime belongs to the exact operator, which is why
+    // the assertion starts at the saturated rounds).
+    val n = 50L
+    val pairs = for (i <- 0L until n; j <- 0L until n if i != j) yield (i, j)
+    val e = pairs.toDF("src", "dst")
+    val exact = Algos.neighborhoodFunction(e, maxH = 2, sampleMod = 1L)
+      .as[(Long, Long)].collect().toMap
+    assert(exact == Map(0L -> 50L, 1L -> 2500L, 2L -> 2500L))
+    val est = Algos.anfSketch(e, maxH = 2, numReg = 64)
+      .as[(Long, Double)].collect().toMap
+    (1L to 2L).foreach { h =>
+      val rel = math.abs(est(h) - exact(h)) / exact(h)
+      assert(rel < 0.15, s"h=$h est=${est(h)} exact=${exact(h)} rel=$rel")
+    }
+  }
 }
