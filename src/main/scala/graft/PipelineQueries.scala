@@ -475,6 +475,52 @@ object PipelineQueries {
     Similarity.ivfTopK(emb, queriesOf(emb), k = 5, nprobe = 2)
   }
 
+  /** cosine over the first d coordinates only (matryoshka prefixes). */
+  private def cosDSql(x: String, y: String, d: Int): String =
+    s"""(list_sum(list_transform(range(1, ${d + 1}), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))
+       |/ (sqrt(list_sum(list_transform(range(1, ${d + 1}), i -> CAST($x[i] AS DOUBLE) * CAST($x[i] AS DOUBLE))))
+       |* sqrt(list_sum(list_transform(range(1, ${d + 1}), i -> CAST($y[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))))))""".stripMargin.replace('\n', ' ')
+
+  private def qAnnMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    Similarity.matryoshkaOverlap(emb.select(col("vec_id"), col("embedding")),
+      queriesOf(emb), dims = Seq(8, 16, 32), fullDim = 64, k = 10)
+  }
+
+  private val qAnnMatryoshkaSql = {
+    def topkCte(name: String, d: Int) =
+      s"""$name AS MATERIALIZED (SELECT q_id, n_id FROM (
+         |SELECT q.q_id, e.vec_id AS n_id,
+         |CAST(FLOOR(${cosDSql("q.qv", "e.embedding", d)} * 10000) AS BIGINT) AS rcos_e4
+         |FROM embeddings e JOIN q ON e.vec_id <> q.q_id) z
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rcos_e4 DESC, n_id) <= 10)""".stripMargin.replace('\n', ' ')
+    val dims = Seq(8, 16, 32, 64)
+    val ctes = dims.map(d => topkCte(s"t$d", d)).mkString(", ")
+    val ovs = dims.map(d =>
+      s"""SELECT CAST($d AS BIGINT) AS dim, a.q_id, COUNT(*) AS overlap
+         |FROM t$d a JOIN t64 b ON a.q_id = b.q_id AND a.n_id = b.n_id
+         |GROUP BY 2""".stripMargin.replace('\n', ' '))
+      .mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |$ctes
+       |SELECT dim, q_id, overlap FROM ($ovs) z ORDER BY dim, q_id""".stripMargin.replace('\n', ' ')
+  }
+
+  private def qKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    Similarity.knnGraph(emb, k = 3, sampleMod = 20L)
+  }
+
+  private val qKnnGraphSql =
+    s"""WITH s AS (SELECT label, vec_id AS q_id, embedding AS qv
+       |FROM embeddings WHERE vec_id % 20 = 0),
+       |sc AS (SELECT s.q_id, e.vec_id AS n_id,
+       |CAST(FLOOR(${cosSql("s.qv", "e.embedding")} * 10000) AS BIGINT) AS rcos_e4
+       |FROM embeddings e JOIN s ON e.label = s.label AND e.vec_id <> s.q_id)
+       |SELECT q_id AS vec_id, n_id, rcos_e4 FROM sc
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rcos_e4 DESC, n_id) <= 3
+       |ORDER BY vec_id, rcos_e4 DESC, n_id""".stripMargin.replace('\n', ' ')
+
   private val qAnnIvfSql =
     s"""WITH cent AS MATERIALIZED (SELECT label,
        |list(m ORDER BY pos) AS cv FROM (
@@ -971,6 +1017,8 @@ object PipelineQueries {
     "q_ann_ivf_trained"  -> (qAnnIvfTrained _),
     "q_ann_lsh"          -> (qAnnLsh _),
     "q_ann_pq"           -> (qAnnPq _),
+    "q_ann_matryoshka"   -> (qAnnMatryoshka _),
+    "q_knn_graph"        -> (qKnnGraph _),
     "q_multimodal_meta"  -> (qMultimodalMeta _),
     "q_multimodal_wav"   -> (qMultimodalWav _),
     "q_multimodal_energy" -> (qMultimodalEnergy _),
@@ -1006,6 +1054,8 @@ object PipelineQueries {
     "q_ann_ivf_trained"  -> qAnnIvfTrainedSql,
     "q_ann_lsh"          -> qAnnLshSql,
     "q_ann_pq"           -> qAnnPqSql,
+    "q_ann_matryoshka"   -> qAnnMatryoshkaSql,
+    "q_knn_graph"        -> qKnnGraphSql,
     "q_multimodal_meta"  -> qMultimodalMetaSql,
     "q_multimodal_wav"   -> qMultimodalWavSql,
     "q_multimodal_energy" -> qMultimodalEnergySql,

@@ -1931,6 +1931,49 @@ object Queries {
   private def qNeighborhood(s: SparkSession, dir: String): DataFrame =
     Algos.neighborhoodFunction(custSuppSymE(s, dir).select("src", "dst"), maxH = 4)
 
+  /** Jones–Plassmann greedy coloring of the symmetrized per-user event
+    * chains — unique fixpoint (sequential greedy in md5-priority order),
+    * so the oracle unrolls ≥ convergence rounds. Graph choice matters:
+    * JP's round count is bounded by the longest priority-increasing path,
+    * which is O(log n/log log n) on the sparse chain graph but ~2·|side|
+    * on the dense bipartite customer–supplier graph (measured: 12 oracle
+    * rounds left 73/160 vertices uncolored there) — dense graphs belong
+    * to [[graft.graph.Algos.independentSet]]-style peeling, chains are
+    * the JP case. */
+  private def qColoring(s: SparkSession, dir: String): DataFrame =
+    Algos.greedyColoring(
+      Prep.makeSymmetric(TestGraphs.eventChain(Tables(s, dir))))
+
+  private def qColoringSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""w$r AS MATERIALIZED (SELECT v.id, v.p FROM v${r - 1} v
+         |WHERE v.color IS NULL AND NOT EXISTS (
+         |SELECT 1 FROM e JOIN v${r - 1} n ON n.id = e.dst
+         |WHERE e.src = v.id AND n.color IS NULL
+         |AND (n.p > v.p OR (n.p = v.p AND n.id > v.id)))),
+         |u$r AS MATERIALIZED (SELECT w.id, list_sort(list(DISTINCT n.color)) AS cols
+         |FROM w$r w JOIN e ON e.src = w.id JOIN v${r - 1} n ON n.id = e.dst
+         |WHERE n.color IS NOT NULL GROUP BY w.id),
+         |c$r AS MATERIALIZED (SELECT w.id, COALESCE(m.mex, 0) AS newc
+         |FROM w$r w LEFT JOIN (
+         |SELECT uid AS id, MIN(cand) AS mex FROM (
+         |SELECT u.id AS uid, t.cand
+         |FROM u$r u, unnest(range(0, len(u.cols) + 1)) AS t(cand)
+         |WHERE NOT list_contains(u.cols, cand)) z GROUP BY uid) m ON m.id = w.id),
+         |v$r AS MATERIALIZED (SELECT v.id, v.p, COALESCE(v.color, c.newc) AS color
+         |FROM v${r - 1} v LEFT JOIN c$r c ON c.id = v.id)""".stripMargin.replace('\n', ' ')
+    }.mkString(", ")
+    s"""WITH ec AS MATERIALIZED (${TestGraphs.eventChainSql}),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+       |(SELECT src, dst FROM ec UNION ALL SELECT dst AS src, src AS dst FROM ec) z),
+       |vx AS (SELECT DISTINCT src AS id FROM e),
+       |v0 AS MATERIALIZED (SELECT id,
+       |CAST(('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) AS p,
+       |CAST(NULL AS BIGINT) AS color FROM vx),
+       |$roundCtes
+       |SELECT id, color FROM v$rounds ORDER BY id""".stripMargin.replace('\n', ' ')
+  }
+
   private val qNeighborhoodSql = {
     val rounds = (1 to 4).map { h =>
       s"""r$h AS MATERIALIZED (SELECT DISTINCT tag, v FROM (
@@ -1942,7 +1985,7 @@ object Queries {
       .mkString(" UNION ALL ")
     s"""WITH ${TestGraphs.custSuppSymSql},
        |v AS (SELECT DISTINCT src AS id FROM e),
-       |r0 AS MATERIALIZED (SELECT id AS tag, id AS v FROM v WHERE id % 37 = 0),
+       |r0 AS MATERIALIZED (SELECT id AS tag, id AS v FROM v WHERE id % 151 = 0),
        |$rounds
        |SELECT h, n_pairs FROM ($counts) z ORDER BY h""".stripMargin.replace('\n', ' ')
   }
@@ -2533,6 +2576,7 @@ object Queries {
     "q_graph_sssp"     -> (qSssp _),
     "q_graph_bfs"      -> (qBfs _),
     "q_graph_neighborhood" -> (qNeighborhood _),
+    "q_graph_coloring" -> (qColoring _),
     "q_graph_diameter" -> (qDiameter _),
     "q_graph_pagerank" -> (qPagerank _),
     "q_graph_maxprop"  -> (qMaxProp _),
@@ -2645,6 +2689,7 @@ object Queries {
     "q_graph_sssp"     -> OracleGen.ssspSql(TestGraphs.custSuppSymSql, 16),
     "q_graph_bfs"      -> OracleGen.bfsMinSourceSql(TestGraphs.custSuppSymSql, 12),
     "q_graph_neighborhood" -> qNeighborhoodSql,
+    "q_graph_coloring" -> qColoringSql(12),
     "q_graph_diameter" -> OracleGen.doubleSweepSql(TestGraphs.custSuppSymSql, 16),
     "q_graph_pagerank" -> OracleGen.pagerankSql(TestGraphs.custSuppSymSql, 5, 0.85, 0.15),
     "q_graph_maxprop"  -> OracleGen.labelPropSql(TestGraphs.custSuppSymSql, 12, isMin = false, "max_id"),

@@ -138,6 +138,13 @@ object GraftRunner {
                 .select(col("src").as("u"), col("dst").as("v"), col("w")))
             case "katz" => Algos.katz(edges, rounds = iters)
             case "bowtie" => Algos.bowtie(edges)
+            case "coloring" => Algos.greedyColoring(edges)
+            case "diameter" => Algos.doubleSweep(edges)
+            case "neighborhood" => Algos.neighborhoodFunction(edges,
+              maxH = opts.getOrElse("maxh", "4").toInt,
+              sampleMod = opts.getOrElse("samplemod", "37").toLong)
+            case "anf-sketch" => Algos.anfSketch(edges,
+              maxH = opts.getOrElse("maxh", "4").toInt)
             case "linkpred" =>
               Algos.linkPredict(
                 edges.filter(col("src") < col("dst"))

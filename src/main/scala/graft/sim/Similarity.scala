@@ -435,4 +435,49 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"), col("rcos_e4"))
       .orderBy(col("q_id"), col("rcos_e4").desc, col("n_id"))
   }
+
+  /** Matryoshka-truncation retrieval audit (Kusupati et al. 2022): for
+    * each prefix dimension d, run the same brute top-k with embeddings
+    * truncated to their first d coordinates and count the overlap with
+    * the full-dimension top-k — the fidelity-vs-storage curve that
+    * decides how far a 100 TB index can truncate. Output
+    * (dim, q_id, overlap), overlap ∈ [0, k] exact integers; the full
+    * dimension is included as the overlap = k control row. */
+  def matryoshkaOverlap(corpus: DataFrame, queries: DataFrame,
+                        dims: Seq[Int], fullDim: Int, k: Int): DataFrame = {
+    val full = bruteTopK(corpus, queries, k).select(col("q_id"), col("n_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val overlaps = (dims :+ fullDim).distinct.sorted.map { d =>
+      val c = corpus.select(col("vec_id"),
+        slice(col("embedding"), 1, d).as("embedding"))
+      val q = queries.select(col("q_id"), slice(col("qv"), 1, d).as("qv"))
+      bruteTopK(c, q, k).select(col("q_id"), col("n_id"))
+        .join(full, Seq("q_id", "n_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("overlap"))
+        .select(lit(d.toLong).as("dim"), col("q_id"), col("overlap"))
+    }.reduce(_ unionByName _)
+    val out = overlaps.orderBy(col("dim"), col("q_id")).localCheckpoint()
+    full.unpersist()
+    out
+  }
+
+  /** Cluster-blocked kNN-graph construction: for a deterministic
+    * 1/sampleMod sample of vectors, the exact top-k neighbors WITHIN the
+    * vector's own cluster (label blocking — the IVF nprobe=1 shape, and
+    * the candidate generator SemDeDup/graph-ANN builds start from).
+    * Per-pair cost is cluster-bounded: Σ |sample ∩ cluster|·|cluster|,
+    * never corpus². Output (vec_id, n_id, rcos_e4) ranked per vector. */
+  def knnGraph(corpus: DataFrame, k: Int, sampleMod: Long = 20L,
+               clusterCol: String = "label"): DataFrame = {
+    val sample = corpus.filter(pmod(col("vec_id"), lit(sampleMod)) === 0L)
+      .select(col(clusterCol), col("vec_id").as("q_id"), col("embedding").as("qv"))
+    corpus.join(sample, Seq(clusterCol))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rcos_e4", graft.sql.Exact.e4(cosine(col("qv"), col("embedding"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rcos_e4").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id").as("vec_id"), col("vec_id").as("n_id"), col("rcos_e4"))
+      .orderBy(col("vec_id"), col("rcos_e4").desc, col("n_id"))
+  }
 }

@@ -505,6 +505,28 @@ class AlgosSpec extends SparkSpec {
     assert(got == Seq((0L, 4L), (1L, 10L), (2L, 14L), (3L, 16L), (4L, 16L)))
   }
 
+  test("greedyColoring produces a proper coloring with mex color choice") {
+    // triangle 1-2-3 plus pendant 4: needs 3 colors on the triangle,
+    // pendant takes the mex against its single neighbor
+    val p = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val e = (p ++ p.map(_.swap)).toDF("src", "dst")
+    val got = Algos.greedyColoring(e).as[(Long, Long)].collect().toMap
+    assert(got.size == 4 && got.values.forall(_ >= 0L))
+    p.foreach { case (u, v) => assert(got(u) != got(v), s"edge ($u,$v) same color") }
+    assert(got.values.toSet.contains(0L)) // greedy always uses color 0
+    assert(Set(got(1L), got(2L), got(3L)) == Set(0L, 1L, 2L)) // triangle = 3 colors
+    // deterministic: second run identical (md5 priorities, no RNG)
+    assert(Algos.greedyColoring(e).as[(Long, Long)].collect().toMap == got)
+  }
+
+  test("greedyColoring colors an independent pair in one concurrent round") {
+    val p = Seq((1L, 2L), (3L, 4L))
+    val e = (p ++ p.map(_.swap)).toDF("src", "dst")
+    val got = Algos.greedyColoring(e).as[(Long, Long)].collect().toMap
+    assert(got(1L) != got(2L) && got(3L) != got(4L))
+    assert(got.values.max <= 1L) // 2-colorable stays 2-colored
+  }
+
   test("anfSketch tracks the exact neighborhood function on a clique") {
     // 50-clique: N(1) = N(2) = 2500 (every ball saturates in one hop).
     // The FM sketch (64 registers, deterministic md5 seeds) must land

@@ -90,6 +90,45 @@ class RetrievalSpec extends SparkSpec {
     assert(r(0)._4 == 7L * r(0)._3)
   }
 
+  // --- matryoshka truncation -------------------------------------------
+
+  test("matryoshkaOverlap exposes prefix-truncation ranking loss") {
+    import graft.sim.Similarity
+    // q(0)=[1,0,0,1]; full-dim top1 is 2 (cos=1); the 2-d prefix ties
+    // 1 and 2 at cos=1 and the n_id tiebreak picks 1 → overlap drops
+    // from 1 to 0 at dim 2. Full dim is the control row (overlap = k).
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 1f)),
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.5f, 0f, 0f, 0.5f)),
+      (3L, Array(0f, 1f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val r = Similarity.matryoshkaOverlap(emb, q, dims = Seq(2), fullDim = 4, k = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    // dim 2 overlap 0 → inner-join row disappears; dim 4 overlap 1
+    assert(r == Seq((4L, 0L, 1L)))
+  }
+
+  // --- kNN graph --------------------------------------------------------
+
+  test("knnGraph blocks candidates by cluster label") {
+    import graft.sim.Similarity
+    // v0's global nearest is v1 (cos≈1) but lives in the other cluster —
+    // blocking must pick v2 (orthogonal, same cluster) instead
+    val emb = Seq(
+      (0L, Array(1f, 0f), "A"),
+      (1L, Array(1f, 0.01f), "B"),
+      (2L, Array(0f, 1f), "A"),
+      (20L, Array(0.9f, 0.1f), "B")
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.knnGraph(emb, k = 1, sampleMod = 20L)
+      .as[(Long, Long, Long)].collect().toSeq
+    // sampled queries: vec_id 0 (cluster A) and 20 (cluster B)
+    assert(r.map(t => t._1 -> t._2).toMap == Map(0L -> 2L, 20L -> 1L))
+  }
+
   // --- duplicated spans -------------------------------------------------
 
   test("dupSpans flags cross-doc shared windows only") {
