@@ -705,6 +705,61 @@ object CorpusQueries {
        |r_words * r_wlen * r_stop AS pass
        |FROM f ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
+  // --- DSIR importance scores -------------------------------------------
+
+  /** DSIR-shaped selection scores against the English-target slice:
+    * hashed-unigram (64-bucket) smoothed frequency ratios, per-doc mean.
+    * Exact e6 integers end to end. */
+  private def qDsirScores(s: SparkSession, dir: String): DataFrame =
+    Corpus.dsirScores(Tables(s, dir).documents, col("lang") === "en")
+      .orderBy(col("doc_id"))
+
+  private val qDsirScoresSql =
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id, tgt,
+       |${hex6Sql("md5(token)")} % 64 AS b FROM (
+       |SELECT doc_id, lang = 'en' AS tgt, unnest(${tokSql()}) AS token FROM documents) z),
+       |cnt AS MATERIALIZED (SELECT b, COUNT(*) AS c_all,
+       |COUNT(*) FILTER (WHERE tgt) AS c_tgt FROM toks GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c_all) AS BIGINT) AS n_all,
+       |CAST(SUM(c_tgt) AS BIGINT) AS n_tgt FROM cnt),
+       |ratio AS (SELECT b,
+       |CAST(((c_tgt + 1) * (n_all + 64) * 1000000) // ((c_all + 1) * (n_tgt + 64)) AS BIGINT) AS ratio_e6
+       |FROM cnt CROSS JOIN tot)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |CAST(CAST(SUM(ratio_e6) AS BIGINT) // COUNT(*) AS BIGINT) AS score_e6
+       |FROM toks JOIN ratio USING (b)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
+  // --- Luhn-validated PII detection -------------------------------------
+
+  /** Luhn checksum scan over planted 16-digit runs (every 7th doc gets
+    * its zero-padded doc_id as a card-shaped number — validity then
+    * varies by doc_id, exercising both checksum branches). */
+  private def qPiiLuhn(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(7L)) === 0,
+        concat(col("text"), lit(" card "),
+          lpad(col("doc_id").cast("string"), 16, "0")))
+        .otherwise(col("text")).as("text"))
+    Corpus.luhnScan(docs).orderBy(col("doc_id"))
+  }
+
+  private val qPiiLuhnSql = {
+    val digit = "CAST(substring(s, CAST(i AS INT), 1) AS BIGINT)"
+    val luhn =
+      s"""(list_sum(list_transform(range(1, 17), i ->
+         |CASE WHEN i % 2 = 1 THEN
+         |CASE WHEN 2 * $digit > 9 THEN 2 * $digit - 9 ELSE 2 * $digit END
+         |ELSE $digit END)) % 10 = 0)""".stripMargin.replace('\n', ' ')
+    s"""WITH p AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+       |THEN text || ' card ' || lpad(CAST(doc_id AS VARCHAR), 16, '0')
+       |ELSE text END AS text FROM documents),
+       |c AS (SELECT doc_id, regexp_extract_all(text, '[0-9]{16}') AS cands FROM p)
+       |SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
+       |CAST(len(list_filter(cands, s -> $luhn)) AS BIGINT) AS n_valid
+       |FROM c WHERE len(cands) > 0 ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+  }
+
   // --- registry ---------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -735,7 +790,9 @@ object CorpusQueries {
     "q_text_zipf"         -> (qTextZipf _),
     "q_text_hapax"        -> (qTextHapax _),
     "q_dedup_spans"       -> (qDedupSpans _),
-    "q_quality_gopher"    -> (qQualityGopher _))
+    "q_quality_gopher"    -> (qQualityGopher _),
+    "q_dsir_scores"       -> (qDsirScores _),
+    "q_pii_luhn"          -> (qPiiLuhn _))
 
   val oracles: Map[String, String] = Map(
     "q_text_repetition"   -> qTextRepetitionSql,
@@ -765,5 +822,7 @@ object CorpusQueries {
     "q_text_zipf"         -> qTextZipfSql,
     "q_text_hapax"        -> qTextHapaxSql,
     "q_dedup_spans"       -> qDedupSpansSql,
-    "q_quality_gopher"    -> qQualityGopherSql)
+    "q_quality_gopher"    -> qQualityGopherSql,
+    "q_dsir_scores"       -> qDsirScoresSql,
+    "q_pii_luhn"          -> qPiiLuhnSql)
 }

@@ -617,6 +617,73 @@ object Corpus {
       .select(col("doc_id"), pmod(md5Uniform(col("tok")), lit(buckets.toLong)).as("bucket"))
       .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
 
+  // --- DSIR-style importance scores ------------------------------------
+
+  /** DSIR-shaped data-selection scores (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): hash tokens into
+    * `buckets` features, estimate add-1-smoothed per-bucket frequency
+    * ratios target/corpus, and score each document by its mean token
+    * ratio — documents resembling the target distribution score high.
+    * (DSIR proper multiplies likelihood ratios; the additive mean keeps
+    * the arithmetic in exact BIGINT for the oracle while preserving the
+    * ranking signal. The e6 pipeline bounds hold through ~10⁸-token
+    * corpora; production would run the same plan in double log-space.)
+    *
+    * Scale shape: ONE explode feeds both count passes (persisted); the
+    * bucket ratio table is `buckets` rows — broadcast; per-doc scoring
+    * is a map-side-combined agg. No vocabulary state, no driver data. */
+  def dsirScores(docs: DataFrame, isTarget: Column, buckets: Int = 64): DataFrame = {
+    val toks = docs.select(col("doc_id"), isTarget.as("tgt"),
+        explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("tgt"),
+        pmod(md5Uniform(col("tok")), lit(buckets.toLong)).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = toks.groupBy(col("b")).agg(
+      count(lit(1)).as("c_all"),
+      count(when(col("tgt"), lit(1))).as("c_tgt"))
+    val tot = cnt.agg(sum(col("c_all")).as("n_all"), sum(col("c_tgt")).as("n_tgt"))
+    val ratio = cnt.join(broadcast(tot), lit(true))
+      .select(col("b"), idiv(
+        (col("c_tgt") + 1L) * (col("n_all") + lit(buckets.toLong)) * lit(1000000L),
+        (col("c_all") + 1L) * (col("n_tgt") + lit(buckets.toLong))).as("ratio_e6"))
+    val out = toks.join(broadcast(ratio), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("ratio_e6")).cast("long").as("rsum"))
+      .select(col("doc_id"), col("n_tokens"),
+        idiv(col("rsum"), col("n_tokens")).as("score_e6"))
+      .localCheckpoint()
+    toks.unpersist()
+    out
+  }
+
+  // --- Luhn-validated PII detection ------------------------------------
+
+  /** Card-number detection with Luhn (ISO/IEC 7812) checksum validation:
+    * extract 16-digit runs, compute the Luhn sum (double every second
+    * digit from the right, subtract 9 above 9), and report candidate vs
+    * checksum-valid counts per doc — the standard false-positive filter
+    * a PII scrubber runs before redacting. Pure integer fold per
+    * candidate, codegen'd, shuffle-free. */
+  def luhnScan(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val cands = regexp_extract_all(col(textCol), lit("[0-9]{16}"), lit(0))
+    // Luhn sum via index fold: position i (1-based from the LEFT of a
+    // 16-digit run) is even-from-the-right exactly when i is odd
+    val luhnOk = (s: Column) => {
+      val total = aggregate(sequence(lit(1), lit(16)), lit(0L), (acc, i) => {
+        val d = (ascii(s.substr(i, lit(1))) - lit(48)).cast("long")
+        val dd = when(pmod(i, lit(2)) === 1,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+        acc + dd
+      })
+      pmod(total, lit(10L)) === 0L
+    }
+    docs.select(col("doc_id"), cands.as("cands"))
+      .select(col("doc_id"),
+        size(col("cands")).cast("long").as("n_candidates"),
+        size(filter(col("cands"), c => luhnOk(c))).cast("long").as("n_valid"))
+      .filter(col("n_candidates") > 0)
+  }
+
   // --- duplicated-span detection ---------------------------------------
 
   /** Token-granular duplicated-span detection (the Lee et al. 2022

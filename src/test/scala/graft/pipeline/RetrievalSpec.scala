@@ -153,6 +153,35 @@ class RetrievalSpec extends SparkSpec {
     assert(r.toSeq == Seq((1L, 4L, 2L, 500000L), (2L, 1L, 1L, 1000000L)))
   }
 
+  // --- DSIR scores ------------------------------------------------------
+
+  test("dsirScores rank target-like documents above off-target ones") {
+    val docs = Seq(
+      (1L, "aa aa aa", true),   // target slice: all "aa"
+      (2L, "bb bb bb", false),  // corpus-only token
+      (3L, "aa aa bb", false),  // target-like mixture
+      (4L, "bb bb bb", false)
+    ).toDF("doc_id", "text", "tgt")
+    val r = Corpus.dsirScores(docs, col("tgt"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    // "aa" dominates the target distribution → docs heavy in "aa" win
+    assert(r(1L) > r(3L) && r(3L) > r(2L) && r(2L) == r(4L))
+  }
+
+  // --- Luhn scan --------------------------------------------------------
+
+  test("luhnScan separates checksum-valid from invalid 16-digit runs") {
+    val docs = Seq(
+      (1L, "pay 4532015112830366 now"),        // Luhn-valid
+      (2L, "ref 4532015112830367 thanks"),     // same digits, bad check
+      (3L, "a 4532015112830366 b 4532015112830367 c"), // one of each
+      (4L, "no numbers here")                  // filtered out
+    ).toDF("doc_id", "text")
+    val r = Corpus.luhnScan(docs).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 1L, 1L), (2L, 1L, 0L), (3L, 2L, 1L)))
+  }
+
   // --- Gopher rules -----------------------------------------------------
 
   test("gopherRules: each rule fires independently and pass is their conjunction") {
