@@ -417,6 +417,38 @@ object PipelineQueries {
        |ORDER BY a, b""".stripMargin.replace('\n', ' ')
   }
 
+  /** Exact Jaccard ≥ 0.8 similarity join over 8-char shingle sets via
+    * prefix filtering — the exact-verification counterpart of
+    * q_dedup_minhash (no LSH false negatives). */
+  private def qJaccardJoin(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    Dedup.jaccardJoin(
+      d.select(col("doc_id"), shingleSet(col("text"), 8).as("items")),
+      thresholdPct = 80)
+  }
+
+  private val qJaccardJoinSql =
+    s"""WITH toks AS MATERIALIZED (SELECT DISTINCT doc_id, unnest($shSql) AS tok FROM documents),
+       |dfq AS MATERIALIZED (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1),
+       |srt AS MATERIALIZED (SELECT doc_id, list(tok ORDER BY df, tok) AS stoks,
+       |CAST(COUNT(*) AS BIGINT) AS n FROM toks JOIN dfq USING (tok) GROUP BY doc_id),
+       |sp AS MATERIALIZED (SELECT doc_id, stoks, n,
+       |n - ((n * 80 + 99) // 100) + 1 AS plen FROM srt),
+       |pref AS MATERIALIZED (SELECT doc_id, n, u.i AS pos,
+       |stoks[CAST(u.i AS INT)] AS tok
+       |FROM sp, unnest(range(1, CAST(plen AS INT) + 1)) AS u(i)),
+       |cand AS MATERIALIZED (SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
+       |FROM pref p1 JOIN pref p2 ON p1.tok = p2.tok AND p1.doc_id < p2.doc_id
+       |AND p1.n * 100 >= p2.n * 80 AND p2.n * 100 >= p1.n * 80
+       |AND (1 + least(p1.n - p1.pos, p2.n - p2.pos)) * 180 >= 80 * (p1.n + p2.n)),
+       |v AS (SELECT cand.a, cand.b,
+       |CAST(len(list_intersect(x.stoks, y.stoks)) AS BIGINT) AS inter,
+       |x.n + y.n AS nsum
+       |FROM cand JOIN sp x ON x.doc_id = cand.a JOIN sp y ON y.doc_id = cand.b)
+       |SELECT a, b, inter, nsum - inter AS uni,
+       |CAST((inter * 1000000) // (nsum - inter) AS BIGINT) AS jaccard_e6
+       |FROM v WHERE inter * 100 >= (nsum - inter) * 80 ORDER BY a, b""".stripMargin.replace('\n', ' ')
+
   // similarity search ---------------------------------------------------
 
   private def queriesOf(emb: DataFrame): DataFrame =
@@ -1019,6 +1051,7 @@ object PipelineQueries {
     "q_ann_pq"           -> (qAnnPq _),
     "q_ann_matryoshka"   -> (qAnnMatryoshka _),
     "q_knn_graph"        -> (qKnnGraph _),
+    "q_jaccard_join"     -> (qJaccardJoin _),
     "q_multimodal_meta"  -> (qMultimodalMeta _),
     "q_multimodal_wav"   -> (qMultimodalWav _),
     "q_multimodal_energy" -> (qMultimodalEnergy _),
@@ -1056,6 +1089,7 @@ object PipelineQueries {
     "q_ann_pq"           -> qAnnPqSql,
     "q_ann_matryoshka"   -> qAnnMatryoshkaSql,
     "q_knn_graph"        -> qKnnGraphSql,
+    "q_jaccard_join"     -> qJaccardJoinSql,
     "q_multimodal_meta"  -> qMultimodalMetaSql,
     "q_multimodal_wav"   -> qMultimodalWavSql,
     "q_multimodal_energy" -> qMultimodalEnergySql,

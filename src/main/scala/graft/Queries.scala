@@ -1974,6 +1974,40 @@ object Queries {
        |SELECT id, color FROM v$rounds ORDER BY id""".stripMargin.replace('\n', ' ')
   }
 
+  /** Maximal matching by mutual proposals on the symmetrized event
+    * chains — unique deterministic fixpoint, oracle-unrolled (the
+    * globally max-priority live vertex matches every round, and chain
+    * graphs clear in a handful of rounds). */
+  private def qMatching(s: SparkSession, dir: String): DataFrame =
+    Algos.maximalMatching(
+      Prep.makeSymmetric(TestGraphs.eventChain(Tables(s, dir))))
+
+  private def qMatchingSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""pk$r AS MATERIALIZED (SELECT src, dst FROM (
+         |SELECT l.src, l.dst,
+         |ROW_NUMBER() OVER (PARTITION BY l.src ORDER BY n.p DESC, l.dst DESC) AS rn
+         |FROM l${r - 1} l JOIN pr n ON n.id = l.dst) z WHERE rn = 1),
+         |m$r AS MATERIALIZED (SELECT a.src AS u, a.dst AS v
+         |FROM pk$r a JOIN pk$r b ON a.src = b.dst AND a.dst = b.src
+         |WHERE a.src < a.dst),
+         |mm$r AS MATERIALIZED (SELECT u, v FROM mm${r - 1} UNION ALL SELECT u, v FROM m$r),
+         |vs$r AS MATERIALIZED (SELECT u AS id FROM mm$r UNION SELECT v AS id FROM mm$r),
+         |l$r AS MATERIALIZED (SELECT l.src, l.dst FROM l${r - 1} l
+         |WHERE l.src NOT IN (SELECT id FROM vs$r)
+         |AND l.dst NOT IN (SELECT id FROM vs$r))""".stripMargin.replace('\n', ' ')
+    }.mkString(", ")
+    s"""WITH ec AS MATERIALIZED (${TestGraphs.eventChainSql}),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+       |(SELECT src, dst FROM ec UNION ALL SELECT dst AS src, src AS dst FROM ec) z),
+       |pr AS MATERIALIZED (SELECT id,
+       |CAST(('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) AS p
+       |FROM (SELECT DISTINCT src AS id FROM l0) v),
+       |mm0 AS (SELECT CAST(0 AS BIGINT) AS u, CAST(0 AS BIGINT) AS v WHERE false),
+       |$roundCtes
+       |SELECT u, v FROM mm$rounds ORDER BY u""".stripMargin.replace('\n', ' ')
+  }
+
   private val qNeighborhoodSql = {
     val rounds = (1 to 4).map { h =>
       s"""r$h AS MATERIALIZED (SELECT DISTINCT tag, v FROM (
@@ -2577,6 +2611,7 @@ object Queries {
     "q_graph_bfs"      -> (qBfs _),
     "q_graph_neighborhood" -> (qNeighborhood _),
     "q_graph_coloring" -> (qColoring _),
+    "q_graph_matching" -> (qMatching _),
     "q_graph_diameter" -> (qDiameter _),
     "q_graph_pagerank" -> (qPagerank _),
     "q_graph_maxprop"  -> (qMaxProp _),
@@ -2690,6 +2725,7 @@ object Queries {
     "q_graph_bfs"      -> OracleGen.bfsMinSourceSql(TestGraphs.custSuppSymSql, 12),
     "q_graph_neighborhood" -> qNeighborhoodSql,
     "q_graph_coloring" -> qColoringSql(12),
+    "q_graph_matching" -> qMatchingSql(12),
     "q_graph_diameter" -> OracleGen.doubleSweepSql(TestGraphs.custSuppSymSql, 16),
     "q_graph_pagerank" -> OracleGen.pagerankSql(TestGraphs.custSuppSymSql, 5, 0.85, 0.15),
     "q_graph_maxprop"  -> OracleGen.labelPropSql(TestGraphs.custSuppSymSql, 12, isMin = false, "max_id"),

@@ -1000,6 +1000,56 @@ object Algos {
     out
   }
 
+  /** Distributed maximal matching by mutual proposals (the classic BSP
+    * matching round: each unmatched vertex proposes to its strongest
+    * unmatched neighbor by md5 priority, mutual proposals match, matched
+    * vertices leave the graph). The globally max-priority live vertex is
+    * always proposed back by its own pick, so every round matches ≥ 1
+    * pair and expected convergence is O(log n). Deterministic (md5
+    * priorities, (p, id) tiebreak) → unique fixpoint, oracle-unrollable.
+    * Per round: one live-edge⋈priority shuffle + one proposal self-join
+    * + one anti-join removal. Returns matched pairs (u, v), u < v. */
+  def maximalMatching(symEdges: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val s = symEdges.sparkSession
+    import s.implicits._
+    val e = ckptHash(symEdges.select("src", "dst"), "src")
+    val prio = ckptHash(verticesOf(e).select(col("id"),
+      conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long").as("p")),
+      "id")
+    var live = e
+    var matched = Seq.empty[(Long, Long)].toDF("u", "v").localCheckpoint()
+    var round = 0
+    var liveCount = live.count()
+    while (liveCount > 0 && round < maxRounds) {
+      val pick = live
+        .join(prio.select(col("id").as("dst"), col("p").as("np")), Seq("dst"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("np").desc, col("dst").desc)))
+        .filter(col("rn") === 1)
+        .select(col("src"), col("dst"))
+      val mutual = pick.as("a")
+        .join(pick.as("b"),
+          col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+        .filter(col("a.src") < col("a.dst"))
+        .select(col("a.src").as("u"), col("a.dst").as("v"))
+      val nextMatched = matched.union(mutual).localCheckpoint()
+      val mv = nextMatched.select(col("u").as("id"))
+        .union(nextMatched.select(col("v").as("id"))).distinct()
+      val nextLive = ckptHash(
+        live.join(mv.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+          .join(mv.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+          .select(col("src"), col("dst")), "src")
+      freeCkpt(matched); if (round > 0) freeCkpt(live)
+      matched = nextMatched
+      live = nextLive
+      liveCount = live.count()
+      round += 1
+    }
+    val out = matched.orderBy(col("u")).localCheckpoint()
+    freeCkpt(matched); freeCkpt(live); freeCkpt(prio); freeCkpt(e)
+    out
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999, public algorithm) on a
     * directed graph, fixed-iteration L1-normalized variant: per round
     *   a(v) = Σ_{u→v} h(u), normalized to Σa = 1;

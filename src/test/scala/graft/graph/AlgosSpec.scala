@@ -527,6 +527,24 @@ class AlgosSpec extends SparkSpec {
     assert(got.values.max <= 1L) // 2-colorable stays 2-colored
   }
 
+  test("maximalMatching is a matching and is maximal") {
+    // path 1-2-3-4-5 plus isolated edge 6-7
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+    val e = (p ++ p.map(_.swap)).toDF("src", "dst")
+    val m = Algos.maximalMatching(e).as[(Long, Long)].collect().toSeq
+    val mv = m.flatMap(t => Seq(t._1, t._2))
+    assert(mv.distinct.size == mv.size, "a vertex is matched twice")
+    m.foreach { case (u, v) => assert(p.contains((u, v)) || p.contains((v, u))) }
+    // maximality: no live edge with both endpoints unmatched
+    val um = Set(1L, 2L, 3L, 4L, 5L, 6L, 7L) -- mv.toSet
+    p.foreach { case (u, v) =>
+      assert(!(um.contains(u) && um.contains(v)), s"edge ($u,$v) left unmatched")
+    }
+    assert(m.map(t => Set(t._1, t._2)).contains(Set(6L, 7L))) // isolated edge always matches
+    // deterministic
+    assert(Algos.maximalMatching(e).as[(Long, Long)].collect().toSeq == m)
+  }
+
   test("anfSketch tracks the exact neighborhood function on a clique") {
     // 50-clique: N(1) = N(2) = 2500 (every ball saturates in one hop).
     // The FM sketch (64 registers, deterministic md5 seeds) must land

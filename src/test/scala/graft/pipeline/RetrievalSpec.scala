@@ -153,6 +153,26 @@ class RetrievalSpec extends SparkSpec {
     assert(r.toSeq == Seq((1L, 4L, 2L, 500000L), (2L, 1L, 1L, 1000000L)))
   }
 
+  // --- exact Jaccard join -----------------------------------------------
+
+  test("jaccardJoin matches brute-force exact Jaccard at the threshold") {
+    import graft.dedup.Dedup
+    val sets = Seq(
+      (1L, Seq("a", "b", "c", "d", "e")),
+      (2L, Seq("a", "b", "c", "d", "f")),  // jac(1,2) = 4/6 = 0.667 < 0.8
+      (3L, Seq("a", "b", "c", "d", "e")),  // jac(1,3) = 1.0
+      (4L, Seq("x", "y", "z"))
+    ).toDF("doc_id", "items")
+    val r = Dedup.jaccardJoin(sets, thresholdPct = 80)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 3L, 5L, 5L, 1000000L)))
+    // lower threshold admits the 2/3 pair — prefix filter must not lose it
+    val r60 = Dedup.jaccardJoin(sets, thresholdPct = 60)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r60.map(t => (t._1, t._2)).toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(r60.find(t => t._1 == 1L && t._2 == 2L).get._5 == 666666L)
+  }
+
   // --- DSIR scores ------------------------------------------------------
 
   test("dsirScores rank target-like documents above off-target ones") {
