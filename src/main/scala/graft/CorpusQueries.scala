@@ -681,6 +681,30 @@ object CorpusQueries {
        |CAST((n_dup * 1000000) // n_windows AS BIGINT) AS dup_frac_e6
        |FROM r WHERE n_dup > 0 ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
+  /** Span-cut accounting: tokens covered by any duplicated 10-window,
+    * kept fraction per doc — the excision size report completing the
+    * q_dedup_spans detect pass. */
+  private def qDedupSpansCut(s: SparkSession, dir: String): DataFrame =
+    Corpus.dupSpanCut(Tables(s, dir).documents, n = 10).orderBy(col("doc_id"))
+
+  private val qDedupSpansCutSql =
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, ${tokSql()} AS tok FROM documents),
+       |g0 AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS i, concat_ws(' ',
+       |${(0 until 10).map(o => s"tok[CAST(i + $o AS INT)]").mkString(", ")}) AS gram
+       |FROM t, unnest(range(1, greatest(len(tok) - 9, 1) + 1)) AS u(i)),
+       |g AS MATERIALIZED (SELECT doc_id, i,
+       |CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT) AS gk FROM g0),
+       |dup AS MATERIALIZED (SELECT gk FROM g GROUP BY gk
+       |HAVING MIN(doc_id) <> MAX(doc_id)),
+       |nt AS MATERIALIZED (SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens FROM t),
+       |cov AS MATERIALIZED (SELECT g.doc_id, u.p
+       |FROM g JOIN dup USING (gk) JOIN nt USING (doc_id),
+       |unnest(range(g.i, least(g.i + 9, nt.n_tokens) + 1)) AS u(p)),
+       |cut AS (SELECT doc_id, COUNT(DISTINCT p) AS n_cut FROM cov GROUP BY doc_id)
+       |SELECT nt.doc_id, nt.n_tokens, COALESCE(cut.n_cut, 0) AS n_cut,
+       |CAST(((nt.n_tokens - COALESCE(cut.n_cut, 0)) * 1000000) // nt.n_tokens AS BIGINT) AS kept_frac_e6
+       |FROM nt LEFT JOIN cut USING (doc_id) ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
   // --- Gopher quality rules ---------------------------------------------
 
   /** Gopher rule panel: per-rule integer flags + conjunction. Pure
@@ -792,7 +816,8 @@ object CorpusQueries {
     "q_dedup_spans"       -> (qDedupSpans _),
     "q_quality_gopher"    -> (qQualityGopher _),
     "q_dsir_scores"       -> (qDsirScores _),
-    "q_pii_luhn"          -> (qPiiLuhn _))
+    "q_pii_luhn"          -> (qPiiLuhn _),
+    "q_dedup_spans_cut"   -> (qDedupSpansCut _))
 
   val oracles: Map[String, String] = Map(
     "q_text_repetition"   -> qTextRepetitionSql,
@@ -824,5 +849,6 @@ object CorpusQueries {
     "q_dedup_spans"       -> qDedupSpansSql,
     "q_quality_gopher"    -> qQualityGopherSql,
     "q_dsir_scores"       -> qDsirScoresSql,
-    "q_pii_luhn"          -> qPiiLuhnSql)
+    "q_pii_luhn"          -> qPiiLuhnSql,
+    "q_dedup_spans_cut"   -> qDedupSpansCutSql)
 }

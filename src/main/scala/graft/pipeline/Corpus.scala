@@ -705,9 +705,11 @@ object Corpus {
       .select(col("doc_id"),
         conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // "≥ 2 distinct docs" as min≠max — two scalar partials instead of a
+    // per-gram distinct-set build (countDistinct's internal expand)
     val dup = g.groupBy(col("gk"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
       .select(col("gk"), lit(1L).as("is_dup"))
     val out = g.join(dup, Seq("gk"), "left")
       .groupBy(col("doc_id"))
@@ -716,6 +718,42 @@ object Corpus {
       .filter(col("n_dup") > 0)
       .select(col("doc_id"), col("n_windows"), col("n_dup"),
         idiv(col("n_dup") * lit(1000000L), col("n_windows")).as("dup_frac_e6"))
+      .localCheckpoint()
+    g.unpersist()
+    out
+  }
+
+  /** The cut pass completing [[dupSpans]]' detect→cut contract: a token
+    * position is cut when ANY duplicated n-window covers it, i.e.
+    * position p is cut iff some duplicated window starts in
+    * [p−n+1, p]. Per doc: token count, cut count, kept fraction — the
+    * size accounting a span-excision rewrite ships with. The cover
+    * expansion is n rows per duplicated window INSTANCE (bounded by
+    * dup-window volume, not corpus volume). */
+  def dupSpanCut(docs: DataFrame, n: Int = 10): DataFrame = {
+    val g = docs.select(col("doc_id"),
+        posexplode(wordNgramsAll(tokens(col("text")), n)).as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("i"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = g.groupBy(col("gk"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("gk"), lit(1L).as("is_dup"))
+    val nTok = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val cut = g.join(dup, Seq("gk"))
+      .join(nTok, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(col("i"), least(col("i") + lit(n.toLong - 1), col("n_tokens"))))
+          .as("p"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(countDistinct(col("p")).as("n_cut"))
+    val out = nTok.join(cut.select(col("doc_id"), col("n_cut")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"))
+      .withColumn("kept_frac_e6",
+        idiv((col("n_tokens") - col("n_cut")) * lit(1000000L), col("n_tokens")))
       .localCheckpoint()
     g.unpersist()
     out

@@ -142,6 +142,22 @@ class RetrievalSpec extends SparkSpec {
     assert(r.toSeq == Seq((1L, 2L, 1L, 500000L), (2L, 2L, 1L, 500000L)))
   }
 
+  test("dupSpanCut counts covered token positions, overlapping windows merged") {
+    // n=3: docs 1 and 2 share windows "b c d" (doc1 i=2) and "c d e"
+    // (doc1 i=3) → doc1 cut positions {2,3,4} ∪ {3,4,5} = 4 of 5 tokens
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "b c d x c d e"),
+      (3L, "p q r s")
+    ).toDF("doc_id", "text")
+    val r = Corpus.dupSpanCut(docs, n = 3).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r(0) == ((1L, 5L, 4L, 200000L)))
+    // doc2: dup windows at i=1 ("b c d") and i=5 ("c d e") → {1,2,3,5,6,7}
+    assert(r(1) == ((2L, 7L, 6L, 142857L)))
+    assert(r(2) == ((3L, 4L, 0L, 1000000L)))
+  }
+
   test("dupSpans counts every duplicated instance, not distinct grams") {
     // doc 1 repeats the shared window twice → both instances count
     val docs = Seq(
