@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -284,6 +284,43 @@ object EventStreams {
       .filter(col("jac") >= threshold)
       .select(col("new_id"), col("idx_id"),
         graft.sql.Exact.e6(col("jac")).as("jac_e6"))
+  }
+
+  /** Streaming corpus ingest gate: the continuous-ingestion form of the
+    * batch preprocessing front door — arriving documents are (1)
+    * content-hash deduplicated within the watermark window
+    * (`dropDuplicatesWithinWatermark` keeps state bounded by the
+    * watermark, not the stream), then (2) stamped with the Gopher rule
+    * panel ([[graft.pipeline.Corpus.gopherRules]] thresholds — a pure
+    * codegen'd projection, so it is streaming-safe by construction;
+    * StreamingSpec asserts flag parity with the batch panel). Survivors
+    * carry per-rule flags + `pass` so a router can fork train/quarantine
+    * sinks off one gated stream. Input: (doc_id, ts, text). */
+  def ingestGate(docs: DataFrame, watermark: String = "2 hours",
+                 stopWords: Seq[String] = Seq("the", "a", "of", "to", "and"),
+                 minWords: Long = 10L, maxWords: Long = 1000L,
+                 minWlenE6: Long = 3000000L, maxWlenE6: Long = 10000000L,
+                 minStopHits: Long = 2L): DataFrame = {
+    val deduped = docs
+      .withColumn("content_h", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("content_h"))
+    val tok = graft.text.TextFunctions.tokens(col("text"))
+    val flag = (c: Column) => when(c, lit(1L)).otherwise(lit(0L))
+    deduped.select(col("doc_id"), col("ts"),
+        size(tok).cast("long").as("n_words"),
+        aggregate(tok, lit(0L), (acc, x) => acc + length(x).cast("long")).as("sum_len"),
+        size(array_intersect(array_distinct(tok),
+          array(stopWords.map(lit): _*))).cast("long").as("stop_hits"))
+      .withColumn("mean_wlen_e6",
+        ((col("sum_len") * 1000000L - pmod(col("sum_len") * 1000000L,
+          greatest(col("n_words"), lit(1L)))) / greatest(col("n_words"), lit(1L)))
+          .cast("long"))
+      .select(col("doc_id"), col("ts"), col("n_words"), col("mean_wlen_e6"),
+        col("stop_hits"),
+        (flag(col("n_words").between(minWords, maxWords))
+          * flag(col("mean_wlen_e6").between(minWlenE6, maxWlenE6))
+          * flag(col("stop_hits") >= minStopHits)).as("pass"))
   }
 
   /** File-source → parquet-sink wiring: watch a directory of event

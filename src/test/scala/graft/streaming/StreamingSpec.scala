@@ -328,4 +328,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.contains(0L) && streamed.contains(3600L))
     query.stop()
   }
+
+  test("ingest gate dedups by content and stamps the Gopher panel, matching batch flags") {
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the quick brown fox jumps over a lazy dog near the river today"
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDS().toDF("doc_id", "ts", "text")
+    val query = EventStreams.ingestGate(docs)
+      .writeStream.format("memory").queryName("ingest_gate")
+      .outputMode("append").start()
+    input.addData(
+      (1L, new Timestamp(100000L), good),
+      (2L, new Timestamp(101000L), good),          // same-batch content dup
+      (3L, new Timestamp(102000L), "too short"))   // fails n_words rule
+    query.processAllAvailable()
+    input.addData(
+      (4L, new Timestamp(200000L), good),          // cross-batch content dup
+      (5L, new Timestamp(201000L), "zz yy xx ww vv uu tt ss rr qq pp oo"))
+    query.processAllAvailable()
+    val out = spark.table("ingest_gate")
+      .select("doc_id", "pass").as[(Long, Long)].collect().toMap
+    // dups 2 and 4 dropped; 1 passes; 3 fails length; 5 fails stopwords
+    assert(out == Map(1L -> 1L, 3L -> 0L, 5L -> 0L))
+    // flag parity with the batch Gopher panel on the surviving rows
+    val batch = graft.pipeline.Corpus.gopherRules(
+        Seq((1L, good), (3L, "too short"),
+          (5L, "zz yy xx ww vv uu tt ss rr qq pp oo")).toDF("doc_id", "text"))
+      .select("doc_id", "pass").as[(Long, Long)].collect().toMap
+    assert(out == batch)
+    query.stop()
+  }
 }
