@@ -729,6 +729,23 @@ object CorpusQueries {
        |r_words * r_wlen * r_stop AS pass
        |FROM f ORDER BY doc_id""".stripMargin.replace('\n', ' ')
 
+  /** Per-source diversity panel: floor-log2 Shannon entropy + top-token
+    * concentration, exact integers (the mixing-config input). */
+  private def qTextEntropy(s: SparkSession, dir: String): DataFrame =
+    Corpus.entropyPanel(Tables(s, dir).documents).orderBy(col("source"))
+
+  private val qTextEntropySql =
+    s"""WITH tk AS MATERIALIZED (SELECT source, unnest(${tokSql()}) AS tok FROM documents),
+       |tf AS MATERIALIZED (SELECT source, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+       |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM tf GROUP BY 1),
+       |b AS (SELECT tf.source, tf.c, tot.t,
+       |(length(bin(CAST(tot.t // tf.c AS BIGINT))) - 1) * tf.c AS cb
+       |FROM tf JOIN tot USING (source))
+       |SELECT source, MAX(t) AS n_tokens, COUNT(*) AS n_types,
+       |CAST(MAX(c) * 1000000 // MAX(t) AS BIGINT) AS top_share_e6,
+       |CAST(CAST(SUM(cb) AS BIGINT) * 1000000 // MAX(t) AS BIGINT) AS entropy_floor_e6
+       |FROM b GROUP BY source ORDER BY source""".stripMargin.replace('\n', ' ')
+
   // --- DSIR importance scores -------------------------------------------
 
   /** DSIR-shaped selection scores against the English-target slice:
@@ -817,7 +834,8 @@ object CorpusQueries {
     "q_quality_gopher"    -> (qQualityGopher _),
     "q_dsir_scores"       -> (qDsirScores _),
     "q_pii_luhn"          -> (qPiiLuhn _),
-    "q_dedup_spans_cut"   -> (qDedupSpansCut _))
+    "q_dedup_spans_cut"   -> (qDedupSpansCut _),
+    "q_text_entropy"      -> (qTextEntropy _))
 
   val oracles: Map[String, String] = Map(
     "q_text_repetition"   -> qTextRepetitionSql,
@@ -850,5 +868,6 @@ object CorpusQueries {
     "q_quality_gopher"    -> qQualityGopherSql,
     "q_dsir_scores"       -> qDsirScoresSql,
     "q_pii_luhn"          -> qPiiLuhnSql,
-    "q_dedup_spans_cut"   -> qDedupSpansCutSql)
+    "q_dedup_spans_cut"   -> qDedupSpansCutSql,
+    "q_text_entropy"      -> qTextEntropySql)
 }

@@ -617,6 +617,27 @@ object Corpus {
       .select(col("doc_id"), pmod(md5Uniform(col("tok")), lit(buckets.toLong)).as("bucket"))
       .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
 
+  /** Per-source token-distribution panel: token/type counts, the top
+    * token's share, and the floor-log2 Shannon entropy
+    * Σ c·⌊log2(T/c)⌋ / T bits — the diversity metric a mixing config
+    * weighs sources by. Zero libm ([[surprisalScore]]'s bitlength
+    * identity), so the oracle is hash-exact. Two shuffles total: the
+    * (source, token) count and the per-source rollup. */
+  def entropyPanel(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val tot = tf.groupBy(col("source")).agg(sum(col("c")).cast("long").as("t"))
+    tf.join(tot, Seq("source"))
+      .select(col("source"), col("c"), col("t"),
+        ((length(bin(expr("t div c"))) - 1).cast("long") * col("c")).as("cb"))
+      .groupBy(col("source"))
+      .agg(max(col("t")).as("n_tokens"), count(lit(1)).as("n_types"),
+        max(col("c")).as("top_cnt"), sum(col("cb")).cast("long").as("cbits"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        idiv(col("top_cnt") * lit(1000000L), col("n_tokens")).as("top_share_e6"),
+        idiv(col("cbits") * lit(1000000L), col("n_tokens")).as("entropy_floor_e6"))
+  }
+
   // --- DSIR-style importance scores ------------------------------------
 
   /** DSIR-shaped data-selection scores (Xie et al. 2023, "Data Selection

@@ -218,6 +218,20 @@ class RetrievalSpec extends SparkSpec {
     assert(r == Seq((1L, 1L, 1L), (2L, 1L, 0L), (3L, 2L, 1L)))
   }
 
+  // --- entropy panel ----------------------------------------------------
+
+  test("entropyPanel: floor-log2 entropy, exact on uniform and skewed sources") {
+    val docs = Seq(
+      (1L, "a a b b", "u"),        // uniform 2 types: H = 1 bit exactly
+      (2L, "x x x x x x x y", "s") // skewed: c=7: ⌊log2(8/7)⌋=0; c=1: ⌊log2 8⌋=3
+    ).toDF("doc_id", "text", "source")
+    val r = Corpus.entropyPanel(docs).orderBy("source")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // s: T=8, types=2, top 7/8, entropy (7·0 + 1·3)/8 = 0.375
+    assert(r(0) == (("s", 8L, 2L, 875000L, 375000L)))
+    assert(r(1) == (("u", 4L, 2L, 500000L, 1000000L)))
+  }
+
   // --- Gopher rules -----------------------------------------------------
 
   test("gopherRules: each rule fires independently and pass is their conjunction") {
