@@ -2008,6 +2008,26 @@ object Queries {
        |SELECT u, v FROM mm$rounds ORDER BY u""".stripMargin.replace('\n', ' ')
   }
 
+  /** 2-approximation vertex cover = both endpoints of a maximal matching
+    * (classic Gavril/Yannakakis bound: every edge touches a matched
+    * vertex, and OPT ≥ |M| since matched edges are disjoint). Pure
+    * derivation from [[qMatching]]'s fixpoint — the oracle reuses the
+    * unrolled matching chain. */
+  private def qVertexCover(s: SparkSession, dir: String): DataFrame = {
+    val m = Algos.maximalMatching(
+      Prep.makeSymmetric(TestGraphs.eventChain(Tables(s, dir))))
+    m.select(col("u").as("id")).union(m.select(col("v").as("id")))
+      .distinct().orderBy(col("id"))
+  }
+
+  private def qVertexCoverSql(rounds: Int): String = {
+    val base = qMatchingSql(rounds)
+    // swap the final projection of the matching chain for the cover set
+    base.replace(s"SELECT u, v FROM mm$rounds ORDER BY u",
+      s"SELECT DISTINCT id FROM (SELECT u AS id FROM mm$rounds " +
+        s"UNION ALL SELECT v AS id FROM mm$rounds) z ORDER BY id")
+  }
+
   private val qNeighborhoodSql = {
     val rounds = (1 to 4).map { h =>
       s"""r$h AS MATERIALIZED (SELECT DISTINCT tag, v FROM (
@@ -2612,6 +2632,7 @@ object Queries {
     "q_graph_neighborhood" -> (qNeighborhood _),
     "q_graph_coloring" -> (qColoring _),
     "q_graph_matching" -> (qMatching _),
+    "q_graph_vertex_cover" -> (qVertexCover _),
     "q_graph_diameter" -> (qDiameter _),
     "q_graph_pagerank" -> (qPagerank _),
     "q_graph_maxprop"  -> (qMaxProp _),
@@ -2726,6 +2747,7 @@ object Queries {
     "q_graph_neighborhood" -> qNeighborhoodSql,
     "q_graph_coloring" -> qColoringSql(12),
     "q_graph_matching" -> qMatchingSql(12),
+    "q_graph_vertex_cover" -> qVertexCoverSql(12),
     "q_graph_diameter" -> OracleGen.doubleSweepSql(TestGraphs.custSuppSymSql, 16),
     "q_graph_pagerank" -> OracleGen.pagerankSql(TestGraphs.custSuppSymSql, 5, 0.85, 0.15),
     "q_graph_maxprop"  -> OracleGen.labelPropSql(TestGraphs.custSuppSymSql, 12, isMin = false, "max_id"),

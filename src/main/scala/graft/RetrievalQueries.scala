@@ -50,6 +50,38 @@ object RetrievalQueries {
        |QUALIFY ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) <= 15
        |ORDER BY score_e6 DESC, doc_id""".stripMargin.replace('\n', ' ')
 
+  // --- q_retrieval_prf --------------------------------------------------
+
+  /** RM3-shaped pseudo-relevance feedback: seed BM25 → top-3 docs →
+    * 2 most frequent non-seed tokens join the query → re-scored. */
+  private def qPrf(s: SparkSession, dir: String): DataFrame =
+    Retrieval.prfExpand(Tables(s, dir).documents, Terms,
+      fbDocs = 3, nExpand = 2, k = 15)
+
+  private val qPrfSql =
+    s"""WITH toks AS MATERIALIZED (${tokSql("documents")}),
+       |$bm25Ctes,
+       |t1 AS (SELECT doc_id FROM bm
+       |QUALIFY ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) <= 3),
+       |exp AS (SELECT token FROM toks JOIN t1 USING (doc_id)
+       |WHERE token NOT IN $termsSql
+       |GROUP BY token ORDER BY COUNT(*) DESC, token LIMIT 2),
+       |tm2 AS (SELECT DISTINCT token FROM (
+       |SELECT unnest([${Terms.map(t => s"'$t'").mkString(", ")}]) AS token
+       |UNION ALL SELECT token FROM exp) z),
+       |tf2 AS MATERIALIZED (SELECT doc_id, token, COUNT(*) AS tf
+       |FROM toks JOIN tm2 USING (token) GROUP BY 1, 2),
+       |df2 AS (SELECT token, COUNT(*) AS df FROM tf2 GROUP BY 1),
+       |sc2 AS (SELECT tf2.doc_id,
+       |(n_docs * 1000000) // df2.df AS idf_e6,
+       |(tf2.tf * 44 * n_toks * 1000000) // (20 * n_toks * tf2.tf + 6 * n_toks + 18 * dl.dl * n_docs) AS sat_e6
+       |FROM tf2 JOIN df2 USING (token) JOIN dl USING (doc_id) CROSS JOIN tot),
+       |bm2 AS (SELECT doc_id, COUNT(*) AS n_terms,
+       |CAST(SUM((idf_e6 * sat_e6) // 1000000) AS BIGINT) AS score_e6 FROM sc2 GROUP BY 1)
+       |SELECT doc_id, n_terms, score_e6 FROM bm2
+       |QUALIFY ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) <= 15
+       |ORDER BY score_e6 DESC, doc_id""".stripMargin.replace('\n', ' ')
+
   // --- q_retrieval_hybrid ----------------------------------------------
 
   private def qHybrid(s: SparkSession, dir: String): DataFrame = {
@@ -121,11 +153,13 @@ object RetrievalQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25"             -> (qBm25 _),
+    "q_retrieval_prf"    -> (qPrf _),
     "q_retrieval_hybrid" -> (qHybrid _),
     "q_ann_mmr"          -> (qMmr _))
 
   val oracles: Map[String, String] = Map(
     "q_bm25"             -> qBm25Sql,
+    "q_retrieval_prf"    -> qPrfSql,
     "q_retrieval_hybrid" -> qHybridSql,
     "q_ann_mmr"          -> qMmrSql)
 }

@@ -91,6 +91,13 @@ object GraftRunner {
               null
             case "dedup-index-probe" =>
               Dedup.incrementalDupPairs(docs, opts("index"))
+            case "jaccard-join" => graft.dedup.Dedup.jaccardJoin(
+              docs.select(col("doc_id"),
+                graft.text.TextFunctions.shingleSet(col("text"), 8).as("items")),
+              thresholdPct = opts.getOrElse("t", "80").toInt)
+            case "bm25" => graft.pipeline.Retrieval.bm25(docs,
+              opts.getOrElse("terms", "spark,vector,merge").split(",").toSeq,
+              k = opts.getOrElse("k", "15").toInt)
             case "dedup-cdc" =>
               Dedup.cdcDupPairs(docs,
                 threshold = opts.getOrElse("threshold", "0.5").toDouble)
@@ -139,6 +146,7 @@ object GraftRunner {
             case "katz" => Algos.katz(edges, rounds = iters)
             case "bowtie" => Algos.bowtie(edges)
             case "coloring" => Algos.greedyColoring(edges)
+            case "matching" => Algos.maximalMatching(edges)
             case "diameter" => Algos.doubleSweep(edges)
             case "neighborhood" => Algos.neighborhoodFunction(edges,
               maxH = opts.getOrElse("maxh", "4").toInt,

@@ -46,9 +46,18 @@ object Retrieval {
     */
   def bm25(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val s = docs.sparkSession
+    import s.implicits._
+    bm25WithTerms(toks, terms.toDF("token"), k)
+  }
+
+  /** [[bm25]] over an exploded (doc_id, token) frame and a DYNAMIC term
+    * frame (broadcast) — the form [[prfExpand]]'s second stage needs,
+    * where the query terms are themselves a query result. */
+  private def bm25WithTerms(toks: DataFrame, termsDf: DataFrame, k: Int): DataFrame = {
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_toks"))
-    val tf = toks.filter(col("token").isin(terms: _*))
+    val tf = toks.join(broadcast(termsDf.distinct()), Seq("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val scored = tf
@@ -67,6 +76,30 @@ object Retrieval {
         Window.orderBy(col("score_e6").desc, col("doc_id"))))
       .filter(col("rn") <= k).drop("rn")
       .orderBy(col("score_e6").desc, col("doc_id"))
+  }
+
+  /** Pseudo-relevance feedback (RM3-shaped two-stage retrieval): score
+    * the seed terms, take the top `fbDocs` documents, harvest their
+    * `nExpand` most frequent non-seed tokens as expansion terms, and
+    * re-score with seed ∪ expansion. The expansion term set never
+    * touches the driver — it flows as a broadcast frame into the
+    * second stage. One corpus explode (persisted) feeds both stages. */
+  def prfExpand(docs: DataFrame, seed: Seq[String], fbDocs: Int,
+                nExpand: Int, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top1 = bm25WithTerms(toks, seed.toDF("token"), fbDocs).select(col("doc_id"))
+    val expansion = toks.join(broadcast(top1), Seq("doc_id"))
+      .filter(!col("token").isin(seed: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(nExpand)
+      .select(col("token"))
+    val out = bm25WithTerms(toks, seed.toDF("token").unionByName(expansion), k)
+      .localCheckpoint()
+    toks.unpersist()
+    out
   }
 
   /** Hybrid sparse+dense retrieval via reciprocal-rank fusion: rank the
