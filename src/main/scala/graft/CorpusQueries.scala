@@ -746,6 +746,30 @@ object CorpusQueries {
        |CAST(CAST(SUM(cb) AS BIGINT) * 1000000 // MAX(t) AS BIGINT) AS entropy_floor_e6
        |FROM b GROUP BY source ORDER BY source""".stripMargin.replace('\n', ' ')
 
+  /** Token burstiness panel: for the 20 highest-cf tokens, collection
+    * frequency vs document frequency and the per-doc dispersion ratio —
+    * separates evenly-spread function words from bursty topical terms. */
+  private def qTextBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables(s, dir).documents
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cf"),
+        countDistinct(col("doc_id")).as("df"))
+    val n = Tables(s, dir).documents.count()
+    tf.select(col("tok"), col("cf"), col("df"),
+        expr(s"(df * 1000000) div $n").as("doc_share_e6"),
+        expr("(cf * 1000000) div df").as("dispersion_e6"))
+      .orderBy(col("cf").desc, col("tok")).limit(20)
+  }
+
+  private val qTextBurstinessSql =
+    s"""WITH tk AS MATERIALIZED (SELECT doc_id, unnest(${tokSql()}) AS tok FROM documents),
+       |tf AS (SELECT tok, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+       |SELECT tok, cf, df,
+       |CAST((df * 1000000) // n_docs AS BIGINT) AS doc_share_e6,
+       |CAST((cf * 1000000) // df AS BIGINT) AS dispersion_e6
+       |FROM tf CROSS JOIN n ORDER BY cf DESC, tok LIMIT 20""".stripMargin.replace('\n', ' ')
+
   // --- DSIR importance scores -------------------------------------------
 
   /** DSIR-shaped selection scores against the English-target slice:
@@ -835,7 +859,8 @@ object CorpusQueries {
     "q_dsir_scores"       -> (qDsirScores _),
     "q_pii_luhn"          -> (qPiiLuhn _),
     "q_dedup_spans_cut"   -> (qDedupSpansCut _),
-    "q_text_entropy"      -> (qTextEntropy _))
+    "q_text_entropy"      -> (qTextEntropy _),
+    "q_text_burstiness"   -> (qTextBurstiness _))
 
   val oracles: Map[String, String] = Map(
     "q_text_repetition"   -> qTextRepetitionSql,
@@ -869,5 +894,6 @@ object CorpusQueries {
     "q_dsir_scores"       -> qDsirScoresSql,
     "q_pii_luhn"          -> qPiiLuhnSql,
     "q_dedup_spans_cut"   -> qDedupSpansCutSql,
-    "q_text_entropy"      -> qTextEntropySql)
+    "q_text_entropy"      -> qTextEntropySql,
+    "q_text_burstiness"   -> qTextBurstinessSql)
 }

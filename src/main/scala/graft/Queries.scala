@@ -1931,6 +1931,79 @@ object Queries {
   private def qNeighborhood(s: SparkSession, dir: String): DataFrame =
     Algos.neighborhoodFunction(custSuppSymE(s, dir).select("src", "dst"), maxH = 4)
 
+  /** Per-user behavioral entropy: floor-log2 Shannon entropy of each
+    * user's event-type distribution (the engagement-diversity signal) —
+    * zero-libm bitlength identity, two shuffles. */
+  private def qUserEntropy(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables(s, dir).events
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("c"))
+    val tot = tf.groupBy(col("user_id")).agg(sum(col("c")).cast("long").as("t"))
+    tf.join(tot, Seq("user_id"))
+      .select(col("user_id"), col("c"), col("t"),
+        ((length(bin(expr("t div c"))) - 1).cast("long") * col("c")).as("cb"))
+      .groupBy(col("user_id"))
+      .agg(max(col("t")).as("n_events"), count(lit(1)).as("n_types"),
+        sum(col("cb")).cast("long").as("cbits"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        expr("(cbits * 1000000) div n_events").as("entropy_floor_e6"))
+      .orderBy(col("user_id"))
+  }
+
+  private val qUserEntropySql =
+    """WITH tf AS MATERIALIZED (SELECT user_id, event_type, COUNT(*) AS c
+      |FROM events GROUP BY 1, 2),
+      |tot AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS t FROM tf GROUP BY 1),
+      |b AS (SELECT tf.user_id, tf.c, tot.t,
+      |(length(bin(CAST(tot.t // tf.c AS BIGINT))) - 1) * tf.c AS cb
+      |FROM tf JOIN tot USING (user_id))
+      |SELECT user_id, MAX(t) AS n_events, COUNT(*) AS n_types,
+      |CAST(CAST(SUM(cb) AS BIGINT) * 1000000 // MAX(t) AS BIGINT) AS entropy_floor_e6
+      |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin.replace('\n', ' ')
+
+  /** Bond-percolation curve: connected components of the weight-filtered
+    * customer–supplier graph at two thresholds (w≥20, w≥40; the full graph is q_graph_wcc) — component count,
+    * giant-component size and surviving vertex count per threshold (the
+    * robustness panel; vertices isolated by the filter leave the graph,
+    * identically in both engines). Two FastSV runs over shrinking
+    * subgraphs; the oracle replays two 12-round label-prop chains. */
+  private def qPercolation(s: SparkSession, dir: String): DataFrame = {
+    val e = TestGraphs.custSuppSym(Tables(s, dir))
+    Seq(20L, 40L).map { th =>
+      val cc = Algos.wcc(e.filter(col("w") >= th).select("src", "dst"))
+      cc.groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_components"), max(col("sz")).as("largest"),
+          sum(col("sz")).cast("long").as("n_vertices"))
+        .select(lit(th).as("w_min"), col("n_components"), col("largest"),
+          col("n_vertices"))
+    }.reduce(_ unionByName _).orderBy(col("w_min"))
+  }
+
+  private def qPercolationSql(rounds: Int): String = {
+    val ths = Seq(20L, 40L)
+    val blocks = ths.map { th =>
+      val steps = (1 to rounds).map { i =>
+        s"""lt${th}_$i AS MATERIALIZED (SELECT id, MIN(lbl) AS lbl FROM (
+           |SELECT id, lbl FROM lt${th}_${i - 1}
+           |UNION ALL
+           |SELECT e.dst AS id, l.lbl AS lbl FROM lt${th}_${i - 1} l
+           |JOIN et$th e ON l.id = e.src) t GROUP BY id)""".stripMargin.replace('\n', ' ')
+      }.mkString(", ")
+      s"""et$th AS MATERIALIZED (SELECT src, dst FROM e WHERE w >= $th),
+         |vt$th AS MATERIALIZED (SELECT DISTINCT src AS id FROM et$th),
+         |lt${th}_0 AS MATERIALIZED (SELECT id, id AS lbl FROM vt$th),
+         |$steps,
+         |agg$th AS (SELECT CAST($th AS BIGINT) AS w_min,
+         |COUNT(*) AS n_components, MAX(sz) AS largest,
+         |CAST(SUM(sz) AS BIGINT) AS n_vertices FROM (
+         |SELECT lbl, COUNT(*) AS sz FROM lt${th}_$rounds GROUP BY lbl) z)""".stripMargin.replace('\n', ' ')
+    }.mkString(", ")
+    val union = ths.map(th => s"SELECT * FROM agg$th").mkString(" UNION ALL ")
+    s"""WITH ${TestGraphs.custSuppSymSql},
+       |$blocks
+       |SELECT w_min, n_components, largest, n_vertices FROM ($union) f
+       |ORDER BY w_min""".stripMargin.replace('\n', ' ')
+  }
+
   /** Jones–Plassmann greedy coloring of the symmetrized per-user event
     * chains — unique fixpoint (sequential greedy in md5-priority order),
     * so the oracle unrolls ≥ convergence rounds. Graph choice matters:
@@ -2633,6 +2706,8 @@ object Queries {
     "q_graph_coloring" -> (qColoring _),
     "q_graph_matching" -> (qMatching _),
     "q_graph_vertex_cover" -> (qVertexCover _),
+    "q_graph_percolation" -> (qPercolation _),
+    "q_user_entropy"   -> (qUserEntropy _),
     "q_graph_diameter" -> (qDiameter _),
     "q_graph_pagerank" -> (qPagerank _),
     "q_graph_maxprop"  -> (qMaxProp _),
@@ -2748,6 +2823,8 @@ object Queries {
     "q_graph_coloring" -> qColoringSql(12),
     "q_graph_matching" -> qMatchingSql(12),
     "q_graph_vertex_cover" -> qVertexCoverSql(12),
+    "q_graph_percolation" -> qPercolationSql(12),
+    "q_user_entropy"   -> qUserEntropySql,
     "q_graph_diameter" -> OracleGen.doubleSweepSql(TestGraphs.custSuppSymSql, 16),
     "q_graph_pagerank" -> OracleGen.pagerankSql(TestGraphs.custSuppSymSql, 5, 0.85, 0.15),
     "q_graph_maxprop"  -> OracleGen.labelPropSql(TestGraphs.custSuppSymSql, 12, isMin = false, "max_id"),
