@@ -770,6 +770,25 @@ object CorpusQueries {
        |CAST((cf * 1000000) // df AS BIGINT) AS dispersion_e6
        |FROM tf CROSS JOIN n ORDER BY cf DESC, tok LIMIT 20""".stripMargin.replace('\n', ' ')
 
+  /** RAKE-shaped keyword panel: window-±2 co-occurrence degree over
+    * frequency, top 20 — exact integers. */
+  private def qTextRake(s: SparkSession, dir: String): DataFrame =
+    Corpus.rakeKeywords(Tables(s, dir).documents, window = 2, topK = 20)
+
+  private val qTextRakeSql =
+    s"""WITH tk AS MATERIALIZED (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS p,
+       |arr[CAST(u.i AS INT)] AS tok FROM
+       |(SELECT doc_id, ${tokSql()} AS arr FROM documents) d,
+       |unnest(range(1, len(arr) + 1)) AS u(i)),
+       |deg AS (SELECT a.tok, COUNT(*) AS deg FROM tk a JOIN tk b
+       |ON a.doc_id = b.doc_id AND a.p <> b.p AND abs(a.p - b.p) <= 2
+       |GROUP BY a.tok),
+       |freq AS (SELECT tok, COUNT(*) AS freq FROM tk GROUP BY 1)
+       |SELECT tok, deg, freq,
+       |CAST((deg * 1000000) // freq AS BIGINT) AS score_e6
+       |FROM deg JOIN freq USING (tok)
+       |ORDER BY score_e6 DESC, tok LIMIT 20""".stripMargin.replace('\n', ' ')
+
   // --- DSIR importance scores -------------------------------------------
 
   /** DSIR-shaped selection scores against the English-target slice:
@@ -860,7 +879,8 @@ object CorpusQueries {
     "q_pii_luhn"          -> (qPiiLuhn _),
     "q_dedup_spans_cut"   -> (qDedupSpansCut _),
     "q_text_entropy"      -> (qTextEntropy _),
-    "q_text_burstiness"   -> (qTextBurstiness _))
+    "q_text_burstiness"   -> (qTextBurstiness _),
+    "q_text_rake"         -> (qTextRake _))
 
   val oracles: Map[String, String] = Map(
     "q_text_repetition"   -> qTextRepetitionSql,
@@ -895,5 +915,6 @@ object CorpusQueries {
     "q_pii_luhn"          -> qPiiLuhnSql,
     "q_dedup_spans_cut"   -> qDedupSpansCutSql,
     "q_text_entropy"      -> qTextEntropySql,
-    "q_text_burstiness"   -> qTextBurstinessSql)
+    "q_text_burstiness"   -> qTextBurstinessSql,
+    "q_text_rake"         -> qTextRakeSql)
 }

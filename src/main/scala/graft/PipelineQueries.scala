@@ -911,6 +911,41 @@ object PipelineQueries {
     Multimodal.averageHash(Multimodal.documentsAsPpm(Tables(s, dir).documents))
       .toDF().orderBy(col("doc_id"))
 
+  private def qMultimodalPhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.perceptualHash(Multimodal.documentsAsPpm(Tables(s, dir).documents))
+      .toDF().orderBy(col("doc_id"))
+
+  /** The DCT kernel literals come from the SAME class-init table the
+    * engine multiplies against ([[Multimodal.phashCoef]]) — identical by
+    * construction, zero runtime libm in either engine. */
+  private val qMultimodalPhashSql = {
+    val rows = (for {
+      k <- 0 until Multimodal.PhashCoeffs
+      c <- 0 until Multimodal.PhashCells
+    } yield s"($k, $c, ${Multimodal.phashCoef(k)(c)})").mkString(", ")
+    s"""WITH px AS MATERIALIZED (SELECT doc_id,
+       |ascii(substring(text, CAST(i AS INT), 1)) AS v,
+       |((i - 1) * ${Multimodal.PhashCells}) // length(text) AS cell
+       |FROM documents, unnest(range(1, length(text) + 1)) AS t(i)),
+       |cl AS (SELECT doc_id, cell, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS nc
+       |FROM px GROUP BY 1, 2),
+       |mu AS (SELECT doc_id, cell, (s * 1024) // nc AS m FROM cl),
+       |coef AS (SELECT * FROM (VALUES $rows) t(k, cell, kv)),
+       |f AS (SELECT mu.doc_id, coef.k, CAST(SUM(mu.m * coef.kv) AS BIGINT) AS fk
+       |FROM mu JOIN coef ON coef.cell = mu.cell GROUP BY 1, 2),
+       |tt AS (SELECT doc_id, CAST(SUM(fk) AS BIGINT) AS total FROM f GROUP BY 1),
+       |h AS (SELECT f.doc_id,
+       |CAST(SUM(CASE WHEN fk * ${Multimodal.PhashCoeffs} > total
+       |THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS phash
+       |FROM f JOIN tt USING (doc_id) GROUP BY 1),
+       |n AS (SELECT doc_id, COUNT(*) AS n_px FROM px GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(n.n_px, 0) AS n_px,
+       |COALESCE(h.phash, -1) AS phash
+       |FROM documents d LEFT JOIN n ON d.doc_id = n.doc_id
+       |LEFT JOIN h ON d.doc_id = h.doc_id
+       |ORDER BY d.doc_id""".stripMargin.replace('\n', ' ')
+  }
+
   private val qMultimodalAhashSql =
     """WITH px AS MATERIALIZED (SELECT doc_id,
       |ascii(substring(text, CAST(i AS INT), 1)) AS v,
@@ -1058,6 +1093,7 @@ object PipelineQueries {
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_pixstats" -> (qMultimodalPixstats _),
     "q_multimodal_ahash" -> (qMultimodalAhash _),
+    "q_multimodal_phash" -> (qMultimodalPhash _),
     "q_multimodal_ahash_pairs" -> (qMultimodalAhashPairs _))
 
   val oracles: Map[String, String] = Map(
@@ -1096,5 +1132,6 @@ object PipelineQueries {
     "q_multimodal_frames" -> qMultimodalFramesSql,
     "q_multimodal_pixstats" -> qMultimodalPixstatsSql,
     "q_multimodal_ahash" -> qMultimodalAhashSql,
+    "q_multimodal_phash" -> qMultimodalPhashSql,
     "q_multimodal_ahash_pairs" -> qMultimodalAhashPairsSql)
 }

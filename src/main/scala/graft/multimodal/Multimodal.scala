@@ -399,6 +399,72 @@ object Multimodal {
       })
   }
 
+  /** pHash constants: 64 luminance cells, 16 kept DCT coefficients,
+    * cosine kernel floor-scaled to 2²⁰ integers at CLASS-INIT time —
+    * the SAME table is embedded as literals in the oracle SQL, so no
+    * libm call happens at query time in either engine (the cross-engine
+    * cos() ulp trap can't occur by construction). */
+  val PhashCells = 64
+  val PhashCoeffs = 16
+  val PhashScale = 1048576L
+  lazy val phashCoef: Array[Array[Long]] =
+    Array.tabulate(PhashCoeffs, PhashCells) { (k, c) =>
+      math.floor(math.cos(
+        math.Pi * (2 * c + 1) * (k + 1) / (2.0 * PhashCells)) * PhashScale).toLong
+    }
+
+  final case class PHash(doc_id: Long, n_px: Long, phash: Long)
+
+  /** DCT perceptual hash (the pHash family): 64 cell means over the
+    * payload bytes → 1-D DCT-II (integer multiply-accumulate against
+    * [[phashCoef]]) → bit k set when coefficient k exceeds the
+    * coefficient mean. Robust to uniform brightness/contrast shifts
+    * (which [[averageHash]] partially is) AND to low-frequency noise.
+    * Pure BIGINT after the class-init cosine table; sentinels follow
+    * [[pixelStats]]. */
+  def perceptualHash(media: DataFrame, idCol: String = "doc_id",
+                     payloadCol: String = "payload"): Dataset[PHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val coef = phashCoef
+    media.select(col(idCol).as("doc_id"), col(payloadCol).as("payload"))
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        decodePpmAt(r.payload, 0) match {
+          case Some((_, _, _, hdrLen)) =>
+            val n = r.payload.length - hdrLen
+            if (n <= 0) PHash(r.doc_id, 0L, -1L)
+            else {
+              val sums = new Array[Long](PhashCells)
+              val cnts = new Array[Long](PhashCells)
+              var i = 0
+              while (i < n) {
+                val c = (i.toLong * PhashCells / n).toInt
+                sums(c) += r.payload(hdrLen + i) & 0xff
+                cnts(c) += 1
+                i += 1
+              }
+              val mu = Array.tabulate(PhashCells)(c =>
+                if (cnts(c) > 0) sums(c) * 1024L / cnts(c) else 0L)
+              val f = Array.tabulate(PhashCoeffs) { k =>
+                var acc = 0L; var c = 0
+                while (c < PhashCells) { acc += mu(c) * coef(k)(c); c += 1 }
+                acc
+              }
+              val total = f.sum
+              var hash = 0L
+              var k = 0
+              while (k < PhashCoeffs) {
+                if (f(k) * PhashCoeffs > total) hash |= 1L << k
+                k += 1
+              }
+              PHash(r.doc_id, n.toLong, hash)
+            }
+          case None => PHash(r.doc_id, -1L, -1L)
+        }
+      })
+  }
+
   /** Nearest-neighbor resize of a P6 payload: output pixel (x, y) copies
     * input pixel (⌊x·w/newW⌋, ⌊y·h/newH⌋), all 3 channels — the
     * partition-local shape of image preprocessing (the resize kernel a

@@ -638,6 +638,33 @@ object Corpus {
         idiv(col("cbits") * lit(1000000L), col("n_tokens")).as("entropy_floor_e6"))
   }
 
+  /** RAKE-shaped keyword scores (Rose et al. 2010, window-co-occurrence
+    * variant): deg(w) = number of tokens co-occurring with w within ±
+    * `window` positions (across the corpus), freq(w) = occurrence count,
+    * score = deg/freq — words that appear in dense company score high.
+    * The position self-join is per-doc and window-bounded: |tokens|·2w
+    * rows, never doc². Exact integers (e6 ratio). */
+  def rakeKeywords(docs: DataFrame, window: Int = 2, topK: Int = 20): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = toks.select(col("doc_id"), col("p").as("pa"), col("tok"))
+    val b = toks.select(col("doc_id"), col("p").as("pb"))
+    val deg = a.join(b, Seq("doc_id"))
+      .filter(col("pa") =!= col("pb")
+        && abs(col("pa") - col("pb")) <= window.toLong)
+      .groupBy(col("tok")).agg(count(lit(1)).as("deg"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val out = deg.join(freq, Seq("tok"))
+      .select(col("tok"), col("deg"), col("freq"),
+        idiv(col("deg") * lit(1000000L), col("freq")).as("score_e6"))
+      .orderBy(col("score_e6").desc, col("tok")).limit(topK)
+      .localCheckpoint()
+    toks.unpersist()
+    out
+  }
+
   // --- DSIR-style importance scores ------------------------------------
 
   /** DSIR-shaped data-selection scores (Xie et al. 2023, "Data Selection

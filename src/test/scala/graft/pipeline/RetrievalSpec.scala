@@ -218,6 +218,46 @@ class RetrievalSpec extends SparkSpec {
     assert(r == Seq((1L, 1L, 1L), (2L, 1L, 0L), (3L, 2L, 1L)))
   }
 
+  // --- RAKE keywords ----------------------------------------------------
+
+  test("rakeKeywords: dense-company words outscore isolated repeats") {
+    // "a" at position 2 of a 5-token doc sees 3 neighbors within ±2
+    // (positions 1, 3, 4) → deg 3 per occurrence, 6 over freq 2;
+    // "z" appears in 1-token docs (deg 0 → absent from deg join)
+    val docs = Seq(
+      (1L, "x a y q r"), (2L, "p a w s t"), (3L, "z"), (4L, "z")
+    ).toDF("doc_id", "text")
+    val r = Corpus.rakeKeywords(docs, window = 2, topK = 20)
+      .as[(String, Long, Long, Long)].collect()
+    val byTok = r.map(t => t._1 -> t._4).toMap
+    assert(byTok("a") == 3000000L)
+    assert(!byTok.contains("z"))   // no co-occurrence → no score
+  }
+
+  // --- perceptual hash --------------------------------------------------
+
+  test("perceptualHash: deterministic, sentinel on corrupt payload, drift-sensitive") {
+    import graft.multimodal.Multimodal
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content with other letters entirely here"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val r = Multimodal.perceptualHash(Multimodal.documentsAsPpm(docs))
+      .collect().map(p => p.doc_id -> ((p.n_px, p.phash))).toMap
+    assert(r(1L)._1 > 0 && r(2L)._1 > 0)
+    assert(r(1L)._2 != r(2L)._2) // different content → different spectrum
+    assert(r(3L) == ((0L, -1L))) // empty pixel section → sentinel
+    // corrupt (non-PPM) payload → (-1, -1)
+    val bad = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val rb = Multimodal.perceptualHash(bad).collect().head
+    assert(rb.n_px == -1L && rb.phash == -1L)
+    // deterministic
+    val again = Multimodal.perceptualHash(Multimodal.documentsAsPpm(docs))
+      .collect().map(p => p.doc_id -> ((p.n_px, p.phash))).toMap
+    assert(again == r)
+  }
+
   // --- entropy panel ----------------------------------------------------
 
   test("entropyPanel: floor-log2 entropy, exact on uniform and skewed sources") {
