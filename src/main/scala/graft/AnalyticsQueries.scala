@@ -1,0 +1,292 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 second-wave event/ops analytics: rolling distinct windows,
+  * sweep-line concurrency, distributional audits (Benford), changepoint
+  * detection (CUSUM), calendar heatmaps and SAX symbolization.
+  *
+  * Same discipline as [[Queries]]: every output column is integral
+  * (floor-scaled where a ratio is reported), every query ends in an
+  * ORDER BY on its keys, and each entry has a DuckDB oracle twin that
+  * replays the identical integer arithmetic (`ts` is BIGINT epoch-µs on
+  * the Spark side / `epoch_us(ts)` on the oracle side — see
+  * [[Tables.events]]).
+  */
+object AnalyticsQueries {
+
+  private val DayUs  = 86400000000L
+  private val HourUs = 3600000000L
+
+  // ------------------------------------------------------------------
+  // q_trailing_dau — trailing-7-day distinct users per day
+  // ------------------------------------------------------------------
+
+  /** Rolling 7-day distinct-user counts. The scale identity: dedup to
+    * (user, day) FIRST (map-side partial agg collapses the per-user
+    * event stream), then fan each user-day out to the ≤ 7 report days it
+    * supports — the expansion is bounded 7×|user-days|, never
+    * 7×|events|, and the final count-distinct is an ordinary two-phase
+    * agg on (report_day, user). No running distinct state, no
+    * self-join of the raw event log. Reference anchor: the reference's
+    * windowed-aggregate superstep pattern
+    * (giraph-core/src/main/java/org/apache/giraph/aggregators — here a
+    * declarative two-agg pipeline Catalyst can push partials through. */
+  private def qTrailingDau(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val userDay = t.events
+      .select(expr(s"ts div $DayUs").as("day"), col("user_id")).distinct()
+    val dau1 = userDay.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau_1d"))
+    val dau7 = userDay
+      .select(explode(sequence(col("day"), col("day") + lit(6L))).as("report_day"),
+        col("user_id"))
+      .groupBy(col("report_day"))
+      .agg(countDistinct(col("user_id")).as("dau_7d"))
+    // report only days that actually occur (the leading 6 phantom days a
+    // pure fan-out would invent are clipped by the inner join)
+    dau1.join(dau7, col("day") === col("report_day"))
+      .select(col("day"), col("dau_1d"), col("dau_7d"),
+        expr("(dau_1d * 1000000) div dau_7d").as("stickiness_e6"))
+      .orderBy(col("day"))
+  }
+
+  private val qTrailingDauSql =
+    s"""WITH ud AS (SELECT DISTINCT epoch_us(ts) // $DayUs AS day, user_id FROM events),
+       |d1 AS (SELECT day, COUNT(*) AS dau_1d FROM ud GROUP BY 1),
+       |ex AS (SELECT day + k AS report_day, user_id FROM ud CROSS JOIN range(0, 7) t(k)),
+       |d7 AS (SELECT report_day, COUNT(DISTINCT user_id) AS dau_7d FROM ex GROUP BY 1)
+       |SELECT day, dau_1d, dau_7d,
+       |(dau_1d * 1000000) // dau_7d AS stickiness_e6
+       |FROM d1 JOIN d7 ON day = report_day
+       |ORDER BY day""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // q_peak_concurrency — sweep-line max concurrent sessions
+  // ------------------------------------------------------------------
+
+  /** Peak concurrent sessions via the classic sweep-line: sessionize
+    * (same 30-min-gap rule as q_sessions), emit +1 at each session start
+    * and -1 one µs past its end, collapse same-instant deltas, and take
+    * the running sum. The curve lives on session BOUNDARIES (2 rows per
+    * session, ≪ events), so the one global ordered window runs over a
+    * frame that is already thousands of times smaller than the input; at
+    * warehouse scale the same cumulative sum is a two-pass
+    * range-partitioned prefix sum over the boundary frame. Top-10 ties
+    * broken by earliest instant. */
+  private def qPeakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = t.events
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("ts") - col("prev") > lit(1800000000L), 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+    val deltas = sess.select(col("st").as("b_ts"), lit(1L).as("delta"))
+      .unionAll(sess.select((col("en") + lit(1L)).as("b_ts"), lit(-1L).as("delta")))
+      .groupBy(col("b_ts")).agg(sum(col("delta")).as("d"))
+    deltas
+      .withColumn("conc", sum(col("d")).over(Window.orderBy(col("b_ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .select(col("b_ts").as("ts"), col("conc"))
+      .orderBy(col("conc").desc, col("ts")).limit(10)
+      .orderBy(col("conc").desc, col("ts"))
+  }
+
+  private val qPeakConcurrencySql =
+    """WITH l AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+      |LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |FROM events),
+      |m AS (SELECT user_id, us,
+      |SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+      |OVER (PARTITION BY user_id ORDER BY us, event_id
+      |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM l),
+      |sess AS (SELECT user_id, sid, MIN(us) AS st, MAX(us) AS en
+      |FROM m GROUP BY 1, 2),
+      |bd AS (SELECT b_ts, CAST(SUM(delta) AS BIGINT) AS d FROM (
+      |SELECT st AS b_ts, 1 AS delta FROM sess
+      |UNION ALL SELECT en + 1 AS b_ts, -1 AS delta FROM sess) z GROUP BY 1),
+      |curve AS (SELECT b_ts AS ts, CAST(SUM(d) OVER (ORDER BY b_ts
+      |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc FROM bd)
+      |SELECT ts, conc FROM curve
+      |ORDER BY conc DESC, ts LIMIT 10""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // q_benford — first-significant-digit audit of order totals
+  // ------------------------------------------------------------------
+
+  /** Expected Benford mass floor(log10(1+1/d)·10⁶), computed ONCE here
+    * and spliced as literals into BOTH engines' plans — identical by
+    * construction, zero runtime libm on either side (the
+    * [[graft.multimodal.Multimodal]] phashCoef pattern). */
+  val benfordE6: Seq[(Int, Long)] =
+    (1 to 9).map(d => d -> math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong)
+
+  /** First-significant-digit distribution of o_totalprice vs Benford's
+    * law — the classic at-scale data-quality / fraud sweep. The digit is
+    * extracted from the INTEGER cents (decimal-string head of a BIGINT
+    * is engine-exact; double→string is not), the law's irrational masses
+    * enter as shared literals, and the deviation is an integer
+    * difference of e6 masses. One groupBy(9 rows) + one broadcast join. */
+  private def qBenford(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val law = s.createDataFrame(benfordE6).toDF("digit", "benford_e6")
+    val counts = t.orders
+      .select(floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .withColumn("digit",
+        substring(col("cents").cast("string"), 1, 1).cast("int"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy()).cast("long"))
+      .join(broadcast(law), "digit")
+      .select(col("digit"), col("cnt"),
+        expr("(cnt * 1000000) div total").as("pct_e6"),
+        col("benford_e6"),
+        expr("abs((cnt * 1000000) div total - benford_e6)").as("dev_e6"))
+      .orderBy(col("digit"))
+  }
+
+  private val qBenfordSql = {
+    val lawRows = benfordE6.map { case (d, m) => s"($d, $m)" }.mkString(", ")
+    s"""WITH c AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+       |FROM (SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+       |WHERE cents > 0),
+       |g AS (SELECT digit, COUNT(*) AS cnt FROM c GROUP BY 1),
+       |t AS (SELECT digit, cnt, CAST(SUM(cnt) OVER () AS BIGINT) AS total FROM g),
+       |law AS (SELECT * FROM (VALUES $lawRows) v(digit, benford_e6))
+       |SELECT t.digit, cnt, (cnt * 1000000) // total AS pct_e6,
+       |CAST(benford_e6 AS BIGINT) AS benford_e6,
+       |abs((cnt * 1000000) // total - benford_e6) AS dev_e6
+       |FROM t JOIN law ON law.digit = t.digit
+       |ORDER BY t.digit""".stripMargin.replace('\n', ' ')
+  }
+
+  // ------------------------------------------------------------------
+  // q_changepoint_cusum — integer CUSUM over the daily event counts
+  // ------------------------------------------------------------------
+
+  /** CUSUM changepoint scan on the daily event-count series. The usual
+    * Σ(xᵢ − μ) is kept integral by scaling through the day count:
+    * cusum_t = Σ_{i≤t} (cnt_i·D − total) — same extremum structure,
+    * zero division. The peak |cusum| day is the single best split point
+    * (max mean-shift evidence). Day frame is tiny (one row per day), so
+    * the global window is free; the heavy lift is the one groupBy over
+    * events, which is a plain two-phase count. */
+  private def qChangepointCusum(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val daily = t.events.groupBy(expr(s"ts div $DayUs").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = daily.agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("total"))
+    val cum = daily.crossJoin(broadcast(tot))
+      .withColumn("cusum",
+        sum(col("cnt") * col("n_days") - col("total"))
+          .over(Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+    cum
+      .withColumn("max_abs", max(abs(col("cusum"))).over(Window.partitionBy()))
+      .select(col("day"), col("cnt"), col("cusum"),
+        when(abs(col("cusum")) === col("max_abs"), 1).otherwise(0).cast("int").as("is_peak"))
+      .orderBy(col("day"))
+  }
+
+  private val qChangepointCusumSql =
+    s"""WITH daily AS (SELECT epoch_us(ts) // $DayUs AS day, COUNT(*) AS cnt
+       |FROM events GROUP BY 1),
+       |t AS (SELECT COUNT(*) AS n_days, CAST(SUM(cnt) AS BIGINT) AS total FROM daily),
+       |c AS (SELECT day, cnt,
+       |CAST(SUM(cnt * n_days - total) OVER (ORDER BY day
+       |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum
+       |FROM daily CROSS JOIN t)
+       |SELECT day, cnt, cusum,
+       |CASE WHEN abs(cusum) = MAX(abs(cusum)) OVER () THEN 1 ELSE 0 END AS is_peak
+       |FROM c ORDER BY day""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // q_hourly_heatmap — day-of-week × hour-of-day activity grid
+  // ------------------------------------------------------------------
+
+  /** The (dow, hour) traffic heatmap, computed entirely in integral
+    * epoch arithmetic: dow = (day+4) mod 7 (1970-01-01 was a Thursday),
+    * hour = µs-hour mod 24 — no calendar/timezone functions on either
+    * engine, so the grid is bit-identical by construction. pct within
+    * each dow row is the floor-scaled share. ≤ 168 output rows whatever
+    * the input size; one groupBy. */
+  private def qHourlyHeatmap(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.events
+      .select(expr(s"((ts div $DayUs) + 4) % 7").as("dow"),
+        expr(s"(ts div $HourUs) % 24").as("hour"))
+      .groupBy(col("dow"), col("hour")).agg(count(lit(1)).as("cnt"))
+      .withColumn("dow_total",
+        sum(col("cnt")).over(Window.partitionBy(col("dow"))).cast("long"))
+      .select(col("dow"), col("hour"), col("cnt"),
+        expr("(cnt * 1000000) div dow_total").as("pct_dow_e6"))
+      .orderBy(col("dow"), col("hour"))
+  }
+
+  private val qHourlyHeatmapSql =
+    s"""WITH g AS (SELECT (epoch_us(ts) // $DayUs + 4) % 7 AS dow,
+       |(epoch_us(ts) // $HourUs) % 24 AS hour, COUNT(*) AS cnt
+       |FROM events GROUP BY 1, 2)
+       |SELECT dow, hour, cnt,
+       |(cnt * 1000000) // CAST(SUM(cnt) OVER (PARTITION BY dow) AS BIGINT) AS pct_dow_e6
+       |FROM g ORDER BY dow, hour""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // q_sax_symbols — SAX-style symbolization of the weekly volume series
+  // ------------------------------------------------------------------
+
+  /** Piecewise-aggregate + quartile symbolization (SAX without the
+    * Gaussian breakpoints — quartiles keep it distribution-free AND
+    * engine-exact): the daily count series is pooled into calendar weeks
+    * (PAA), and each week is assigned its volume quartile 1..4 by
+    * NTILE over the unique (wsum, week) order. The discretized string is
+    * what a motif/anomaly miner consumes downstream. Week frame is tiny;
+    * the only big pass is the daily groupBy. */
+  private def qSaxSymbols(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val weekly = t.events
+      .groupBy(expr(s"(ts div $DayUs) div 7").as("week"))
+      .agg(count(lit(1)).as("wsum"),
+        countDistinct(expr(s"ts div $DayUs")).as("ndays"))
+    weekly
+      .withColumn("sym",
+        ntile(4).over(Window.orderBy(col("wsum"), col("week"))).cast("int"))
+      .orderBy(col("week"))
+  }
+
+  private val qSaxSymbolsSql =
+    s"""WITH weekly AS (SELECT (epoch_us(ts) // $DayUs) // 7 AS week,
+       |COUNT(*) AS wsum, COUNT(DISTINCT epoch_us(ts) // $DayUs) AS ndays
+       |FROM events GROUP BY 1)
+       |SELECT week, wsum, ndays,
+       |CAST(NTILE(4) OVER (ORDER BY wsum, week) AS INT) AS sym
+       |FROM weekly ORDER BY week""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // registry
+  // ------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_trailing_dau"     -> (qTrailingDau _),
+    "q_peak_concurrency" -> (qPeakConcurrency _),
+    "q_benford"          -> (qBenford _),
+    "q_changepoint"      -> (qChangepointCusum _),
+    "q_hourly_heatmap"   -> (qHourlyHeatmap _),
+    "q_sax_symbols"      -> (qSaxSymbols _))
+
+  val oracles: Map[String, String] = Map(
+    "q_trailing_dau"     -> qTrailingDauSql,
+    "q_peak_concurrency" -> qPeakConcurrencySql,
+    "q_benford"          -> qBenfordSql,
+    "q_changepoint"      -> qChangepointCusumSql,
+    "q_hourly_heatmap"   -> qHourlyHeatmapSql,
+    "q_sax_symbols"      -> qSaxSymbolsSql)
+}

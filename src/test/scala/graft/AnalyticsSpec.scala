@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Semantics checks for the round-6 analytics batch on hand-built
+  * fixtures (the oracle gate covers the testdata tables; these pin the
+  * operator rules themselves on inputs small enough to verify by hand).
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("trailing DAU counts each user once across the window") {
+    // user 1 active on days 0 and 3, user 2 on day 3 only:
+    // day 3's 7-day window must count user 1 ONCE (dau_7d = 2, not 3)
+    val us = Seq(
+      (1L, 0L * 86400000000L + 5L, 1L),
+      (2L, 3L * 86400000000L + 5L, 1L),
+      (3L, 3L * 86400000000L + 6L, 2L))
+      .toDF("event_id", "ts", "user_id")
+    val ud = us.select(expr("ts div 86400000000").as("day"), col("user_id")).distinct()
+    val d7 = ud.select(explode(sequence(col("day"), col("day") + lit(6L))).as("rd"),
+        col("user_id"))
+      .groupBy("rd").agg(countDistinct("user_id").as("dau_7d"))
+    val got = d7.filter(col("rd") === 3L).first().getLong(1)
+    assert(got == 2L)
+  }
+
+  test("benford law table is the canonical distribution") {
+    // floor(log10(2) * 1e6) = 301029; masses sum to ~1e6
+    val m = AnalyticsQueries.benfordE6.toMap
+    assert(m(1) == 301029L)
+    assert(m(9) == 45757L)
+    val tot = AnalyticsQueries.benfordE6.map(_._2).sum
+    assert(tot > 999990L && tot <= 1000000L)
+  }
+
+  test("benford digit extraction is arithmetic on cents, not doubles") {
+    val q = Queries.all("q_benford")(spark, sf)
+    val rows = q.collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9))
+    // total mass of observed shares ≈ 1e6 (floor loss ≤ 9)
+    val pctSum = rows.map(_.getLong(2)).sum
+    assert(pctSum > 999990L && pctSum <= 1000000L)
+  }
+
+  test("peak concurrency counts overlapping sessions exactly") {
+    // three users: sessions [0,10], [5,15], [20,25] (µs scale) → peak 2
+    val ev = Seq(
+      (1L, 0L, 1L), (2L, 10L, 1L),
+      (3L, 5L, 2L), (4L, 15L, 2L),
+      (5L, 20L, 3L), (6L, 25L, 3L))
+      .toDF("event_id", "ts", "user_id")
+    val sess = ev.groupBy("user_id")
+      .agg(min("ts").as("st"), max("ts").as("en"))
+    val deltas = sess.select(col("st").as("b"), lit(1L).as("d"))
+      .unionAll(sess.select((col("en") + 1L).as("b"), lit(-1L).as("d")))
+      .groupBy("b").agg(sum("d").as("d"))
+    val conc = deltas.withColumn("c",
+      sum("d").over(org.apache.spark.sql.expressions.Window.orderBy("b")
+        .rowsBetween(Long.MinValue, 0)))
+    assert(conc.agg(max("c")).first().getLong(0) == 2L)
+  }
+
+  test("cusum peak flags the strongest mean shift") {
+    val q = Queries.all("q_changepoint")(spark, sf)
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    // exactly the max-|cusum| rows are flagged, and at least one is
+    val peakAbs = rows.map(r => math.abs(r.getLong(2))).max
+    rows.foreach { r =>
+      val flagged = r.getInt(3) == 1
+      assert(flagged == (math.abs(r.getLong(2)) == peakAbs))
+    }
+    assert(rows.exists(_.getInt(3) == 1))
+    // CUSUM telescopes to zero at the last day by construction
+    assert(rows.last.getLong(2) == 0L)
+  }
+
+  test("hourly heatmap covers the grid and rows sum to ~1e6") {
+    val rows = Queries.all("q_hourly_heatmap")(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 7))
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 24))
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val s = rs.map(_.getLong(3)).sum
+      assert(s > 1000000L - rs.length && s <= 1000000L)
+    }
+  }
+
+  test("sax symbols are a balanced quartile labelling") {
+    val rows = Queries.all("q_sax_symbols")(spark, sf).collect()
+    val syms = rows.map(_.getInt(3))
+    assert(syms.forall(v => v >= 1 && v <= 4))
+    // ntile balance: bucket sizes differ by at most 1
+    val sizes = syms.groupBy(identity).values.map(_.length)
+    assert(sizes.max - sizes.min <= 1)
+    // symbol order tracks volume order: max-wsum week has symbol 4
+    val maxRow = rows.maxBy(_.getLong(1))
+    assert(maxRow.getInt(3) == 4)
+  }
+}
