@@ -271,6 +271,71 @@ object AnalyticsQueries {
        |FROM weekly ORDER BY week""".stripMargin.replace('\n', ' ')
 
   // ------------------------------------------------------------------
+  // graph-structure panels (rich club / local bridges / joint degrees)
+  // on the sparse part-copurchase fixture
+  // ------------------------------------------------------------------
+
+  private val RichClubKs = Seq(1L, 2L, 4L, 8L, 16L, 32L)
+
+  /** [[graft.graph.Algos.richClub]] over part co-purchase pairs. */
+  private def qRichClub(s: SparkSession, dir: String): DataFrame =
+    graph.Algos.richClub(TestGraphs.partCoPairs(Tables(s, dir)), RichClubKs)
+      .orderBy(col("k"))
+
+  private val qRichClubSql = {
+    val ks = RichClubKs.map(k => s"($k)").mkString(", ")
+    s"""WITH cp AS MATERIALIZED (${TestGraphs.partCoPairsSql}),
+       |deg AS MATERIALIZED (SELECT id, COUNT(*) AS d FROM (
+       |SELECT u AS id FROM cp UNION ALL SELECT v AS id FROM cp) z GROUP BY 1),
+       |ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES $ks) t(k)),
+       |ek AS (SELECT k, COUNT(*) AS e_k FROM cp
+       |JOIN deg a ON a.id = cp.u JOIN deg b ON b.id = cp.v
+       |CROSS JOIN ks WHERE a.d > k AND b.d > k GROUP BY 1),
+       |nk AS (SELECT k, COUNT(*) AS n_k FROM deg CROSS JOIN ks
+       |WHERE d > k GROUP BY 1)
+       |SELECT k, n_k, COALESCE(e_k, 0) AS e_k,
+       |CASE WHEN n_k >= 2 THEN (COALESCE(e_k, 0) * 2000000) // (n_k * (n_k - 1))
+       |ELSE CAST(0 AS BIGINT) END AS phi_e6
+       |FROM nk LEFT JOIN ek USING (k) ORDER BY k""".stripMargin.replace('\n', ' ')
+  }
+
+  /** [[graft.graph.Algos.localBridgeStats]]: support-0 (no common
+    * neighbor) edge census. Oracle finds triangle edges by the direct
+    * wedge join — an INDEPENDENT formulation of "has a common
+    * neighbor", so support bookkeeping bugs can't self-confirm. */
+  private def qLocalBridges(s: SparkSession, dir: String): DataFrame =
+    graph.Algos.localBridgeStats(TestGraphs.partCoPairs(Tables(s, dir)))
+
+  private val qLocalBridgesSql =
+    s"""WITH cp AS MATERIALIZED (${TestGraphs.partCoPairsSql}),
+       |adj AS MATERIALIZED (SELECT u AS a, v AS b FROM cp
+       |UNION ALL SELECT v AS a, u AS b FROM cp),
+       |tri AS (SELECT DISTINCT cp.u AS u, cp.v AS v FROM cp
+       |JOIN adj x ON x.a = cp.u JOIN adj y ON y.a = cp.v AND y.b = x.b),
+       |tot AS (SELECT COUNT(*) AS n_edges FROM cp),
+       |te AS (SELECT COUNT(*) AS n_tri_edges FROM tri)
+       |SELECT n_edges, n_edges - n_tri_edges AS n_bridges,
+       |((n_edges - n_tri_edges) * 1000000) // n_edges AS pct_e6
+       |FROM tot CROSS JOIN te""".stripMargin.replace('\n', ' ')
+
+  /** [[graft.graph.Algos.jointDegreeMatrix]] in log₂ buckets. */
+  private def qDegreeMatrix(s: SparkSession, dir: String): DataFrame =
+    graph.Algos.jointDegreeMatrix(TestGraphs.partCoPairs(Tables(s, dir)))
+      .orderBy(col("b_lo"), col("b_hi"))
+
+  private val qDegreeMatrixSql =
+    s"""WITH cp AS MATERIALIZED (${TestGraphs.partCoPairsSql}),
+       |deg AS MATERIALIZED (SELECT id, COUNT(*) AS d FROM (
+       |SELECT u AS id FROM cp UNION ALL SELECT v AS id FROM cp) z GROUP BY 1),
+       |b AS (SELECT
+       |least(length(bin(a.d)) - 1, length(bin(b2.d)) - 1) AS b_lo,
+       |greatest(length(bin(a.d)) - 1, length(bin(b2.d)) - 1) AS b_hi
+       |FROM cp JOIN deg a ON a.id = cp.u JOIN deg b2 ON b2.id = cp.v)
+       |SELECT CAST(b_lo AS BIGINT) AS b_lo, CAST(b_hi AS BIGINT) AS b_hi,
+       |COUNT(*) AS cnt FROM b GROUP BY 1, 2
+       |ORDER BY b_lo, b_hi""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
 
@@ -280,7 +345,10 @@ object AnalyticsQueries {
     "q_benford"          -> (qBenford _),
     "q_changepoint"      -> (qChangepointCusum _),
     "q_hourly_heatmap"   -> (qHourlyHeatmap _),
-    "q_sax_symbols"      -> (qSaxSymbols _))
+    "q_sax_symbols"      -> (qSaxSymbols _),
+    "q_graph_rich_club"  -> (qRichClub _),
+    "q_graph_local_bridges" -> (qLocalBridges _),
+    "q_graph_degree_matrix" -> (qDegreeMatrix _))
 
   val oracles: Map[String, String] = Map(
     "q_trailing_dau"     -> qTrailingDauSql,
@@ -288,5 +356,8 @@ object AnalyticsQueries {
     "q_benford"          -> qBenfordSql,
     "q_changepoint"      -> qChangepointCusumSql,
     "q_hourly_heatmap"   -> qHourlyHeatmapSql,
-    "q_sax_symbols"      -> qSaxSymbolsSql)
+    "q_sax_symbols"      -> qSaxSymbolsSql,
+    "q_graph_rich_club"  -> qRichClubSql,
+    "q_graph_local_bridges" -> qLocalBridgesSql,
+    "q_graph_degree_matrix" -> qDegreeMatrixSql)
 }

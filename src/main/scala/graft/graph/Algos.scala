@@ -1819,4 +1819,81 @@ object Algos {
     remVerts.unpersist(); remEdges.unpersist()
     result
   }
+
+  /** Rich-club connectivity curve φ(k) = 2·E_k / (N_k·(N_k−1)) over an
+    * undirected graph given as canonical pairs (u < v): for each degree
+    * threshold k, the density of the subgraph induced on vertices with
+    * degree > k. The classic "do hubs preferentially interlink" panel
+    * (reference analogue: the degree-distribution aggregator family,
+    * giraph-examples SimpleVertexWithWorkerContext-style statistics —
+    * recast as two tiny fan-out aggregations). Scale: degrees once, two
+    * joins to annotate edges, then a ≤|ks|-way fan-out of edge/vertex
+    * frames into |ks|·2 counting rows — no per-k rescan of the input.
+    * φ is emitted floor-scaled e6; thresholds with N_k < 2 report 0. */
+  def richClub(pairs: DataFrame, ks: Seq[Long]): DataFrame = {
+    val e = pairs.select(col("u"), col("v")).localCheckpoint()
+    val deg = pairDegrees(e).localCheckpoint()
+    val kArr = array(ks.map(lit): _*)
+    val ek = e
+      .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
+      .select(explode(kArr).as("k"), col("du"), col("dv"))
+      .filter(col("du") > col("k") && col("dv") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("e_k"))
+    val nk = deg
+      .select(explode(kArr).as("k"), col("d"))
+      .filter(col("d") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_k"))
+    // materialize the (≤|ks|-row) result BEFORE freeing the inputs it
+    // reads — freeCkpt on a frame a lazy plan still references would
+    // drop blocks out from under the eventual evaluation
+    val out = nk.join(ek, Seq("k"), "left")
+      .select(col("k"), col("n_k"), coalesce(col("e_k"), lit(0L)).as("e_k"),
+        when(col("n_k") >= 2,
+          expr("(e_k * 2000000) div (n_k * (n_k - 1))")).otherwise(lit(0L))
+          .cast("long").as("phi_e6"))
+      .localCheckpoint()
+    freeCkpt(e); freeCkpt(deg)
+    out
+  }
+
+  /** Local-bridge census: a local bridge is an edge whose endpoints have
+    * NO common neighbor (span > 2) — deleting it lengthens every
+    * u–v path; these are the weak ties that hold communities together.
+    * Identified as the support-0 edges of the [[kTruss]] support pass
+    * (degree-oriented triangle credit, output-linear — never a wedge
+    * intermediate), so the census costs exactly one support computation.
+    * Returns one row: edge count, bridge count, floor-scaled share. */
+  def localBridgeStats(pairs: DataFrame): DataFrame = {
+    val sup = edgeSupport(pairs.select(col("u"), col("v")).localCheckpoint())
+    val out = sup.agg(
+      count(lit(1)).as("n_edges"),
+      sum(when(col("support") === 0L, 1L).otherwise(0L)).cast("long").as("n_bridges"))
+      .select(col("n_edges"), col("n_bridges"),
+        expr("(n_bridges * 1000000) div n_edges").as("pct_e6"))
+      .localCheckpoint() // one row; materialize before freeing the input
+    freeCkpt(sup)
+    out
+  }
+
+  /** Joint degree matrix in log₂ buckets: every edge lands in the cell
+    * (⌊log₂ d_u⌋, ⌊log₂ d_v⌋) with the bucket pair canonicalized
+    * low≤high — the assortativity panel itemized (who links to whom, by
+    * degree class). Bitlength identity keeps it libm-free and
+    * engine-exact. Output ≤ ⌈log₂ d_max⌉² rows whatever the input. */
+  def jointDegreeMatrix(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("u"), col("v")).localCheckpoint()
+    val deg = pairDegrees(e)
+    val out = e
+      .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
+      .select((length(bin(col("du"))) - 1).cast("long").as("bu0"),
+        (length(bin(col("dv"))) - 1).cast("long").as("bv0"))
+      .select(least(col("bu0"), col("bv0")).as("b_lo"),
+        greatest(col("bu0"), col("bv0")).as("b_hi"))
+      .groupBy(col("b_lo"), col("b_hi")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // ≤ log²(d_max) rows; materialize, then free
+    freeCkpt(e)
+    out
+  }
 }

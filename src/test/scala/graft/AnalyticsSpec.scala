@@ -89,6 +89,28 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("rich club of a path counts only the interior") {
+    // path 1-2-3-4: deg>1 = {2,3}, one edge between them → φ(1) = 1.0
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val r = graph.Algos.richClub(p, Seq(1L)).collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 1L && r.getLong(3) == 1000000L)
+  }
+
+  test("local bridge is exactly the edge outside the triangle") {
+    val p = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val r = graph.Algos.localBridgeStats(p).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 1L && r.getLong(2) == 250000L)
+  }
+
+  test("joint degree matrix buckets a star into one cell") {
+    val p = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("u", "v")
+    val rows = graph.Algos.jointDegreeMatrix(p).collect()
+    assert(rows.length == 1)
+    // hub deg 4 → bucket 2; leaves deg 1 → bucket 0; all 4 edges in (0,2)
+    assert(rows.head.getLong(0) == 0L && rows.head.getLong(1) == 2L &&
+      rows.head.getLong(2) == 4L)
+  }
+
   test("sax symbols are a balanced quartile labelling") {
     val rows = Queries.all("q_sax_symbols")(spark, sf).collect()
     val syms = rows.map(_.getInt(3))
