@@ -1057,7 +1057,57 @@ object PipelineQueries {
 
   // registry ------------------------------------------------------------
 
+  /** [[Similarity.covarianceUpper]] over the embedding corpus: quantize
+    * q = ⌊v·2¹⁴⌋ FIRST, then every sum is an order-independent BIGINT.
+    * Oracle recomputes the identical numerators by unnest + self-join —
+    * an independent (join-based) formulation of the same Gram matrix. */
+  private def qEmbCovariance(s: SparkSession, dir: String): DataFrame =
+    Similarity.covarianceUpper(Tables(s, dir).embeddings, dim = 64)
+      .orderBy(col("j"), col("k"))
+
+  private val qEmbCovarianceSql =
+    """WITH q AS MATERIALIZED (SELECT vec_id, j,
+      |CAST(FLOOR(CAST(embedding[j] AS DOUBLE) * 16384) AS BIGINT) AS qv
+      |FROM embeddings, unnest(range(1, 65)) t(j)),
+      |n AS (SELECT COUNT(*) AS n FROM embeddings),
+      |s AS MATERIALIZED (SELECT j, CAST(SUM(qv) AS BIGINT) AS sj FROM q GROUP BY 1),
+      |pp AS (SELECT a.j AS j, b.j AS k, CAST(SUM(a.qv * b.qv) AS BIGINT) AS spp
+      |FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.j >= a.j GROUP BY 1, 2)
+      |SELECT pp.j - 1 AS j, pp.k - 1 AS k, spp,
+      |n.n * spp - sa.sj * sb.sj AS cov_num
+      |FROM pp JOIN s sa ON sa.j = pp.j JOIN s sb ON sb.j = pp.k CROSS JOIN n
+      |ORDER BY j, k""".stripMargin.replace('\n', ' ')
+
+  /** [[Similarity.silhouette]] over the stored labels — the
+    * cluster-quality audit every embedding-space pipeline needs before
+    * trusting its blocking. Shifted-silhouette s' = s+1 keeps every
+    * integer division non-negative (truncate vs floor agreement). */
+  private def qEmbSilhouette(s: SparkSession, dir: String): DataFrame =
+    Similarity.silhouette(Tables(s, dir).embeddings, "label")
+      .orderBy(col("label"))
+
+  private val qEmbSilhouetteSql =
+    s"""WITH cent AS MATERIALIZED (SELECT label AS c, list(m ORDER BY pos) AS cv FROM (
+       |SELECT label, pos, FLOOR(AVG(CAST(embedding[pos] AS DOUBLE)) * 1000000) / 1000000 AS m
+       |FROM embeddings, unnest(range(1, 65)) u(pos) GROUP BY label, pos) g GROUP BY label),
+       |d AS (SELECT e.vec_id, e.label, c.c,
+       |1000000 - CAST(FLOOR(${cosSql("e.embedding", "c.cv")} * 1000000) AS BIGINT) AS dist
+       |FROM embeddings e CROSS JOIN cent c),
+       |ab AS (SELECT vec_id, label,
+       |MIN(CASE WHEN c = label THEN dist END) AS a,
+       |MIN(CASE WHEN c <> label THEN dist END) AS b
+       |FROM d GROUP BY 1, 2),
+       |sv AS (SELECT label, CASE WHEN greatest(a, b) > 0
+       |THEN CAST(((b - a + greatest(a, b)) * 1000000) // greatest(a, b) AS BIGINT)
+       |ELSE CAST(1000000 AS BIGINT) END AS s FROM ab)
+       |SELECT label, COUNT(*) AS n,
+       |CAST(SUM(s) AS BIGINT) // COUNT(*) AS mean_sil_shift_e6,
+       |MIN(s) AS min_sil_shift_e6, MAX(s) AS max_sil_shift_e6
+       |FROM sv GROUP BY label ORDER BY label""".stripMargin.replace('\n', ' ')
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_emb_covariance"   -> (qEmbCovariance _),
+    "q_emb_silhouette"   -> (qEmbSilhouette _),
     "q_partitioned_write" -> (qPartitionedWrite _),
     "q_text_stats"       -> (qTextStats _),
     "q_text_bpe"         -> (qTextBpe _),
@@ -1097,6 +1147,8 @@ object PipelineQueries {
     "q_multimodal_ahash_pairs" -> (qMultimodalAhashPairs _))
 
   val oracles: Map[String, String] = Map(
+    "q_emb_covariance"   -> qEmbCovarianceSql,
+    "q_emb_silhouette"   -> qEmbSilhouetteSql,
     "q_partitioned_write" -> qPartitionedWriteSql,
     "q_text_stats"       -> qTextStatsSql,
     "q_text_bpe"         -> qTextBpeSql,

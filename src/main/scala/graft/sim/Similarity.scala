@@ -480,4 +480,67 @@ object Similarity {
       .select(col("q_id").as("vec_id"), col("vec_id").as("n_id"), col("rcos_e4"))
       .orderBy(col("vec_id"), col("rcos_e4").desc, col("n_id"))
   }
+
+  /** Upper-triangle covariance numerators of the embedding matrix — the
+    * whitening/PCA prep pass. Coordinates are quantized to q = ⌊v·2¹⁴⌋
+    * BEFORE any sum, so every downstream aggregate is an
+    * order-independent BIGINT (float summation order is the classic
+    * cross-engine diff). Per (j ≤ k): spp = Σᵢ qᵢⱼ·qᵢₖ and
+    * cov_num = n·spp − Sⱼ·Sₖ (the n²-scaled centered covariance).
+    *
+    * Scale shape: the d² pair fan-out happens INSIDE each row (two
+    * chained posexplodes — a narrow map, no self-join, no shuffle of the
+    * corpus), then one partial-aggregating groupBy over d²=4096 keys and
+    * a broadcast of the d per-dimension sums. At petabyte n the same
+    * plan holds: the only shuffle is d² running sums. 2¹⁴ quantization
+    * keeps n·spp inside BIGINT to n ≈ 10⁹ rows of unit-norm vectors. */
+  def covarianceUpper(corpus: DataFrame, dim: Int): DataFrame = {
+    val q = corpus.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(16384.0)).cast("long")).as("q"))
+    val pairs = q
+      .select(posexplode(col("q")).as(Seq("j", "qj")), col("q"))
+      .select(col("j"), col("qj"), posexplode(col("q")).as(Seq("k", "qk")))
+      .filter(col("k") >= col("j"))
+      .groupBy(col("j"), col("k"))
+      .agg(sum(col("qj") * col("qk")).cast("long").as("spp"))
+    val sums = q.select(posexplode(col("q")).as(Seq("j", "qj")))
+      .groupBy(col("j")).agg(sum(col("qj")).cast("long").as("s"))
+    val n = corpus.agg(count(lit(1)).as("n"))
+    pairs
+      .join(broadcast(sums.select(col("j"), col("s").as("sj"))), Seq("j"))
+      .join(broadcast(sums.select(col("j").as("k"), col("s").as("sk"))), Seq("k"))
+      .crossJoin(broadcast(n))
+      .select(col("j").cast("long").as("j"), col("k").cast("long").as("k"),
+        col("spp"), (col("n") * col("spp") - col("sj") * col("sk")).as("cov_num"))
+  }
+
+  /** Centroid silhouette of a labelled embedding corpus: per vector,
+    * a = distance to its own cluster centroid, b = nearest other
+    * centroid, s = (b−a)/max(a,b) ∈ [−1, 1] — reported SHIFTED by +1
+    * (s' = (b−a+max)/max ∈ [0, 2], floor-e6) so every integer division
+    * is over non-negative operands (truncating `div` and flooring `//`
+    * agree only there; the shift is lossless to compare/rank). Distance
+    * is 10⁶ − floor-e6 cosine against [[centroids]]' floor-scaled means.
+    * One centroid pass + one broadcast join; per-label outputs. */
+  def silhouette(corpus: DataFrame, clusterCol: String = "label"): DataFrame = {
+    val cent = centroids(corpus, clusterCol)
+      .select(col(clusterCol).as("c"), col("cv"))
+    val perVec = corpus.join(broadcast(cent), lit(true))
+      .withColumn("dist",
+        lit(1000000L) - graft.sql.Exact.e6(cosine(col("embedding"), col("cv"))))
+      .groupBy(col("vec_id"), col(clusterCol))
+      .agg(
+        min(when(col("c") === col(clusterCol), col("dist"))).as("a"),
+        min(when(col("c") =!= col(clusterCol), col("dist"))).as("b"))
+      .withColumn("mx", greatest(col("a"), col("b")))
+      .withColumn("s_shift_e6",
+        when(col("mx") > 0,
+          expr("((b - a + mx) * 1000000) div mx")).otherwise(lit(1000000L)))
+    perVec.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(s_shift_e6) div count(1)").as("mean_sil_shift_e6"),
+        min(col("s_shift_e6")).as("min_sil_shift_e6"),
+        max(col("s_shift_e6")).as("max_sil_shift_e6"))
+  }
 }

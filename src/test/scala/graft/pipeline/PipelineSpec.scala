@@ -125,6 +125,30 @@ class PipelineSpec extends SparkSpec {
     assert(top(1) == ((1L, 3L, 0L)))
   }
 
+  test("covariance numerators: orthogonal one-hot rows anti-correlate") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.covarianceUpper(e, dim = 2)
+      .orderBy("j", "k").as[(Long, Long, Long, Long)].collect().toSeq
+    val q = 16384L
+    // (0,0): spp=q², cov = 2q²−q² = q²; (0,1): spp=0, cov = −q²
+    assert(got == Seq((0L, 0L, q * q, q * q), (0L, 1L, 0L, -q * q),
+      (1L, 1L, q * q, q * q)))
+  }
+
+  test("silhouette: two tight orthogonal clusters score the +1-shifted max") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.silhouette(e).orderBy("label")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    // a = 0 (own centroid identical), b = 10⁶ (orthogonal) → s' = 2·10⁶
+    assert(got == Seq((0, 2L, 2000000L, 2000000L, 2000000L),
+      (1, 2L, 2000000L, 2000000L, 2000000L)))
+  }
+
   test("ivf probes restrict search to nearest clusters") {
     val e = Seq(
       (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.9f, 0.1f), 0),
