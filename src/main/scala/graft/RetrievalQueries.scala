@@ -149,17 +149,111 @@ object RetrievalQueries {
        |FROM ($union) ORDER BY step""".stripMargin.replace('\n', ' ')
   }
 
+  // --- q_retrieval_ndcg -------------------------------------------------
+
+  /** [[Retrieval.evalRanking]]: P@10 / MRR / NDCG@10 of the per-term tf
+    * ranking against graded pseudo-qrels (rel = 2 at tf ≥ 3, 1 at
+    * tf = 2). The discount table ⌊10⁶/log₂(r+1)⌋ is generated once in
+    * Scala and spliced into both plans as literals; the disc JOIN is
+    * also the top-k cut (ranks > k have no discount row). */
+  private def qNdcg(s: SparkSession, dir: String): DataFrame =
+    Retrieval.evalRanking(Tables(s, dir).documents, Terms, k = 10)
+
+  private val qNdcgSql = {
+    val discRows = Retrieval.ndcgDiscE6(10)
+      .map { case (r, d) => s"($r, $d)" }.mkString(", ")
+    s"""WITH toks AS MATERIALIZED (${tokSql("documents")}),
+       |tf AS MATERIALIZED (SELECT token, doc_id, COUNT(*) AS tf FROM toks
+       |WHERE token IN $termsSql GROUP BY 1, 2),
+       |r AS (SELECT token, doc_id, tf,
+       |CASE WHEN tf >= 3 THEN 2 WHEN tf = 2 THEN 1 ELSE 0 END AS rel FROM tf),
+       |disc AS (SELECT CAST(rank AS BIGINT) AS rank, CAST(d AS BIGINT) AS disc_e6
+       |FROM (VALUES $discRows) v(rank, d)),
+       |rk AS (SELECT token, rel,
+       |CAST(ROW_NUMBER() OVER (PARTITION BY token ORDER BY tf DESC, doc_id) AS BIGINT) AS rank
+       |FROM r),
+       |topk AS (SELECT rk.token, rel, rank, disc_e6 FROM rk JOIN disc USING (rank)),
+       |dcg AS (SELECT token,
+       |CAST(SUM((CASE rel WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END) * disc_e6) AS BIGINT) AS dcg_num,
+       |CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_k,
+       |MIN(CASE WHEN rel > 0 THEN rank END) AS first_rel FROM topk GROUP BY 1),
+       |irk AS (SELECT token, rel,
+       |CAST(ROW_NUMBER() OVER (PARTITION BY token ORDER BY rel DESC, doc_id) AS BIGINT) AS rank
+       |FROM r WHERE rel > 0),
+       |ideal AS (SELECT token,
+       |CAST(SUM((CASE rel WHEN 2 THEN 3 ELSE 1 END) * disc_e6) AS BIGINT) AS idcg_num
+       |FROM irk JOIN disc USING (rank) GROUP BY 1),
+       |nr AS (SELECT token, CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+       |FROM r GROUP BY 1)
+       |SELECT nr.token, n_rel, COALESCE(hits_at_k, 0) AS hits_at_k,
+       |COALESCE(1000000 // first_rel, 0) AS mrr_e6,
+       |COALESCE(dcg_num, 0) AS dcg_num, COALESCE(idcg_num, 0) AS idcg_num,
+       |CASE WHEN COALESCE(idcg_num, 0) > 0 THEN (dcg_num * 1000000) // idcg_num
+       |ELSE CAST(0 AS BIGINT) END AS ndcg_e6
+       |FROM nr LEFT JOIN dcg USING (token) LEFT JOIN ideal USING (token)
+       |ORDER BY token""".stripMargin.replace('\n', ' ')
+  }
+
+  // --- q_text_textrank --------------------------------------------------
+
+  private val TrVocab = 150
+  private val TrIters = 10
+  private val TrTopK = 25
+
+  /** [[Retrieval.textRank]]: integer PageRank keyword extraction over
+    * the adjacent-token co-occurrence graph (vocab capped at the 150
+    * most frequent tokens). The oracle unrolls the same 10 damped
+    * rounds; the per-round arithmetic is floor-division-exact, so the
+    * final scores hash-match. */
+  private def qTextRank(s: SparkSession, dir: String): DataFrame =
+    Retrieval.textRank(Tables(s, dir).documents,
+      vocab = TrVocab, iters = TrIters, topK = TrTopK)
+
+  private val qTextRankSql = {
+    val rounds = (1 to TrIters).map { i =>
+      s"""pr$i AS MATERIALIZED (SELECT n.token,
+         |150000 + (850 * COALESCE(c.s, 0)) // 1000 AS pr FROM nodes n
+         |LEFT JOIN (SELECT e.dst AS token, CAST(SUM(p.pr // d.deg) AS BIGINT) AS s
+         |FROM edges e JOIN deg d ON d.src = e.src
+         |JOIN pr${i - 1} p ON p.token = e.src GROUP BY 1) c ON c.token = n.token)""".stripMargin.replace('\n', ' ')
+    }.mkString(", ")
+    s"""WITH pos AS MATERIALIZED (SELECT doc_id, i AS pos, arr[i] AS token FROM (
+       |SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr FROM documents) d,
+       |unnest(range(1, len(arr) + 1)) t(i)),
+       |top AS MATERIALIZED (SELECT token FROM pos GROUP BY token
+       |ORDER BY COUNT(*) DESC, token LIMIT $TrVocab),
+       |iv AS MATERIALIZED (SELECT pos.doc_id, pos.pos, pos.token
+       |FROM pos JOIN top USING (token)),
+       |pairs AS MATERIALIZED (SELECT DISTINCT least(a.token, b.token) AS u,
+       |greatest(a.token, b.token) AS v
+       |FROM iv a JOIN iv b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |AND a.token <> b.token),
+       |edges AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
+       |UNION ALL SELECT v AS src, u AS dst FROM pairs),
+       |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |nodes AS (SELECT src AS token FROM deg),
+       |pr0 AS (SELECT token, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+       |$rounds
+       |SELECT token, CAST(pr AS BIGINT) AS textrank_e6 FROM pr$TrIters
+       |QUALIFY ROW_NUMBER() OVER (ORDER BY pr DESC, token) <= $TrTopK
+       |ORDER BY textrank_e6 DESC, token""".stripMargin.replace('\n', ' ')
+  }
+
   // --- registry ---------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25"             -> (qBm25 _),
     "q_retrieval_prf"    -> (qPrf _),
     "q_retrieval_hybrid" -> (qHybrid _),
+    "q_retrieval_ndcg"   -> (qNdcg _),
+    "q_text_textrank"    -> (qTextRank _),
     "q_ann_mmr"          -> (qMmr _))
 
   val oracles: Map[String, String] = Map(
     "q_bm25"             -> qBm25Sql,
     "q_retrieval_prf"    -> qPrfSql,
     "q_retrieval_hybrid" -> qHybridSql,
+    "q_retrieval_ndcg"   -> qNdcgSql,
+    "q_text_textrank"    -> qTextRankSql,
     "q_ann_mmr"          -> qMmrSql)
 }

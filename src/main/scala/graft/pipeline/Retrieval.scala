@@ -196,4 +196,128 @@ object Retrieval {
       .select(col("step").cast("long"), col("vec_id"), col("rel_e4"), col("mmr"))
       .orderBy(col("step"))
   }
+
+  /** Integer discount table ⌊10⁶ / log₂(r+1)⌋ for ranks 1..k, computed
+    * ONCE here and spliced as literals into both engines' plans (the
+    * shared-constant-table pattern; no runtime libm anywhere). */
+  def ndcgDiscE6(k: Int): Seq[(Long, Long)] =
+    (1 to k).map(r =>
+      r.toLong -> math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  /** Ranking-quality evaluation (P@k / MRR / NDCG@k) of a per-term
+    * tf ranking against deterministic graded pseudo-qrels
+    * (rel = 2 if tf ≥ 3, 1 if tf = 2, 0 otherwise) — the eval harness a
+    * retrieval stack runs after every index build. All metrics are
+    * integer: gains are 2^rel − 1, discounts come from [[ndcgDiscE6]]'s
+    * shared literal table, MRR is 10⁶ div first-relevant-rank, and
+    * NDCG = 10⁶·DCG div IDCG with IDCG over the corpus-ideal ordering
+    * (rel desc, doc_id), so a better-than-ideal ranking is impossible
+    * by construction.
+    *
+    * Scale shape: one corpus explode filtered to the query terms (only
+    * query-term postings shuffle), per-term rank windows partitioned by
+    * term, and a broadcast of the k-row discount table. Output is one
+    * row per query term. */
+  def evalRanking(docs: DataFrame, terms: Seq[String], k: Int = 10): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("rel",
+        when(col("tf") >= 3, 2L).when(col("tf") === 2, 1L).otherwise(0L))
+      .localCheckpoint()
+    val disc = broadcast(ndcgDiscE6(k).toDF("rank", "disc_e6"))
+    val ranked = tf
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("token"))
+          .orderBy(col("tf").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .join(disc, Seq("rank"))
+      .withColumn("gain",
+        when(col("rel") === 2, 3L).when(col("rel") === 1, 1L).otherwise(0L))
+    val dcg = ranked.groupBy(col("token")).agg(
+      sum(col("gain") * col("disc_e6")).cast("long").as("dcg_num"),
+      sum(when(col("rel") > 0, 1L).otherwise(0L)).cast("long").as("hits_at_k"),
+      min(when(col("rel") > 0, col("rank"))).as("first_rel"))
+    val ideal = tf.filter(col("rel") > 0)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("token"))
+          .orderBy(col("rel").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .join(disc, Seq("rank"))
+      .withColumn("gain",
+        when(col("rel") === 2, 3L).when(col("rel") === 1, 1L).otherwise(0L))
+      .groupBy(col("token"))
+      .agg(sum(col("gain") * col("disc_e6")).cast("long").as("idcg_num"))
+    val nRel = tf.groupBy(col("token"))
+      .agg(sum(when(col("rel") > 0, 1L).otherwise(0L)).cast("long").as("n_rel"))
+    nRel
+      .join(dcg, Seq("token"), "left")
+      .join(ideal, Seq("token"), "left")
+      .select(col("token"), col("n_rel"),
+        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
+        coalesce(idiv(lit(1000000L), col("first_rel")), lit(0L)).as("mrr_e6"),
+        coalesce(col("dcg_num"), lit(0L)).as("dcg_num"),
+        coalesce(col("idcg_num"), lit(0L)).as("idcg_num"),
+        when(coalesce(col("idcg_num"), lit(0L)) > 0,
+          idiv(col("dcg_num") * lit(1000000L), col("idcg_num")))
+          .otherwise(lit(0L)).as("ndcg_e6"))
+      .orderBy(col("token"))
+  }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    * the corpus-global token co-occurrence graph (adjacent-token edges,
+    * vocabulary capped to the `vocab` most frequent tokens — the hub-cap
+    * discipline that keeps the graph size corpus-independent). The
+    * iteration is pure-integer: pr⁰ = 10⁶;
+    * prᵗ⁺¹ = 150000 + (850·Σ_{u∼v} (prᵗ(u) div deg(u))) div 1000 — the
+    * d=0.85 damped walk with one floor division per contribution,
+    * replayed identically by the oracle's unrolled CTE chain.
+    *
+    * Scale shape: one positional explode + one self-join on
+    * (doc, pos+1) builds the edge list; each round is one equi-join +
+    * groupBy over a ≤vocab²-edge frame (vocab is a constant), with the
+    * per-round frame checkpointed. */
+  def textRank(docs: DataFrame, vocab: Int, iters: Int, topK: Int): DataFrame = {
+    val pos = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+    val top = pos.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(vocab)
+      .select(col("token"))
+    val inVocab = pos.join(broadcast(top), Seq("token"))
+      .select(col("doc_id"), col("pos"), col("token"))
+    val pairs = inVocab.as("a").join(inVocab.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1
+          && col("a.token") =!= col("b.token"))
+      .select(least(col("a.token"), col("b.token")).as("u"),
+        greatest(col("a.token"), col("b.token")).as("v"))
+      .distinct()
+    val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .union(pairs.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var pr = deg.select(col("src").as("token"), lit(1000000L).as("pr"))
+      .localCheckpoint()
+    (0 until iters).foreach { _ =>
+      val prev = pr
+      val contrib = edges
+        .join(deg, Seq("src"))
+        .join(pr.select(col("token").as("src"), col("pr")), Seq("src"))
+        .select(col("dst").as("token"), expr("pr div deg").as("c"))
+        .groupBy(col("token")).agg(sum(col("c")).cast("long").as("s"))
+      pr = pr.select(col("token")).join(contrib, Seq("token"), "left")
+        .select(col("token"),
+          (lit(150000L) + expr("(850 * coalesce(s, 0)) div 1000")).as("pr"))
+        .localCheckpoint()
+      org.apache.spark.sql.graft.CheckpointBridge.free(prev)
+    }
+    val out = pr.orderBy(col("pr").desc, col("token")).limit(topK)
+      .select(col("token"), col("pr").as("textrank_e6"))
+      .orderBy(col("textrank_e6").desc, col("token"))
+      .localCheckpoint()
+    org.apache.spark.sql.graft.CheckpointBridge.free(pr)
+    org.apache.spark.sql.graft.CheckpointBridge.free(edges)
+    out
+  }
 }

@@ -290,4 +290,38 @@ class RetrievalSpec extends SparkSpec {
     assert(r(2)._3 == 0L && r(2)._5 == 0L)
     assert(r(3)._4 == 0L && r(3)._5 == 0L)
   }
+
+  // --- eval harness -----------------------------------------------------
+
+  test("evalRanking: the tf ranking IS the ideal ranking → NDCG = 1") {
+    // tf 3/2/1 → rel 2/1/0; rank order (by tf desc) equals ideal order
+    val docs = Seq(
+      (1L, "x x x"), (2L, "x x"), (3L, "x y")).toDF("doc_id", "text")
+    val r = Retrieval.evalRanking(docs, Seq("x"), k = 10)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(r._1 == "x" && r._2 == 2L)      // n_rel
+    assert(r._3 == 2L)                     // hits@k
+    assert(r._4 == 1000000L)               // first relevant at rank 1
+    assert(r._5 == r._6)                   // DCG == IDCG
+    assert(r._7 == 1000000L)               // NDCG exactly 1
+  }
+
+  test("evalRanking: a term with no relevant docs reports all-zero metrics") {
+    val docs = Seq((1L, "z q"), (2L, "q r")).toDF("doc_id", "text")
+    val r = Retrieval.evalRanking(docs, Seq("z"), k = 10)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(r._2 == 0L && r._3 == 0L && r._4 == 0L && r._7 == 0L)
+  }
+
+  // --- TextRank ---------------------------------------------------------
+
+  test("textRank: the path centre outranks the leaves, symmetrically") {
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val r = Retrieval.textRank(docs, vocab = 10, iters = 10, topK = 10)
+      .as[(String, Long)].collect().toSeq
+    val m = r.toMap
+    assert(r.head._1 == "b")               // centre has max rank
+    assert(m("a") == m("c"))               // leaves are symmetric
+    assert(m("b") > m("a"))
+  }
 }
