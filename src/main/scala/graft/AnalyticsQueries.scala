@@ -336,6 +336,91 @@ object AnalyticsQueries {
        |ORDER BY b_lo, b_hi""".stripMargin.replace('\n', ' ')
 
   // ------------------------------------------------------------------
+  // q_text_heaps — Heaps'-law vocabulary growth curve
+  // ------------------------------------------------------------------
+
+  /** Vocabulary-growth (Heaps' law) curve over doc-id-ordered batches of
+    * 50 documents: cumulative token count vs cumulative distinct-type
+    * count per batch. The scale identity is the same one q_cumulative_
+    * users exploits: each TYPE collapses to its first-seen batch (one
+    * min-agg), so "distinct types to date" is a running sum of
+    * first-occurrence counts — never a growing distinct state. */
+  private def qTextHeaps(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir).documents
+      .select(expr("doc_id div 50").as("b"),
+        explode(graft.text.TextFunctions.tokens(col("text"))).as("token"))
+    val perB = toks.groupBy(col("b")).agg(count(lit(1)).as("n_toks"))
+    val firstB = toks.groupBy(col("token")).agg(min(col("b")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perB.join(firstB, Seq("b"), "left")
+      .select(col("b"), col("n_toks"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_tokens", sum(col("n_toks")).over(w).cast("long"))
+      .withColumn("cum_types", sum(col("new_types")).over(w).cast("long"))
+      .orderBy(col("b"))
+  }
+
+  private val qTextHeapsSql =
+    """WITH toks AS MATERIALIZED (SELECT doc_id // 50 AS b,
+      |unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
+      |pb AS (SELECT b, COUNT(*) AS n_toks FROM toks GROUP BY 1),
+      |fb AS (SELECT b, COUNT(*) AS new_types FROM (
+      |SELECT token, MIN(b) AS b FROM toks GROUP BY 1) f GROUP BY 1)
+      |SELECT pb.b AS b, n_toks, COALESCE(new_types, 0) AS new_types,
+      |CAST(SUM(n_toks) OVER (ORDER BY pb.b
+      |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+      |CAST(SUM(COALESCE(new_types, 0)) OVER (ORDER BY pb.b
+      |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
+      |FROM pb LEFT JOIN fb ON pb.b = fb.b ORDER BY pb.b""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // q_graph_2hop — exact 2-hop reach of the highest-degree vertices
+  // ------------------------------------------------------------------
+
+  /** Exact ≤2-hop distinct reach for the 20 highest-degree vertices of
+    * the customer–supplier graph — the friends-of-friends panel
+    * (reference analogue: the 2-superstep neighbor-exchange pattern of
+    * giraph-examples' triangle closing). The expansion is seeded from
+    * ONLY the 20 sources (semi-join before the hop join), so the
+    * wedge work is 20 adjacency lists, not the whole graph's. */
+  private def qTwoHop(s: SparkSession, dir: String): DataFrame = {
+    val e = TestGraphs.custSuppSym(Tables(s, dir)).select(col("src"), col("dst"))
+      .localCheckpoint()
+    val top = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("id")).limit(20)
+    val h1 = e.join(broadcast(top.select(col("id"))), col("src") === col("id"))
+      .select(col("id"), col("dst").as("n"))
+    val h2 = h1.join(e, h1("n") === e("src"))
+      .select(col("id"), col("dst").as("n"))
+    val reach = h1.unionByName(h2)
+      .filter(col("n") =!= col("id")).distinct()
+      .groupBy(col("id")).agg(count(lit(1)).as("n_reach2"))
+    val hop1 = h1.filter(col("n") =!= col("id")).distinct()
+      .groupBy(col("id")).agg(count(lit(1)).as("n_reach1"))
+    top.join(hop1, Seq("id")).join(reach, Seq("id"))
+      .select(col("id"), col("deg"), col("n_reach1"), col("n_reach2"))
+      .orderBy(col("deg").desc, col("id"))
+  }
+
+  private val qTwoHopSql =
+    s"""WITH ${TestGraphs.custSuppSymSql},
+       |top AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY 1
+       |ORDER BY deg DESC, id LIMIT 20),
+       |h1 AS MATERIALIZED (SELECT t.id, e.dst AS n FROM e
+       |JOIN top t ON e.src = t.id),
+       |h2 AS (SELECT h1.id, e.dst AS n FROM h1 JOIN e ON h1.n = e.src),
+       |r2 AS (SELECT id, COUNT(*) AS n_reach2 FROM (
+       |SELECT DISTINCT id, n FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2) u
+       |WHERE n <> id) z GROUP BY 1),
+       |r1 AS (SELECT id, COUNT(*) AS n_reach1 FROM (
+       |SELECT DISTINCT id, n FROM h1 WHERE n <> id) z1 GROUP BY 1)
+       |SELECT top.id, deg, n_reach1, n_reach2 FROM top
+       |JOIN r1 ON r1.id = top.id JOIN r2 ON r2.id = top.id
+       |ORDER BY deg DESC, top.id""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
 
@@ -348,7 +433,9 @@ object AnalyticsQueries {
     "q_sax_symbols"      -> (qSaxSymbols _),
     "q_graph_rich_club"  -> (qRichClub _),
     "q_graph_local_bridges" -> (qLocalBridges _),
-    "q_graph_degree_matrix" -> (qDegreeMatrix _))
+    "q_graph_degree_matrix" -> (qDegreeMatrix _),
+    "q_text_heaps"       -> (qTextHeaps _),
+    "q_graph_2hop"       -> (qTwoHop _))
 
   val oracles: Map[String, String] = Map(
     "q_trailing_dau"     -> qTrailingDauSql,
@@ -359,5 +446,7 @@ object AnalyticsQueries {
     "q_sax_symbols"      -> qSaxSymbolsSql,
     "q_graph_rich_club"  -> qRichClubSql,
     "q_graph_local_bridges" -> qLocalBridgesSql,
-    "q_graph_degree_matrix" -> qDegreeMatrixSql)
+    "q_graph_degree_matrix" -> qDegreeMatrixSql,
+    "q_text_heaps"       -> qTextHeapsSql,
+    "q_graph_2hop"       -> qTwoHopSql)
 }

@@ -1057,6 +1057,19 @@ object PipelineQueries {
 
   // registry ------------------------------------------------------------
 
+  /** [[Multimodal.pixelHistogram]]: 16-bin luminance histogram per
+    * document-as-image. The oracle recomputes the bins from the text
+    * characters (the pixstats pure-ASCII fixture contract), so the
+    * comparison proves the parser skipped exactly the real header. */
+  private def qMultimodalHistogram(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pixelHistogram(Multimodal.documentsAsPpm(Tables(s, dir).documents))
+      .toDF().orderBy(col("doc_id"), col("bin"))
+
+  private val qMultimodalHistogramSql =
+    """SELECT doc_id, CAST(ascii(c) // 16 AS INT) AS bin, COUNT(*) AS cnt
+      |FROM (SELECT doc_id, unnest(split(text, '')) AS c FROM documents) z
+      |GROUP BY 1, 2 ORDER BY doc_id, bin""".stripMargin.replace('\n', ' ')
+
   /** [[Similarity.covarianceUpper]] over the embedding corpus: quantize
     * q = ⌊v·2¹⁴⌋ FIRST, then every sum is an order-independent BIGINT.
     * Oracle recomputes the identical numerators by unnest + self-join —
@@ -1106,6 +1119,7 @@ object PipelineQueries {
        |FROM sv GROUP BY label ORDER BY label""".stripMargin.replace('\n', ' ')
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_histogram" -> (qMultimodalHistogram _),
     "q_emb_covariance"   -> (qEmbCovariance _),
     "q_emb_silhouette"   -> (qEmbSilhouette _),
     "q_partitioned_write" -> (qPartitionedWrite _),
@@ -1147,6 +1161,7 @@ object PipelineQueries {
     "q_multimodal_ahash_pairs" -> (qMultimodalAhashPairs _))
 
   val oracles: Map[String, String] = Map(
+    "q_multimodal_histogram" -> qMultimodalHistogramSql,
     "q_emb_covariance"   -> qEmbCovarianceSql,
     "q_emb_silhouette"   -> qEmbSilhouetteSql,
     "q_partitioned_write" -> qPartitionedWriteSql,

@@ -517,6 +517,38 @@ object Multimodal {
     * the oracle's expected dims come from the construction formula, not
     * from parsing). Pure Column ops; the payload bytes are identical to
     * DuckDB's encode() of the same string. */
+  final case class PixelHist(doc_id: Long, bin: Int, cnt: Long)
+
+  /** 16-bin luminance histogram of a P6 payload's pixel stream (bin =
+    * v div 16) — the per-asset exposure profile a visual-quality filter
+    * thresholds on. Same single-pass per-row kernel as [[pixelStats]]
+    * (one fixed 16-slot array per row, no per-byte allocation); only
+    * occupied bins are emitted, and a payload with no pixel bytes
+    * (empty or corrupt) emits no rows — histogram consumers join back
+    * onto the catalogue when absence matters. */
+  def pixelHistogram(media: DataFrame, idCol: String = "doc_id",
+                     payloadCol: String = "payload"): Dataset[PixelHist] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).as("doc_id"), col(payloadCol).as("payload"))
+      .as[MediaRow]
+      .flatMap { r =>
+        decodePpmAt(r.payload, 0) match {
+          case Some((_, _, _, hdrLen)) =>
+            val bins = new Array[Long](16)
+            var i = hdrLen
+            while (i < r.payload.length) {
+              bins((r.payload(i) & 0xff) >> 4) += 1
+              i += 1
+            }
+            (0 until 16).collect {
+              case b if bins(b) > 0 => PixelHist(r.doc_id, b, bins(b))
+            }
+          case None => Nil
+        }
+      }
+  }
+
   def documentsAsPpm(docs: DataFrame): DataFrame = {
     val w = (lit(1) + col("doc_id") % 64).cast("string")
     val h = (lit(1) + length(col("text")) % 64).cast("string")

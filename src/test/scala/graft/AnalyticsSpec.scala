@@ -111,6 +111,28 @@ class AnalyticsSpec extends SparkSpec {
       rows.head.getLong(2) == 4L)
   }
 
+  test("heaps curve is monotone and ends at the full vocabulary") {
+    val rows = Queries.all("q_text_heaps")(spark, sf).collect()
+    val types = rows.map(_.getLong(4))
+    assert(types.zip(types.tail).forall { case (a, b) => a <= b })
+    val toks = rows.map(_.getLong(3))
+    assert(toks.zip(toks.tail).forall { case (a, b) => a < b })
+    // every batch's new types are bounded by its token count
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("two-hop reach on a path graph") {
+    // path 1-2-3-4-5 (symmetric edges): vertex 3 reaches all 4 others
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val h1 = p.select(col("src").as("id"), col("dst").as("n"))
+    val h2 = h1.join(p, h1("n") === p("src")).select(col("id"), col("dst").as("n"))
+    val reach = h1.unionByName(h2).filter(col("n") =!= col("id")).distinct()
+      .groupBy("id").agg(count(lit(1)).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reach(3L) == 4L && reach(1L) == 2L && reach(2L) == 3L)
+  }
+
   test("sax symbols are a balanced quartile labelling") {
     val rows = Queries.all("q_sax_symbols")(spark, sf).collect()
     val syms = rows.map(_.getInt(3))

@@ -125,6 +125,13 @@ class PipelineSpec extends SparkSpec {
     assert(top(1) == ((1L, 3L, 0L)))
   }
 
+  test("pixel histogram bins partition the pixel stream") {
+    val docs = Seq((7L, "Aa0!")).toDF("doc_id", "text") // bins 4,6,3,2
+    val got = Multimodal.pixelHistogram(Multimodal.documentsAsPpm(docs))
+      .collect().map(h => h.bin -> h.cnt).toMap
+    assert(got == Map(4 -> 1L, 6 -> 1L, 3 -> 1L, 2 -> 1L))
+  }
+
   test("covariance numerators: orthogonal one-hot rows anti-correlate") {
     val e = Seq(
       (1L, Seq(1.0f, 0.0f)),
