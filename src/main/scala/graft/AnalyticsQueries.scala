@@ -421,6 +421,128 @@ object AnalyticsQueries {
        |ORDER BY deg DESC, top.id""".stripMargin.replace('\n', ' ')
 
   // ------------------------------------------------------------------
+  // q_fulfillment_lag — ship-vs-order lag panel per order priority
+  // ------------------------------------------------------------------
+
+  /** Order-to-ship lag distribution per priority class, in integral
+    * days. The mean is reported over lags SHIFTED by +2400 days (the
+    * silhouette discipline: a lag can be negative in this corpus, and
+    * truncating `div` and flooring `//` agree only on non-negative
+    * operands — the constant shift is lossless to compare). The
+    * negative-lag count doubles as the ships-before-ordered DQ alarm. */
+  private def qFulfillmentLag(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        expr("datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE))")
+          .cast("long").as("lag"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        min(col("lag")).as("min_lag"), max(col("lag")).as("max_lag"),
+        sum(when(col("lag") < 0, 1L).otherwise(0L)).cast("long").as("n_negative"),
+        sum(col("lag") + lit(2400L)).cast("long").as("sum_shift"))
+      .select(col("o_orderpriority"), col("n"), col("min_lag"), col("max_lag"),
+        col("n_negative"),
+        expr("(sum_shift * 1000000) div n").as("mean_shift_e6"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val qFulfillmentLagSql =
+    """WITH l AS (SELECT o_orderpriority,
+      |CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS BIGINT) AS lag
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |g AS (SELECT o_orderpriority, COUNT(*) AS n,
+      |MIN(lag) AS min_lag, MAX(lag) AS max_lag,
+      |CAST(SUM(CASE WHEN lag < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+      |CAST(SUM(lag + 2400) AS BIGINT) AS sum_shift
+      |FROM l GROUP BY 1)
+      |SELECT o_orderpriority, n, min_lag, max_lag, n_negative,
+      |(sum_shift * 1000000) // n AS mean_shift_e6
+      |FROM g ORDER BY o_orderpriority""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // q_hhi — Herfindahl–Hirschman supplier concentration per nation
+  // ------------------------------------------------------------------
+
+  /** Market-concentration audit: per supplier nation, the HHI of
+    * supplier revenue shares. Revenue is floored to integer cents at
+    * the LINEITEM granularity (one floor, then integer sums — the
+    * [[graft.sql.Exact]] rule applied before aggregation, so engine
+    * summation order can't matter), shares are e6 floor divisions, and
+    * HHI = Σ share² lands on the e12 scale. Two aggregations plus a
+    * broadcast-sized nation join. */
+  private def qHhi(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val rev = t.lineitem
+      .select(col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+      .groupBy(col("l_suppkey")).agg(sum(col("cents")).cast("long").as("rev"))
+      .join(t.supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+    rev
+      .withColumn("total",
+        sum(col("rev")).over(Window.partitionBy(col("s_nationkey"))).cast("long"))
+      .withColumn("share_e6", expr("(rev * 1000000) div total"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("share_e6") * col("share_e6")).cast("long").as("hhi_e12"),
+        max(col("share_e6")).as("top_share_e6"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  private val qHhiSql =
+    """WITH rev AS (SELECT l_suppkey, CAST(SUM(cents) AS BIGINT) AS rev FROM (
+      |SELECT l_suppkey,
+      |CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents
+      |FROM lineitem) li GROUP BY 1),
+      |j AS (SELECT s_nationkey, rev,
+      |CAST(SUM(rev) OVER (PARTITION BY s_nationkey) AS BIGINT) AS total
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey),
+      |sh AS (SELECT s_nationkey, (rev * 1000000) // total AS share_e6 FROM j)
+      |SELECT s_nationkey, COUNT(*) AS n_suppliers,
+      |CAST(SUM(share_e6 * share_e6) AS BIGINT) AS hhi_e12,
+      |MAX(share_e6) AS top_share_e6
+      |FROM sh GROUP BY 1 ORDER BY s_nationkey""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // q_graph_peel — leaf-trimming depth profile
+  // ------------------------------------------------------------------
+
+  private val PeelRounds = 6
+
+  /** [[graft.graph.Algos.leafPeelCounts]] over the symmetric
+    * customer–supplier graph: 6 fixed peel rounds, oracle unrolled. */
+  private def qGraphPeel(s: SparkSession, dir: String): DataFrame =
+    graph.Algos.leafPeelCounts(
+      TestGraphs.custSuppSym(Tables(s, dir)).select("src", "dst"), PeelRounds)
+      .orderBy(col("round"))
+
+  private val qGraphPeelSql = {
+    val rounds = (1 to PeelRounds).map { r =>
+      s"""d$r AS (SELECT src AS id, COUNT(*) AS d FROM e${r - 1} GROUP BY 1),
+         |p$r AS MATERIALIZED (SELECT v.id FROM v${r - 1} v
+         |LEFT JOIN d$r d ON d.id = v.id WHERE COALESCE(d.d, 0) <= 1),
+         |v$r AS MATERIALIZED (SELECT id FROM v${r - 1}
+         |WHERE id NOT IN (SELECT id FROM p$r)),
+         |e$r AS MATERIALIZED (SELECT src, dst FROM e${r - 1}
+         |WHERE src NOT IN (SELECT id FROM p$r)
+         |AND dst NOT IN (SELECT id FROM p$r))""".stripMargin.replace('\n', ' ')
+    }.mkString(", ")
+    val unions = (1 to PeelRounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, CAST(COUNT(*) AS BIGINT) AS n_vertices FROM p$r")
+      .mkString(" UNION ALL ")
+    s"""WITH ${TestGraphs.custSuppSymSql},
+       |v0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+       |e0 AS MATERIALIZED (SELECT src, dst FROM e),
+       |$rounds
+       |SELECT round, n_vertices FROM (
+       |$unions
+       |UNION ALL SELECT CAST(0 AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM v$PeelRounds) z
+       |ORDER BY round""".stripMargin.replace('\n', ' ')
+  }
+
+  // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
 
@@ -435,7 +557,10 @@ object AnalyticsQueries {
     "q_graph_local_bridges" -> (qLocalBridges _),
     "q_graph_degree_matrix" -> (qDegreeMatrix _),
     "q_text_heaps"       -> (qTextHeaps _),
-    "q_graph_2hop"       -> (qTwoHop _))
+    "q_graph_2hop"       -> (qTwoHop _),
+    "q_fulfillment_lag"  -> (qFulfillmentLag _),
+    "q_hhi"              -> (qHhi _),
+    "q_graph_peel"       -> (qGraphPeel _))
 
   val oracles: Map[String, String] = Map(
     "q_trailing_dau"     -> qTrailingDauSql,
@@ -448,5 +573,8 @@ object AnalyticsQueries {
     "q_graph_local_bridges" -> qLocalBridgesSql,
     "q_graph_degree_matrix" -> qDegreeMatrixSql,
     "q_text_heaps"       -> qTextHeapsSql,
-    "q_graph_2hop"       -> qTwoHopSql)
+    "q_graph_2hop"       -> qTwoHopSql,
+    "q_fulfillment_lag"  -> qFulfillmentLagSql,
+    "q_hhi"              -> qHhiSql,
+    "q_graph_peel"       -> qGraphPeelSql)
 }

@@ -1876,6 +1876,44 @@ object Algos {
     out
   }
 
+  /** Iterative leaf-trimming (the k=2 onion): for `rounds` fixed
+    * supersteps, peel every vertex of degree ≤ 1 (isolated vertices
+    * included — they are the previous round's newly-stranded leaves) and
+    * report how many fell in each round, plus the surviving 2-core-ish
+    * remainder as round 0. The peel depth is the tree-ness profile of
+    * the graph — how much of it is pendant filament vs cyclic core
+    * (reference analogue: the degree-filtering superstep loop of k-core,
+    * giraph-examples' SimpleMutateGraph peel pattern).
+    *
+    * Scale: each round is one degree aggregation + two anti-joins, all
+    * on the shrinking edge frame; iterated state is checkpoint-managed;
+    * the driver sees only per-round counts. Fixed round count keeps the
+    * oracle an exact unroll. */
+  def leafPeelCounts(edges: DataFrame, rounds: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val counts = Seq.newBuilder[(Long, Long)]
+    (1 to rounds).foreach { r =>
+      val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+      val peeled = verts.join(deg, Seq("id"), "left")
+        .filter(coalesce(col("d"), lit(0L)) <= 1)
+        .select(col("id")).localCheckpoint()
+      counts += ((r.toLong, peeled.count()))
+      val pv = verts.join(peeled, Seq("id"), "left_anti").localCheckpoint()
+      val pe = e.join(peeled.select(col("id").as("src")), Seq("src"), "left_anti")
+        .join(peeled.select(col("id").as("dst")), Seq("dst"), "left_anti")
+        .select(col("src"), col("dst")).localCheckpoint()
+      freeCkpt(e); freeCkpt(verts); freeCkpt(peeled)
+      e = pe; verts = pv
+    }
+    counts += ((0L, verts.count()))
+    freeCkpt(e); freeCkpt(verts)
+    counts.result().toDF("round", "n_vertices")
+  }
+
   /** Joint degree matrix in log₂ buckets: every edge lands in the cell
     * (⌊log₂ d_u⌋, ⌊log₂ d_v⌋) with the bucket pair canonicalized
     * low≤high — the assortativity panel itemized (who links to whom, by

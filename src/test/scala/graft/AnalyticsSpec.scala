@@ -133,6 +133,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(reach(3L) == 4L && reach(1L) == 2L && reach(2L) == 3L)
   }
 
+  test("leaf peeling strips a path from the outside in, sparing the cycle") {
+    // triangle 1-2-3 with tail 3-4-5: round 1 peels 5, round 2 peels 4,
+    // triangle survives
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val got = graph.Algos.leafPeelCounts(e, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 0L, 0L -> 3L))
+  }
+
+  test("hhi of a supplier monopoly is the e12 maximum") {
+    // one supplier with all revenue in its nation → share 1e6, hhi 1e12
+    val rows = Queries.all("q_hhi")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, hhi, top) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(hhi <= 1000000000000L && top <= 1000000L)
+      // HHI is at least 1/n (the perfectly-equal lower bound, floor slack ≤ n)
+      assert(hhi >= 1000000000000L / n - n * 2000000L)
+      if (n == 1) assert(hhi == 1000000000000L)
+    }
+  }
+
+  test("fulfillment lag panel flags ships-before-ordered rows") {
+    val rows = Queries.all("q_fulfillment_lag")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq.sorted == rows.map(_.getString(0)).toSeq)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3))          // min ≤ max
+      assert(r.getLong(4) <= r.getLong(1))          // n_negative ≤ n
+      val mean = r.getLong(5)
+      assert(mean >= (r.getLong(2) + 2400L) * 1000000L - 1000000L &&
+        mean <= (r.getLong(3) + 2400L) * 1000000L)  // mean within [min, max]
+    }
+  }
+
   test("sax symbols are a balanced quartile labelling") {
     val rows = Queries.all("q_sax_symbols")(spark, sf).collect()
     val syms = rows.map(_.getInt(3))
