@@ -98,6 +98,13 @@ object GraftRunner {
             case "bm25" => graft.pipeline.Retrieval.bm25(docs,
               opts.getOrElse("terms", "spark,vector,merge").split(",").toSeq,
               k = opts.getOrElse("k", "15").toInt)
+            case "textrank" => graft.pipeline.Retrieval.textRank(docs,
+              vocab = opts.getOrElse("vocab", "150").toInt,
+              iters = opts.getOrElse("iters", "10").toInt,
+              topK = opts.getOrElse("k", "25").toInt)
+            case "eval-ranking" => graft.pipeline.Retrieval.evalRanking(docs,
+              opts.getOrElse("terms", "spark,vector,merge").split(",").toSeq,
+              k = opts.getOrElse("k", "10").toInt)
             case "dedup-cdc" =>
               Dedup.cdcDupPairs(docs,
                 threshold = opts.getOrElse("threshold", "0.5").toDouble)
@@ -148,6 +155,18 @@ object GraftRunner {
             case "coloring" => Algos.greedyColoring(edges)
             case "matching" => Algos.maximalMatching(edges)
             case "diameter" => Algos.doubleSweep(edges)
+            case "richclub" => Algos.richClub(
+              edges.filter(col("src") < col("dst"))
+                .select(col("src").as("u"), col("dst").as("v")).distinct(),
+              opts.getOrElse("ks", "1,2,4,8,16,32").split(",").toSeq.map(_.toLong))
+            case "bridges" => Algos.localBridgeStats(
+              edges.filter(col("src") < col("dst"))
+                .select(col("src").as("u"), col("dst").as("v")).distinct())
+            case "degree-matrix" => Algos.jointDegreeMatrix(
+              edges.filter(col("src") < col("dst"))
+                .select(col("src").as("u"), col("dst").as("v")).distinct())
+            case "peel" => Algos.leafPeelCounts(edges,
+              rounds = opts.getOrElse("rounds", "6").toInt)
             case "neighborhood" => Algos.neighborhoodFunction(edges,
               maxH = opts.getOrElse("maxh", "4").toInt,
               sampleMod = opts.getOrElse("samplemod", "37").toLong)
@@ -233,6 +252,8 @@ object GraftRunner {
       |  graph algo: pagerank pagerank-conv wpagerank sssp bfs wcc scc
       |              degrees mis triangles ktruss [--k N] lpa ecc
       |              walks [--len N] mst katz linkpred [--maxdeg N] bowtie
+      |              richclub [--ks a,b,..] bridges degree-matrix
+      |              peel [--rounds N] diameter coloring matching
       |              ([--tol X] [--convergence
       |              sum|max|sum_rel|max_rel|rmse] for pagerank-conv)
       |              run-class --class <fqcn of a graft.UserProgram>
@@ -243,6 +264,8 @@ object GraftRunner {
       |  corpus op: dedup-exact dedup-minhash dedup-clusters tfidf vocab
       |             scrub pack sample sample-topk repetition
       |             dedup-cdc [--threshold X] surprisal bpe-train [--k N]
+      |             textrank [--vocab N] [--iters N] [--k N]
+      |             eval-ranking [--terms a,b] [--k N]
       |             dedup-index-write (signs --docs into --out)
       |             dedup-index-probe --index <path> (probe increment)""".stripMargin)
 }

@@ -51,6 +51,20 @@ class UserProgramSpec extends SparkSpec {
     assert(got === Seq((1L, 9L), (2L, 9L), (3L, 9L), (5L, 6L), (6L, 6L), (9L, 9L)))
   }
 
+  test("structure-panel CLI actions run end-to-end on an edge file") {
+    val rc = GraftRunner.execute(spark, "richclub",
+      Map("edges" -> edgesPath, "ks" -> "1"))
+    assert(rc.columns.toSeq == Seq("k", "n_k", "e_k", "phi_e6"))
+    assert(rc.count() == 1)
+    val pe = GraftRunner.execute(spark, "peel",
+      Map("edges" -> edgesPath, "rounds" -> "3"))
+    assert(pe.count() == 4) // 3 rounds + survivors row
+    val br = GraftRunner.execute(spark, "bridges", Map("edges" -> edgesPath))
+    // both fixture components are trees: every edge is a local bridge
+    val r = br.collect().head
+    assert(r.getLong(0) == r.getLong(1) && r.getLong(2) == 1000000L)
+  }
+
   test("run-class rejects a class that is not a UserProgram") {
     intercept[ClassCastException] {
       GraftRunner.execute(spark, "run-class",
