@@ -220,6 +220,23 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming exact daily-active-users: dedup each (user, day) within
+    * the watermark, then count per daily window — the chained
+    * stateful-operator form (dedup → windowed agg) Spark 4 supports
+    * under a shared event-time watermark. State is one row per DISTINCT
+    * (user, day) inside the watermark horizon (evicted as the watermark
+    * passes), not one per event — the property that makes exact DAU
+    * viable on an unbounded feed; the rolling 7-day view is the batch
+    * q_trailing_dau over the sink. */
+  def dailyActiveUsers(events: DataFrame,
+                       watermark: String = "25 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("day", to_date(col("ts")))
+      .dropDuplicatesWithinWatermark(Seq("user_id", "day"))
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("dau"))
+
   /** Watermarked stream-stream interval join: attribute each purchase
     * to the same user's clicks in the preceding `window` (click_ts ∈
     * [purchase_ts − window, purchase_ts]). Both inputs carry watermarks

@@ -282,6 +282,23 @@ class StreamingSpec extends SparkSpec {
     query.stop()
   }
 
+  test("streaming exact DAU dedups users within each day window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.dailyActiveUsers(input.toDS().toDF())
+      .writeStream.format("memory").queryName("dau")
+      .outputMode("update").start()
+    // day 0: user 1 twice + user 2 once → dau 2; day 1: user 1 once → 1
+    input.addData(ev(1, 100, 1), ev(2, 200, 1), ev(3, 4000, 2),
+      ev(4, 90000, 1))
+    query.processAllAvailable()
+    val got = spark.table("dau")
+      .select(col("window.start").cast("long"), col("dau")).as[(Long, Long)]
+      .collect().toMap
+    assert(got(0L) == 2L && got(86400L) == 1L)
+    query.stop()
+  }
+
   test("streaming tumbling counts equal the batch aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
