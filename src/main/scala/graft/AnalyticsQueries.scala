@@ -543,6 +543,226 @@ object AnalyticsQueries {
   }
 
   // ------------------------------------------------------------------
+  // q_graph_transitivity — global clustering (closed-wedge ratio)
+  // ------------------------------------------------------------------
+
+  /** Global transitivity 3·triangles / wedges over the part co-purchase
+    * graph — the corpus-level companion to the per-vertex
+    * q_graph_clustering (an average of local ratios and the global
+    * closed-wedge share are DIFFERENT statistics; hub-heavy graphs pull
+    * them apart). Wedges come from one degree aggregation
+    * (Σ d·(d−1)/2, exact — consecutive integers make the product even);
+    * triangles from [[graft.graph.Algos.triangleCount]]'s oriented
+    * intersection. The oracle counts triangles by the independent
+    * 3-way-join formulation. */
+  private def qTransitivity(s: SparkSession, dir: String): DataFrame = {
+    val p = TestGraphs.partCoPairs(Tables(s, dir)).localCheckpoint()
+    val tri = graph.Algos.triangleCount(p)
+    val wedges = p.select(col("u").as("id")).union(p.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+      .agg(sum(expr("(d * (d - 1)) div 2")).cast("long").as("n_wedges"))
+    wedges.crossJoin(tri)
+      .select(col("n_wedges"), col("triangles"),
+        expr("(3 * triangles * 1000000) div n_wedges").as("transitivity_e6"))
+  }
+
+  private val qTransitivitySql =
+    s"""WITH cp AS MATERIALIZED (${TestGraphs.partCoPairsSql}),
+       |t AS (SELECT COUNT(*) AS triangles FROM cp a
+       |JOIN cp b ON b.u = a.u AND b.v > a.v
+       |JOIN cp c ON c.u = a.v AND c.v = b.v),
+       |deg AS (SELECT id, COUNT(*) AS d FROM (
+       |SELECT u AS id FROM cp UNION ALL SELECT v AS id FROM cp) z GROUP BY 1),
+       |w AS (SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg)
+       |SELECT n_wedges, triangles,
+       |(3 * triangles * 1000000) // n_wedges AS transitivity_e6
+       |FROM w CROSS JOIN t""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // q_audience_overlap — event-type audience Jaccard matrix
+  // ------------------------------------------------------------------
+
+  /** Audience overlap between event types: for every type pair, the
+    * exact Jaccard of their user sets — the segment-overlap matrix a
+    * growth team reads daily. Dedup to (type, user) FIRST (the
+    * trailing-DAU identity), then one self-join keyed on user; with T
+    * types the per-user fanout is ≤ T², a constant. */
+  private def qAudienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val tu = Tables(s, dir).events
+      .select(col("event_type"), col("user_id")).distinct().localCheckpoint()
+    val sizes = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val inter = tu.as("a").join(tu.as("b"),
+        col("a.user_id") === col("b.user_id")
+          && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("event_type").as("t1"), col("n").as("n1")), Seq("t1"))
+      .join(sizes.select(col("event_type").as("t2"), col("n").as("n2")), Seq("t2"))
+      .select(col("t1"), col("t2"), col("n1"), col("n2"), col("n_common"),
+        expr("(n_common * 1000000) div (n1 + n2 - n_common)").as("jaccard_e6"))
+      .orderBy(col("t1"), col("t2"))
+  }
+
+  private val qAudienceOverlapSql =
+    """WITH tu AS MATERIALIZED (SELECT DISTINCT event_type, user_id FROM events),
+      |sz AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY 1),
+      |iv AS (SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS n_common
+      |FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |GROUP BY 1, 2)
+      |SELECT t1, t2, s1.n AS n1, s2.n AS n2, n_common,
+      |(n_common * 1000000) // (s1.n + s2.n - n_common) AS jaccard_e6
+      |FROM iv JOIN sz s1 ON s1.event_type = t1 JOIN sz s2 ON s2.event_type = t2
+      |ORDER BY t1, t2""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // q_interpolate — linear gap interpolation of the daily revenue series
+  // ------------------------------------------------------------------
+
+  /** Linear interpolation across calendar gaps in the daily revenue
+    * series (the imputation companion to q_calendar_fill's zero-fill).
+    * Prev/next known anchors are found with plain MIN/MAX windows over
+    * an ENCODED (epoch-day·10¹³ + cents) BIGINT — the day index
+    * dominates the ordering, so max-over-preceding/min-over-following
+    * decode to "latest known before / earliest known after" without any
+    * IGNORE NULLS support on either engine. (Cents per day must stay
+    * < 10¹³ — ~10 orders of magnitude above this corpus; a warehouse
+    * deployment would widen to DECIMAL.) The interpolation step uses
+    * sign·(|Δrev|·offset div span) so every integer division sees
+    * non-negative operands (truncate/floor agreement). */
+  private def qInterpolate(s: SparkSession, dir: String): DataFrame = {
+    val enc = 10000000000000L
+    val t = Tables(s, dir)
+    val daily = t.orders
+      .select(expr("CAST(o_orderdate AS DATE)").as("d"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("d")).agg(sum(col("cents")).cast("long").as("rev"))
+    val spine = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+    val filled = spine.join(daily, Seq("d"), "left")
+      .select(expr("datediff(d, DATE'1970-01-01')").cast("long").as("di"),
+        col("d"), col("rev"))
+      .withColumn("e",
+        when(col("rev").isNotNull, col("di") * lit(enc) + col("rev")))
+    val wPrev = Window.orderBy(col("di"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.orderBy(col("di"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    filled
+      .withColumn("pe", max(col("e")).over(wPrev))
+      .withColumn("ne", min(col("e")).over(wNext))
+      .select(col("d").cast("string").as("day"), col("rev"),
+        expr(s"pe div ${enc}L").as("pd"), pmod(col("pe"), lit(enc)).as("pr"),
+        expr(s"ne div ${enc}L").as("nd"), pmod(col("ne"), lit(enc)).as("nr"),
+        col("di"))
+      .select(col("day"),
+        when(col("rev").isNotNull, col("rev")).otherwise(
+          col("pr") + when(col("nr") >= col("pr"), 1L).otherwise(-1L)
+            * expr("(abs(nr - pr) * (di - pd)) div (nd - pd)"))
+          .cast("long").as("rev_filled"),
+        col("rev").isNull.cast("int").as("is_gap"))
+      .orderBy(col("day"))
+  }
+
+  private val qInterpolateSql =
+    """WITH daily AS (SELECT d, CAST(SUM(cents) AS BIGINT) AS rev FROM (
+      |SELECT CAST(o_orderdate AS DATE) AS d,
+      |CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM orders) z GROUP BY 1),
+      |spine AS (SELECT unnest(generate_series(
+      |(SELECT MIN(d) FROM daily), (SELECT MAX(d) FROM daily),
+      |INTERVAL 1 DAY))::DATE AS d),
+      |f AS (SELECT CAST(spine.d - DATE '1970-01-01' AS BIGINT) AS di,
+      |spine.d AS d, daily.rev,
+      |CASE WHEN daily.rev IS NOT NULL
+      |THEN CAST(spine.d - DATE '1970-01-01' AS BIGINT) * 10000000000000 + daily.rev
+      |END AS e
+      |FROM spine LEFT JOIN daily ON spine.d = daily.d),
+      |anch AS (SELECT d, di, rev,
+      |MAX(e) OVER (ORDER BY di ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pe,
+      |MIN(e) OVER (ORDER BY di ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ne
+      |FROM f),
+      |dec AS (SELECT d, di, rev,
+      |pe // 10000000000000 AS pd, pe % 10000000000000 AS pr,
+      |ne // 10000000000000 AS nd, ne % 10000000000000 AS nr FROM anch)
+      |SELECT CAST(d AS VARCHAR) AS day,
+      |CAST(CASE WHEN rev IS NOT NULL THEN rev
+      |ELSE pr + (CASE WHEN nr >= pr THEN 1 ELSE -1 END)
+      |* ((abs(nr - pr) * (di - pd)) // (nd - pd)) END AS BIGINT) AS rev_filled,
+      |CASE WHEN rev IS NULL THEN 1 ELSE 0 END AS is_gap
+      |FROM dec ORDER BY day""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // q_text_sentences — sentence segmentation panel per source
+  // ------------------------------------------------------------------
+
+  /** Per-source sentence statistics under a shared [.!?]+ segmentation
+    * (ASCII-only, so the Java and RE2 regex dialects agree): document
+    * and sentence counts, floor-e6 mean sentences per document, max. */
+  private def qTextSentences(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("source"),
+        size(filter(split(col("text"), "[.!?]+"),
+          seg => length(trim(seg)) > 0)).cast("long").as("ns"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ns")).cast("long").as("n_sents"),
+        max(col("ns")).as("max_sents"))
+      .withColumn("mean_sents_e6", expr("(n_sents * 1000000) div n_docs"))
+      .orderBy(col("source"))
+
+  private val qTextSentencesSql =
+    """WITH per AS (SELECT source,
+      |CAST(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+      |seg -> length(trim(seg)) > 0)) AS BIGINT) AS ns
+      |FROM documents)
+      |SELECT source, COUNT(*) AS n_docs, CAST(SUM(ns) AS BIGINT) AS n_sents,
+      |MAX(ns) AS max_sents,
+      |(CAST(SUM(ns) AS BIGINT) * 1000000) // COUNT(*) AS mean_sents_e6
+      |FROM per GROUP BY source ORDER BY source""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // q_vocab_coverage — top-k token-mass coverage curve
+  // ------------------------------------------------------------------
+
+  private val CoverageKs = Seq(10L, 100L, 1000L)
+
+  /** What share of all token occurrences the k most frequent types
+    * cover, k ∈ {10, 100, 1000} — the tokenizer-design curve (how big a
+    * vocabulary buys how much of the corpus). One frequency aggregate,
+    * one rank window over the type frame (≪ corpus), a 3-way fan-out. */
+  private def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables(s, dir).documents
+      .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val tot = tf.agg(sum(col("c")).cast("long").as("total"))
+    val kArr = array(CoverageKs.map(lit): _*)
+    tf.withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("token"))).cast("long"))
+      .select(explode(kArr).as("k"), col("rank"), col("c"))
+      .filter(col("rank") <= col("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).cast("long").as("covered"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("n_types"), col("covered"),
+        expr("(covered * 1000000) div total").as("pct_e6"))
+      .orderBy(col("k"))
+  }
+
+  private val qVocabCoverageSql = {
+    val ks = CoverageKs.map(k => s"($k)").mkString(", ")
+    s"""WITH tf AS MATERIALIZED (SELECT token, COUNT(*) AS c FROM (
+       |SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+       |FROM documents) z GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM tf),
+       |rk AS (SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token) AS BIGINT) AS rank
+       |FROM tf),
+       |ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES $ks) v(k)),
+       |cv AS (SELECT k, COUNT(*) AS n_types, CAST(SUM(c) AS BIGINT) AS covered
+       |FROM rk CROSS JOIN ks WHERE rank <= k GROUP BY 1)
+       |SELECT k, n_types, covered, (covered * 1000000) // total AS pct_e6
+       |FROM cv CROSS JOIN tot ORDER BY k""".stripMargin.replace('\n', ' ')
+  }
+
+  // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
 
@@ -560,7 +780,12 @@ object AnalyticsQueries {
     "q_graph_2hop"       -> (qTwoHop _),
     "q_fulfillment_lag"  -> (qFulfillmentLag _),
     "q_hhi"              -> (qHhi _),
-    "q_graph_peel"       -> (qGraphPeel _))
+    "q_graph_peel"       -> (qGraphPeel _),
+    "q_graph_transitivity" -> (qTransitivity _),
+    "q_audience_overlap" -> (qAudienceOverlap _),
+    "q_interpolate"      -> (qInterpolate _),
+    "q_text_sentences"   -> (qTextSentences _),
+    "q_vocab_coverage"   -> (qVocabCoverage _))
 
   val oracles: Map[String, String] = Map(
     "q_trailing_dau"     -> qTrailingDauSql,
@@ -576,5 +801,10 @@ object AnalyticsQueries {
     "q_graph_2hop"       -> qTwoHopSql,
     "q_fulfillment_lag"  -> qFulfillmentLagSql,
     "q_hhi"              -> qHhiSql,
-    "q_graph_peel"       -> qGraphPeelSql)
+    "q_graph_peel"       -> qGraphPeelSql,
+    "q_graph_transitivity" -> qTransitivitySql,
+    "q_audience_overlap" -> qAudienceOverlapSql,
+    "q_interpolate"      -> qInterpolateSql,
+    "q_text_sentences"   -> qTextSentencesSql,
+    "q_vocab_coverage"   -> qVocabCoverageSql)
 }

@@ -168,6 +168,57 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("transitivity of triangle-plus-pendant is 3/5") {
+    // wedges: deg 2,2,3,1 → 1+1+3+0 = 5; one triangle → 3·1/5
+    val p = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val tri = graph.Algos.triangleCount(p)
+    val wedges = p.select(col("u").as("id")).union(p.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+      .agg(sum(expr("(d * (d - 1)) div 2")).cast("long").as("w"))
+    val r = wedges.crossJoin(tri)
+      .select(expr("(3 * triangles * 1000000) div w")).first().getLong(0)
+    assert(r == 600000L)
+  }
+
+  test("audience overlap matrix is bounded and symmetric-complete") {
+    val rows = Queries.all("q_audience_overlap")(spark, sf).collect()
+    assert(rows.length == 10) // C(5,2) type pairs
+    rows.foreach { r =>
+      val (n1, n2, common, j) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(common <= math.min(n1, n2))
+      assert(j >= 0 && j <= 1000000L)
+      assert(r.getString(0) < r.getString(1))
+    }
+  }
+
+  test("interpolation fills every gap with a value between its anchors") {
+    val rows = Queries.all("q_interpolate")(spark, sf).collect()
+    assert(rows.forall(!_.isNullAt(1)))
+    // gap values are bounded by the running min/max of known values
+    val known = rows.filter(_.getInt(2) == 0).map(_.getLong(1))
+    val lo = known.min; val hi = known.max
+    rows.filter(_.getInt(2) == 1)
+      .foreach(r => assert(r.getLong(1) >= lo && r.getLong(1) <= hi))
+  }
+
+  test("vocab coverage is monotone in k and capped at full mass") {
+    val rows = Queries.all("q_vocab_coverage")(spark, sf).collect()
+    val pct = rows.map(_.getLong(3))
+    assert(pct.zip(pct.tail).forall { case (a, b) => a <= b })
+    assert(pct.forall(p => p > 0 && p <= 1000000L))
+    rows.foreach(r => assert(r.getLong(1) <= r.getLong(0)))
+  }
+
+  test("sentence panel counts non-empty [.!?] segments") {
+    val segs = Seq((1L, "One. Two! Three? ", "s"), (2L, "no punct", "s"))
+      .toDF("doc_id", "text", "source")
+      .select(size(filter(split(col("text"), "[.!?]+"),
+        seg => length(trim(seg)) > 0)).as("ns"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(segs == Seq(3, 1))
+  }
+
   test("sax symbols are a balanced quartile labelling") {
     val rows = Queries.all("q_sax_symbols")(spark, sf).collect()
     val syms = rows.map(_.getInt(3))
