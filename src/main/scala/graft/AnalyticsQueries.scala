@@ -763,6 +763,57 @@ object AnalyticsQueries {
   }
 
   // ------------------------------------------------------------------
+  // q_graph_condensation — SCC contraction DAG panel
+  // ------------------------------------------------------------------
+
+  /** Macro-structure of the wait-for graph after SCC contraction: the
+    * condensation DAG's component count, largest component, singleton
+    * count, inter-component edge count, and its root/leaf counts
+    * (components with no incoming / no outgoing condensation edge) —
+    * the summary a deadlock or dependency analysis reads first. SCC
+    * labels come from [[graft.graph.Algos.scc]] (FB-coloring); the
+    * oracle recomputes them independently via transitive-closure
+    * squaring ([[graft.sql.OracleGen.sccSql]]) and replays the
+    * contraction joins. */
+  private def qCondensation(s: SparkSession, dir: String): DataFrame = {
+    val e = TestGraphs.waitFor(Tables(s, dir)).localCheckpoint()
+    val comp = graph.Algos.scc(e).localCheckpoint()
+    val ce = e
+      .join(comp.select(col("id").as("src"), col("comp").as("c1")), Seq("src"))
+      .join(comp.select(col("id").as("dst"), col("comp").as("c2")), Seq("dst"))
+      .filter(col("c1") =!= col("c2"))
+      .select(col("c1"), col("c2")).distinct().localCheckpoint()
+    val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("n"))
+    val stats = sizes.agg(count(lit(1)).as("n_components"),
+      max(col("n")).as("largest"),
+      sum(when(col("n") === 1, 1L).otherwise(0L)).cast("long").as("n_singletons"))
+    val roots = sizes.select(col("comp"))
+      .join(ce.select(col("c2").as("comp")).distinct(), Seq("comp"), "left_anti")
+      .agg(count(lit(1)).as("n_roots"))
+    val leaves = sizes.select(col("comp"))
+      .join(ce.select(col("c1").as("comp")).distinct(), Seq("comp"), "left_anti")
+      .agg(count(lit(1)).as("n_leaves"))
+    stats.crossJoin(ce.agg(count(lit(1)).as("n_cond_edges")))
+      .crossJoin(roots).crossJoin(leaves)
+  }
+
+  private val qCondensationSql = {
+    val inner = graft.sql.OracleGen.sccSql(TestGraphs.waitForSql, 8)
+    s"""WITH ${TestGraphs.waitForSql.replace("e AS MATERIALIZED", "ew AS MATERIALIZED")},
+       |comp AS MATERIALIZED (SELECT * FROM ($inner) qz),
+       |ce AS MATERIALIZED (SELECT DISTINCT a.comp AS c1, b.comp AS c2
+       |FROM ew JOIN comp a ON a.id = ew.src JOIN comp b ON b.id = ew.dst
+       |WHERE a.comp <> b.comp),
+       |sz AS (SELECT comp, COUNT(*) AS n FROM comp GROUP BY 1)
+       |SELECT (SELECT COUNT(*) FROM sz) AS n_components,
+       |(SELECT MAX(n) FROM sz) AS largest,
+       |(SELECT CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) FROM sz) AS n_singletons,
+       |(SELECT COUNT(*) FROM ce) AS n_cond_edges,
+       |(SELECT COUNT(*) FROM sz WHERE comp NOT IN (SELECT c2 FROM ce)) AS n_roots,
+       |(SELECT COUNT(*) FROM sz WHERE comp NOT IN (SELECT c1 FROM ce)) AS n_leaves""".stripMargin.replace('\n', ' ')
+  }
+
+  // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
 
@@ -785,7 +836,8 @@ object AnalyticsQueries {
     "q_audience_overlap" -> (qAudienceOverlap _),
     "q_interpolate"      -> (qInterpolate _),
     "q_text_sentences"   -> (qTextSentences _),
-    "q_vocab_coverage"   -> (qVocabCoverage _))
+    "q_vocab_coverage"   -> (qVocabCoverage _),
+    "q_graph_condensation" -> (qCondensation _))
 
   val oracles: Map[String, String] = Map(
     "q_trailing_dau"     -> qTrailingDauSql,
@@ -806,5 +858,6 @@ object AnalyticsQueries {
     "q_audience_overlap" -> qAudienceOverlapSql,
     "q_interpolate"      -> qInterpolateSql,
     "q_text_sentences"   -> qTextSentencesSql,
-    "q_vocab_coverage"   -> qVocabCoverageSql)
+    "q_vocab_coverage"   -> qVocabCoverageSql,
+    "q_graph_condensation" -> qCondensationSql)
 }

@@ -219,6 +219,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(segs == Seq(3, 1))
   }
 
+  test("condensation panel is internally consistent on the wait-for graph") {
+    val r = Queries.all("q_graph_condensation")(spark, sf).collect().head
+    val (nc, largest, singles, condE, roots, leaves) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    assert(nc > 1 && largest > 1)      // the supplier ring is a giant SCC
+    assert(singles < nc)
+    assert(condE <= nc * (nc - 1))     // DAG edge bound
+    assert(roots >= 1 && leaves >= 1 && roots <= nc && leaves <= nc)
+  }
+
   test("sax symbols are a balanced quartile labelling") {
     val rows = Queries.all("q_sax_symbols")(spark, sf).collect()
     val syms = rows.map(_.getInt(3))
