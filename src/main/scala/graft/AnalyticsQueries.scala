@@ -814,6 +814,46 @@ object AnalyticsQueries {
   }
 
   // ------------------------------------------------------------------
+  // q_decay_score — exponentially time-decayed engagement per user
+  // ------------------------------------------------------------------
+
+  /** Recency-weighted engagement: each event contributes its cents value
+    * halved per day of age (cents div 2^age, age capped at 30 — beyond
+    * that the contribution is already 0 for any realistic value), summed
+    * per user, top 100. Power-of-two decay keeps the weighting a pure
+    * integer shift — the [[graft.sql.Exact]] rule with no float
+    * anywhere; value is positive in this corpus so every division sees
+    * non-negative operands. Reference day = max event day (broadcast
+    * scalar). */
+  private def qDecayScore(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val ev = t.events.select(col("user_id"),
+      expr(s"ts div $DayUs").as("day"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    val ref = ev.agg(max(col("day")).as("ref_day"))
+    ev.crossJoin(broadcast(ref))
+      .withColumn("age", least(col("ref_day") - col("day"), lit(30L)).cast("int"))
+      .withColumn("dv", expr("cents div shiftleft(1L, age)"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("dv")).cast("long").as("decay_cents"))
+      .orderBy(col("decay_cents").desc, col("user_id")).limit(100)
+      .orderBy(col("decay_cents").desc, col("user_id"))
+  }
+
+  private val qDecayScoreSql =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) // $DayUs AS day,
+       |CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+       |ref AS (SELECT MAX(day) AS ref_day FROM ev),
+       |d AS (SELECT user_id, cents,
+       |CAST(least(ref_day - day, 30) AS INT) AS age FROM ev CROSS JOIN ref),
+       |g AS (SELECT user_id, COUNT(*) AS n_events,
+       |CAST(SUM(cents // (CAST(1 AS BIGINT) << age)) AS BIGINT) AS decay_cents
+       |FROM d GROUP BY 1)
+       |SELECT user_id, n_events, decay_cents FROM g
+       |QUALIFY ROW_NUMBER() OVER (ORDER BY decay_cents DESC, user_id) <= 100
+       |ORDER BY decay_cents DESC, user_id""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
 
@@ -837,7 +877,8 @@ object AnalyticsQueries {
     "q_interpolate"      -> (qInterpolate _),
     "q_text_sentences"   -> (qTextSentences _),
     "q_vocab_coverage"   -> (qVocabCoverage _),
-    "q_graph_condensation" -> (qCondensation _))
+    "q_graph_condensation" -> (qCondensation _),
+    "q_decay_score"      -> (qDecayScore _))
 
   val oracles: Map[String, String] = Map(
     "q_trailing_dau"     -> qTrailingDauSql,
@@ -859,5 +900,6 @@ object AnalyticsQueries {
     "q_interpolate"      -> qInterpolateSql,
     "q_text_sentences"   -> qTextSentencesSql,
     "q_vocab_coverage"   -> qVocabCoverageSql,
-    "q_graph_condensation" -> qCondensationSql)
+    "q_graph_condensation" -> qCondensationSql,
+    "q_decay_score"      -> qDecayScoreSql)
 }

@@ -1057,6 +1057,60 @@ object PipelineQueries {
 
   // registry ------------------------------------------------------------
 
+  /** LSH band-configuration tuning sweep: candidate-pair counts and
+    * verified-duplicate precision for (bands × rows) ∈ {2×8, 4×4, 8×2}
+    * over ONE shared 16-hash MinHash signature frame — the
+    * recall-vs-cost panel that decides a dedup deployment's banding.
+    * Signatures are computed once (persisted) and re-banded per config;
+    * each config is a self-join on its own (band, hash) key, exactly the
+    * production pipeline's shape with only the constant changed. */
+  private def qDedupBandTuning(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val sigs = Dedup.withMinhash(docs, shingleLen = 8, numHashes = 16)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = sigs.select(col("doc_id"), col("sh"))
+    val out = Seq((2, 8), (4, 4), (8, 2)).map { case (b, r) =>
+      val cands = Dedup.lshCandidates(sigs, b, r)
+      cands
+        .join(sh.select(col("doc_id").as("ida"), col("sh").as("sha")), Seq("ida"))
+        .join(sh.select(col("doc_id").as("idb"), col("sh").as("shb")), Seq("idb"))
+        .select(graft.text.TextFunctions.jaccard(col("sha"), col("shb"))
+          .geq(0.3).cast("long").as("dup"))
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(col("dup")), lit(0L)).cast("long").as("n_dups"))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_dups"),
+          when(col("n_candidates") > 0,
+            expr("(n_dups * 1000000) div n_candidates")).otherwise(lit(0L))
+            .as("precision_e6"))
+    }.reduce(_ unionByName _).orderBy(col("bands")).localCheckpoint()
+    sigs.unpersist()
+    out
+  }
+
+  private val qDedupBandTuningSql = {
+    val blocks = Seq((2, 8), (4, 4), (8, 2)).map { case (b, r) =>
+      s"""bands$b AS MATERIALIZED (SELECT doc_id, b,
+         |md5(array_to_string(sig[b*$r+1 : b*$r+$r], '|')) AS bv
+         |FROM sig, unnest(range(0, $b)) AS tb$b(b)),
+         |pairs$b AS MATERIALIZED (SELECT DISTINCT a.doc_id AS ida, b2.doc_id AS idb
+         |FROM bands$b a JOIN bands$b b2 ON a.b = b2.b AND a.bv = b2.bv
+         |AND a.doc_id < b2.doc_id),
+         |st$b AS (SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+         |COUNT(*) AS n_candidates,
+         |CAST(COALESCE(SUM(CASE WHEN inter / (la + lb - inter) >= 0.3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dups
+         |FROM (SELECT len(list_filter(x.sh, s -> list_contains(y.sh, s))) AS inter,
+         |len(x.sh) AS la, len(y.sh) AS lb
+         |FROM pairs$b p JOIN sh x ON x.doc_id = p.ida JOIN sh y ON y.doc_id = p.idb) j$b)""".stripMargin.replace('\n', ' ')
+    }.mkString(", ")
+    val union = Seq(2, 4, 8).map(b => s"SELECT * FROM st$b").mkString(" UNION ALL ")
+    s"""WITH $minhashSigCtes, $blocks
+       |SELECT bands, rows_per_band, n_candidates, n_dups,
+       |CASE WHEN n_candidates > 0 THEN (n_dups * 1000000) // n_candidates
+       |ELSE CAST(0 AS BIGINT) END AS precision_e6
+       |FROM ($union) z ORDER BY bands""".stripMargin.replace('\n', ' ')
+  }
+
   /** [[Multimodal.pixelHistogram]]: 16-bin luminance histogram per
     * document-as-image. The oracle recomputes the bins from the text
     * characters (the pixstats pure-ASCII fixture contract), so the
@@ -1120,6 +1174,7 @@ object PipelineQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_histogram" -> (qMultimodalHistogram _),
+    "q_dedup_band_tuning" -> (qDedupBandTuning _),
     "q_emb_covariance"   -> (qEmbCovariance _),
     "q_emb_silhouette"   -> (qEmbSilhouette _),
     "q_partitioned_write" -> (qPartitionedWrite _),
@@ -1162,6 +1217,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_histogram" -> qMultimodalHistogramSql,
+    "q_dedup_band_tuning" -> qDedupBandTuningSql,
     "q_emb_covariance"   -> qEmbCovarianceSql,
     "q_emb_silhouette"   -> qEmbSilhouetteSql,
     "q_partitioned_write" -> qPartitionedWriteSql,

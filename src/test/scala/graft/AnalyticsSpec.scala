@@ -230,6 +230,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(roots >= 1 && leaves >= 1 && roots <= nc && leaves <= nc)
   }
 
+  test("decay score halves a contribution per day of age") {
+    // 400 cents today + 400 cents 2 days ago = 400 + 100
+    val ev = Seq(
+      (1L, 2L * 86400000000L, 1L, 4.0),
+      (2L, 0L, 1L, 4.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val ref = 2L
+    val got = ev.select(col("user_id"),
+        expr("ts div 86400000000").as("day"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .withColumn("age", (lit(ref) - col("day")).cast("int"))
+      .withColumn("dv", expr("cents div shiftleft(1L, age)"))
+      .groupBy("user_id").agg(sum("dv")).first().getLong(1)
+    assert(got == 500L)
+  }
+
   test("sax symbols are a balanced quartile labelling") {
     val rows = Queries.all("q_sax_symbols")(spark, sf).collect()
     val syms = rows.map(_.getInt(3))

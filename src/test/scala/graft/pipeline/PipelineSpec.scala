@@ -125,6 +125,16 @@ class PipelineSpec extends SparkSpec {
     assert(top(1) == ((1L, 3L, 0L)))
   }
 
+  test("band tuning panel keeps dups within candidates and precision in range") {
+    val rows = graft.Queries.all("q_dedup_band_tuning")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 4L, 8L))
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2))
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000000L)
+    }
+  }
+
   test("pixel histogram bins partition the pixel stream") {
     val docs = Seq((7L, "Aa0!")).toDF("doc_id", "text") // bins 4,6,3,2
     val got = Multimodal.pixelHistogram(Multimodal.documentsAsPpm(docs))
