@@ -854,6 +854,36 @@ object AnalyticsQueries {
        |ORDER BY decay_cents DESC, user_id""".stripMargin.replace('\n', ' ')
 
   // ------------------------------------------------------------------
+  // q_graph_butterflies — bipartite 2×2 biclique census
+  // ------------------------------------------------------------------
+
+  /** [[graft.graph.Algos.butterflyCount]] over the customer–supplier
+    * bipartite graph, pivoting on customers (the side whose wedge
+    * volume is 12.5M at sf0.1 vs a supplier-pair key space ≤ |S|² that
+    * map-side combine collapses). Butterflies are the bipartite
+    * clustering signal — co-purchase cohesion without projecting the
+    * graph. */
+  private def qButterflies(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val e = t.orders.join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("l"), col("l_suppkey").as("r"))
+    graph.Algos.butterflyCount(e)
+  }
+
+  private val qButterfliesSql =
+    """WITH ce AS MATERIALIZED (SELECT DISTINCT o_custkey AS l, l_suppkey AS r
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |w AS (SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM (
+      |SELECT l, COUNT(*) AS d FROM ce GROUP BY 1) dg),
+      |rp AS (SELECT x.r AS r1, y.r AS r2, COUNT(*) AS c FROM ce x
+      |JOIN ce y ON x.l = y.l AND x.r < y.r GROUP BY 1, 2),
+      |bf AS (SELECT CAST(COALESCE(SUM((c * (c - 1)) // 2), 0) AS BIGINT) AS n_butterflies
+      |FROM rp)
+      |SELECT (SELECT COUNT(DISTINCT l) FROM ce) AS n_left,
+      |(SELECT COUNT(DISTINCT r) FROM ce) AS n_right,
+      |n_wedges, n_butterflies FROM w CROSS JOIN bf""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
 
@@ -878,7 +908,8 @@ object AnalyticsQueries {
     "q_text_sentences"   -> (qTextSentences _),
     "q_vocab_coverage"   -> (qVocabCoverage _),
     "q_graph_condensation" -> (qCondensation _),
-    "q_decay_score"      -> (qDecayScore _))
+    "q_decay_score"      -> (qDecayScore _),
+    "q_graph_butterflies" -> (qButterflies _))
 
   val oracles: Map[String, String] = Map(
     "q_trailing_dau"     -> qTrailingDauSql,
@@ -901,5 +932,6 @@ object AnalyticsQueries {
     "q_text_sentences"   -> qTextSentencesSql,
     "q_vocab_coverage"   -> qVocabCoverageSql,
     "q_graph_condensation" -> qCondensationSql,
-    "q_decay_score"      -> qDecayScoreSql)
+    "q_decay_score"      -> qDecayScoreSql,
+    "q_graph_butterflies" -> qButterfliesSql)
 }

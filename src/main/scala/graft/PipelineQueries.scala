@@ -110,6 +110,43 @@ object PipelineQueries {
        |FROM b ORDER BY doc_id""".stripMargin.replace('\n', ' ')
   }
 
+  /** Language-ID confusion matrix: the n-gram-heuristic prediction
+    * (same 3-profile rule as q_text_langid) against the STORED lang
+    * truth column — the classifier-evaluation panel (es/zh rows expose
+    * the out-of-profile failure mode: a 3-class heuristic must put them
+    * somewhere). cnt + per-truth-row share; one groupBy over the
+    * codegen'd signal projection. */
+  private def qLangConfusion(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    val hits = langProfiles.map { case (name, ws) => wordHits(col("text"), ws).as(s"s_$name") }
+    d.select((col("doc_id") +: col("lang") +: hits): _*)
+      .withColumn("pred_lang",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), lit("en"))
+          .when(col("s_de") >= col("s_fr"), lit("de"))
+          .otherwise(lit("fr")))
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("cnt"))
+      .withColumn("row_total", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))).cast("long"))
+      .select(col("lang"), col("pred_lang"), col("cnt"),
+        expr("(cnt * 1000000) div row_total").as("row_pct_e6"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  private val qLangConfusionSql = {
+    val profs = langProfiles.map { case (name, ws) =>
+      val l = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(${tokSql()}, t -> t IN ($l))) AS BIGINT) AS s_$name"
+    }.mkString(", ")
+    s"""WITH b AS (SELECT doc_id, lang, $profs FROM documents),
+       |p AS (SELECT lang,
+       |CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang FROM b),
+       |g AS (SELECT lang, pred_lang, COUNT(*) AS cnt FROM p GROUP BY 1, 2)
+       |SELECT lang, pred_lang, cnt,
+       |(cnt * 1000000) // CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS row_pct_e6
+       |FROM g ORDER BY lang, pred_lang""".stripMargin.replace('\n', ' ')
+  }
+
   private def qTextFingerprint(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir).documents
     d.select(col("doc_id"), shingleSet(col("text"), 8).as("sh"))
@@ -1175,6 +1212,7 @@ object PipelineQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_histogram" -> (qMultimodalHistogram _),
     "q_dedup_band_tuning" -> (qDedupBandTuning _),
+    "q_lang_confusion"   -> (qLangConfusion _),
     "q_emb_covariance"   -> (qEmbCovariance _),
     "q_emb_silhouette"   -> (qEmbSilhouette _),
     "q_partitioned_write" -> (qPartitionedWrite _),
@@ -1218,6 +1256,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q_multimodal_histogram" -> qMultimodalHistogramSql,
     "q_dedup_band_tuning" -> qDedupBandTuningSql,
+    "q_lang_confusion"   -> qLangConfusionSql,
     "q_emb_covariance"   -> qEmbCovarianceSql,
     "q_emb_silhouette"   -> qEmbSilhouetteSql,
     "q_partitioned_write" -> qPartitionedWriteSql,

@@ -1914,6 +1914,36 @@ object Algos {
     counts.result().toDF("round", "n_vertices")
   }
 
+  /** Bipartite butterfly (2×2 biclique) census over (left, right) edges:
+    * wedges are enumerated from the LEFT side (each left vertex emits
+    * C(d,2) right-pairs), grouped on the right-pair key, and
+    * B = Σ C(c,2) — the standard side-choosing butterfly algorithm
+    * (Sanei-Mehri et al. 2018). The caller picks the wedge side: pivot
+    * on the side whose Σ C(d,2) is smaller AND whose opposite side is
+    * small enough that the pair-key space collapses under map-side
+    * combine (here: customers pivot, supplier-pair keys ≤ |S|²).
+    * Output one row: left/right vertex counts, wedge count, butterflies.
+    * All exact integers. */
+  def butterflyCount(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("l"), col("r")).distinct().localCheckpoint()
+    val nl = e.select(col("l")).distinct().count()
+    val nr = e.select(col("r")).distinct().count()
+    val wedges = e.groupBy(col("l")).agg(count(lit(1)).as("d"))
+      .agg(sum(expr("(d * (d - 1)) div 2")).cast("long").as("n_wedges"))
+    val rp = e.as("x").join(e.as("y"),
+        col("x.l") === col("y.l") && col("x.r") < col("y.r"))
+      .groupBy(col("x.r").as("r1"), col("y.r").as("r2"))
+      .agg(count(lit(1)).as("c"))
+    val bf = rp.agg(coalesce(sum(expr("(c * (c - 1)) div 2")), lit(0L))
+      .cast("long").as("n_butterflies"))
+    val out = wedges.crossJoin(bf)
+      .select(lit(nl).as("n_left"), lit(nr).as("n_right"),
+        col("n_wedges"), col("n_butterflies"))
+      .localCheckpoint()
+    freeCkpt(e)
+    out
+  }
+
   /** Joint degree matrix in log₂ buckets: every edge lands in the cell
     * (⌊log₂ d_u⌋, ⌊log₂ d_v⌋) with the bucket pair canonicalized
     * low≤high — the assortativity panel itemized (who links to whom, by

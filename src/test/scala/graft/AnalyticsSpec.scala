@@ -246,6 +246,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == 500L)
   }
 
+  test("butterfly census counts the 2x2 biclique exactly once") {
+    // K_{2,2} plus a pendant right vertex: one butterfly, wedges 1+1+... :
+    // left {1,2} each see rights {10,11} (+1 sees 12) → d=3,2 → 3+1 wedges
+    val e = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 11L))
+      .toDF("l", "r")
+    val row = graph.Algos.butterflyCount(e).collect().head
+    assert(row.getLong(0) == 2L && row.getLong(1) == 3L)
+    assert(row.getLong(2) == 4L)   // C(3,2) + C(2,2)
+    assert(row.getLong(3) == 1L)   // exactly one 2x2 biclique
+  }
+
   test("sax symbols are a balanced quartile labelling") {
     val rows = Queries.all("q_sax_symbols")(spark, sf).collect()
     val syms = rows.map(_.getInt(3))
