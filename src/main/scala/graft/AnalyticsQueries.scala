@@ -884,6 +884,92 @@ object AnalyticsQueries {
       |n_wedges, n_butterflies FROM w CROSS JOIN bf""".stripMargin.replace('\n', ' ')
 
   // ------------------------------------------------------------------
+  // q_ab_ttest — Welch's t between md5-split experiment arms
+  // ------------------------------------------------------------------
+
+  /** Two-sample Welch t-test on event value between deterministic
+    * md5-split arms (the q_split_3way assignment rule, mod 2) — the
+    * experiment-analysis primitive. All sums are exact integers/wide
+    * decimals accumulated in one conditional-aggregation pass; the t
+    * statistic is ONE double formula evaluated on identical operands in
+    * both engines (the q_corr_matrix discipline — IEEE ÷ and √ are
+    * correctly rounded, so identical inputs give identical bits).
+    * Means are reported as exact integer e6 ratios. */
+  private def qAbTtest(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val ev = t.events.select(
+      pmod(graft.pipeline.Corpus.md5Uniform(col("user_id").cast("string")),
+        lit(2L)).as("arm"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    val st = ev.agg(
+      expr("sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)").cast("long").as("na"),
+      expr("sum(CASE WHEN arm = 0 THEN cents ELSE 0 END)").cast("long").as("sa"),
+      expr("sum(CASE WHEN arm = 0 THEN CAST(cents AS DECIMAL(38,0)) * cents ELSE 0 END)").as("ssa"),
+      expr("sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)").cast("long").as("nb"),
+      expr("sum(CASE WHEN arm = 1 THEN cents ELSE 0 END)").cast("long").as("sb"),
+      expr("sum(CASE WHEN arm = 1 THEN CAST(cents AS DECIMAL(38,0)) * cents ELSE 0 END)").as("ssb"))
+    st.select(col("na"), col("nb"),
+      expr("(sa * 1000000) div na").as("mean_a_e6"),
+      expr("(sb * 1000000) div nb").as("mean_b_e6"),
+      expr(s"CAST(FLOOR(($abTExpr) * 1000000) AS BIGINT)").as("t_e6"))
+  }
+
+  /** The one shared double formula — spliced VERBATIM into both plans. */
+  private def abTExpr: String =
+    """(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+      | / sqrt(((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0)) / CAST(na AS DOUBLE)
+      | + ((CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0)) / CAST(nb AS DOUBLE))""".stripMargin.replace('\n', ' ')
+
+  private val qAbTtestSql = {
+    val u = graft.sql.OracleGen.hex6("md5(CAST(user_id AS VARCHAR))") + " % 2"
+    s"""WITH ev AS (SELECT $u AS arm,
+       |CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+       |st AS (SELECT
+       |CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |CAST(SUM(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS BIGINT) AS sa,
+       |SUM(CASE WHEN arm = 0 THEN CAST(cents AS DECIMAL(38,0)) * cents ELSE 0 END) AS ssa,
+       |CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+       |CAST(SUM(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT) AS sb,
+       |SUM(CASE WHEN arm = 1 THEN CAST(cents AS DECIMAL(38,0)) * cents ELSE 0 END) AS ssb
+       |FROM ev)
+       |SELECT na, nb, (sa * 1000000) // na AS mean_a_e6,
+       |(sb * 1000000) // nb AS mean_b_e6,
+       |CAST(FLOOR(($abTExpr) * 1000000) AS BIGINT) AS t_e6
+       |FROM st""".stripMargin.replace('\n', ' ')
+  }
+
+  // ------------------------------------------------------------------
+  // q_graph_core_ladder — k-core decomposition ladder
+  // ------------------------------------------------------------------
+
+  private val CoreLadderKs = Seq(2L, 8L, 32L)
+
+  /** Size of the k-core for k ∈ {2, 8, 32} — the cohesion ladder
+    * between the single-k q_graph_kcore and a full coreness
+    * decomposition. Each rung is one [[graft.graph.Algos.kCore]]
+    * fixpoint (converged; the oracle unrolls 16 peel rounds, trailing
+    * rounds no-ops). sum_deg counts symmetric edge ends (2·edges). */
+  private def qCoreLadder(s: SparkSession, dir: String): DataFrame = {
+    val e = TestGraphs.custSuppSym(Tables(s, dir)).select("src", "dst")
+      .localCheckpoint()
+    CoreLadderKs.map { k =>
+      graph.Algos.kCore(e, k.toInt)
+        .agg(count(lit(1)).as("n_vertices"),
+          coalesce(sum(col("deg")), lit(0L)).cast("long").as("sum_deg"))
+        .select(lit(k).as("k"), col("n_vertices"), col("sum_deg"))
+    }.reduce(_ unionByName _).orderBy(col("k"))
+  }
+
+  private val qCoreLadderSql = {
+    val rungs = CoreLadderKs.map { k =>
+      val inner = graft.sql.OracleGen.kCoreSql(TestGraphs.custSuppSymSql, k.toInt, 16)
+      s"""SELECT CAST($k AS BIGINT) AS k, COUNT(*) AS n_vertices,
+         |CAST(COALESCE(SUM(deg), 0) AS BIGINT) AS sum_deg FROM ($inner) z$k""".stripMargin.replace('\n', ' ')
+    }.mkString(" UNION ALL ")
+    s"SELECT k, n_vertices, sum_deg FROM ($rungs) u ORDER BY k"
+  }
+
+  // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
 
@@ -909,7 +995,9 @@ object AnalyticsQueries {
     "q_vocab_coverage"   -> (qVocabCoverage _),
     "q_graph_condensation" -> (qCondensation _),
     "q_decay_score"      -> (qDecayScore _),
-    "q_graph_butterflies" -> (qButterflies _))
+    "q_graph_butterflies" -> (qButterflies _),
+    "q_ab_ttest"         -> (qAbTtest _),
+    "q_graph_core_ladder" -> (qCoreLadder _))
 
   val oracles: Map[String, String] = Map(
     "q_trailing_dau"     -> qTrailingDauSql,
@@ -933,5 +1021,7 @@ object AnalyticsQueries {
     "q_vocab_coverage"   -> qVocabCoverageSql,
     "q_graph_condensation" -> qCondensationSql,
     "q_decay_score"      -> qDecayScoreSql,
-    "q_graph_butterflies" -> qButterfliesSql)
+    "q_graph_butterflies" -> qButterfliesSql,
+    "q_ab_ttest"         -> qAbTtestSql,
+    "q_graph_core_ladder" -> qCoreLadderSql)
 }

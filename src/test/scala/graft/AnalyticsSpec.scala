@@ -257,6 +257,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(row.getLong(3) == 1L)   // exactly one 2x2 biclique
   }
 
+  test("A/B t-test on identical arms is near zero; means are exact") {
+    val r = Queries.all("q_ab_ttest")(spark, sf).collect().head
+    val (na, nb) = (r.getLong(0), r.getLong(1))
+    assert(na > 0 && nb > 0)
+    // md5 split is ~50/50
+    assert(math.abs(na - nb) < (na + nb) / 2)
+    // arms drawn from the same distribution → |t| < 5 with huge margin
+    assert(math.abs(r.getLong(4)) < 5000000L)
+  }
+
+  test("core ladder is antitone in k") {
+    val rows = Queries.all("q_graph_core_ladder")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 8L, 32L))
+    val nv = rows.map(_.getLong(1))
+    val sd = rows.map(_.getLong(2))
+    assert(nv.zip(nv.tail).forall { case (a, b) => a >= b })
+    assert(sd.zip(sd.tail).forall { case (a, b) => a >= b })
+    // a k-core vertex has degree ≥ k within the core
+    rows.foreach(r => assert(r.getLong(2) >= r.getLong(0) * r.getLong(1)))
+  }
+
   test("sax symbols are a balanced quartile labelling") {
     val rows = Queries.all("q_sax_symbols")(spark, sf).collect()
     val syms = rows.map(_.getInt(3))
