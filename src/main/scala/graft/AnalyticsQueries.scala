@@ -970,6 +970,51 @@ object AnalyticsQueries {
   }
 
   // ------------------------------------------------------------------
+  // q_graph_null_model — observed vs configuration-model triangles
+  // ------------------------------------------------------------------
+
+  /** The one shared double formula (q_corr_matrix discipline): expected
+    * triangles in the degree-preserving configuration model,
+    * E[T] ≈ (Σd(d−1))³ / (6·(Σd)³). */
+  private def nullModelExpr: String =
+    """(CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+      | / (6.0 * CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE))""".stripMargin.replace('\n', ' ')
+
+  /** Null-model audit of clustering: observed triangle count against
+    * the configuration-model expectation for the SAME degree sequence —
+    * the "is this graph more clustered than chance" question. Exact
+    * integer degree sums, one shared double formula at the end, obs/exp
+    * ratio floor-e6. */
+  private def qNullModel(s: SparkSession, dir: String): DataFrame = {
+    val p = TestGraphs.partCoPairs(Tables(s, dir)).localCheckpoint()
+    val tri = graph.Algos.triangleCount(p)
+    val degSums = p.select(col("u").as("id")).union(p.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).as("n_vertices"),
+        sum(col("d")).cast("long").as("m2"),
+        sum(col("d") * (col("d") - 1)).cast("long").as("s2"))
+    degSums.crossJoin(tri)
+      .select(col("n_vertices"), expr("m2 div 2").as("n_edges"), col("triangles"),
+        expr(s"CAST(FLOOR(($nullModelExpr) * 1000000) AS BIGINT)").as("expected_e6"),
+        expr(s"CAST(FLOOR(CAST(triangles AS DOUBLE) / ($nullModelExpr) * 1000000) AS BIGINT)")
+          .as("ratio_e6"))
+  }
+
+  private val qNullModelSql =
+    s"""WITH cp AS MATERIALIZED (${TestGraphs.partCoPairsSql}),
+       |t AS (SELECT COUNT(*) AS triangles FROM cp a
+       |JOIN cp b ON b.u = a.u AND b.v > a.v
+       |JOIN cp c ON c.u = a.v AND c.v = b.v),
+       |deg AS (SELECT id, COUNT(*) AS d FROM (
+       |SELECT u AS id FROM cp UNION ALL SELECT v AS id FROM cp) z GROUP BY 1),
+       |st AS (SELECT COUNT(*) AS n_vertices, CAST(SUM(d) AS BIGINT) AS m2,
+       |CAST(SUM(d * (d - 1)) AS BIGINT) AS s2 FROM deg)
+       |SELECT n_vertices, m2 // 2 AS n_edges, triangles,
+       |CAST(FLOOR(($nullModelExpr) * 1000000) AS BIGINT) AS expected_e6,
+       |CAST(FLOOR(CAST(triangles AS DOUBLE) / ($nullModelExpr) * 1000000) AS BIGINT) AS ratio_e6
+       |FROM st CROSS JOIN t""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
 
@@ -997,7 +1042,8 @@ object AnalyticsQueries {
     "q_decay_score"      -> (qDecayScore _),
     "q_graph_butterflies" -> (qButterflies _),
     "q_ab_ttest"         -> (qAbTtest _),
-    "q_graph_core_ladder" -> (qCoreLadder _))
+    "q_graph_core_ladder" -> (qCoreLadder _),
+    "q_graph_null_model" -> (qNullModel _))
 
   val oracles: Map[String, String] = Map(
     "q_trailing_dau"     -> qTrailingDauSql,
@@ -1023,5 +1069,6 @@ object AnalyticsQueries {
     "q_decay_score"      -> qDecayScoreSql,
     "q_graph_butterflies" -> qButterfliesSql,
     "q_ab_ttest"         -> qAbTtestSql,
-    "q_graph_core_ladder" -> qCoreLadderSql)
+    "q_graph_core_ladder" -> qCoreLadderSql,
+    "q_graph_null_model" -> qNullModelSql)
 }

@@ -333,7 +333,10 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
-  private val qBpeEncodeSql = {
+  /** Shared BPE train→encode CTE chain (w0 → 10 merge rounds → per-doc
+    * token stream `dt` → per-doc `agg(pieces)`); the encode query and
+    * the fertility panel both close over it. */
+  private def bpeEncodeCtes: String = {
     val n = 10
     def round(t: Int): String = {
       val m = "(sym[CAST(i AS INT)] = b.l AND sym[CAST(i + 1 AS INT)] = b.r)"
@@ -353,7 +356,7 @@ object CorpusQueries {
          |FROM w$t, b$t b) z$t)""".stripMargin.replace('\n', ' ')
     }
     val rounds = (0 until n).map(round).mkString(", ")
-    s"""WITH w0 AS MATERIALIZED (SELECT w, cnt,
+    s"""w0 AS MATERIALIZED (SELECT w, cnt,
        |list_transform(range(1, length(w) + 1), i -> w[CAST(i AS INT)]) AS sym FROM (
        |SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
        |SELECT unnest(${tokSql()}) AS w FROM documents) q GROUP BY w) g),
@@ -362,11 +365,46 @@ object CorpusQueries {
        |SELECT doc_id, ${tokSql()} AS ts FROM documents) qd,
        |unnest(range(1, len(ts) + 1)) AS ut(i)),
        |agg AS (SELECT dt.doc_id, flatten(list(wv.sym ORDER BY dt.i)) AS pieces
-       |FROM dt JOIN w$n wv ON wv.w = dt.w GROUP BY dt.doc_id)
+       |FROM dt JOIN w$n wv ON wv.w = dt.w GROUP BY dt.doc_id)""".stripMargin.replace('\n', ' ')
+  }
+
+  private val qBpeEncodeSql =
+    s"""WITH $bpeEncodeCtes
        |SELECT doc_id, CAST(len(pieces) AS INT) AS n_pieces,
        |md5(array_to_string(pieces, chr(1))) AS pieces_md5
        |FROM agg ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
+  /** Tokenizer fertility panel: BPE pieces per whitespace word, per
+    * source — the vocabulary-quality metric an LLM data team tracks per
+    * domain (high fertility = the vocabulary fragments that domain).
+    * Runs the full 10-merge train→encode chain; word counts come from
+    * the SAME token stream the encoder consumes. */
+  private def qBpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val merges = Corpus.bpeTrain(docs, numMerges = 10).orderBy(col("rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = Corpus.bpeEncode(docs, merges)
+      .select(col("doc_id"), size(col("pieces")).cast("long").as("n_pieces"))
+    val words = docs.select(col("doc_id"), col("source"),
+      size(graft.text.TextFunctions.tokens(col("text"))).cast("long").as("n_words"))
+    words.join(enc, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_words")).cast("long").as("n_words"),
+        sum(col("n_pieces")).cast("long").as("n_pieces"))
+      .withColumn("fertility_e6", expr("(n_pieces * 1000000) div n_words"))
+      .orderBy(col("source"))
   }
+
+  private val qBpeFertilitySql =
+    s"""WITH $bpeEncodeCtes,
+       |wr AS (SELECT doc_id, COUNT(*) AS n_words FROM dt GROUP BY 1),
+       |pc AS (SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_pieces FROM agg)
+       |SELECT d.source, CAST(SUM(n_words) AS BIGINT) AS n_words,
+       |CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+       |(CAST(SUM(n_pieces) AS BIGINT) * 1000000) // CAST(SUM(n_words) AS BIGINT) AS fertility_e6
+       |FROM documents d JOIN wr ON wr.doc_id = d.doc_id
+       |JOIN pc ON pc.doc_id = d.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin.replace('\n', ' ')
 
   // --- unigram surprisal -------------------------------------------------
 
@@ -860,6 +898,7 @@ object CorpusQueries {
     "q_text_surprisal"    -> (qTextSurprisal _),
     "q_bpe_train"         -> (qBpeTrain _),
     "q_bpe_encode"        -> (qBpeEncode _),
+    "q_bpe_fertility"     -> (qBpeFertility _),
     "q_text_bigram_surprisal" -> (qTextBigramSurprisal _),
     "q_text_markup"       -> (qTextMarkup _),
     "q_sample_weighted"   -> (qSampleWeighted _),
@@ -896,6 +935,7 @@ object CorpusQueries {
     "q_text_surprisal"    -> qTextSurprisalSql,
     "q_bpe_train"         -> qBpeTrainSql,
     "q_bpe_encode"        -> qBpeEncodeSql,
+    "q_bpe_fertility"     -> qBpeFertilitySql,
     "q_text_bigram_surprisal" -> qTextBigramSurprisalSql,
     "q_text_markup"       -> qTextMarkupSql,
     "q_sample_weighted"   -> qSampleWeightedSql,

@@ -539,6 +539,39 @@ object PipelineQueries {
        |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rcos_e4 DESC, n_id) <= 10
        |ORDER BY q_id, rcos_e4 DESC, n_id""".stripMargin.replace('\n', ' ')
 
+  /** Hard-negative mining: for each query vector, the top-5 nearest
+    * vectors with a DIFFERENT label — the contrastive-training
+    * counterpart of q_ann_brute (the highest-similarity wrong-class
+    * examples are exactly what a retrieval trainer wants as negatives).
+    * Same broadcast-scan shape with one extra label inequality in the
+    * join predicate. */
+  private def qAnnHardneg(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    emb.join(broadcast(q),
+        col("vec_id") =!= col("q_id") && col("label") =!= col("qlabel"))
+      .withColumn("rcos_e4",
+        graft.sql.Exact.e4(Similarity.cosine(col("qv"), col("embedding"))))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("rcos_e4").desc, col("vec_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("label"), col("rcos_e4"))
+      .orderBy(col("q_id"), col("rcos_e4").desc, col("n_id"))
+  }
+
+  private val qAnnHardnegSql =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS qlabel
+       |FROM embeddings WHERE vec_id < 5),
+       |sc AS (SELECT q.q_id, e.vec_id AS n_id, e.label,
+       |CAST(FLOOR(${cosSql("q.qv", "e.embedding")} * 10000) AS BIGINT) AS rcos_e4
+       |FROM embeddings e JOIN q ON e.vec_id <> q.q_id AND e.label <> q.qlabel)
+       |SELECT q_id, n_id, label, rcos_e4 FROM sc
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rcos_e4 DESC, n_id) <= 5
+       |ORDER BY q_id, rcos_e4 DESC, n_id""".stripMargin.replace('\n', ' ')
+
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir).embeddings
     Similarity.ivfTopK(emb, queriesOf(emb), k = 5, nprobe = 2)
@@ -1213,6 +1246,7 @@ object PipelineQueries {
     "q_multimodal_histogram" -> (qMultimodalHistogram _),
     "q_dedup_band_tuning" -> (qDedupBandTuning _),
     "q_lang_confusion"   -> (qLangConfusion _),
+    "q_ann_hardneg"      -> (qAnnHardneg _),
     "q_emb_covariance"   -> (qEmbCovariance _),
     "q_emb_silhouette"   -> (qEmbSilhouette _),
     "q_partitioned_write" -> (qPartitionedWrite _),
@@ -1257,6 +1291,7 @@ object PipelineQueries {
     "q_multimodal_histogram" -> qMultimodalHistogramSql,
     "q_dedup_band_tuning" -> qDedupBandTuningSql,
     "q_lang_confusion"   -> qLangConfusionSql,
+    "q_ann_hardneg"      -> qAnnHardnegSql,
     "q_emb_covariance"   -> qEmbCovarianceSql,
     "q_emb_silhouette"   -> qEmbSilhouetteSql,
     "q_partitioned_write" -> qPartitionedWriteSql,

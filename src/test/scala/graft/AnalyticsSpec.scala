@@ -278,6 +278,34 @@ class AnalyticsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(2) >= r.getLong(0) * r.getLong(1)))
   }
 
+  test("null-model audit reports clustering above chance for co-purchases") {
+    val r = Queries.all("q_graph_null_model")(spark, sf).collect().head
+    assert(r.getLong(2) > 0)                    // observed triangles
+    assert(r.getLong(3) > 0)                    // expected > 0
+    assert(r.getLong(4) > 0)                    // ratio well-defined
+  }
+
+  test("hard negatives never share the query's label") {
+    val rows = Queries.all("q_ann_hardneg")(spark, sf).collect()
+    assert(rows.length == 25) // 5 queries × 5 negatives
+    import spark.implicits._
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    rows.foreach { r =>
+      assert(labels(r.getLong(1)) == r.getInt(2))
+      assert(labels(r.getLong(0)) != r.getInt(2))
+    }
+  }
+
+  test("fertility panel: pieces per word is at least 1 after 10 merges") {
+    val rows = Queries.all("q_bpe_fertility")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1))      // pieces ≥ words
+      assert(r.getLong(3) >= 1000000L)          // fertility ≥ 1.0
+    }
+  }
+
   test("sax symbols are a balanced quartile labelling") {
     val rows = Queries.all("q_sax_symbols")(spark, sf).collect()
     val syms = rows.map(_.getInt(3))
