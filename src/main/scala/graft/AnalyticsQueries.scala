@@ -1015,6 +1015,67 @@ object AnalyticsQueries {
        |FROM st CROSS JOIN t""".stripMargin.replace('\n', ' ')
 
   // ------------------------------------------------------------------
+  // q_graph_wedge_sample — sampled-transitivity estimator audit
+  // ------------------------------------------------------------------
+
+  /** Center-sampled transitivity estimator NEXT TO the exact value —
+    * the audit that justifies wedge sampling as the at-scale clustering
+    * estimator (Seshadhri et al. 2013 shape): centers are a
+    * deterministic 1/17 md5 sample, only THEIR wedges are enumerated
+    * (work Σ_{v∈sample} C(d_v, 2), a 17× cut with the same plan), each
+    * wedge is closure-checked by one semi-join against the canonical
+    * pair set, and the estimate ships beside exact 3·Δ/W so the error
+    * is measured, not assumed. */
+  private def qWedgeSample(s: SparkSession, dir: String): DataFrame = {
+    val p = TestGraphs.partCoPairs(Tables(s, dir)).localCheckpoint()
+    val sym = p.select(col("u").as("c"), col("v").as("n"))
+      .union(p.select(col("v").as("c"), col("u").as("n")))
+    val sampled = sym.filter(
+      pmod(graft.pipeline.Corpus.md5Uniform(col("c").cast("string")), lit(17L)) === 0L)
+    val wedges = sampled.as("a").join(sampled.as("b"),
+        col("a.c") === col("b.c") && col("a.n") < col("b.n"))
+      .select(col("a.n").as("u"), col("b.n").as("v"))
+    val closed = wedges.join(p, Seq("u", "v"), "left_semi")
+    val est = wedges.agg(count(lit(1)).as("n_wedges_sampled"))
+      .crossJoin(closed.agg(count(lit(1)).as("n_closed")))
+    val tri = graph.Algos.triangleCount(p)
+    val totalWedges = sym.groupBy(col("c")).agg(count(lit(1)).as("d"))
+      .agg(sum(expr("(d * (d - 1)) div 2")).cast("long").as("n_wedges_total"))
+    est.crossJoin(tri).crossJoin(totalWedges)
+      .select(col("n_wedges_sampled"), col("n_closed"),
+        expr("(n_closed * 1000000) div n_wedges_sampled").as("est_e6"),
+        col("n_wedges_total"), col("triangles"),
+        expr("(3 * triangles * 1000000) div n_wedges_total").as("exact_e6"),
+        expr("abs((n_closed * 1000000) div n_wedges_sampled" +
+          " - (3 * triangles * 1000000) div n_wedges_total)").as("abs_err_e6"))
+  }
+
+  private val qWedgeSampleSql = {
+    val samp = graft.sql.OracleGen.hex6("md5(CAST(c AS VARCHAR))") + " % 17 = 0"
+    s"""WITH cp AS MATERIALIZED (${TestGraphs.partCoPairsSql}),
+       |sym AS MATERIALIZED (SELECT u AS c, v AS n FROM cp
+       |UNION ALL SELECT v AS c, u AS n FROM cp),
+       |sm AS MATERIALIZED (SELECT c, n FROM sym WHERE $samp),
+       |wg AS MATERIALIZED (SELECT a.n AS u, b.n AS v FROM sm a
+       |JOIN sm b ON a.c = b.c AND a.n < b.n),
+       |cl AS (SELECT COUNT(*) AS n_closed FROM wg
+       |WHERE EXISTS (SELECT 1 FROM cp WHERE cp.u = wg.u AND cp.v = wg.v)),
+       |ws AS (SELECT COUNT(*) AS n_wedges_sampled FROM wg),
+       |t AS (SELECT COUNT(*) AS triangles FROM cp a
+       |JOIN cp b ON b.u = a.u AND b.v > a.v
+       |JOIN cp c ON c.u = a.v AND c.v = b.v),
+       |tw AS (SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges_total FROM (
+       |SELECT c, COUNT(*) AS d FROM sym GROUP BY 1) dg)
+       |SELECT n_wedges_sampled, n_closed,
+       |(n_closed * 1000000) // n_wedges_sampled AS est_e6,
+       |n_wedges_total, triangles,
+       |(3 * triangles * 1000000) // n_wedges_total AS exact_e6,
+       |abs((n_closed * 1000000) // n_wedges_sampled
+       |- (3 * triangles * 1000000) // n_wedges_total) AS abs_err_e6
+       |FROM ws CROSS JOIN cl CROSS JOIN t CROSS JOIN tw""".stripMargin.replace('\n', ' ')
+  }
+
+  // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
 
@@ -1043,7 +1104,8 @@ object AnalyticsQueries {
     "q_graph_butterflies" -> (qButterflies _),
     "q_ab_ttest"         -> (qAbTtest _),
     "q_graph_core_ladder" -> (qCoreLadder _),
-    "q_graph_null_model" -> (qNullModel _))
+    "q_graph_null_model" -> (qNullModel _),
+    "q_graph_wedge_sample" -> (qWedgeSample _))
 
   val oracles: Map[String, String] = Map(
     "q_trailing_dau"     -> qTrailingDauSql,
@@ -1070,5 +1132,6 @@ object AnalyticsQueries {
     "q_graph_butterflies" -> qButterfliesSql,
     "q_ab_ttest"         -> qAbTtestSql,
     "q_graph_core_ladder" -> qCoreLadderSql,
-    "q_graph_null_model" -> qNullModelSql)
+    "q_graph_null_model" -> qNullModelSql,
+    "q_graph_wedge_sample" -> qWedgeSampleSql)
 }

@@ -572,6 +572,59 @@ object PipelineQueries {
        |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rcos_e4 DESC, n_id) <= 5
        |ORDER BY q_id, rcos_e4 DESC, n_id""".stripMargin.replace('\n', ' ')
 
+  /** Embedding-norm outlier scan: per-label Tukey fences on the exact
+    * integer squared norm Σ⌊v·2¹⁴⌋² — the degenerate-vector sweep
+    * (zero/exploded embeddings) an index build should run first. Reuses
+    * [[graft.operators.Quantiles.exactScaled]] (the q_outliers shape on
+    * a derived integral feature). */
+  private def qEmbOutliers(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val norms = emb.select(col("vec_id"), col("label"),
+        explode(transform(col("embedding"),
+          x => floor(x.cast("double") * lit(16384.0)).cast("long"))).as("q"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("q") * col("q")).cast("long").as("n2"))
+    val qs = graft.operators.Quantiles.exactScaled(
+      norms, "n2", "label", Seq((1, 4), (3, 4)), 1L)
+    val bounds = qs.groupBy(col("g"))
+      .agg(max(when(col("pnum") === 1, col("q_scaled"))).as("q1"),
+        max(when(col("pnum") === 3, col("q_scaled"))).as("q3"))
+      .select(col("g"), col("q1"), col("q3"),
+        expr("q1 - (3 * (q3 - q1)) div 2").as("lo"),
+        expr("q3 + (3 * (q3 - q1)) div 2").as("hi"))
+    norms.select(col("label").as("g"), col("n2").as("v"))
+      .join(broadcast(bounds), Seq("g"))
+      .groupBy(col("g"), col("q1"), col("q3"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("v") < col("lo"), lit(1))).as("n_out_low"),
+        count(when(col("v") > col("hi"), lit(1))).as("n_out_high"))
+      .select(col("g").as("label"), col("q1"), col("q3"), col("lo"), col("hi"),
+        col("n"), col("n_out_low"), col("n_out_high"))
+      .orderBy(col("label"))
+  }
+
+  private val qEmbOutliersSql = {
+    val normsTable =
+      """(SELECT vec_id, label, CAST(SUM(q * q) AS BIGINT) AS n2 FROM (
+        |SELECT vec_id, label,
+        |CAST(FLOOR(CAST(embedding[j] AS DOUBLE) * 16384) AS BIGINT) AS q
+        |FROM embeddings, unnest(range(1, 65)) tj(j)) zq
+        |GROUP BY vec_id, label) tn""".stripMargin.replace('\n', ' ')
+    val qsSql = graft.operators.Quantiles.exactScaledSql(
+      normsTable, "n2", "label", Seq((1, 4), (3, 4)), 1L)
+    s"""WITH b AS MATERIALIZED (SELECT g, q1, q3,
+       |q1 - (3 * (q3 - q1)) // 2 AS lo, q3 + (3 * (q3 - q1)) // 2 AS hi FROM (
+       |SELECT g, MAX(CASE WHEN pnum = 1 THEN q_scaled END) AS q1,
+       |MAX(CASE WHEN pnum = 3 THEN q_scaled END) AS q3
+       |FROM ($qsSql) qs GROUP BY g) t),
+       |v AS (SELECT label AS g, n2 AS v FROM $normsTable)
+       |SELECT v.g AS label, q1, q3, lo, hi, COUNT(*) AS n,
+       |COUNT(*) FILTER (WHERE v < lo) AS n_out_low,
+       |COUNT(*) FILTER (WHERE v > hi) AS n_out_high
+       |FROM v JOIN b ON v.g = b.g
+       |GROUP BY 1, 2, 3, 4, 5 ORDER BY label""".stripMargin.replace('\n', ' ')
+  }
+
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir).embeddings
     Similarity.ivfTopK(emb, queriesOf(emb), k = 5, nprobe = 2)
@@ -1247,6 +1300,7 @@ object PipelineQueries {
     "q_dedup_band_tuning" -> (qDedupBandTuning _),
     "q_lang_confusion"   -> (qLangConfusion _),
     "q_ann_hardneg"      -> (qAnnHardneg _),
+    "q_emb_outliers"     -> (qEmbOutliers _),
     "q_emb_covariance"   -> (qEmbCovariance _),
     "q_emb_silhouette"   -> (qEmbSilhouette _),
     "q_partitioned_write" -> (qPartitionedWrite _),
@@ -1292,6 +1346,7 @@ object PipelineQueries {
     "q_dedup_band_tuning" -> qDedupBandTuningSql,
     "q_lang_confusion"   -> qLangConfusionSql,
     "q_ann_hardneg"      -> qAnnHardnegSql,
+    "q_emb_outliers"     -> qEmbOutliersSql,
     "q_emb_covariance"   -> qEmbCovarianceSql,
     "q_emb_silhouette"   -> qEmbSilhouetteSql,
     "q_partitioned_write" -> qPartitionedWriteSql,

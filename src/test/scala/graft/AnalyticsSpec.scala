@@ -306,6 +306,25 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("wedge-sample estimate lands near the exact transitivity") {
+    val r = Queries.all("q_graph_wedge_sample")(spark, sf).collect().head
+    val (sampled, closed) = (r.getLong(0), r.getLong(1))
+    assert(sampled > 0 && closed <= sampled)
+    // 1/17 sample on thousands of wedges: within 10 points of exact
+    assert(r.getLong(6) < 100000L,
+      s"estimator drifted: est=${r.getLong(2)} exact=${r.getLong(5)}")
+  }
+
+  test("embedding-norm outliers: fences bracket the quartiles per label") {
+    val rows = Queries.all("q_emb_outliers")(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (q1, q3, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(lo <= q1 && q1 <= q3 && q3 <= hi)
+      assert(r.getLong(6) + r.getLong(7) <= r.getLong(5))
+    }
+  }
+
   test("sax symbols are a balanced quartile labelling") {
     val rows = Queries.all("q_sax_symbols")(spark, sf).collect()
     val syms = rows.map(_.getInt(3))
