@@ -1076,6 +1076,44 @@ object AnalyticsQueries {
   }
 
   // ------------------------------------------------------------------
+  // q_graph_mwm — ½-approx maximum-weight matching
+  // ------------------------------------------------------------------
+
+  private val MwmRounds = 12
+
+  /** [[graft.graph.Algos.maxWeightMatching]] on the weighted
+    * customer–supplier graph; the oracle unrolls the same 12
+    * mutual-heaviest-proposal rounds. */
+  private def qMwm(s: SparkSession, dir: String): DataFrame =
+    graph.Algos.maxWeightMatching(
+      TestGraphs.custSuppSym(Tables(s, dir)).select("src", "dst", "w"),
+      maxRounds = MwmRounds)
+
+  private val qMwmSql = {
+    val roundCtes = (1 to MwmRounds).map { r =>
+      s"""pk$r AS MATERIALIZED (SELECT src, dst, w FROM (
+         |SELECT l.src, l.dst, l.w,
+         |ROW_NUMBER() OVER (PARTITION BY l.src ORDER BY l.w DESC, l.dst DESC) AS rn
+         |FROM l${r - 1} l) z$r WHERE rn = 1),
+         |m$r AS MATERIALIZED (SELECT a.src AS u, a.dst AS v, a.w AS w
+         |FROM pk$r a JOIN pk$r b ON a.src = b.dst AND a.dst = b.src
+         |WHERE a.src < a.dst),
+         |mm$r AS MATERIALIZED (SELECT u, v, w FROM mm${r - 1}
+         |UNION ALL SELECT u, v, w FROM m$r),
+         |vs$r AS MATERIALIZED (SELECT u AS id FROM mm$r UNION SELECT v AS id FROM mm$r),
+         |l$r AS MATERIALIZED (SELECT l.src, l.dst, l.w FROM l${r - 1} l
+         |WHERE l.src NOT IN (SELECT id FROM vs$r)
+         |AND l.dst NOT IN (SELECT id FROM vs$r))""".stripMargin.replace('\n', ' ')
+    }.mkString(", ")
+    s"""WITH ${TestGraphs.custSuppSymSql},
+       |l0 AS MATERIALIZED (SELECT src, dst, w FROM e),
+       |mm0 AS (SELECT CAST(0 AS BIGINT) AS u, CAST(0 AS BIGINT) AS v,
+       |CAST(0 AS BIGINT) AS w WHERE false),
+       |$roundCtes
+       |SELECT u, v, w FROM mm$MwmRounds ORDER BY u""".stripMargin.replace('\n', ' ')
+  }
+
+  // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
 
@@ -1105,7 +1143,8 @@ object AnalyticsQueries {
     "q_ab_ttest"         -> (qAbTtest _),
     "q_graph_core_ladder" -> (qCoreLadder _),
     "q_graph_null_model" -> (qNullModel _),
-    "q_graph_wedge_sample" -> (qWedgeSample _))
+    "q_graph_wedge_sample" -> (qWedgeSample _),
+    "q_graph_mwm"        -> (qMwm _))
 
   val oracles: Map[String, String] = Map(
     "q_trailing_dau"     -> qTrailingDauSql,
@@ -1133,5 +1172,6 @@ object AnalyticsQueries {
     "q_ab_ttest"         -> qAbTtestSql,
     "q_graph_core_ladder" -> qCoreLadderSql,
     "q_graph_null_model" -> qNullModelSql,
-    "q_graph_wedge_sample" -> qWedgeSampleSql)
+    "q_graph_wedge_sample" -> qWedgeSampleSql,
+    "q_graph_mwm"        -> qMwmSql)
 }

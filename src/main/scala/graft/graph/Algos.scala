@@ -1050,6 +1050,51 @@ object Algos {
     out
   }
 
+  /** ½-approximation maximum-WEIGHT matching by mutual heaviest-edge
+    * proposals: each round every live vertex points at its max-(w, id)
+    * neighbor, mutual proposals marry, matched vertices leave. The
+    * weighted sibling of [[maximalMatching]] and the analog of the
+    * reference's MWMComputation
+    * (giraph-examples/src/main/java/org/apache/giraph/examples/MWMComputation.java).
+    * Deterministic (weight then id tiebreak) with a SHARED fixed round
+    * cap, so the oracle's unroll reproduces the exact pair set even
+    * before full maximality. Returns (u, v, w) matched pairs. */
+  def maxWeightMatching(symEdges: DataFrame, maxRounds: Int = 12): DataFrame = {
+    val s = symEdges.sparkSession
+    import s.implicits._
+    var live = ckptHash(symEdges.select("src", "dst", "w"), "src")
+    var matched = Seq.empty[(Long, Long, Long)].toDF("u", "v", "w").localCheckpoint()
+    var round = 0
+    var liveCount = live.count()
+    while (liveCount > 0 && round < maxRounds) {
+      val pick = live
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("w").desc, col("dst").desc)))
+        .filter(col("rn") === 1)
+        .select(col("src"), col("dst"), col("w"))
+      val mutual = pick.as("a")
+        .join(pick.as("b"),
+          col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+        .filter(col("a.src") < col("a.dst"))
+        .select(col("a.src").as("u"), col("a.dst").as("v"), col("a.w").as("w"))
+      val nextMatched = matched.union(mutual).localCheckpoint()
+      val mv = nextMatched.select(col("u").as("id"))
+        .union(nextMatched.select(col("v").as("id"))).distinct()
+      val nextLive = ckptHash(
+        live.join(mv.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+          .join(mv.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+          .select(col("src"), col("dst"), col("w")), "src")
+      freeCkpt(matched); if (round > 0) freeCkpt(live)
+      matched = nextMatched
+      live = nextLive
+      liveCount = live.count()
+      round += 1
+    }
+    val out = matched.orderBy(col("u")).localCheckpoint()
+    freeCkpt(matched); freeCkpt(live)
+    out
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999, public algorithm) on a
     * directed graph, fixed-iteration L1-normalized variant: per round
     *   a(v) = Σ_{u→v} h(u), normalized to Σa = 1;

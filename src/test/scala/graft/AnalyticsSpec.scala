@@ -325,6 +325,23 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("max-weight matching marries the heavy edge, not the greedy-id one") {
+    // path 1-2 (w=1), 2-3 (w=5): vertex 2 proposes to 3 → match (2,3)
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 5L))
+      .flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+      .toDF("src", "dst", "w")
+    val m = graph.Algos.maxWeightMatching(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(m == Seq((2L, 3L, 5L)))
+  }
+
+  test("mwm query output is a valid matching") {
+    val rows = Queries.all("q_graph_mwm")(spark, sf).collect()
+    val ids = rows.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+    assert(ids.distinct.length == ids.length) // vertex-disjoint pairs
+    assert(rows.forall(r => r.getLong(2) >= 1L))
+  }
+
   test("sax symbols are a balanced quartile labelling") {
     val rows = Queries.all("q_sax_symbols")(spark, sf).collect()
     val syms = rows.map(_.getInt(3))
