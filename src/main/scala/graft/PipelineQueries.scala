@@ -1234,6 +1234,61 @@ object PipelineQueries {
        |FROM ($union) z ORDER BY bands""".stripMargin.replace('\n', ' ')
   }
 
+  /** Dedup recall/precision audit: MinHash-LSH candidates (16 hashes,
+    * 4×4 bands) measured against the EXACT Jaccard-≥0.5 pair set from
+    * the PPJoin-style exact join — the "is my banding losing dups"
+    * number a dedup deployment must publish. One signature pass + one
+    * exact join; the oracle recomputes the truth by the independent
+    * brute shingle-posting join AND replays the banding. */
+  private def qDedupRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val truth = Dedup.jaccardJoin(
+        docs.select(col("doc_id"),
+          graft.text.TextFunctions.shingleSet(col("text"), 8).as("items")),
+        thresholdPct = 70)
+      .select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = Dedup.lshCandidates(
+        Dedup.withMinhash(docs, shingleLen = 8, numHashes = 16), 4, 4)
+      .select(col("ida").as("a"), col("idb").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hits = truth.join(cands, Seq("a", "b"), "left_semi")
+    val out = truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cands.agg(count(lit(1)).as("n_cands")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_truth"), col("n_cands"), col("n_hits"),
+        when(col("n_truth") > 0, expr("(n_hits * 1000000) div n_truth"))
+          .otherwise(lit(1000000L)).as("recall_e6"),
+        when(col("n_cands") > 0, expr("(n_hits * 1000000) div n_cands"))
+          .otherwise(lit(0L)).as("precision_e6"))
+      .localCheckpoint()
+    truth.unpersist(); cands.unpersist()
+    out
+  }
+
+  private val qDedupRecallAuditSql =
+    s"""WITH $minhashSigCtes,
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS ca, b.doc_id AS cb
+       |FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+       |AND a.doc_id < b.doc_id),
+       |tok AS MATERIALIZED (SELECT doc_id, unnest(sh) AS tk FROM sh),
+       |iv AS (SELECT a.doc_id AS ta, b.doc_id AS tb, COUNT(*) AS i
+       |FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |ln AS (SELECT doc_id, len(sh) AS l FROM sh),
+       |truth AS MATERIALIZED (SELECT ta, tb FROM iv
+       |JOIN ln x ON x.doc_id = iv.ta JOIN ln y ON y.doc_id = iv.tb
+       |WHERE i * 100 >= (x.l + y.l - i) * 70),
+       |nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+       |nc AS (SELECT COUNT(*) AS n_cands FROM cand),
+       |nh AS (SELECT COUNT(*) AS n_hits FROM truth
+       |WHERE EXISTS (SELECT 1 FROM cand WHERE ca = ta AND cb = tb))
+       |SELECT n_truth, n_cands, n_hits,
+       |CASE WHEN n_truth > 0 THEN (n_hits * 1000000) // n_truth
+       |ELSE CAST(1000000 AS BIGINT) END AS recall_e6,
+       |CASE WHEN n_cands > 0 THEN (n_hits * 1000000) // n_cands
+       |ELSE CAST(0 AS BIGINT) END AS precision_e6
+       |FROM nt CROSS JOIN nc CROSS JOIN nh""".stripMargin.replace('\n', ' ')
+
   /** [[Multimodal.pixelHistogram]]: 16-bin luminance histogram per
     * document-as-image. The oracle recomputes the bins from the text
     * characters (the pixstats pure-ASCII fixture contract), so the
@@ -1301,6 +1356,7 @@ object PipelineQueries {
     "q_lang_confusion"   -> (qLangConfusion _),
     "q_ann_hardneg"      -> (qAnnHardneg _),
     "q_emb_outliers"     -> (qEmbOutliers _),
+    "q_dedup_recall_audit" -> (qDedupRecallAudit _),
     "q_emb_covariance"   -> (qEmbCovariance _),
     "q_emb_silhouette"   -> (qEmbSilhouette _),
     "q_partitioned_write" -> (qPartitionedWrite _),
@@ -1347,6 +1403,7 @@ object PipelineQueries {
     "q_lang_confusion"   -> qLangConfusionSql,
     "q_ann_hardneg"      -> qAnnHardnegSql,
     "q_emb_outliers"     -> qEmbOutliersSql,
+    "q_dedup_recall_audit" -> qDedupRecallAuditSql,
     "q_emb_covariance"   -> qEmbCovarianceSql,
     "q_emb_silhouette"   -> qEmbSilhouetteSql,
     "q_partitioned_write" -> qPartitionedWriteSql,

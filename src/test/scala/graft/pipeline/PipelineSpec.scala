@@ -135,6 +135,17 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dedup recall audit: hits bounded by both sides, rates in range") {
+    val r = graft.Queries.all("q_dedup_recall_audit")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val (truth, cands, hits) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(hits <= truth && hits <= cands)
+    assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L)
+    assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000000L)
+    // 16-hash 4-band MinHash at Jaccard 0.7: recall must be high
+    if (truth > 0) assert(r.getLong(3) >= 800000L)
+  }
+
   test("pixel histogram bins partition the pixel stream") {
     val docs = Seq((7L, "Aa0!")).toDF("doc_id", "text") // bins 4,6,3,2
     val got = Multimodal.pixelHistogram(Multimodal.documentsAsPpm(docs))
