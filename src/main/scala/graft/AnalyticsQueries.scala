@@ -1114,6 +1114,55 @@ object AnalyticsQueries {
   }
 
   // ------------------------------------------------------------------
+  // q_cohort_ltv — cumulative revenue per signup cohort (LTV curve)
+  // ------------------------------------------------------------------
+
+  /** Lifetime-value curve: purchase revenue per (first-seen-week cohort,
+    * weeks-since-first), cumulative, per-user e2 — the revenue companion
+    * of q_cohort's retention triangle. Cents floored per EVENT before
+    * any sum (the Exact rule); cohort sizes ride along so the per-user
+    * normalization is an exact integer division. */
+  private def qCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val ev = t.events.select(col("user_id"), col("event_type"),
+      expr(s"(ts div $DayUs) div 7").as("week"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val sizes = first.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_users"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .join(first, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("age_weeks"))
+      .agg(sum(col("cents")).cast("long").as("rev_cents"))
+    rev.join(sizes, Seq("cohort_week"))
+      .withColumn("cum_cents",
+        sum(col("rev_cents")).over(Window.partitionBy(col("cohort_week"))
+          .orderBy(col("age_weeks"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .select(col("cohort_week"), col("age_weeks"), col("cohort_users"),
+        col("rev_cents"), col("cum_cents"),
+        expr("cum_cents div cohort_users").as("ltv_per_user_cents"))
+      .orderBy(col("cohort_week"), col("age_weeks"))
+  }
+
+  private val qCohortLtvSql =
+    s"""WITH ev AS MATERIALIZED (SELECT user_id, event_type,
+       |(epoch_us(ts) // $DayUs) // 7 AS week,
+       |CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+       |f AS MATERIALIZED (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY 1),
+       |sz AS (SELECT cohort_week, COUNT(*) AS cohort_users FROM f GROUP BY 1),
+       |rev AS (SELECT f.cohort_week, ev.week - f.cohort_week AS age_weeks,
+       |CAST(SUM(cents) AS BIGINT) AS rev_cents
+       |FROM ev JOIN f ON ev.user_id = f.user_id
+       |WHERE ev.event_type = 'purchase' GROUP BY 1, 2)
+       |SELECT rev.cohort_week AS cohort_week, age_weeks, cohort_users, rev_cents,
+       |CAST(SUM(rev_cents) OVER (PARTITION BY rev.cohort_week ORDER BY age_weeks
+       |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+       |CAST(SUM(rev_cents) OVER (PARTITION BY rev.cohort_week ORDER BY age_weeks
+       |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) // cohort_users AS ltv_per_user_cents
+       |FROM rev JOIN sz ON sz.cohort_week = rev.cohort_week
+       |ORDER BY rev.cohort_week, age_weeks""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
 
@@ -1144,7 +1193,8 @@ object AnalyticsQueries {
     "q_graph_core_ladder" -> (qCoreLadder _),
     "q_graph_null_model" -> (qNullModel _),
     "q_graph_wedge_sample" -> (qWedgeSample _),
-    "q_graph_mwm"        -> (qMwm _))
+    "q_graph_mwm"        -> (qMwm _),
+    "q_cohort_ltv"       -> (qCohortLtv _))
 
   val oracles: Map[String, String] = Map(
     "q_trailing_dau"     -> qTrailingDauSql,
@@ -1173,5 +1223,6 @@ object AnalyticsQueries {
     "q_graph_core_ladder" -> qCoreLadderSql,
     "q_graph_null_model" -> qNullModelSql,
     "q_graph_wedge_sample" -> qWedgeSampleSql,
-    "q_graph_mwm"        -> qMwmSql)
+    "q_graph_mwm"        -> qMwmSql,
+    "q_cohort_ltv"       -> qCohortLtvSql)
 }

@@ -1289,6 +1289,42 @@ object PipelineQueries {
        |ELSE CAST(0 AS BIGINT) END AS precision_e6
        |FROM nt CROSS JOIN nc CROSS JOIN nh""".stripMargin.replace('\n', ' ')
 
+  /** IVF index-health audit: trained-cluster occupancy (k=8, 2 Lloyd
+    * rounds — the q_ann_ivf_trained trainer) with e6 shares — the
+    * balance number that predicts probe-cost variance (one hot cluster
+    * = one hot partition at serving time). The oracle replays the full
+    * deterministic train→assign chain and counts the same buckets. */
+  private def qAnnBalance(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val assigned = Similarity.kmeansAssign(
+      emb.select(col("vec_id"), col("embedding")), k = 8, iters = 2)
+    val g = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n_vectors"))
+    g.crossJoin(broadcast(g.agg(sum(col("n_vectors")).cast("long").as("total"))))
+      .select(col("cluster"), col("n_vectors"),
+        expr("(n_vectors * 1000000) div total").as("share_e6"))
+      .orderBy(col("cluster"))
+  }
+
+  private val qAnnBalanceSql = {
+    def assignCte(t: Int) =
+      s"""ba$t AS MATERIALIZED (SELECT vec_id, embedding, cid AS cluster FROM (
+         |SELECT e.vec_id, e.embedding, c.cid,
+         |ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |CAST(FLOOR(${cosSql("e.embedding", "c.cv")} * 1000000) AS BIGINT) DESC, c.cid) AS rn
+         |FROM embeddings e CROSS JOIN bc${t - 1} c) bz$t WHERE rn = 1)""".stripMargin.replace('\n', ' ')
+    def centCte(t: Int) =
+      s"""bc$t AS MATERIALIZED (SELECT cluster AS cid, list(m ORDER BY pos) AS cv FROM (
+         |SELECT cluster, pos, FLOOR(AVG(CAST(embedding[pos] AS DOUBLE)) * 1000000) / 1000000 AS m
+         |FROM ba$t, unnest(range(1, 65)) AS bu$t(pos) GROUP BY cluster, pos) bg$t GROUP BY cluster)""".stripMargin.replace('\n', ' ')
+    s"""WITH bc0 AS MATERIALIZED (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+       |${assignCte(1)}, ${centCte(1)}, ${assignCte(2)}, ${centCte(2)}, ${assignCte(3)},
+       |g AS (SELECT cluster, COUNT(*) AS n_vectors FROM ba3 GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS total FROM g)
+       |SELECT cluster, n_vectors, (n_vectors * 1000000) // total AS share_e6
+       |FROM g CROSS JOIN tot ORDER BY cluster""".stripMargin.replace('\n', ' ')
+  }
+
   /** [[Multimodal.pixelHistogram]]: 16-bin luminance histogram per
     * document-as-image. The oracle recomputes the bins from the text
     * characters (the pixstats pure-ASCII fixture contract), so the
@@ -1357,6 +1393,7 @@ object PipelineQueries {
     "q_ann_hardneg"      -> (qAnnHardneg _),
     "q_emb_outliers"     -> (qEmbOutliers _),
     "q_dedup_recall_audit" -> (qDedupRecallAudit _),
+    "q_ann_balance"      -> (qAnnBalance _),
     "q_emb_covariance"   -> (qEmbCovariance _),
     "q_emb_silhouette"   -> (qEmbSilhouette _),
     "q_partitioned_write" -> (qPartitionedWrite _),
@@ -1404,6 +1441,7 @@ object PipelineQueries {
     "q_ann_hardneg"      -> qAnnHardnegSql,
     "q_emb_outliers"     -> qEmbOutliersSql,
     "q_dedup_recall_audit" -> qDedupRecallAuditSql,
+    "q_ann_balance"      -> qAnnBalanceSql,
     "q_emb_covariance"   -> qEmbCovarianceSql,
     "q_emb_silhouette"   -> qEmbSilhouetteSql,
     "q_partitioned_write" -> qPartitionedWriteSql,

@@ -342,6 +342,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(2) >= 1L))
   }
 
+  test("LTV curve is cumulative and the per-user division is exact") {
+    val rows = Queries.all("q_cohort_ltv")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      val cum = sorted.map(_.getLong(4))
+      assert(cum.zip(cum.tail).forall { case (a, b) => a <= b })
+      assert(sorted.map(_.getLong(3)).sum == cum.last)
+      sorted.foreach(r =>
+        assert(r.getLong(5) == r.getLong(4) / r.getLong(2)))
+    }
+  }
+
   test("sax symbols are a balanced quartile labelling") {
     val rows = Queries.all("q_sax_symbols")(spark, sf).collect()
     val syms = rows.map(_.getInt(3))
