@@ -220,6 +220,55 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  final case class AnomalyState(day: Long, cnt: Long, n: Long, s: Long, ss: Long)
+  final case class AnomalyHit(event_type: String, day: Long, cnt: Long,
+                              is_anomaly: Int)
+
+  /** Streaming per-type daily-volume anomaly alerts: a
+    * flatMapGroupsWithState machine keyed by event_type that counts the
+    * current event-time day and, when the stream's event time crosses
+    * into the next day, FINALIZES the closed day against the exact
+    * integer 2σ rule the batch q_anomaly_days uses —
+    * (x·n − S)² > 4·(n·Σx² − S²) over the finalized-day history — then
+    * folds it into that history. State per key is five longs
+    * (current day+count, history n/Σ/Σ²) however long the stream runs;
+    * alerts emit the moment a day closes, not on a scan. Late rows for
+    * an already-closed day are dropped (the watermark analog; documented
+    * demo semantics). With batches fed in event-time order the flags
+    * equal the batch rule — StreamingSpec pins a planted spike. */
+  object AnomalyAlerts {
+    def updateState(eventType: String, rows: Iterator[Event],
+                    state: GroupState[AnomalyState]): Iterator[AnomalyHit] = {
+      var st = state.getOption.orNull
+      val out = Seq.newBuilder[AnomalyHit]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val day = e.ts.getTime / 86400000L
+        if (st == null) st = AnomalyState(day, 1L, 0L, 0L, 0L)
+        else if (day == st.day) st = st.copy(cnt = st.cnt + 1)
+        else if (day > st.day) {
+          val x = st.cnt
+          val flag =
+            if (st.n >= 2) {
+              val lhs = x * st.n - st.s
+              if (lhs * lhs > 4L * (st.n * st.ss - st.s * st.s)) 1 else 0
+            } else 0
+          out += AnomalyHit(eventType, st.day, x, flag)
+          st = AnomalyState(day, 1L,
+            st.n + 1, st.s + x, st.ss + x * x)
+        } // day < st.day: late row for a closed day — dropped
+      }
+      state.update(st)
+      out.result().iterator
+    }
+
+    def run(events: Dataset[Event]): Dataset[AnomalyHit] = {
+      val spark = events.sparkSession
+      import spark.implicits._
+      events.groupByKey(_.event_type)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateState)
+    }
+  }
+
   /** Streaming exact daily-active-users: dedup each (user, day) within
     * the watermark, then count per daily window — the chained
     * stateful-operator form (dedup → windowed agg) Spark 4 supports

@@ -299,6 +299,27 @@ class StreamingSpec extends SparkSpec {
     query.stop()
   }
 
+  test("streaming anomaly alerts flag the planted volume spike on day close") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.AnomalyAlerts.run(input.toDS())
+      .writeStream.format("memory").queryName("anomaly")
+      .outputMode("update").start()
+    def day(d: Long, n: Int, base: Long): Seq[Event] =
+      (0 until n).map(i => ev(base + i, d * 86400 + i, 1))
+    // days 0-3 steady at 10, day 4 spikes to 50, day 5 opens (closes day 4)
+    input.addData(day(0, 10, 0) ++ day(1, 10, 100) ++ day(2, 10, 200) ++
+      day(3, 10, 300) ++ day(4, 50, 400) ++ day(5, 1, 900): _*)
+    query.processAllAvailable()
+    val got = spark.table("anomaly")
+      .select(col("day"), col("cnt"), col("is_anomaly"))
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    query.stop()
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(got.take(4).forall(_._3 == 0))         // steady days pass
+    assert(got.last == ((4L, 50L, 1)))            // spike flagged at close
+  }
+
   test("streaming tumbling counts equal the batch aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
