@@ -1163,6 +1163,107 @@ object AnalyticsQueries {
        |ORDER BY rev.cohort_week, age_weeks""".stripMargin.replace('\n', ' ')
 
   // ------------------------------------------------------------------
+  // q_lm_heldout — held-out unigram-LM perplexity with add-1 smoothing
+  // ------------------------------------------------------------------
+
+  /** Held-out language-model evaluation: unigram counts trained on the
+    * md5-80% train split, add-1-smoothed surprisal scored on the held
+    * 20% — the train/eval discipline q_text_surprisal (in-corpus) lacks,
+    * and the floor-log2 bits-per-token number a data mix is tuned by.
+    * bits = ⌊log₂((T+V)/(c+1))⌋ via the bitlength identity (c = train
+    * count, 0 for OOV; V = train vocab) — zero libm, hash-exact. */
+  private def qLmHeldout(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val split = pmod(graft.pipeline.Corpus.md5Uniform(col("doc_id").cast("string")),
+      lit(100L))
+    val toks = docs.select(col("doc_id"),
+        (split < 80).cast("int").as("is_train"),
+        explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
+      .localCheckpoint()
+    val train = toks.filter(col("is_train") === 1)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val scal = train.agg(sum(col("c")).cast("long").as("t"),
+      count(lit(1)).as("v"))
+    val scored = toks.filter(col("is_train") === 0)
+      .join(train, Seq("tok"), "left")
+      .crossJoin(broadcast(scal))
+      .select((length(bin(expr("(t + v) div (coalesce(c, 0) + 1)"))) - 1)
+        .cast("long").as("bits"),
+        when(col("c").isNull, 1L).otherwise(0L).as("oov"))
+    scored.agg(count(lit(1)).as("n_eval_tokens"),
+        sum(col("oov")).cast("long").as("n_oov"),
+        sum(col("bits")).cast("long").as("total_bits"))
+      .select(col("n_eval_tokens"), col("n_oov"), col("total_bits"),
+        expr("(total_bits * 1000000) div n_eval_tokens").as("bits_per_token_e6"),
+        expr("(n_oov * 1000000) div n_eval_tokens").as("oov_rate_e6"))
+  }
+
+  private val qLmHeldoutSql = {
+    val u = graft.sql.OracleGen.hex6("md5(CAST(doc_id AS VARCHAR))") + " % 100"
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id,
+       |CASE WHEN $u < 80 THEN 1 ELSE 0 END AS is_train,
+       |unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents),
+       |tr AS MATERIALIZED (SELECT tok, COUNT(*) AS c FROM toks
+       |WHERE is_train = 1 GROUP BY 1),
+       |sc AS (SELECT CAST(SUM(c) AS BIGINT) AS t, COUNT(*) AS v FROM tr),
+       |ev AS (SELECT length(bin(CAST((t + v) // (COALESCE(c, 0) + 1) AS BIGINT))) - 1 AS bits,
+       |CASE WHEN c IS NULL THEN 1 ELSE 0 END AS oov
+       |FROM toks LEFT JOIN tr USING (tok) CROSS JOIN sc
+       |WHERE is_train = 0)
+       |SELECT COUNT(*) AS n_eval_tokens, CAST(SUM(oov) AS BIGINT) AS n_oov,
+       |CAST(SUM(bits) AS BIGINT) AS total_bits,
+       |(CAST(SUM(bits) AS BIGINT) * 1000000) // COUNT(*) AS bits_per_token_e6,
+       |(CAST(SUM(oov) AS BIGINT) * 1000000) // COUNT(*) AS oov_rate_e6
+       |FROM ev""".stripMargin.replace('\n', ' ')
+  }
+
+  // ------------------------------------------------------------------
+  // q_emb_drift — per-dimension mean drift between two corpus halves
+  // ------------------------------------------------------------------
+
+  /** Embedding drift monitor: quantized per-dimension means of the two
+    * vec_id-parity halves compared as the exact integer cross product
+    * Δ = s_a·n_b − s_b·n_a (the sign/magnitude of mean_a − mean_b with
+    * zero division) — top-10 drifted dimensions. Swap the parity split
+    * for yesterday/today snapshots and this is the production
+    * distribution-shift alarm. */
+  private def qEmbDrift(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables(s, dir).embeddings.select(
+      pmod(col("vec_id"), lit(2L)).as("half"),
+      posexplode(transform(col("embedding"),
+        x => floor(x.cast("double") * lit(16384.0)).cast("long"))).as(Seq("j", "qv")))
+    val per = q.groupBy(col("j"), col("half"))
+      .agg(count(lit(1)).as("n"), sum(col("qv")).cast("long").as("s"))
+    val wide = per.groupBy(col("j")).agg(
+      max(when(col("half") === 0, col("n"))).as("na"),
+      max(when(col("half") === 0, col("s"))).as("sa"),
+      max(when(col("half") === 1, col("n"))).as("nb"),
+      max(when(col("half") === 1, col("s"))).as("sb"))
+    wide
+      .select(col("j").cast("long").as("j"), col("na"), col("nb"),
+        (col("sa") * col("nb") - col("sb") * col("na")).as("delta_num"))
+      .orderBy(abs(col("delta_num")).desc, col("j")).limit(10)
+      .orderBy(abs(col("delta_num")).desc, col("j"))
+  }
+
+  private val qEmbDriftSql =
+    """WITH q AS MATERIALIZED (SELECT vec_id % 2 AS half, j - 1 AS j,
+      |CAST(FLOOR(CAST(embedding[j] AS DOUBLE) * 16384) AS BIGINT) AS qv
+      |FROM embeddings, unnest(range(1, 65)) t(j)),
+      |per AS (SELECT j, half, COUNT(*) AS n, CAST(SUM(qv) AS BIGINT) AS s
+      |FROM q GROUP BY 1, 2),
+      |wide AS (SELECT j,
+      |MAX(CASE WHEN half = 0 THEN n END) AS na,
+      |MAX(CASE WHEN half = 0 THEN s END) AS sa,
+      |MAX(CASE WHEN half = 1 THEN n END) AS nb,
+      |MAX(CASE WHEN half = 1 THEN s END) AS sb
+      |FROM per GROUP BY 1)
+      |SELECT CAST(j AS BIGINT) AS j, na, nb,
+      |sa * nb - sb * na AS delta_num FROM wide
+      |QUALIFY ROW_NUMBER() OVER (ORDER BY abs(sa * nb - sb * na) DESC, j) <= 10
+      |ORDER BY abs(delta_num) DESC, j""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
 
@@ -1194,7 +1295,9 @@ object AnalyticsQueries {
     "q_graph_null_model" -> (qNullModel _),
     "q_graph_wedge_sample" -> (qWedgeSample _),
     "q_graph_mwm"        -> (qMwm _),
-    "q_cohort_ltv"       -> (qCohortLtv _))
+    "q_cohort_ltv"       -> (qCohortLtv _),
+    "q_lm_heldout"       -> (qLmHeldout _),
+    "q_emb_drift"        -> (qEmbDrift _))
 
   val oracles: Map[String, String] = Map(
     "q_trailing_dau"     -> qTrailingDauSql,
@@ -1224,5 +1327,7 @@ object AnalyticsQueries {
     "q_graph_null_model" -> qNullModelSql,
     "q_graph_wedge_sample" -> qWedgeSampleSql,
     "q_graph_mwm"        -> qMwmSql,
-    "q_cohort_ltv"       -> qCohortLtvSql)
+    "q_cohort_ltv"       -> qCohortLtvSql,
+    "q_lm_heldout"       -> qLmHeldoutSql,
+    "q_emb_drift"        -> qEmbDriftSql)
 }

@@ -355,6 +355,26 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("held-out LM eval: OOV tokens cost the full vocabulary bits") {
+    val r = Queries.all("q_lm_heldout")(spark, sf).collect().head
+    val (n, oov, bits) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n > 0 && oov <= n && bits >= n) // ≥ 1 bit per eval token here
+    assert(r.getLong(3) >= 1000000L)
+    assert(r.getLong(4) <= 1000000L)
+  }
+
+  test("embedding drift: parity halves of one distribution drift little") {
+    val rows = Queries.all("q_emb_drift")(spark, sf).collect()
+    assert(rows.length == 10)
+    val deltas = rows.map(r => math.abs(r.getLong(3)))
+    assert(deltas.zip(deltas.tail).forall { case (a, b) => a >= b })
+    // |mean_a − mean_b| = |Δ|/(na·nb) in q-units (q = 2^14ths):
+    // same-distribution halves must agree within a few hundred q-units
+    val r0 = rows.head
+    val meanDiffQ = deltas.head.toDouble / (r0.getLong(1) * r0.getLong(2))
+    assert(meanDiffQ < 2000.0, s"suspicious drift: $meanDiffQ")
+  }
+
   test("sax symbols are a balanced quartile labelling") {
     val rows = Queries.all("q_sax_symbols")(spark, sf).collect()
     val syms = rows.map(_.getInt(3))
