@@ -1264,6 +1264,48 @@ object AnalyticsQueries {
       |ORDER BY abs(delta_num) DESC, j""".stripMargin.replace('\n', ' ')
 
   // ------------------------------------------------------------------
+  // q_dup_payments — duplicate-transaction detection
+  // ------------------------------------------------------------------
+
+  /** Duplicate-transaction sweep: purchase pairs from the SAME user
+    * with the SAME whole-dollar amount within 24 hours — the classic
+    * double-charge candidate query (the dollar rounding absorbs
+    * fee/discount jitter; exact-cents matching finds nothing in any
+    * realistic feed, this corpus included). Equi-join on
+    * (user, dollars) with the time window as a residual predicate, so
+    * the pair space is bounded by per-(user, amount) multiplicity.
+    * Top-10 most-duplicated amounts. */
+  private def qDupPayments(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        floor(col("value")).cast("long").as("dollars"), col("ts"))
+      .localCheckpoint()
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id")
+          && col("a.dollars") === col("b.dollars")
+          && col("a.event_id") < col("b.event_id")
+          && abs(col("a.ts") - col("b.ts")) <= lit(86400000000L))
+      .select(col("a.user_id").as("u"), col("a.dollars").as("dollars"))
+    pairs.groupBy(col("dollars"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("u")).as("n_users"))
+      .orderBy(col("n_pairs").desc, col("dollars")).limit(10)
+      .orderBy(col("n_pairs").desc, col("dollars"))
+  }
+
+  private val qDupPaymentsSql =
+    """WITH e AS MATERIALIZED (SELECT event_id, user_id,
+      |CAST(FLOOR(value) AS BIGINT) AS dollars, epoch_us(ts) AS us
+      |FROM events WHERE event_type = 'purchase'),
+      |p AS (SELECT a.user_id AS u, a.dollars AS dollars FROM e a JOIN e b
+      |ON a.user_id = b.user_id AND a.dollars = b.dollars
+      |AND a.event_id < b.event_id AND abs(a.us - b.us) <= 86400000000)
+      |SELECT dollars, COUNT(*) AS n_pairs,
+      |COUNT(DISTINCT u) AS n_users FROM p GROUP BY 1
+      |QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, dollars) <= 10
+      |ORDER BY n_pairs DESC, dollars""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
 
@@ -1297,7 +1339,8 @@ object AnalyticsQueries {
     "q_graph_mwm"        -> (qMwm _),
     "q_cohort_ltv"       -> (qCohortLtv _),
     "q_lm_heldout"       -> (qLmHeldout _),
-    "q_emb_drift"        -> (qEmbDrift _))
+    "q_emb_drift"        -> (qEmbDrift _),
+    "q_dup_payments"     -> (qDupPayments _))
 
   val oracles: Map[String, String] = Map(
     "q_trailing_dau"     -> qTrailingDauSql,
@@ -1329,5 +1372,6 @@ object AnalyticsQueries {
     "q_graph_mwm"        -> qMwmSql,
     "q_cohort_ltv"       -> qCohortLtvSql,
     "q_lm_heldout"       -> qLmHeldoutSql,
-    "q_emb_drift"        -> qEmbDriftSql)
+    "q_emb_drift"        -> qEmbDriftSql,
+    "q_dup_payments"     -> qDupPaymentsSql)
 }

@@ -375,6 +375,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(meanDiffQ < 2000.0, s"suspicious drift: $meanDiffQ")
   }
 
+  test("duplicate payments: planted same-day same-amount pair is found") {
+    val e = Seq(
+      (1L, 0L, 7L, "purchase", 42.5),
+      (2L, 3600000000L, 7L, "purchase", 42.9),  // same dollar, 1h later
+      (3L, 0L, 8L, "purchase", 42.5))           // other user: no pair
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val pairs = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        floor(col("value")).cast("long").as("d"), col("ts"))
+    val got = pairs.as("a").join(pairs.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.d") === col("b.d")
+          && col("a.event_id") < col("b.event_id")
+          && abs(col("a.ts") - col("b.ts")) <= lit(86400000000L))
+      .count()
+    assert(got == 1L)
+  }
+
   test("sax symbols are a balanced quartile labelling") {
     val rows = Queries.all("q_sax_symbols")(spark, sf).collect()
     val syms = rows.map(_.getInt(3))
