@@ -1306,6 +1306,48 @@ object AnalyticsQueries {
       |ORDER BY n_pairs DESC, dollars""".stripMargin.replace('\n', ' ')
 
   // ------------------------------------------------------------------
+  // q_graph_wcc_incremental — merge new edges into existing components
+  // ------------------------------------------------------------------
+
+  /** Incremental connected components: a deterministic 20% of the edges
+    * arrives AFTER the base WCC ran; instead of recomputing, the
+    * increment's endpoints are CONTRACTED to their base labels and a
+    * WCC over that tiny label graph splices the components (min-of-mins
+    * = global min, so labels stay canonical). The oracle is the plain
+    * FULL-graph WCC — a hash match PROVES the incremental merge
+    * equivalent to recomputation, which is the contract that lets a
+    * 100 TB graph absorb daily edge deltas at delta cost (base labels
+    * persisted once; per-day work ∝ increment + component-graph size).
+    * Reference analogue: the mutable-graph recompute avoidance that
+    * motivates giraph's SimpleMutateGraphComputation family. */
+  private def qWccIncremental(s: SparkSession, dir: String): DataFrame = {
+    val ce = TestGraphs.custSupp(Tables(s, dir)).select(col("src"), col("dst"))
+      .localCheckpoint()
+    val split = pmod(graft.pipeline.Corpus.md5Uniform(
+      concat_ws(":", col("src"), col("dst"))), lit(5L))
+    val base = ce.filter(split =!= 0L)
+    val inc = ce.filter(split === 0L).localCheckpoint()
+    def symm(df: DataFrame): DataFrame =
+      df.union(df.select(col("dst").as("src"), col("src").as("dst")))
+    val labels = graph.Algos.wcc(symm(base))
+    val verts = symm(ce).select(col("src").as("id")).distinct()
+    val lab = verts.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("lbl"))
+      .localCheckpoint()
+    val contracted = inc
+      .join(lab.select(col("id").as("src"), col("lbl").as("ls")), Seq("src"))
+      .join(lab.select(col("id").as("dst"), col("lbl").as("ld")), Seq("dst"))
+      .select(col("ls").as("src"), col("ld").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val merged = graph.Algos.wcc(
+      contracted.union(contracted.select(col("dst").as("src"), col("src").as("dst"))))
+    lab.join(merged.select(col("id").as("lbl"), col("component").as("mc")),
+        Seq("lbl"), "left")
+      .select(col("id"), coalesce(col("mc"), col("lbl")).as("component"))
+      .orderBy(col("id"))
+  }
+
+  // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
 
@@ -1340,7 +1382,8 @@ object AnalyticsQueries {
     "q_cohort_ltv"       -> (qCohortLtv _),
     "q_lm_heldout"       -> (qLmHeldout _),
     "q_emb_drift"        -> (qEmbDrift _),
-    "q_dup_payments"     -> (qDupPayments _))
+    "q_dup_payments"     -> (qDupPayments _),
+    "q_graph_wcc_incremental" -> (qWccIncremental _))
 
   val oracles: Map[String, String] = Map(
     "q_trailing_dau"     -> qTrailingDauSql,
@@ -1373,5 +1416,8 @@ object AnalyticsQueries {
     "q_cohort_ltv"       -> qCohortLtvSql,
     "q_lm_heldout"       -> qLmHeldoutSql,
     "q_emb_drift"        -> qEmbDriftSql,
-    "q_dup_payments"     -> qDupPaymentsSql)
+    "q_dup_payments"     -> qDupPaymentsSql,
+    // the full-graph replay: a hash match proves incremental == recompute
+    "q_graph_wcc_incremental" -> graft.sql.OracleGen.labelPropSql(
+      TestGraphs.custSuppSymSql, 12, isMin = true, "component"))
 }

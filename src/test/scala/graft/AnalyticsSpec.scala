@@ -392,6 +392,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == 1L)
   }
 
+  test("incremental WCC merge equals full recompute on the corpus graph") {
+    // the oracle already proves this at sf0.01; pin it in-suite at sf0.001
+    val inc = Queries.all("q_graph_wcc_incremental")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = graph.Algos.wcc(
+        TestGraphs.custSuppSym(Tables(spark, sf)).select("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full)
+  }
+
   test("sax symbols are a balanced quartile labelling") {
     val rows = Queries.all("q_sax_symbols")(spark, sf).collect()
     val syms = rows.map(_.getInt(3))
