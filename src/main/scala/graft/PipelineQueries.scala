@@ -1325,6 +1325,34 @@ object PipelineQueries {
        |FROM g CROSS JOIN tot ORDER BY cluster""".stripMargin.replace('\n', ' ')
   }
 
+  /** Duplicate-density-by-source matrix: verified MinHash dup pairs
+    * (Jaccard ≥ 0.3) attributed to their documents' source pair — the
+    * "which domain is flooding the corpus with copies" view that
+    * decides per-source dedup budgets. One extra broadcast-sized
+    * (doc_id → source) join over the q_dedup_minhash pipeline. */
+  private def qDedupBySource(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val src = docs.select(col("doc_id"), col("source"))
+    Dedup.minhashDupPairs(docs)
+      .join(src.select(col("doc_id").as("a"), col("source").as("sa")), Seq("a"))
+      .join(src.select(col("doc_id").as("b"), col("source").as("sb")), Seq("b"))
+      .select(least(col("sa"), col("sb")).as("s1"),
+        greatest(col("sa"), col("sb")).as("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n_dup_pairs"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
+  private val qDedupBySourceSql =
+    s"""WITH $minhashPairsCtes,
+       |vp AS (SELECT ida, idb FROM jx
+       |WHERE inter / (la + lb - inter) >= 0.3),
+       |sp AS (SELECT least(x.source, y.source) AS s1,
+       |greatest(x.source, y.source) AS s2
+       |FROM vp JOIN documents x ON x.doc_id = vp.ida
+       |JOIN documents y ON y.doc_id = vp.idb)
+       |SELECT s1, s2, COUNT(*) AS n_dup_pairs FROM sp
+       |GROUP BY 1, 2 ORDER BY s1, s2""".stripMargin.replace('\n', ' ')
+
   /** [[Multimodal.pixelHistogram]]: 16-bin luminance histogram per
     * document-as-image. The oracle recomputes the bins from the text
     * characters (the pixstats pure-ASCII fixture contract), so the
@@ -1394,6 +1422,7 @@ object PipelineQueries {
     "q_emb_outliers"     -> (qEmbOutliers _),
     "q_dedup_recall_audit" -> (qDedupRecallAudit _),
     "q_ann_balance"      -> (qAnnBalance _),
+    "q_dedup_by_source"  -> (qDedupBySource _),
     "q_emb_covariance"   -> (qEmbCovariance _),
     "q_emb_silhouette"   -> (qEmbSilhouette _),
     "q_partitioned_write" -> (qPartitionedWrite _),
@@ -1442,6 +1471,7 @@ object PipelineQueries {
     "q_emb_outliers"     -> qEmbOutliersSql,
     "q_dedup_recall_audit" -> qDedupRecallAuditSql,
     "q_ann_balance"      -> qAnnBalanceSql,
+    "q_dedup_by_source"  -> qDedupBySourceSql,
     "q_emb_covariance"   -> qEmbCovarianceSql,
     "q_emb_silhouette"   -> qEmbSilhouetteSql,
     "q_partitioned_write" -> qPartitionedWriteSql,
