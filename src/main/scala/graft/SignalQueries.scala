@@ -1,0 +1,343 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-6 sixth wave: sequential-recurrence analytics (EWMA folds),
+  * experimentation (CUPED variance reduction), video scene-cut
+  * detection over real frame bytes, TKC-robust link analysis (SALSA),
+  * winnowing document fingerprints (the MOSS selection rule) and a
+  * global 4-cycle census.
+  *
+  * Same discipline as [[Queries]]: integral outputs (floor-scaled where
+  * a ratio is reported), ORDER BY on the keys, and a DuckDB oracle twin
+  * replaying the identical arithmetic. Division discipline: Spark `div`
+  * truncates toward zero, DuckDB `//` floors — every division whose
+  * numerator could go negative is decomposed as sign·(|x| div y) on
+  * BOTH sides so the two semantics coincide.
+  */
+object SignalQueries {
+
+  private val DayUs = 86400000000L
+
+  private def e6(c: Column): Column = floor(c * 1000000).cast("long")
+
+  // ------------------------------------------------------------------
+  // q_ewma_daily — integer EWMA over the per-type daily revenue series
+  // ------------------------------------------------------------------
+
+  /** Daily-revenue EWMA per event type with the integer recurrence
+    * e ← (7·e + v) div 8 (α = 1/8, non-negative operands by
+    * construction so truncate ≡ floor). The recurrence is inherently
+    * sequential, but it runs over the DAILY series, not the events: the
+    * heavy part (summing cents into (type, day) cells) is an ordinary
+    * distributed two-phase agg, and the fold happens inside one
+    * collect_list/aggregate pair whose frame is calendar-bounded — at
+    * 100 TB the day count grows with TIME, not data volume, so the
+    * O(days²) prefix refold stays a few-thousand-element array op per
+    * type. No driver loop, no recursive join. */
+  private def qEwmaDaily(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val daily = t.events
+      .select(expr(s"ts div $DayUs").as("day"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day")).agg(sum(col("cents")).as("v"))
+    daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("arr"))
+      .select(col("event_type"), expr(
+        """explode(transform(arr, (x, i) ->
+          |named_struct('day', x.day, 'v', x.v,
+          |'ewma', aggregate(slice(arr, 1, i + 1), -1L,
+          |(acc, y) -> if(acc < 0, y.v, (7 * acc + y.v) div 8)))))"""
+          .stripMargin.replace('\n', ' ')).as("r"))
+      .select(col("event_type"), col("r.day").as("day"),
+        col("r.v").as("v"), col("r.ewma").as("ewma"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val qEwmaDailySql =
+    s"""WITH RECURSIVE d AS (
+       |SELECT event_type, epoch_us(ts) // $DayUs AS day,
+       |CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS v,
+       |ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY epoch_us(ts) // $DayUs) AS rn
+       |FROM events GROUP BY 1, 2),
+       |r AS (
+       |SELECT event_type, day, v, rn, v AS ewma FROM d WHERE rn = 1
+       |UNION ALL
+       |SELECT d.event_type, d.day, d.v, d.rn, (7 * r.ewma + d.v) // 8
+       |FROM r JOIN d ON d.event_type = r.event_type AND d.rn = r.rn + 1)
+       |SELECT event_type, day, v, ewma FROM r
+       |ORDER BY event_type, day""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // q_cuped — CUPED variance-reduced experiment readout
+  // ------------------------------------------------------------------
+
+  /** CUPED (Deng et al., WSDM'13) adjusted A/B readout: the time range
+    * splits at its midpoint into pre/post periods, users split into
+    * variants by id parity, θ = cov(pre, post)/var(pre) is estimated
+    * pooled, and each variant's post-period mean is reported raw and
+    * adjusted (mean_post − θ·(mean_pre − grand mean_pre)). All moments
+    * are EXACT: per-user sums are BIGINT cents, cross-moments
+    * (pre·post ≤ 1e15 per user) accumulate into DECIMAL(38,0) — Spark's
+    * decimal sum and DuckDB's HUGEINT sum are both exact integer
+    * arithmetic, so the e6-floored θ and e2 adjusted means hash-match
+    * without any float in the pipeline. Negative-capable divisions are
+    * sign-decomposed (see object doc). Scale: two hash aggs (user,
+    * variant) + two single-row broadcasts — no shuffle wider than the
+    * per-user rollup. */
+  private def qCuped(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val ev = t.events.select(col("user_id"), col("ts"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    val mm = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      .select(expr("(lo + hi) div 2").as("mid"))
+    val per = ev.crossJoin(broadcast(mm))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < col("mid"), col("cents")).otherwise(0L)).as("pre"),
+        sum(when(col("ts") >= col("mid"), col("cents")).otherwise(0L)).as("post"))
+      .withColumn("variant", pmod(col("user_id"), lit(2L)))
+      .localCheckpoint()
+    val d38 = "decimal(38,0)"
+    val stats = per.agg(
+      count(lit(1)).cast(d38).as("n"),
+      sum(col("pre").cast(d38)).as("sx"),
+      sum(col("post").cast(d38)).as("sy"),
+      sum((col("pre") * col("pre")).cast(d38)).as("sxx"),
+      sum((col("pre") * col("post")).cast(d38)).as("sxy"))
+      .select(col("n"), col("sx"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("covn"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("varn"))
+      .select(col("n"), col("sx"),
+        (signum(col("covn")).cast("long") *
+          expr("(abs(covn) * 1000000) div varn")).as("theta_e6"))
+    val vg = per.groupBy(col("variant")).agg(
+      count(lit(1)).cast(d38).as("nv"),
+      sum(col("pre").cast(d38)).as("spre"),
+      sum(col("post").cast(d38)).as("spost"))
+    vg.crossJoin(broadcast(stats))
+      .withColumn("adj_num",
+        col("n") * col("spost") * lit(1000000L) -
+          col("theta_e6") * (col("n") * col("spre") - col("nv") * col("sx")))
+      .select(col("variant"),
+        col("nv").cast("long").as("n_users"),
+        expr("spost div nv").as("raw_mean_cents"),
+        (signum(col("adj_num")).cast("long") *
+          expr("abs(adj_num) div (1000000 * nv * n)")).as("adj_mean_cents"),
+        col("theta_e6"))
+      .orderBy(col("variant"))
+  }
+
+  private val qCupedSql =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
+      |CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+      |mm AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev),
+      |per AS (SELECT user_id,
+      |CAST(SUM(CASE WHEN us < (SELECT mid FROM mm) THEN cents ELSE 0 END) AS BIGINT) AS pre,
+      |CAST(SUM(CASE WHEN us >= (SELECT mid FROM mm) THEN cents ELSE 0 END) AS BIGINT) AS post,
+      |user_id % 2 AS variant
+      |FROM ev GROUP BY user_id),
+      |st AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |CAST(SUM(CAST(pre AS HUGEINT)) AS HUGEINT) AS sx,
+      |CAST(SUM(CAST(post AS HUGEINT)) AS HUGEINT) AS sy,
+      |CAST(SUM(CAST(pre AS HUGEINT) * CAST(pre AS HUGEINT)) AS HUGEINT) AS sxx,
+      |CAST(SUM(CAST(pre AS HUGEINT) * CAST(post AS HUGEINT)) AS HUGEINT) AS sxy
+      |FROM per),
+      |th AS (SELECT n, sx,
+      |CASE WHEN n * sxy - sx * sy < 0 THEN -1 WHEN n * sxy - sx * sy > 0 THEN 1 ELSE 0 END
+      |* (abs(n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)) AS theta_e6
+      |FROM st),
+      |vg AS (SELECT variant, CAST(COUNT(*) AS HUGEINT) AS nv,
+      |CAST(SUM(CAST(pre AS HUGEINT)) AS HUGEINT) AS spre,
+      |CAST(SUM(CAST(post AS HUGEINT)) AS HUGEINT) AS spost
+      |FROM per GROUP BY variant),
+      |j AS (SELECT variant, nv, spre, spost, n, sx, theta_e6,
+      |n * spost * 1000000 - theta_e6 * (n * spre - nv * sx) AS adj_num
+      |FROM vg CROSS JOIN th)
+      |SELECT CAST(variant AS BIGINT) AS variant, CAST(nv AS BIGINT) AS n_users,
+      |CAST(spost // nv AS BIGINT) AS raw_mean_cents,
+      |CAST((CASE WHEN adj_num < 0 THEN -1 WHEN adj_num > 0 THEN 1 ELSE 0 END)
+      |* (abs(adj_num) // (1000000 * nv * n)) AS BIGINT) AS adj_mean_cents,
+      |CAST(theta_e6 AS BIGINT) AS theta_e6
+      |FROM j ORDER BY variant""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // q_multimodal_scenecut — frame-mean deltas over real frame bytes
+  // ------------------------------------------------------------------
+
+  /** Scene-cut detection over the concatenated-PPM video container: the
+    * walker ([[graft.multimodal.Multimodal.videoFrameStats]]) reads each
+    * frame's actual pixel bytes into (sum, n), the per-frame mean is
+    * floor-scaled to e3, and a cut fires where the inter-frame mean
+    * delta exceeds 10 000 (10 gray levels). The oracle never sees the
+    * bytes — it replays the construction formulas (frame f of doc d is
+    * w·h·3 bytes of i % 249), so a hash match proves the engine's
+    * parser walked headers and payloads exactly. One row per
+    * consecutive-frame pair. */
+  private def qScenecut(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(s, dir)
+    val fs = multimodal.Multimodal.videoFrameStats(
+      multimodal.Multimodal.documentsAsVideo(t.documents))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    fs.withColumn("mean_e3", expr("(sum_px * 1000) div n_px"))
+      .withColumn("prev", lag(col("mean_e3"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("doc_id"), col("frame_idx"), col("mean_e3"),
+        abs(col("mean_e3") - col("prev")).as("delta_e3"),
+        (abs(col("mean_e3") - col("prev")) > 10000L).cast("int").as("is_cut"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  private val qScenecutSql =
+    """WITH f AS (SELECT doc_id, fi,
+      |1 + (doc_id + fi) % 8 AS w, 1 + (fi % 5) AS h
+      |FROM documents CROSS JOIN range(0, 4) AS t(fi) WHERE fi < 1 + doc_id % 4),
+      |s AS (SELECT doc_id, fi, w * h * 3 AS n,
+      |(w * h * 3 // 249) * (249 * 248 // 2)
+      |+ ((w * h * 3) % 249) * ((w * h * 3) % 249 - 1) // 2 AS sumpx
+      |FROM f),
+      |m AS (SELECT doc_id, fi, sumpx * 1000 // n AS mean_e3,
+      |LAG(sumpx * 1000 // n) OVER (PARTITION BY doc_id ORDER BY fi) AS prev
+      |FROM s)
+      |SELECT doc_id, CAST(fi AS INT) AS frame_idx, CAST(mean_e3 AS BIGINT) AS mean_e3,
+      |CAST(ABS(mean_e3 - prev) AS BIGINT) AS delta_e3,
+      |CAST(CASE WHEN ABS(mean_e3 - prev) > 10000 THEN 1 ELSE 0 END AS INT) AS is_cut
+      |FROM m WHERE prev IS NOT NULL
+      |ORDER BY doc_id, frame_idx""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // q_graph_salsa — degree-normalized link analysis
+  // ------------------------------------------------------------------
+
+  /** SALSA on the directed customer→supplier graph
+    * ([[graft.graph.Algos.salsa]], 4 L1-normalized rounds): HITS'
+    * random-walk cousin — mass is divided by degree before propagating,
+    * which is what makes the ranking robust to tightly-knit-community
+    * inflation. Oracle unrolls the identical divide-sum-normalize
+    * recurrence. */
+  private def qSalsa(s: SparkSession, dir: String): DataFrame =
+    graph.Algos.salsa(
+      TestGraphs.custSupp(Tables(s, dir)).select("src", "dst"), iterations = 4)
+      .select(col("id"), e6(col("auth")).as("auth_e6"), e6(col("hub")).as("hub_e6"))
+      .orderBy(col("id"))
+
+  private val qSalsaSql = sql.OracleGen.salsaSql(
+    s"ce AS MATERIALIZED (${TestGraphs.custSuppSql}), e AS MATERIALIZED (SELECT src, dst FROM ce)", 4)
+
+  // ------------------------------------------------------------------
+  // q_text_winnow — winnowing fingerprint selection (MOSS)
+  // ------------------------------------------------------------------
+
+  /** Winnowing (Schleimer–Wilkerson–Aiken, SIGMOD'03) fingerprint
+    * selection: positional 8-gram md5 hashes, window w = 4, keep each
+    * window's minimal hash with ties broken RIGHTMOST. The tie rule is
+    * encoded in the sort key itself — hash ‖ zero-padded (10⁸ − pos) —
+    * so one array_min per window implements select-rightmost-min
+    * identically in both engines (md5 hex compares bytewise the same in
+    * Spark and DuckDB). Guarantee: any shared substring ≥ w + k − 1 = 11
+    * chars yields a shared fingerprint. Per-row array work only — the
+    * document never leaves its partition; output is the per-doc
+    * fingerprint density panel. */
+  /** Winnowing panel over any (doc_id, text) frame — see
+    * [[qTextWinnow]] for the selection rule. Public for spec reuse. */
+  def winnowPanel(d: DataFrame): DataFrame = {
+    d.select(col("doc_id"), expr(
+        """CASE WHEN length(text) < 8 THEN array()
+          |ELSE transform(sequence(1, length(text) - 7),
+          |p -> concat(md5(substring(text, p, 8)),
+          |lpad(cast(100000000 - p as string), 9, '0'))) END"""
+          .stripMargin.replace('\n', ' ')).as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_kgrams"),
+        expr(
+          """CASE WHEN size(hs) = 0 THEN array()
+            |ELSE array_distinct(transform(sequence(1, greatest(size(hs) - 3, 1)),
+            |w -> array_min(slice(hs, w, 4)))) END"""
+            .stripMargin.replace('\n', ' ')).as("sel"))
+      .select(col("doc_id"), col("n_kgrams"),
+        size(col("sel")).cast("long").as("n_selected"),
+        coalesce(expr("array_min(transform(sel, x -> substring(x, 1, 32)))"),
+          lit("")).as("fp_min"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def qTextWinnow(s: SparkSession, dir: String): DataFrame =
+    winnowPanel(Tables(s, dir).documents)
+
+  private val qTextWinnowSql =
+    """WITH g AS (SELECT doc_id,
+      |CASE WHEN length(text) < 8 THEN []
+      |ELSE list_transform(range(1, length(text) - 6),
+      |p -> md5(substring(text, CAST(p AS INT), 8))
+      ||| lpad(CAST(100000000 - p AS VARCHAR), 9, '0')) END AS hs
+      |FROM documents),
+      |w AS (SELECT doc_id, len(hs) AS n,
+      |CASE WHEN len(hs) = 0 THEN []
+      |ELSE list_distinct(list_transform(range(1, greatest(len(hs) - 2, 2)),
+      |s -> list_min(list_slice(hs, s, s + 3)))) END AS sel
+      |FROM g)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_kgrams,
+      |CAST(len(sel) AS BIGINT) AS n_selected,
+      |COALESCE(list_min(list_transform(sel, x -> substring(x, 1, 32))), '') AS fp_min
+      |FROM w ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // q_graph_squares — global 4-cycle census
+  // ------------------------------------------------------------------
+
+  /** Global 4-cycle (square) census over the part co-purchase graph:
+    * wedges grouped by their ENDPOINT pair (u < w, p = #distinct
+    * centers), then #C₄ = Σ C(p, 2) / 2 — each square is counted once
+    * per diagonal. The wedge expansion is the same Σd² shape as
+    * q_graph_transitivity's triangle pass, grouped with map-side
+    * partial agg before anything wide; Σ C(p,2) is provably even, so
+    * the final div 2 is exact. Single-row output. */
+  /** 4-cycle census over any undirected (u < v) pair frame — see
+    * [[qSquares]]. Public for spec reuse. */
+  def squareCensus(cp: DataFrame): DataFrame = {
+    val e = cp.select(col("u").as("src"), col("v").as("dst"))
+      .union(cp.select(col("v").as("src"), col("u").as("dst")))
+    val wdg = e.as("a").join(e.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .groupBy(col("a.dst").as("u"), col("b.dst").as("w"))
+      .agg(count(lit(1)).as("p"))
+    wdg.agg(
+      count(lit(1)).as("n_endpoint_pairs"),
+      sum(when(col("p") >= 2, 1L).otherwise(0L)).cast("long").as("n_pairs2"),
+      expr("sum((p * (p - 1)) div 2) div 2").cast("long").as("n_squares"))
+  }
+
+  private def qSquares(s: SparkSession, dir: String): DataFrame =
+    squareCensus(TestGraphs.partCoPairs(Tables(s, dir)).localCheckpoint())
+
+  private val qSquaresSql =
+    s"""WITH cp AS MATERIALIZED (${TestGraphs.partCoPairsSql}),
+       |e AS MATERIALIZED (SELECT u AS src, v AS dst FROM cp
+       |UNION ALL SELECT v AS src, u AS dst FROM cp),
+       |wdg AS (SELECT a.dst AS u, b.dst AS w, COUNT(*) AS p
+       |FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+       |GROUP BY 1, 2)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_endpoint_pairs,
+       |CAST(COUNT(*) FILTER (WHERE p >= 2) AS BIGINT) AS n_pairs2,
+       |CAST(SUM(p * (p - 1) // 2) // 2 AS BIGINT) AS n_squares
+       |FROM wdg""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ewma_daily"          -> (qEwmaDaily _),
+    "q_cuped"               -> (qCuped _),
+    "q_multimodal_scenecut" -> (qScenecut _),
+    "q_graph_salsa"         -> (qSalsa _),
+    "q_text_winnow"         -> (qTextWinnow _),
+    "q_graph_squares"       -> (qSquares _))
+
+  val oracles: Map[String, String] = Map(
+    "q_ewma_daily"          -> qEwmaDailySql,
+    "q_cuped"               -> qCupedSql,
+    "q_multimodal_scenecut" -> qScenecutSql,
+    "q_graph_salsa"         -> qSalsaSql,
+    "q_text_winnow"         -> qTextWinnowSql,
+    "q_graph_squares"       -> qSquaresSql)
+}

@@ -28,7 +28,7 @@ object GraftRunner {
   private val PipelineAlgos = Set("dedup-exact", "dedup-minhash", "dedup-clusters",
     "tfidf", "vocab", "scrub", "pack", "sample", "sample-topk", "repetition",
     "dedup-index-write", "dedup-index-probe", "dedup-cdc", "surprisal",
-    "bpe-train")
+    "bpe-train", "jaccard-join", "bm25", "textrank", "eval-ranking", "winnow")
 
   def main(args: Array[String]): Unit = {
     if (args.length < 1) { usage(); sys.exit(2) }
@@ -111,6 +111,7 @@ object GraftRunner {
             case "surprisal" => Corpus.surprisalScore(docs)
             case "bpe-train" =>
               Corpus.bpeTrain(docs, opts.getOrElse("k", "1000").toInt)
+            case "winnow" => graft.SignalQueries.winnowPanel(docs)
           }
         } else {
           var edges =
@@ -151,6 +152,10 @@ object GraftRunner {
               Algos.mst(we.filter(col("src") < col("dst"))
                 .select(col("src").as("u"), col("dst").as("v"), col("w")))
             case "katz" => Algos.katz(edges, rounds = iters)
+            case "salsa" => Algos.salsa(edges, iterations = iters)
+            case "squares" => graft.SignalQueries.squareCensus(
+              edges.filter(col("src") < col("dst"))
+                .select(col("src").as("u"), col("dst").as("v")).distinct())
             case "bowtie" => Algos.bowtie(edges)
             case "coloring" => Algos.greedyColoring(edges)
             case "matching" => Algos.maximalMatching(edges)
@@ -251,7 +256,8 @@ object GraftRunner {
       |     [--local-ratio permille] [--beta permille]   (benchmark inputs)
       |  graph algo: pagerank pagerank-conv wpagerank sssp bfs wcc scc
       |              degrees mis triangles ktruss [--k N] lpa ecc
-      |              walks [--len N] mst katz linkpred [--maxdeg N] bowtie
+      |              walks [--len N] mst katz salsa squares
+      |              linkpred [--maxdeg N] bowtie
       |              richclub [--ks a,b,..] bridges degree-matrix
       |              peel [--rounds N] diameter coloring matching
       |              ([--tol X] [--convergence
@@ -262,7 +268,7 @@ object GraftRunner {
       |              bench-aggregators [--naggs N] (aggregator stress)
       |or: GraftRunner <op> --docs <parquet> --out <path> [--k N] [--budget N]
       |  corpus op: dedup-exact dedup-minhash dedup-clusters tfidf vocab
-      |             scrub pack sample sample-topk repetition
+      |             scrub pack sample sample-topk repetition winnow
       |             dedup-cdc [--threshold X] surprisal bpe-train [--k N]
       |             textrank [--vocab N] [--iters N] [--k N]
       |             eval-ranking [--terms a,b] [--k N]

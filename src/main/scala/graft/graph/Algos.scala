@@ -2009,4 +2009,60 @@ object Algos {
     freeCkpt(e)
     out
   }
+
+  /** SALSA (Lempel–Moran): the random-walk cousin of [[hits]] — each
+    * round divides a vertex's mass by its degree BEFORE propagating
+    * (authority pulls h(u)/outdeg(u) over u→v, hub pulls a(v)/indeg(v)
+    * back), then L1-normalizes. The degree division is what makes SALSA
+    * TKC-robust: a dense cluster can't inflate itself the way it does
+    * under HITS, because every edge's contribution is averaged over its
+    * endpoint's degree. Same determinism contract as [[hits]]: fixed
+    * rounds of IEEE sum+divide, floor-scaled by the caller, unrollable
+    * by a SQL oracle. Reference anchor: link-analysis family beside
+    * PageRank/HITS (giraph-examples PageRank computation shape).
+    *
+    * Scale: identical to [[hits]] — per round two edge⋈score shuffles +
+    * two broadcast scalar sums; degree frames computed once. */
+  def salsa(edges: DataFrame, iterations: Int): DataFrame = {
+    val e0 = edges.select("src", "dst")
+    val odeg = e0.groupBy(col("src")).agg(count(lit(1)).cast("double").as("od"))
+    val ideg = e0.groupBy(col("dst")).agg(count(lit(1)).cast("double").as("idg"))
+    // degree-annotated edge frames, built ONCE: the per-round joins then
+    // touch only (edge ⋈ score) — same per-round shuffle budget as hits
+    val eo = ckptHash(e0.join(odeg, Seq("src")), "src")
+    val ei = ckptHash(e0.join(ideg, Seq("dst")), "dst")
+    val v = ckptHash(verticesOf(e0), "id")
+    var h = ckptHash(v.select(col("id"), lit(1.0).as("h")), "id")
+    var a: DataFrame = null
+    var i = 0
+    while (i < iterations) {
+      val araw = v.join(
+          eo.join(h.select(col("id").as("src"), col("h")), Seq("src"))
+            .groupBy(col("dst").as("id")).agg(sum(col("h") / col("od")).as("x")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("x"), lit(0.0)).as("a"))
+      val aN = ckptHash(
+        araw.crossJoin(broadcast(araw.agg(sum(col("a")).as("s"))))
+          .select(col("id"), (col("a") / col("s")).as("a")), "id")
+      val hraw = v.join(
+          ei.join(aN.select(col("id").as("dst"), col("a")), Seq("dst"))
+            .groupBy(col("src").as("id")).agg(sum(col("a") / col("idg")).as("x")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("x"), lit(0.0)).as("h"))
+      val hN = ckptHash(
+        hraw.crossJoin(broadcast(hraw.agg(sum(col("h")).as("s"))))
+          .select(col("id"), (col("h") / col("s")).as("h")), "id")
+      freeCkpt(h)
+      if (a != null) freeCkpt(a)
+      h = hN
+      a = aN
+      i += 1
+    }
+    val out = a.join(h, Seq("id"))
+      .select(col("id"), col("a").as("auth"), col("h").as("hub"))
+      .orderBy(col("id"))
+      .localCheckpoint()
+    freeCkpt(a); freeCkpt(h); freeCkpt(v); freeCkpt(eo); freeCkpt(ei)
+    out
+  }
 }

@@ -289,6 +289,45 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "width", "height", "offset")
   }
 
+  /** Per-frame pixel statistics over a concatenated-PPM container: the
+    * same header walk as [[sampleVideoFrames]], but each frame's pixel
+    * payload is actually READ (sum + count of the w·h·3 bytes) — the
+    * feature-extraction step a scene-cut detector needs. Truncated
+    * frames (header claims more pixels than remain) are dropped, ending
+    * the walk — the corrupt-row contract. One output row per frame. */
+  def videoFrameStats(media: DataFrame,
+                      idCol: String = "doc_id",
+                      payloadCol: String = "payload"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).as("doc_id"), col(payloadCol).as("payload"))
+      .as[MediaRow]
+      .flatMap { r =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, Int, Long, Long)]
+        var off = 0
+        var idx = 0
+        var ok = true
+        while (ok && off < r.payload.length) {
+          decodePpmAt(r.payload, off) match {
+            case Some((w, h, _, hdrLen)) =>
+              val n = w * h * 3
+              val px = off + hdrLen
+              if (px + n <= r.payload.length) {
+                var s = 0L
+                var i = 0
+                while (i < n) { s += r.payload(px + i) & 0xff; i += 1 }
+                out += ((r.doc_id, idx, w, h, s, n.toLong))
+                off = px + n
+                idx += 1
+              } else ok = false
+            case None => ok = false
+          }
+        }
+        out
+      }
+      .toDF("doc_id", "frame_idx", "width", "height", "sum_px", "n_px")
+  }
+
   /** Documents→video adapter: a container of 1 + doc_id%4 PPM frames,
     * frame f sized w=1+(doc_id+f)%8, h=1+f%5 with real w·h·3 pixel
     * payloads — offsets/sizes replayable by formula in the oracle. */

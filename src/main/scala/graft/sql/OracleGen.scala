@@ -509,4 +509,32 @@ object OracleGen {
       s" SELECT f.a AS id, MAX(f.b) AS comp FROM c$k f JOIN c$k r ON f.a = r.b AND f.b = r.a" +
       " GROUP BY f.a ORDER BY id")
   }
+
+  /** K degree-normalized SALSA rounds mirroring
+    * [[graft.graph.Algos.salsa]]'s arithmetic exactly: per-edge
+    * h/outdeg (resp. a/indeg) contributions summed per target, then an
+    * L1 normalize — the same sum+divide-only discipline as [[hitsSql]],
+    * floor-scaled to e6 by the SELECT tail. */
+  def salsaSql(withBody: String, k: Int): String = {
+    val steps = (1 to k).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT v.id, COALESCE(s.x, CAST(0 AS DOUBLE)) AS a FROM v
+         |LEFT JOIN (SELECT e.dst AS id, SUM(h.h / d.od) AS x FROM h${i - 1} h
+         |JOIN e ON h.id = e.src JOIN odeg d ON d.id = h.id GROUP BY e.dst) s
+         |ON v.id = s.id),
+         |a$i AS MATERIALIZED (SELECT id, a / (SELECT SUM(a) FROM ar$i) AS a FROM ar$i),
+         |hr$i AS MATERIALIZED (SELECT v.id, COALESCE(s.x, CAST(0 AS DOUBLE)) AS h FROM v
+         |LEFT JOIN (SELECT e.src AS id, SUM(a.a / d.idg) AS x FROM a$i a
+         |JOIN e ON a.id = e.dst JOIN ideg d ON d.id = a.id GROUP BY e.src) s
+         |ON v.id = s.id),
+         |h$i AS MATERIALIZED (SELECT id, h / (SELECT SUM(h) FROM hr$i) AS h FROM hr$i)""".stripMargin.replace('\n', ' ')
+    }
+    (s"WITH $withBody, v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), " +
+      "odeg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS od FROM e GROUP BY 1), " +
+      "ideg AS MATERIALIZED (SELECT dst AS id, CAST(COUNT(*) AS DOUBLE) AS idg FROM e GROUP BY 1), " +
+      "h0 AS MATERIALIZED (SELECT id, CAST(1 AS DOUBLE) AS h FROM v), " +
+      steps.mkString(", ") +
+      s" SELECT a.id, CAST(FLOOR(a.a * 1000000) AS BIGINT) AS auth_e6, " +
+      s"CAST(FLOOR(h.h * 1000000) AS BIGINT) AS hub_e6 " +
+      s"FROM a$k a JOIN h$k h ON a.id = h.id ORDER BY a.id")
+  }
 }

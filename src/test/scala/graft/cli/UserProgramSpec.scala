@@ -65,6 +65,29 @@ class UserProgramSpec extends SparkSpec {
     assert(r.getLong(0) == r.getLong(1) && r.getLong(2) == 1000000L)
   }
 
+  test("docs-side actions route through the docs branch (PipelineAlgos)") {
+    // bm25 / winnow take --docs, not --edges: a routing regression sends
+    // them into the edges branch where opts("docs") is missing and the
+    // dispatch dies on "unknown algo" — this pins the fix
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val w = GraftRunner.execute(spark, "winnow", Map("docs" -> docs))
+    assert(w.columns.toSeq == Seq("doc_id", "n_kgrams", "n_selected", "fp_min"))
+    assert(w.count() > 0)
+    val b = GraftRunner.execute(spark, "bm25",
+      Map("docs" -> docs, "terms" -> "the,and", "k" -> "5"))
+    assert(b.count() > 0)
+  }
+
+  test("salsa and squares CLI actions run on an edge file") {
+    val sa = GraftRunner.execute(spark, "salsa",
+      Map("edges" -> edgesPath, "iters" -> "2"))
+    assert(sa.columns.toSeq == Seq("id", "auth", "hub"))
+    assert(sa.count() == 6)
+    val sq = GraftRunner.execute(spark, "squares", Map("edges" -> edgesPath))
+    // tree fixture: no 4-cycles
+    assert(sq.select("n_squares").collect().head.getLong(0) == 0L)
+  }
+
   test("run-class rejects a class that is not a UserProgram") {
     intercept[ClassCastException] {
       GraftRunner.execute(spark, "run-class",
