@@ -324,6 +324,154 @@ object SignalQueries {
        |FROM wdg""".stripMargin.replace('\n', ' ')
 
   // ------------------------------------------------------------------
+  // q_emb_power_iter — top principal direction by integer power iteration
+  // ------------------------------------------------------------------
+
+  /** Dominant eigendirection of the embedding covariance
+    * ([[graft.sim.Similarity.powerIteration]], 6 rounds): the drift
+    * axis an embedding monitor projects onto. One data-sized pass
+    * (covariance), then a broadcast-sized d-row fixpoint; every step
+    * exact-integer with max-|x|=1024 rescaling, so the oracle unrolls
+    * the identical rounds over an independently-joined Gram matrix. */
+  private def qEmbPowerIter(s: SparkSession, dir: String): DataFrame =
+    sim.Similarity.powerIteration(Tables(s, dir).embeddings, dim = 64, rounds = 6)
+
+  private val qEmbPowerIterSql = {
+    val rounds = 6
+    val steps = (1 to rounds).map { r =>
+      s"""w$r AS MATERIALIZED (SELECT f.i AS j, CAST(SUM(f.c * x.x) AS BIGINT) AS w
+         |FROM f JOIN x${r - 1} x ON x.j = f.j2 GROUP BY 1),
+         |m$r AS (SELECT MAX(abs(w)) AS m FROM w$r),
+         |x$r AS MATERIALIZED (SELECT j,
+         |CASE WHEN w < 0 THEN -((-w) * 1024 // (SELECT m FROM m$r))
+         |ELSE (w * 1024) // (SELECT m FROM m$r) END AS x FROM w$r)""".stripMargin.replace('\n', ' ')
+    }
+    ("""WITH q AS MATERIALIZED (SELECT vec_id, j,
+       |CAST(FLOOR(CAST(embedding[j] AS DOUBLE) * 16384) AS BIGINT) AS qv
+       |FROM embeddings, unnest(range(1, 65)) t(j)),
+       |n AS (SELECT COUNT(*) AS n FROM embeddings),
+       |s AS MATERIALIZED (SELECT j, CAST(SUM(qv) AS BIGINT) AS sj FROM q GROUP BY 1),
+       |pp AS MATERIALIZED (SELECT a.j AS i, b.j AS j2, CAST(SUM(a.qv * b.qv) AS BIGINT) AS spp
+       |FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.j >= a.j GROUP BY 1, 2),
+       |cov AS MATERIALIZED (SELECT i, j2,
+       |CASE WHEN n.n * spp - sa.sj * sb.sj < 0
+       |THEN -((-(n.n * spp - sa.sj * sb.sj)) // 1048576)
+       |ELSE (n.n * spp - sa.sj * sb.sj) // 1048576 END AS c
+       |FROM pp JOIN s sa ON sa.j = pp.i JOIN s sb ON sb.j = pp.j2 CROSS JOIN n),
+       |f AS MATERIALIZED (SELECT i, j2, c FROM cov
+       |UNION ALL SELECT j2 AS i, i AS j2, c FROM cov WHERE i <> j2),
+       |x0 AS (SELECT j, CAST(1024 AS BIGINT) AS x FROM unnest(range(1, 65)) t(j)), """
+      .stripMargin.replace('\n', ' ')) +
+      steps.mkString(", ") +
+      s" SELECT j - 1 AS dim, x AS comp FROM x$rounds ORDER BY dim"
+  }
+
+  // ------------------------------------------------------------------
+  // q_holt_linear — trend-aware double exponential smoothing
+  // ------------------------------------------------------------------
+
+  /** Holt linear (double-exponential) smoothing over the per-type daily
+    * revenue series, α = 1/4, β = 1/8, integer recurrences
+    *   l ← (v + 3(l+b)) div 4,  b ← (7b + (l' − l)) div 8
+    * — the trend-aware companion of [[qEwmaDaily]], same
+    * calendar-bounded fold shape. The trend b goes NEGATIVE on declines,
+    * so the oracle decomposes every division as sign·(|x| div y) to
+    * replay Spark's truncating `div` under DuckDB's flooring `//`.
+    * Output adds the one-step forecast l + b per day. */
+  private def qHoltLinear(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val daily = t.events
+      .select(expr(s"ts div $DayUs").as("day"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day")).agg(sum(col("cents")).as("v"))
+    daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("arr"))
+      .select(col("event_type"), expr(
+        """explode(transform(arr, (e, i) ->
+          |named_struct('day', e.day, 'v', e.v, 'st',
+          |aggregate(slice(arr, 1, i + 1),
+          |named_struct('l', -1L, 'b', 0L),
+          |(acc, y) -> if(acc.l < 0,
+          |named_struct('l', y.v, 'b', 0L),
+          |named_struct(
+          |'l', (y.v + 3 * (acc.l + acc.b)) div 4,
+          |'b', (7 * acc.b + ((y.v + 3 * (acc.l + acc.b)) div 4 - acc.l)) div 8))))))"""
+          .stripMargin.replace('\n', ' ')).as("r"))
+      .select(col("event_type"), col("r.day").as("day"), col("r.v").as("v"),
+        col("r.st.l").as("level"), col("r.st.b").as("trend"),
+        (col("r.st.l") + col("r.st.b")).as("forecast"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val qHoltLinearSql =
+    s"""WITH RECURSIVE d AS (
+       |SELECT event_type, epoch_us(ts) // $DayUs AS day,
+       |CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS v,
+       |ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY epoch_us(ts) // $DayUs) AS rn
+       |FROM events GROUP BY 1, 2),
+       |r AS (
+       |SELECT event_type, day, v, rn, v AS l, CAST(0 AS BIGINT) AS b FROM d WHERE rn = 1
+       |UNION ALL
+       |SELECT d.event_type, d.day, d.v, d.rn,
+       |CASE WHEN d.v + 3 * (r.l + r.b) < 0 THEN -((-(d.v + 3 * (r.l + r.b))) // 4)
+       |ELSE (d.v + 3 * (r.l + r.b)) // 4 END AS l,
+       |CASE WHEN 7 * r.b + (CASE WHEN d.v + 3 * (r.l + r.b) < 0
+       |THEN -((-(d.v + 3 * (r.l + r.b))) // 4)
+       |ELSE (d.v + 3 * (r.l + r.b)) // 4 END - r.l) < 0
+       |THEN -((-(7 * r.b + (CASE WHEN d.v + 3 * (r.l + r.b) < 0
+       |THEN -((-(d.v + 3 * (r.l + r.b))) // 4)
+       |ELSE (d.v + 3 * (r.l + r.b)) // 4 END - r.l))) // 8)
+       |ELSE (7 * r.b + (CASE WHEN d.v + 3 * (r.l + r.b) < 0
+       |THEN -((-(d.v + 3 * (r.l + r.b))) // 4)
+       |ELSE (d.v + 3 * (r.l + r.b)) // 4 END - r.l)) // 8 END AS b
+       |FROM r JOIN d ON d.event_type = r.event_type AND d.rn = r.rn + 1)
+       |SELECT event_type, day, v, l AS level, b AS trend, l + b AS forecast
+       |FROM r ORDER BY event_type, day""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // q_mix_epochs — uniform-target data-budget allocation per source
+  // ------------------------------------------------------------------
+
+  /** Training-data budget allocation: each source gets a uniform target
+    * weight (e6, largest-remainder rounded so the weights sum to
+    * exactly 10⁶ — the deterministic tie rule hands the remainder to
+    * the largest sources first), the char budget is 2× the corpus, and
+    * epochs_e3 says how many passes over each source that allocation
+    * implies — the over/under-sampling panel a mixture designer reads.
+    * One source-keyed agg + a window over the (bounded) source list. */
+  private def qMixEpochs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(s, dir).documents
+    val src = d.groupBy(col("source")).agg(sum(col("n_chars")).as("chars"))
+    val tot = src.agg(sum(col("chars")).as("t"), count(lit(1)).as("k"))
+    src.crossJoin(broadcast(tot))
+      .withColumn("rn", row_number().over(Window.orderBy(col("chars").desc, col("source"))))
+      .select(col("source"), col("chars"),
+        (expr("1000000 div k") +
+          when(col("rn") <= expr("1000000 % k"), 1L).otherwise(0L)).as("weight_e6"),
+        col("t"))
+      .withColumn("alloc_chars", expr("(2 * t * weight_e6) div 1000000"))
+      .select(col("source"), col("chars"), col("weight_e6"), col("alloc_chars"),
+        expr("(alloc_chars * 1000) div chars").as("epochs_e3"))
+      .orderBy(col("source"))
+  }
+
+  private val qMixEpochsSql =
+    """WITH src AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(chars) AS BIGINT) AS t, COUNT(*) AS k FROM src),
+      |wts AS (SELECT source, chars,
+      |1000000 // (SELECT k FROM tot)
+      |+ CASE WHEN ROW_NUMBER() OVER (ORDER BY chars DESC, source)
+      |<= 1000000 % (SELECT k FROM tot) THEN 1 ELSE 0 END AS weight_e6
+      |FROM src),
+      |al AS (SELECT source, chars, weight_e6,
+      |(2 * (SELECT t FROM tot) * weight_e6) // 1000000 AS alloc_chars FROM wts)
+      |SELECT source, chars, CAST(weight_e6 AS BIGINT) AS weight_e6, alloc_chars,
+      |(alloc_chars * 1000) // chars AS epochs_e3
+      |FROM al ORDER BY source""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ewma_daily"          -> (qEwmaDaily _),
@@ -331,7 +479,10 @@ object SignalQueries {
     "q_multimodal_scenecut" -> (qScenecut _),
     "q_graph_salsa"         -> (qSalsa _),
     "q_text_winnow"         -> (qTextWinnow _),
-    "q_graph_squares"       -> (qSquares _))
+    "q_graph_squares"       -> (qSquares _),
+    "q_emb_power_iter"      -> (qEmbPowerIter _),
+    "q_holt_linear"         -> (qHoltLinear _),
+    "q_mix_epochs"          -> (qMixEpochs _))
 
   val oracles: Map[String, String] = Map(
     "q_ewma_daily"          -> qEwmaDailySql,
@@ -339,5 +490,8 @@ object SignalQueries {
     "q_multimodal_scenecut" -> qScenecutSql,
     "q_graph_salsa"         -> qSalsaSql,
     "q_text_winnow"         -> qTextWinnowSql,
-    "q_graph_squares"       -> qSquaresSql)
+    "q_graph_squares"       -> qSquaresSql,
+    "q_emb_power_iter"      -> qEmbPowerIterSql,
+    "q_holt_linear"         -> qHoltLinearSql,
+    "q_mix_epochs"          -> qMixEpochsSql)
 }

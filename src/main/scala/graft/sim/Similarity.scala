@@ -543,4 +543,47 @@ object Similarity {
         min(col("s_shift_e6")).as("min_sil_shift_e6"),
         max(col("s_shift_e6")).as("max_sil_shift_e6"))
   }
+
+  /** Top principal direction of the embedding covariance by K rounds of
+    * integer power iteration: the covariance numerators from
+    * [[covarianceUpper]] are down-scaled by 2²⁰ (sign-safe truncating
+    * division — Spark `div` truncates toward zero; the oracle's `//`
+    * floors, so negative-capable divisions are decomposed as
+    * sign·(|x| div y) on both sides), mirrored to the full d×d matrix,
+    * and the iterate x (d integers, re-scaled to max |x| = 1024 after
+    * every multiply) is a pure function of the input a SQL oracle can
+    * unroll. Bounds: |c| ≤ n²·2²⁸/2²⁰ and |w| ≤ d·|c|·1024 keep
+    * everything inside BIGINT to n ≈ 10⁹ rows (same bound as
+    * [[covarianceUpper]]).
+    *
+    * Scale shape: the one data-sized pass is covarianceUpper's d² in-row
+    * fan-out; every iteration after that runs on d-row / d²-row frames
+    * (a broadcast-sized fixpoint, whatever the corpus size). The
+    * dominant eigendirection is the drift axis embedding monitors
+    * project onto. */
+  def powerIteration(corpus: DataFrame, dim: Int, rounds: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val cov = covarianceUpper(corpus, dim)
+      .select(col("j").as("i"), col("k").as("j2"),
+        expr("if(cov_num < 0, -((-cov_num) div 1048576), cov_num div 1048576)").as("c"))
+      .localCheckpoint()
+    val full = cov.union(
+        cov.filter(col("i") =!= col("j2"))
+          .select(col("j2").as("i"), col("i").as("j2"), col("c")))
+      .localCheckpoint()
+    var x = spark.range(dim).select(col("id").as("j2"), lit(1024L).as("x"))
+    var r = 0
+    while (r < rounds) {
+      val w = full.join(x, Seq("j2"))
+        .groupBy(col("i")).agg(sum(col("c") * col("x")).as("w"))
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      x = w.crossJoin(broadcast(m))
+        .select(col("i").as("j2"),
+          expr("if(w < 0, -((-w) * 1024 div m), (w * 1024) div m)").as("x"))
+        .localCheckpoint() // d rows; keeps the unrolled plan flat
+      r += 1
+    }
+    x.select(col("j2").cast("long").as("dim"), col("x").as("comp"))
+      .orderBy(col("dim"))
+  }
 }

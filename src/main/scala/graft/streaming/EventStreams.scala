@@ -269,6 +269,48 @@ object EventStreams {
     }
   }
 
+  final case class EwmaState(day: Long, daySum: Long, ewma: Long, hasEwma: Boolean)
+  final case class EwmaPoint(event_type: String, day: Long, v: Long, ewma: Long)
+
+  /** Streaming per-type daily-revenue EWMA: the stateful twin of the
+    * batch q_ewma_daily fold. A flatMapGroupsWithState machine keyed by
+    * event_type accumulates the current event-time day's cents; when
+    * the stream crosses into the next day it FINALIZES the closed day
+    * with the identical integer recurrence e ← (7e + v) div 8 (first
+    * day: e = v) and emits the point. State per key is three longs + a
+    * flag however long the stream runs; late rows for a closed day are
+    * dropped (the [[AnomalyAlerts]] demo-semantics contract). With
+    * batches fed in event-time order the emitted (day, v, ewma) rows
+    * equal the batch fold — StreamingSpec asserts parity on the REAL
+    * events table. */
+  object EwmaDaily {
+    def updateState(eventType: String, rows: Iterator[Event],
+                    state: GroupState[EwmaState]): Iterator[EwmaPoint] = {
+      var st = state.getOption.orNull
+      val out = Seq.newBuilder[EwmaPoint]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val day = e.ts.getTime / 86400000L
+        val cents = math.floor(e.value * 100).toLong
+        if (st == null) st = EwmaState(day, cents, 0L, hasEwma = false)
+        else if (day == st.day) st = st.copy(daySum = st.daySum + cents)
+        else if (day > st.day) {
+          val ew = if (!st.hasEwma) st.daySum else (7 * st.ewma + st.daySum) / 8
+          out += EwmaPoint(eventType, st.day, st.daySum, ew)
+          st = EwmaState(day, cents, ew, hasEwma = true)
+        } // day < st.day: late row for a closed day — dropped
+      }
+      state.update(st)
+      out.result().iterator
+    }
+
+    def run(events: Dataset[Event]): Dataset[EwmaPoint] = {
+      val spark = events.sparkSession
+      import spark.implicits._
+      events.groupByKey(_.event_type)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateState)
+    }
+  }
+
   /** Streaming exact daily-active-users: dedup each (user, day) within
     * the watermark, then count per daily window — the chained
     * stateful-operator form (dedup → windowed agg) Spark 4 supports

@@ -119,6 +119,50 @@ class SignalSpec extends SparkSpec {
     assert(sets(1L).intersect(sets(2L)).nonEmpty)
   }
 
+  test("Holt fold replays the sign-safe double-smoothing recurrence") {
+    val rows = Queries.all("q_holt_linear")(spark, sf)
+      .filter(col("event_type") === "click")
+      .orderBy(col("day"))
+      .select(col("v"), col("level"), col("trend")).as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    def tdiv(a: Long, b: Long): Long = a / b // JVM / truncates toward zero
+    var l = -1L; var b = 0L
+    rows.foreach { case (v, gl, gb) =>
+      if (l < 0) { l = v; b = 0L }
+      else {
+        val l2 = tdiv(v + 3 * (l + b), 4)
+        b = tdiv(7 * b + (l2 - l), 8)
+        l = l2
+      }
+      assert(gl == l && gb == b)
+    }
+    // declines must produce genuinely negative trend somewhere
+    assert(rows.map(_._3).min < 0)
+  }
+
+  test("power iteration finds the dominant axis of an anisotropic cloud") {
+    // vectors spread along (1,1) in a 2-D corpus: the top principal
+    // direction must weight both dims equally — |x0| = |x1| = 1024 and
+    // same sign (the variance along (1,-1) is zero)
+    val vecs = Seq(
+      (1L, Array(1.0f, 1.0f)), (2L, Array(2.0f, 2.0f)),
+      (3L, Array(-1.0f, -1.0f)), (4L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val got = sim.Similarity.powerIteration(vecs, dim = 2, rounds = 4)
+      .select(col("dim"), col("comp")).as[(Long, Long)].collect().toMap
+    assert(got(0L) == got(1L) && math.abs(got(0L)) == 1024L)
+  }
+
+  test("mix-epochs weights sum to exactly 1e6 with largest-remainder") {
+    val rows = Queries.all("q_mix_epochs")(spark, sf)
+      .select(col("weight_e6"), col("alloc_chars"), col("chars"))
+      .as[(Long, Long, Long)].collect()
+    assert(rows.map(_._1).sum == 1000000L)
+    // 2x budget: average epochs across sources must straddle 2.0
+    val e3 = rows.map(r => (r._2 * 1000) / r._3)
+    assert(e3.min < 2000L || e3.max > 2000L)
+  }
+
   test("square census counts C4s: one on a 4-cycle, three on K4") {
     val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
     val got1 = SignalQueries.squareCensus(c4).select(col("n_squares")).as[Long].head()

@@ -320,6 +320,49 @@ class StreamingSpec extends SparkSpec {
     assert(got.last == ((4L, 50L, 1)))            // spike flagged at close
   }
 
+  test("streaming EWMA over the REAL events equals the batch fold") {
+    // the stateful twin of q_ewma_daily: feed the actual testdata in
+    // event-time order, close every day, and compare each emitted
+    // (type, day, v, ewma) against the batch recurrence
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    implicit val sqlCtx = spark.sqlContext
+    val t = graft.Tables(spark, dir)
+    def usTs(us: Long): Timestamp = {
+      val ts = new Timestamp(us / 1000000L * 1000L)
+      ts.setNanos(((us % 1000000L) * 1000L).toInt)
+      ts
+    }
+    val rows = t.events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)].collect()
+      .sortBy(r => (r._2, r._1))
+      .map(r => EventStreams.Event(r._1, usTs(r._2), r._3, r._4, r._5))
+    val input = MemoryStream[EventStreams.Event]
+    val query = EventStreams.EwmaDaily.run(input.toDS())
+      .writeStream.format("memory").queryName("ewma_real")
+      .outputMode("update").start()
+    input.addData(rows.toIndexedSeq: _*)
+    query.processAllAvailable()
+    val streamed = spark.table("ewma_real")
+      .select(col("event_type"), col("day"), col("v"), col("ewma"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val batch = graft.Queries.all("q_ewma_daily")(spark, dir)
+      .select(col("event_type"), col("day"), col("v"), col("ewma"))
+      .as[(String, Long, Long, Long)].collect()
+    // the stream's LAST day per type never closes — every closed day
+    // must match the batch fold exactly
+    assert(streamed.nonEmpty)
+    val lastDay = batch.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+    batch.filter(r => r._2 < lastDay(r._1)).foreach { case (ty, d, v, ew) =>
+      val (sv, sew) = streamed((ty, d))
+      assert(sv == v, s"day-sum mismatch at ($ty,$d)")
+      assert(sew == ew, s"ewma mismatch at ($ty,$d)")
+    }
+    query.stop()
+  }
+
   test("streaming tumbling counts equal the batch aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
