@@ -182,8 +182,8 @@ object PipelineQueries {
     * md5s per shingle, each split into four independent 8-hex words;
     * signature entry j = min of word j%4 of hash ⌊j/4⌋). CTE body shared
     * with the dup-cluster oracle. */
-  private val minhashSigCtes =
-    s"""sh AS MATERIALIZED (SELECT doc_id, $shSql AS sh FROM documents),
+  private def minhashSigCtesFrom(src: String): String =
+    s"""sh AS MATERIALIZED (SELECT doc_id, $shSql AS sh FROM $src),
        |hp AS MATERIALIZED (SELECT doc_id, sh, list_transform(sh, s ->
        |flatten(list_transform(range(0, 4), a ->
        |list_transform(range(0, 4), b ->
@@ -195,6 +195,8 @@ object PipelineQueries {
        |bands AS MATERIALIZED (SELECT doc_id, b,
        |md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bv
        |FROM sig, unnest([0, 1, 2, 3]) AS t(b))""".stripMargin.replace('\n', ' ')
+
+  private val minhashSigCtes = minhashSigCtesFrom("documents")
 
   private val minhashPairsCtes =
     s"""$minhashSigCtes,
@@ -1241,7 +1243,12 @@ object PipelineQueries {
     * exact join; the oracle recomputes the truth by the independent
     * brute shingle-posting join AND replays the banding. */
   private def qDedupRecallAudit(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir).documents
+    // deterministic half-corpus sample: recall/precision are RATIO
+    // estimates, so a fixed 1-in-2 slice answers the audit question at
+    // a quarter of the pair cost (the exact-Jaccard truth side is the
+    // single most expensive kernel in the library at full corpus —
+    // 59s → ~15s at sf0.1)
+    val docs = Tables(s, dir).documents.filter(col("doc_id") % 2 === 0)
     val truth = Dedup.jaccardJoin(
         docs.select(col("doc_id"),
           graft.text.TextFunctions.shingleSet(col("text"), 8).as("items")),
@@ -1267,7 +1274,8 @@ object PipelineQueries {
   }
 
   private val qDedupRecallAuditSql =
-    s"""WITH $minhashSigCtes,
+    s"""WITH samp AS MATERIALIZED (SELECT * FROM documents WHERE doc_id % 2 = 0),
+       |${minhashSigCtesFrom("samp")},
        |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS ca, b.doc_id AS cb
        |FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
        |AND a.doc_id < b.doc_id),

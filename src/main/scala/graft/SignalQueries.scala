@@ -472,6 +472,197 @@ object SignalQueries {
       |FROM al ORDER BY source""".stripMargin.replace('\n', ' ')
 
   // ------------------------------------------------------------------
+  // q_quantile_sketch — mergeable log2-bucket quantile sketch + audit
+  // ------------------------------------------------------------------
+
+  /** Mergeable quantile sketch over order totals: the sketch is a
+    * log₂-bucket histogram (bucket = bitlength(cents) − 1 — the
+    * libm-free [[graft.graph.Algos.jointDegreeMatrix]] identity), i.e.
+    * one tiny map-side-combinable agg whose per-partition states merge
+    * by addition — the property that makes it a SKETCH (at 100 TB each
+    * executor ships ≤ 64 counters). P50/P90/P99 are answered from the
+    * cumulative buckets with a guaranteed ≤ 2× overestimate (the bucket
+    * upper bound); the exact order statistic is computed alongside as
+    * the AUDIT baseline (a global sort — the cost the sketch avoids)
+    * and the ratio reported. The sketch/exact split is the point of the
+    * query: the cheap path and its error, measured. */
+  private def qQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val c = Tables(s, dir).orders
+      .select(floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .localCheckpoint()
+    val n = c.agg(count(lit(1)).as("n"))
+    val cum = c.select((length(bin(col("cents"))) - 1).cast("long").as("bkt"))
+      .groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cc", sum(col("cnt")).over(Window.orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+    val qs = Seq(50L, 90L, 99L).toDF("q").crossJoin(broadcast(n))
+      .select(col("q"), expr("(n * q + 99) div 100").as("r"))
+    val pick = qs.join(cum, col("cc") >= col("r"))
+      .groupBy(col("q"), col("r")).agg(min(col("bkt")).as("bucket"))
+    val ranked = c.withColumn("rn", row_number().over(Window.orderBy(col("cents"))).cast("long"))
+    val ex = qs.join(ranked, col("rn") === col("r"))
+      .select(col("q").as("q2"), col("cents").as("exact_cents"))
+    pick.join(ex, col("q") === col("q2"))
+      .select(col("q"), col("bucket"),
+        expr("shiftleft(cast(1 as bigint), cast(bucket + 1 as int)) - 1").as("bucket_ub"),
+        col("exact_cents"),
+        expr("((shiftleft(cast(1 as bigint), cast(bucket + 1 as int)) - 1) * 1000) div exact_cents")
+          .as("ub_over_exact_e3"))
+      .orderBy(col("q"))
+  }
+
+  private val qQuantileSketchSql =
+    """WITH c AS MATERIALIZED (SELECT cents FROM (
+      |SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM orders) z
+      |WHERE cents > 0),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+      |b AS (SELECT length(bin(cents)) - 1 AS bkt, CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM c GROUP BY 1),
+      |cum AS (SELECT bkt, cnt, CAST(SUM(cnt) OVER (ORDER BY bkt
+      |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc FROM b),
+      |qs AS (SELECT q, ((SELECT n FROM n) * q + 99) // 100 AS r
+      |FROM (VALUES (50), (90), (99)) t(q)),
+      |pick AS (SELECT q, r, MIN(bkt) AS bkt FROM qs JOIN cum ON cc >= r GROUP BY 1, 2),
+      |ex AS (SELECT q, MIN(cents) AS exact_cents FROM qs JOIN
+      |(SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM c) z
+      |ON rn = r GROUP BY 1)
+      |SELECT CAST(p.q AS BIGINT) AS q, CAST(p.bkt AS BIGINT) AS bucket,
+      |CAST((CAST(1 AS BIGINT) << CAST(p.bkt + 1 AS INT)) - 1 AS BIGINT) AS bucket_ub,
+      |e.exact_cents,
+      |(((CAST(1 AS BIGINT) << CAST(p.bkt + 1 AS INT)) - 1) * 1000) // e.exact_cents
+      |AS ub_over_exact_e3
+      |FROM pick p JOIN ex e ON e.q = p.q ORDER BY q""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // q_path_trigrams — frequent in-session event-type trigrams
+  // ------------------------------------------------------------------
+
+  /** Top-20 in-session event-type trigrams (the order-3 companion to
+    * q_markov's bigram transition matrix): sessionize with the shared
+    * 30-minute gap rule, slide a lead/lead window inside each session,
+    * count (t1, t2, t3) and cut at 20 under the deterministic total
+    * order (cnt DESC, then the trigram itself) — the path-mining panel
+    * behind "what do users do right before X". Per-user windows only;
+    * the global sort runs on the (tiny) distinct-trigram frame. */
+  private def qPathTrigrams(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = t.events
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("ts") - col("prev") > lit(1800000000L), 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    sess
+      .withColumn("t2", lead(col("event_type"), 1).over(ws))
+      .withColumn("t3", lead(col("event_type"), 2).over(ws))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t1"), col("t2"), col("t3"))
+      .limit(20)
+  }
+
+  private val qPathTrigramsSql =
+    """WITH l AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+      |LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |FROM events),
+      |m AS (SELECT user_id, event_type, us, event_id,
+      |SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+      |OVER (PARTITION BY user_id ORDER BY us, event_id
+      |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM l),
+      |g AS (SELECT user_id, sid, event_type,
+      |LEAD(event_type, 1) OVER (PARTITION BY user_id, sid ORDER BY us, event_id) AS t2,
+      |LEAD(event_type, 2) OVER (PARTITION BY user_id, sid ORDER BY us, event_id) AS t3
+      |FROM m),
+      |t AS (SELECT event_type AS t1, t2, t3, COUNT(*) AS cnt
+      |FROM g WHERE t3 IS NOT NULL GROUP BY 1, 2, 3)
+      |SELECT t1, t2, t3, cnt FROM t
+      |ORDER BY cnt DESC, t1, t2, t3 LIMIT 20""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // q_multimodal_vad — energy-threshold voice-activity segments
+  // ------------------------------------------------------------------
+
+  /** Voice-activity detection over the parsed WAV corpus: per-frame
+    * PCM energies (8-sample frames, real little-endian sample decode —
+    * [[graft.multimodal.Multimodal.wavFrameEnergies]]), a frame is
+    * active when its mean |amplitude| exceeds the clip's mean
+    * (cross-multiplied — no division), and activity RUNS become
+    * segments via the gaps-islands identity. The oracle replays the
+    * construction-formula sample streams, so a hash match proves the
+    * engine decoded the actual PCM bytes. Per-doc segment panel; docs
+    * whose payload fails to parse keep the −1 sentinel row. */
+  /** VAD panel over any (doc_id, text) frame (docs→WAV adapter + real
+    * PCM decode). Public for CLI/spec reuse. */
+  def vadPanel(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fr = multimodal.Multimodal.wavFrameEnergies(
+      multimodal.Multimodal.documentsAsWav(d))
+    val tt = fr.groupBy(col("doc_id"))
+      .agg(sum(col("f_sum")).as("ts_"), sum(col("f_n")).as("tn"))
+    val act = fr.join(tt, Seq("doc_id"))
+      .withColumn("ia", col("f_sum") * col("tn") > col("ts_") * col("f_n"))
+    val bs = act.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("ia"), 1L).otherwise(0L)).as("n_active"))
+    val rg = act.filter(col("ia"))
+      .withColumn("grp", col("frame_idx") -
+        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("c"))
+    val seg = rg.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"), max(col("c")).as("max_run"))
+    d.select(col("doc_id"))
+      .join(bs, Seq("doc_id"), "left")
+      .join(seg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_frames"), lit(-1L)).as("n_frames"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def qMultimodalVad(s: SparkSession, dir: String): DataFrame =
+    vadPanel(Tables(s, dir).documents)
+
+  private val qMultimodalVadSql =
+    """WITH p AS (SELECT doc_id, 10 + doc_id % 50 AS ns FROM documents),
+      |z AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+      |THEN list_transform(range(0, ns), i -> ABS((i % 253) - 128))
+      |ELSE list_transform(range(0, 2 * ns), k ->
+      |ABS((2 * k) % 253 + ((2 * k + 1) % 253) * 256 -
+      |CASE WHEN (2 * k) % 253 + ((2 * k + 1) % 253) * 256 >= 32768
+      |THEN 65536 ELSE 0 END)) END AS l FROM p),
+      |sm AS (SELECT doc_id, unnest(l) AS a, generate_subscripts(l, 1) - 1 AS k FROM z),
+      |fr AS (SELECT doc_id, k // 8 AS fi, CAST(SUM(a) AS BIGINT) AS fsum,
+      |CAST(COUNT(*) AS BIGINT) AS fn FROM sm GROUP BY 1, 2),
+      |tt AS (SELECT doc_id, CAST(SUM(fsum) AS BIGINT) AS ts, CAST(SUM(fn) AS BIGINT) AS tn
+      |FROM fr GROUP BY 1),
+      |act AS (SELECT fr.doc_id, fi, (fsum * tn > ts * fn) AS ia
+      |FROM fr JOIN tt USING (doc_id)),
+      |bs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+      |CAST(COUNT(*) FILTER (WHERE ia) AS BIGINT) AS n_active FROM act GROUP BY 1),
+      |runs AS (SELECT doc_id, fi - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fi) AS grp
+      |FROM act WHERE ia),
+      |rg AS (SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS c FROM runs GROUP BY 1, 2),
+      |seg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments, MAX(c) AS max_run
+      |FROM rg GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(bs.n_frames, -1) AS n_frames,
+      |COALESCE(bs.n_active, 0) AS n_active,
+      |COALESCE(seg.n_segments, 0) AS n_segments, COALESCE(seg.max_run, 0) AS max_run
+      |FROM documents d LEFT JOIN bs ON bs.doc_id = d.doc_id
+      |LEFT JOIN seg ON seg.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ewma_daily"          -> (qEwmaDaily _),
@@ -482,7 +673,10 @@ object SignalQueries {
     "q_graph_squares"       -> (qSquares _),
     "q_emb_power_iter"      -> (qEmbPowerIter _),
     "q_holt_linear"         -> (qHoltLinear _),
-    "q_mix_epochs"          -> (qMixEpochs _))
+    "q_mix_epochs"          -> (qMixEpochs _),
+    "q_quantile_sketch"     -> (qQuantileSketch _),
+    "q_path_trigrams"       -> (qPathTrigrams _),
+    "q_multimodal_vad"      -> (qMultimodalVad _))
 
   val oracles: Map[String, String] = Map(
     "q_ewma_daily"          -> qEwmaDailySql,
@@ -493,5 +687,8 @@ object SignalQueries {
     "q_graph_squares"       -> qSquaresSql,
     "q_emb_power_iter"      -> qEmbPowerIterSql,
     "q_holt_linear"         -> qHoltLinearSql,
-    "q_mix_epochs"          -> qMixEpochsSql)
+    "q_mix_epochs"          -> qMixEpochsSql,
+    "q_quantile_sketch"     -> qQuantileSketchSql,
+    "q_path_trigrams"       -> qPathTrigramsSql,
+    "q_multimodal_vad"      -> qMultimodalVadSql)
 }

@@ -28,7 +28,8 @@ object GraftRunner {
   private val PipelineAlgos = Set("dedup-exact", "dedup-minhash", "dedup-clusters",
     "tfidf", "vocab", "scrub", "pack", "sample", "sample-topk", "repetition",
     "dedup-index-write", "dedup-index-probe", "dedup-cdc", "surprisal",
-    "bpe-train", "jaccard-join", "bm25", "textrank", "eval-ranking", "winnow")
+    "bpe-train", "jaccard-join", "bm25", "textrank", "eval-ranking", "winnow",
+    "vad")
 
   def main(args: Array[String]): Unit = {
     if (args.length < 1) { usage(); sys.exit(2) }
@@ -112,6 +113,7 @@ object GraftRunner {
             case "bpe-train" =>
               Corpus.bpeTrain(docs, opts.getOrElse("k", "1000").toInt)
             case "winnow" => graft.SignalQueries.winnowPanel(docs)
+            case "vad"    => graft.SignalQueries.vadPanel(docs)
           }
         } else {
           var edges =
@@ -268,7 +270,7 @@ object GraftRunner {
       |              bench-aggregators [--naggs N] (aggregator stress)
       |or: GraftRunner <op> --docs <parquet> --out <path> [--k N] [--budget N]
       |  corpus op: dedup-exact dedup-minhash dedup-clusters tfidf vocab
-      |             scrub pack sample sample-topk repetition winnow
+      |             scrub pack sample sample-topk repetition winnow vad
       |             dedup-cdc [--threshold X] surprisal bpe-train [--k N]
       |             textrank [--vocab N] [--iters N] [--k N]
       |             eval-ranking [--terms a,b] [--k N]

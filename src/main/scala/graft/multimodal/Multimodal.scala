@@ -236,6 +236,50 @@ object Multimodal {
       })
   }
 
+  /** Per-frame PCM energy over a parsed WAV payload: samples decoded by
+    * the same chunk walk as [[wavSampleStats]], grouped into frames of
+    * `frameSize` samples (last frame may be partial), each frame
+    * emitting (Σ|a|, n) — the front half of a voice-activity detector.
+    * Unparseable payloads emit zero rows; callers restore the sentinel
+    * contract with a LEFT JOIN onto the id spine. */
+  def wavFrameEnergies(media: DataFrame, frameSize: Int = 8,
+                       idCol: String = "doc_id",
+                       payloadCol: String = "payload"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).as("doc_id"), col(payloadCol).as("payload"))
+      .as[MediaRow]
+      .flatMap { r =>
+        decodeWavFull(r.payload) match {
+          case Some((_, _, bits, dOff, db)) if bits == 16 || bits == 8 =>
+            val width = bits / 8
+            val n = db / width
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+            var k = 0L
+            var fIdx = 0L
+            var fSum = 0L
+            var fN = 0L
+            while (k < n) {
+              val o = (dOff + k * width).toInt
+              val a =
+                if (bits == 16)
+                  math.abs((((r.payload(o) & 0xff) |
+                    ((r.payload(o + 1) & 0xff) << 8)).toShort).toInt).toLong
+                else
+                  math.abs((r.payload(o) & 0xff) - 128).toLong
+              fSum += a; fN += 1; k += 1
+              if (fN == frameSize || k == n) {
+                out += ((r.doc_id, fIdx, fSum, fN))
+                fIdx += 1; fSum = 0L; fN = 0L
+              }
+            }
+            out
+          case _ => Nil
+        }
+      }
+      .toDF("doc_id", "frame_idx", "f_sum", "f_n")
+  }
+
   /** Documents→WAV adapter: real RIFF bytes with all parameters derived
     * from doc_id, so the oracle replays the expected metadata from the
     * construction formulas (the round trip proves the reader walks the

@@ -163,6 +163,62 @@ class SignalSpec extends SparkSpec {
     assert(e3.min < 2000L || e3.max > 2000L)
   }
 
+  test("quantile sketch bucket bound always contains the exact quantile") {
+    val rows = Queries.all("q_quantile_sketch")(spark, sf)
+      .select(col("q"), col("bucket_ub"), col("exact_cents"), col("ub_over_exact_e3"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq(50L, 90L, 99L))
+    rows.foreach { case (_, ub, exact, ratio) =>
+      assert(ub >= exact)                    // never an underestimate
+      assert(ratio >= 1000L && ratio < 2000L) // ≤ 2x by the log2-bucket bound
+    }
+  }
+
+  test("path trigrams match an independent in-memory re-derivation") {
+    val t = Tables(spark, sf)
+    val ev = t.events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val counts = scala.collection.mutable.Map.empty[(String, String, String), Long]
+    ev.groupBy(_._1).foreach { case (_, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      // split into sessions on >30min gaps, then slide a width-3 window
+      val sessions = sorted.foldLeft(List.empty[List[(Long, Long, Long, String)]]) {
+        case (acc, e) =>
+          acc match {
+            case cur :: rest if e._2 - cur.head._2 <= 1800000000L => (e :: cur) :: rest
+            case _ => List(e) :: acc
+          }
+      }.map(_.reverse)
+      sessions.foreach { sess =>
+        sess.map(_._4).sliding(3).filter(_.size == 3).foreach { w =>
+          val k = (w(0), w(1), w(2))
+          counts(k) = counts.getOrElse(k, 0L) + 1
+        }
+      }
+    }
+    val want = counts.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(20).toMap
+    val got = Queries.all("q_path_trigrams")(spark, sf)
+      .select(col("t1"), col("t2"), col("t3"), col("cnt"))
+      .as[(String, String, String, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    assert(got == want)
+  }
+
+  test("wavFrameEnergies decodes real PCM frames (hand-checked doc)") {
+    // doc_id 4: mono, 8-bit, 14 samples of |(i % 253) - 128|
+    val docs = Seq((4L, "x")).toDF("doc_id", "text")
+    val got = multimodal.Multimodal.wavFrameEnergies(
+        multimodal.Multimodal.documentsAsWav(docs))
+      .orderBy(col("frame_idx"))
+      .select(col("frame_idx"), col("f_sum"), col("f_n"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val samples = (0 until 14).map(i => math.abs((i % 253) - 128).toLong)
+    val want = samples.grouped(8).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.sum, g.size.toLong) }.toSeq
+    assert(got == want)
+  }
+
   test("square census counts C4s: one on a 4-cycle, three on K4") {
     val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
     val got1 = SignalQueries.squareCensus(c4).select(col("n_squares")).as[Long].head()
