@@ -663,6 +663,165 @@ object SignalQueries {
       |ORDER BY d.doc_id""".stripMargin.replace('\n', ' ')
 
   // ------------------------------------------------------------------
+  // q_graph_sample_fanout — GraphSAGE-style bounded neighbor sampling
+  // ------------------------------------------------------------------
+
+  /** Deterministic fixed-fanout neighbor sampling (the GraphSAGE
+    * data-prep step): each vertex keeps its top-3 neighbors under the
+    * hash order md5(src:dst) — a reproducible "random" sample both
+    * engines rank identically — and the 2-hop frontier is expanded
+    * through the SAMPLED lists only, so the per-vertex expansion is
+    * bounded 3² = 9 paths whatever the degree distribution. That bound
+    * is the point at 100 TB: hub vertices cost the same as leaves.
+    * Output: per-vertex sampled-2-hop panel. */
+  private def qSampleFanout(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cp = TestGraphs.partCoPairs(Tables(s, dir)).localCheckpoint()
+    val e = cp.select(col("u").as("src"), col("v").as("dst"))
+      .union(cp.select(col("v").as("src"), col("u").as("dst")))
+    val h1 = e.withColumn("r", row_number().over(
+        Window.partitionBy(col("src")).orderBy(
+          md5(concat(col("src").cast("string"), lit(":"), col("dst").cast("string"))),
+          col("dst"))))
+      .filter(col("r") <= 3).select(col("src"), col("dst"))
+      .localCheckpoint()
+    h1.as("a").join(h1.as("b"),
+        col("a.dst") === col("b.src") && col("b.dst") =!= col("a.src"))
+      .groupBy(col("a.src").as("src"))
+      .agg(countDistinct(col("b.dst")).as("n_2hop"),
+        count(lit(1)).as("n_paths"))
+      .orderBy(col("src"))
+  }
+
+  private val qSampleFanoutSql =
+    s"""WITH cp AS MATERIALIZED (${TestGraphs.partCoPairsSql}),
+       |e AS MATERIALIZED (SELECT u AS src, v AS dst FROM cp
+       |UNION ALL SELECT v AS src, u AS dst FROM cp),
+       |rk AS (SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |ORDER BY md5(CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)), dst) AS r FROM e),
+       |h1 AS MATERIALIZED (SELECT src, dst FROM rk WHERE r <= 3),
+       |h2 AS (SELECT a.src, b.dst AS dst2 FROM h1 a
+       |JOIN h1 b ON a.dst = b.src AND b.dst <> a.src)
+       |SELECT src, CAST(COUNT(DISTINCT dst2) AS BIGINT) AS n_2hop,
+       |CAST(COUNT(*) AS BIGINT) AS n_paths
+       |FROM h2 GROUP BY 1 ORDER BY src""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // q_graph_negative_samples — hash-derived link-prediction negatives
+  // ------------------------------------------------------------------
+
+  /** Deterministic negative sampling for link prediction: 4 hash-derived
+    * candidate targets per vertex (h60(src#s) mod |V| → the s-th
+    * pseudo-random vertex, identical in both engines via the shared
+    * md5-hex-prefix idiom), self-loops and TRUE edges anti-joined away,
+    * first 2 survivors kept per vertex under the (s, dst) order. The
+    * classic trainer-side negatives generator: candidate volume is a
+    * constant per vertex, the anti-join is one equi-join against the
+    * edge list, and nothing depends on degree. The id-compaction
+    * (row_number over the vertex list) is the one global window — at
+    * warehouse scale it is the standard zipWithIndex id-map, built once
+    * and reused. */
+  private def qNegativeSamples(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cp = TestGraphs.partCoPairs(Tables(s, dir)).localCheckpoint()
+    val e = cp.select(col("u").as("src"), col("v").as("dst"))
+      .union(cp.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    val vx = e.select(col("src").as("id")).distinct().localCheckpoint()
+    val n = vx.agg(count(lit(1)).as("n"))
+    val ids = vx.withColumn("idx",
+      (row_number().over(Window.orderBy(col("id"))) - 1).cast("long"))
+    val cand = vx.crossJoin(broadcast(n))
+      .select(col("id").as("src"), col("n"),
+        explode(expr("sequence(0, 3)")).as("s"))
+      .withColumn("tidx",
+        expr("cast(conv(substring(md5(concat(cast(src as string), '#', cast(s as string))), 1, 15), 16, 10) as bigint) % n"))
+    val mapped = cand.join(ids, col("tidx") === col("idx"))
+      .filter(col("id") =!= col("src"))
+      .select(col("src"), col("id").as("dst"), col("s"))
+    val neg = mapped.join(e, Seq("src", "dst"), "left_anti")
+    neg.withColumn("r", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("s"), col("dst"))))
+      .filter(col("r") <= 2)
+      .select(col("src"), col("dst"))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  private val qNegativeSamplesSql =
+    s"""WITH cp AS MATERIALIZED (${TestGraphs.partCoPairsSql}),
+       |e AS MATERIALIZED (SELECT u AS src, v AS dst FROM cp
+       |UNION ALL SELECT v AS src, u AS dst FROM cp),
+       |vx AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+       |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vx),
+       |ids AS MATERIALIZED (SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS idx FROM vx),
+       |cand AS (SELECT v.id AS src, t.s,
+       |CAST(('0x' || substring(md5(CAST(v.id AS VARCHAR) || '#' || CAST(t.s AS VARCHAR)), 1, 15)) AS BIGINT)
+       |% (SELECT n FROM nv) AS tidx
+       |FROM vx v CROSS JOIN range(0, 4) t(s)),
+       |cmap AS (SELECT c.src, i.id AS dst, c.s FROM cand c JOIN ids i ON i.idx = c.tidx
+       |WHERE i.id <> c.src),
+       |neg AS (SELECT cm.src, cm.dst, cm.s FROM cmap cm
+       |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = cm.src AND e.dst = cm.dst)),
+       |rk AS (SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY s, dst) AS r FROM neg)
+       |SELECT src, dst FROM rk WHERE r <= 2
+       |ORDER BY src, dst""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // q_session_survival — session-duration survival curve
+  // ------------------------------------------------------------------
+
+  /** Session-length survival function: sessionize with the shared
+    * 30-minute gap rule, then for each horizon (1, 5, 10, 30 minutes)
+    * report how many sessions survive at least that long and the e6
+    * share — the retention-of-attention curve product teams read. One
+    * sessionization pass + a 4-row horizon join (each session lands in
+    * ≤ 4 horizon buckets — constant fan-out). */
+  private def qSessionSurvival(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val t = Tables(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = t.events
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("ts") - col("prev") > lit(1800000000L), 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg((max(col("ts")) - min(col("ts"))).as("dur_us"))
+      .localCheckpoint()
+    val tot = sess.agg(count(lit(1)).as("total"))
+    val hs = Seq(1L, 5L, 10L, 30L).toDF("h_min")
+    hs.crossJoin(sess)
+      .filter(col("dur_us") >= col("h_min") * lit(60000000L))
+      .groupBy(col("h_min")).agg(count(lit(1)).as("n_alive"))
+      .crossJoin(broadcast(tot))
+      .select(col("h_min"), col("n_alive"), col("total"),
+        expr("(n_alive * 1000000) div total").as("share_e6"))
+      .orderBy(col("h_min"))
+  }
+
+  private val qSessionSurvivalSql =
+    """WITH l AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+      |LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |FROM events),
+      |m AS (SELECT user_id, us,
+      |SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+      |OVER (PARTITION BY user_id ORDER BY us, event_id
+      |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM l),
+      |sess AS MATERIALIZED (SELECT user_id, sid, MAX(us) - MIN(us) AS dur_us
+      |FROM m GROUP BY 1, 2),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM sess),
+      |hz AS (SELECT h_min FROM (VALUES (1), (5), (10), (30)) t(h_min))
+      |SELECT CAST(h_min AS BIGINT) AS h_min,
+      |CAST(COUNT(*) AS BIGINT) AS n_alive,
+      |(SELECT total FROM tot) AS total,
+      |(CAST(COUNT(*) AS BIGINT) * 1000000) // (SELECT total FROM tot) AS share_e6
+      |FROM hz JOIN sess ON dur_us >= h_min * 60000000
+      |GROUP BY h_min ORDER BY h_min""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ewma_daily"          -> (qEwmaDaily _),
@@ -676,7 +835,10 @@ object SignalQueries {
     "q_mix_epochs"          -> (qMixEpochs _),
     "q_quantile_sketch"     -> (qQuantileSketch _),
     "q_path_trigrams"       -> (qPathTrigrams _),
-    "q_multimodal_vad"      -> (qMultimodalVad _))
+    "q_multimodal_vad"      -> (qMultimodalVad _),
+    "q_graph_sample_fanout" -> (qSampleFanout _),
+    "q_graph_negative_samples" -> (qNegativeSamples _),
+    "q_session_survival"    -> (qSessionSurvival _))
 
   val oracles: Map[String, String] = Map(
     "q_ewma_daily"          -> qEwmaDailySql,
@@ -690,5 +852,8 @@ object SignalQueries {
     "q_mix_epochs"          -> qMixEpochsSql,
     "q_quantile_sketch"     -> qQuantileSketchSql,
     "q_path_trigrams"       -> qPathTrigramsSql,
-    "q_multimodal_vad"      -> qMultimodalVadSql)
+    "q_multimodal_vad"      -> qMultimodalVadSql,
+    "q_graph_sample_fanout" -> qSampleFanoutSql,
+    "q_graph_negative_samples" -> qNegativeSamplesSql,
+    "q_session_survival"    -> qSessionSurvivalSql)
 }

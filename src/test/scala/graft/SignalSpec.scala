@@ -219,6 +219,44 @@ class SignalSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("sampled 2-hop expansion is bounded by the 3x3 fanout") {
+    val rows = Queries.all("q_graph_sample_fanout")(spark, sf)
+      .select(col("n_2hop"), col("n_paths")).as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, p) =>
+      assert(p <= 9L)      // 3 sampled neighbors x 3 sampled neighbors
+      assert(d <= p && d >= 1L)
+    }
+  }
+
+  test("negative samples are never true edges and cap at 2 per vertex") {
+    val t = Tables(spark, sf)
+    val edges = TestGraphs.partCoPairs(t)
+      .select(col("u"), col("v")).as[(Long, Long)].collect()
+      .flatMap(p => Seq(p, (p._2, p._1))).toSet
+    val neg = Queries.all("q_graph_negative_samples")(spark, sf)
+      .select(col("src"), col("dst")).as[(Long, Long)].collect()
+    assert(neg.nonEmpty)
+    neg.foreach { p =>
+      assert(!edges.contains(p), s"negative $p is a true edge")
+      assert(p._1 != p._2)
+    }
+    neg.groupBy(_._1).foreach { case (_, ps) => assert(ps.length <= 2) }
+  }
+
+  test("session survival curve is monotone non-increasing") {
+    val rows = Queries.all("q_session_survival")(spark, sf)
+      .orderBy(col("h_min"))
+      .select(col("h_min"), col("n_alive"), col("total"), col("share_e6"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b._2 <= a._2)
+      case _ =>
+    }
+    rows.foreach { r => assert(r._4 <= 1000000L && r._2 <= r._3) }
+  }
+
   test("square census counts C4s: one on a 4-cycle, three on K4") {
     val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
     val got1 = SignalQueries.squareCensus(c4).select(col("n_squares")).as[Long].head()
