@@ -822,6 +822,69 @@ object SignalQueries {
       |GROUP BY h_min ORDER BY h_min""".stripMargin.replace('\n', ' ')
 
   // ------------------------------------------------------------------
+  // q_graph_rwr_multi — batched multi-source personalized PageRank
+  // ------------------------------------------------------------------
+
+  /** Four personalized-PageRank problems in ONE tagged frame
+    * ([[graft.graph.Algos.rwrMulti]], 5 rounds on the symmetrized
+    * customer–supplier graph): each round's edge shuffle and (dst, tag)
+    * aggregation serve all sources at once — the batching that makes
+    * thousand-source personalization viable at warehouse scale, where
+    * S independent q_graph_rwr runs would pay S edge shuffles per
+    * round. Oracle unrolls the identical tagged recurrence. */
+  private def qRwrMulti(s: SparkSession, dir: String): DataFrame = {
+    val tb = Tables(s, dir)
+    graph.Algos.rwrMulti(TestGraphs.custSuppSym(tb), nSources = 4,
+        iterations = 5)
+      .select(col("id"), col("tag"), e6(col("pr")).as("pr_e6"))
+      .orderBy(col("tag"), col("id"))
+  }
+
+  private val qRwrMultiSql =
+    sql.OracleGen.rwrMultiSql(TestGraphs.custSuppSymSql, 4, 5, 0.85, 0.15)
+
+  // ------------------------------------------------------------------
+  // q_graph_k4 — 4-clique census
+  // ------------------------------------------------------------------
+
+  /** Global K4 (4-clique) census over the part co-purchase graph:
+    * orient all edges low→high, enumerate oriented triangles
+    * (x < y < z) by the standard two-join wedge closure, then extend
+    * each triangle by the z→d edge list and keep extensions where
+    * (x, d) and (y, d) both exist (two LEFT SEMI probes against the
+    * oriented edge list — membership checks, not expansions). The
+    * orientation means every clique is counted exactly once and the
+    * extension fan-out is out-degree-bounded in the oriented (acyclic)
+    * graph — the same arboricity argument as the triangle pass.
+    * Single-row (n_triangles, n_k4) output. */
+  private def qK4(s: SparkSession, dir: String): DataFrame = {
+    val cp = TestGraphs.partCoPairs(Tables(s, dir)).localCheckpoint()
+    val t = cp.as("a")
+      .join(cp.as("b"), col("b.u") === col("a.u") && col("b.v") > col("a.v"))
+      .join(cp.as("c"), col("c.u") === col("a.v") && col("c.v") === col("b.v"))
+      .select(col("a.u").as("x"), col("a.v").as("y"), col("b.v").as("z"))
+      .localCheckpoint()
+    val ext = t
+      .join(cp.select(col("u").as("z"), col("v").as("d")), Seq("z"))
+      .join(cp.select(col("u").as("x"), col("v").as("d")), Seq("x", "d"), "left_semi")
+      .join(cp.select(col("u").as("y"), col("v").as("d")), Seq("y", "d"), "left_semi")
+    t.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(ext.agg(count(lit(1)).as("n_k4")))
+  }
+
+  private val qK4Sql =
+    s"""WITH cp AS MATERIALIZED (${TestGraphs.partCoPairsSql}),
+       |t AS MATERIALIZED (SELECT a.u AS x, a.v AS y, b.v AS z FROM cp a
+       |JOIN cp b ON b.u = a.u AND b.v > a.v
+       |JOIN cp c ON c.u = a.v AND c.v = b.v),
+       |k4 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_k4 FROM t
+       |JOIN cp e1 ON e1.u = t.z
+       |JOIN cp e2 ON e2.u = t.x AND e2.v = e1.v
+       |JOIN cp e3 ON e3.u = t.y AND e3.v = e1.v)
+       |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_triangles, n_k4
+       |FROM k4""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ewma_daily"          -> (qEwmaDaily _),
@@ -838,7 +901,9 @@ object SignalQueries {
     "q_multimodal_vad"      -> (qMultimodalVad _),
     "q_graph_sample_fanout" -> (qSampleFanout _),
     "q_graph_negative_samples" -> (qNegativeSamples _),
-    "q_session_survival"    -> (qSessionSurvival _))
+    "q_session_survival"    -> (qSessionSurvival _),
+    "q_graph_rwr_multi"     -> (qRwrMulti _),
+    "q_graph_k4"            -> (qK4 _))
 
   val oracles: Map[String, String] = Map(
     "q_ewma_daily"          -> qEwmaDailySql,
@@ -855,5 +920,7 @@ object SignalQueries {
     "q_multimodal_vad"      -> qMultimodalVadSql,
     "q_graph_sample_fanout" -> qSampleFanoutSql,
     "q_graph_negative_samples" -> qNegativeSamplesSql,
-    "q_session_survival"    -> qSessionSurvivalSql)
+    "q_session_survival"    -> qSessionSurvivalSql,
+    "q_graph_rwr_multi"     -> qRwrMultiSql,
+    "q_graph_k4"            -> qK4Sql)
 }

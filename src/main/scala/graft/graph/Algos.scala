@@ -370,6 +370,51 @@ object Algos {
     res.select("id", "pr")
   }
 
+  /** Batched multi-source random-walk-with-restart: `nSources`
+    * personalized-PageRank problems (the smallest distinct sources, the
+    * [[randomWalkWithRestart]] reference semantics per tag) advance in
+    * ONE tagged frame — per round a single (id ⋈ edges) shuffle and one
+    * (dst, tag) aggregation serve every source, instead of S separate
+    * jobs. The batching is the 100 TB point: personalization workloads
+    * ask for thousands of sources, and the per-round shuffle cost is
+    * amortized across all of them (the taggedBfs discipline applied to
+    * the PageRank family). Tagged state is |V|·S rows, hash-checkpointed
+    * per round. */
+  def rwrMulti(edges: DataFrame, nSources: Int, iterations: Int,
+               damping: Double = 0.85, resetProb: Double = 0.15): DataFrame = {
+    val e = ckptHash(edges.select("src", "dst"), "src")
+    val v = ckptHash(verticesOf(e), "id")
+    val srcs = e.select(col("src")).distinct()
+      .orderBy(col("src")).limit(nSources)
+      .select(col("src").as("tag")).localCheckpoint()
+    val deg = ckptHash(
+      e.groupBy(col("src").as("id")).agg(count(lit(1)).cast("double").as("outdeg")), "id")
+    var p = ckptHash(
+      v.crossJoin(broadcast(srcs))
+        .select(col("id"), col("tag"),
+          when(col("id") === col("tag"), lit(1.0)).otherwise(lit(0.0)).as("pr")), "id")
+    var i = 0
+    while (i < iterations) {
+      val sums = p.join(deg, Seq("id"))
+        .join(e, col("id") === col("src"))
+        .select(col("dst"), col("tag"), (col("pr") / col("outdeg")).as("c"))
+        .groupBy(col("dst"), col("tag")).agg(sum(col("c")).as("s"))
+      val nextReal = ckptHash(
+        v.crossJoin(broadcast(srcs)).as("vt")
+          .join(sums.as("sm"),
+            col("vt.id") === col("sm.dst") && col("vt.tag") === col("sm.tag"), "left")
+          .select(col("vt.id").as("id"), col("vt.tag").as("tag"),
+            (when(col("vt.id") === col("vt.tag"), lit(resetProb)).otherwise(lit(0.0)) +
+              lit(damping) * coalesce(col("sm.s"), lit(0.0))).as("pr")), "id")
+      freeCkpt(p)
+      p = nextReal
+      i += 1
+    }
+    val out = p.orderBy(col("tag"), col("id")).localCheckpoint()
+    freeCkpt(p); freeCkpt(v); freeCkpt(e); freeCkpt(deg)
+    out
+  }
+
   /** Degree-distribution summary (DirectedGraphStats,
     * BLOCK8 .../stats/DirectedGraphStats.java): one row of scalars. */
   def degreeStats(edges: DataFrame): DataFrame =

@@ -341,6 +341,29 @@ object OracleGen {
       s" SELECT id, CAST(FLOOR(pr * 1000000) AS BIGINT) AS pr_e6 FROM p$k ORDER BY id")
   }
 
+  /** K batched multi-source RWR rounds mirroring
+    * [[graft.graph.Algos.rwrMulti]]: the `nSources` smallest distinct
+    * sources advance as (id, tag) pairs; per round one tagged
+    * contribution aggregation + the per-tag restart mass. */
+  def rwrMultiSql(withBody: String, nSources: Int, k: Int,
+                  damping: Double, resetProb: Double): String = {
+    val steps = (1 to k).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT vt.id, vt.tag,
+         |CASE WHEN vt.id = vt.tag THEN CAST($resetProb AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+         |+ $damping * COALESCE(s.c, 0) AS pr
+         |FROM (SELECT v.id, sv.tag FROM v CROSS JOIN sv) vt LEFT JOIN (
+         |SELECT e.dst AS id, p.tag, SUM(p.pr / d.outdeg) AS c
+         |FROM p${i - 1} p JOIN e ON p.id = e.src JOIN deg d ON d.id = p.id
+         |GROUP BY e.dst, p.tag) s ON vt.id = s.id AND vt.tag = s.tag)""".stripMargin.replace('\n', ' ')
+    }
+    (s"WITH $withBody, v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e), " +
+      s"sv AS MATERIALIZED (SELECT src AS tag FROM (SELECT DISTINCT src FROM e ORDER BY src LIMIT $nSources)), " +
+      "deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM e GROUP BY src), " +
+      "p0 AS MATERIALIZED (SELECT v.id, sv.tag, CASE WHEN v.id = sv.tag THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS pr FROM v CROSS JOIN sv), " +
+      steps.mkString(", ") +
+      s" SELECT id, tag, CAST(FLOOR(pr * 1000000) AS BIGINT) AS pr_e6 FROM p$k ORDER BY tag, id")
+  }
+
   /** K rounds of deterministic id-priority maximal-independent-set:
     * a vertex enters (st=1) when smaller than all undecided neighbors;
     * neighbors leave (st=2). */
