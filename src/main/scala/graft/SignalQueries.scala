@@ -885,6 +885,184 @@ object SignalQueries {
        |FROM k4""".stripMargin.replace('\n', ' ')
 
   // ------------------------------------------------------------------
+  // q_source_drift_tv — pairwise total-variation drift between sources
+  // ------------------------------------------------------------------
+
+  /** Pairwise corpus-drift matrix: total-variation distance between the
+    * unigram distributions of every source pair, EXACT in integers —
+    * TV = ½ Σ_w |c₁(w)·n₂ − c₂(w)·n₁| / (n₁·n₂), and the union over
+    * vocabularies collapses onto the INTERSECTION via the identity
+    * Σ_{only-in-1} c₁·n₂ = n₁·n₂ − Σ_∩ c₁·n₂ (Σc₁ = n₁), so the one
+    * join is per-source term frequencies keyed on token — never a doc-
+    * or corpus-sized frame. The drift monitor that says which data
+    * sources have diverged vocabularies before a mixture is trained. */
+  private def qSourceDriftTv(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables(s, dir).documents
+      .select(col("source"), explode(text.TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = tf.groupBy(col("source")).agg(sum(col("c")).cast("long").as("n"))
+    val a = tf.join(tot, Seq("source"))
+      .select(col("source").as("s1"), col("tok"), col("c").as("c1"), col("n").as("n1"))
+    val b = tf.join(tot, Seq("source"))
+      .select(col("source").as("s2"), col("tok"), col("c").as("c2"), col("n").as("n2"))
+    a.join(b, Seq("tok")).filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("ai"),
+        sum(col("c1") * col("n2")).as("bi"),
+        sum(col("c2") * col("n1")).as("ci"))
+      .select(col("s1"), col("s2"), col("n_common"),
+        expr("((ai + (n1 * n2 - bi) + (n1 * n2 - ci)) * 1000000) div (2 * n1 * n2)")
+          .as("tv_e6"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
+  private val qSourceDriftTvSql =
+    s"""WITH tk AS MATERIALIZED (SELECT source,
+       |unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents),
+       |tf AS MATERIALIZED (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+       |FROM tk GROUP BY 1, 2),
+       |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY 1),
+       |j AS (SELECT a.source AS s1, b.source AS s2, ta.n AS n1, tb.n AS n2,
+       |COUNT(*) AS n_common,
+       |CAST(SUM(ABS(a.c * tb.n - b.c * ta.n)) AS BIGINT) AS ai,
+       |CAST(SUM(a.c * tb.n) AS BIGINT) AS bi,
+       |CAST(SUM(b.c * ta.n) AS BIGINT) AS ci
+       |FROM tf a JOIN tf b ON a.tok = b.tok AND a.source < b.source
+       |JOIN tot ta ON ta.source = a.source JOIN tot tb ON tb.source = b.source
+       |GROUP BY 1, 2, 3, 4)
+       |SELECT s1, s2, n_common,
+       |((ai + (n1 * n2 - bi) + (n1 * n2 - ci)) * 1000000) // (2 * n1 * n2) AS tv_e6
+       |FROM j ORDER BY s1, s2""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // q_markov_attribution — removal-effect channel attribution
+  // ------------------------------------------------------------------
+
+  /** Markov removal-effect attribution (Anderl et al.): user journeys
+    * (events up to first purchase, start and null/purchase absorbing
+    * states) build a transition matrix in e6 integers; conversion
+    * probability is 12 steps of the tagged vector–matrix recurrence
+    * p′(k) = Σⱼ (p(j)·T(j,k)) div 10⁶, and each channel's removal
+    * effect re-runs the SAME recurrence on a matrix whose into-channel
+    * mass is redirected to null. ALL variants (full + one per channel)
+    * advance in one tagged frame — the q_graph_rwr_multi batching — so
+    * the journey scan and transition aggregation are paid once however
+    * many channels exist. Per-step truncating division is identical in
+    * both engines; the final effect ratio is sign-decomposed. The
+    * matrix frames are channel²-sized (tiny metadata), never data-sized
+    * — the only corpus pass is the journey construction. */
+  private def qMarkovAttribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val t = Tables(s, dir)
+    val ev0 = t.events.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val fp = ev0.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("fts"))
+    val ev = ev0.join(fp, Seq("user_id"), "left")
+      .filter(col("fts").isNull || col("ts") <= col("fts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val seq0 = ev.withColumn("rn", row_number().over(w))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .localCheckpoint()
+    val tr = seq0.filter(col("rn") === 1)
+      .select(lit("start").as("j"), col("event_type").as("k"))
+      .unionAll(seq0.filter(col("event_type") =!= "purchase")
+        .select(col("event_type").as("j"), coalesce(col("nxt"), lit("null")).as("k")))
+    val cnt = tr.groupBy(col("j"), col("k")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tm = cnt
+      .withColumn("rt", sum(col("c")).over(Window.partitionBy(col("j"))))
+      .select(col("j"), col("k"), expr("(c * 1000000) div rt").as("prob"))
+      .unionAll(Seq(("purchase", "purchase", 1000000L), ("null", "null", 1000000L))
+        .toDF("j", "k", "prob"))
+    val vars = cnt.select(col("j").as("v")).filter(col("v") =!= "start").distinct()
+      .unionAll(Seq("FULL").toDF("v"))
+      .localCheckpoint()
+    val tt = tm.crossJoin(broadcast(vars))
+      .filter(!(col("j") === col("v") && col("v") =!= "FULL"))
+      .select(col("v"), col("j"),
+        when(col("k") === col("v") && col("v") =!= "FULL", lit("null"))
+          .otherwise(col("k")).as("k"),
+        col("prob"))
+      .groupBy(col("v"), col("j"), col("k")).agg(sum(col("prob")).as("prob"))
+      .localCheckpoint()
+    var p = vars.select(col("v"), lit("start").as("j"), lit(1000000L).as("val"))
+      .localCheckpoint()
+    var i = 0
+    while (i < 12) {
+      p = p.join(tt, Seq("v", "j"))
+        .select(col("v"), col("k").as("j"),
+          expr("(val * prob) div 1000000").as("contrib"))
+        .groupBy(col("v"), col("j")).agg(sum(col("contrib")).as("val"))
+        .localCheckpoint() // ≤ channels·states rows; keeps the 12-step plan flat
+      i += 1
+    }
+    val pc = p.groupBy(col("v"))
+      .agg(coalesce(max(when(col("j") === "purchase", col("val"))), lit(0L)).as("p_conv"))
+      .localCheckpoint()
+    val full = pc.filter(col("v") === "FULL").select(col("p_conv").as("p_full_e6"))
+    pc.filter(col("v") =!= "FULL").crossJoin(broadcast(full))
+      .select(col("v").as("channel"), col("p_full_e6"),
+        col("p_conv").as("p_removed_e6"),
+        when(col("p_full_e6") > 0,
+          signum(col("p_full_e6") - col("p_conv")).cast("long") *
+            expr("(abs(p_full_e6 - p_conv) * 1000000) div p_full_e6"))
+          .otherwise(lit(0L)).as("removal_effect_e6"))
+      .orderBy(col("channel"))
+  }
+
+  private val qMarkovAttributionSql = {
+    val steps = (1 to 12).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT p.v, t.k AS state,
+         |CAST(SUM((p.val * t.prob) // 1000000) AS BIGINT) AS val
+         |FROM p${i - 1} p JOIN tt t ON t.v = p.v AND t.j = p.state
+         |GROUP BY 1, 2)""".stripMargin.replace('\n', ' ')
+    }.mkString(", ")
+    s"""WITH fp AS (SELECT user_id, MIN(epoch_us(ts)) AS fts FROM events
+       |WHERE event_type = 'purchase' GROUP BY 1),
+       |ev AS (SELECT e.user_id, e.event_type, epoch_us(e.ts) AS us, e.event_id, fp.fts
+       |FROM events e LEFT JOIN fp ON fp.user_id = e.user_id
+       |WHERE fp.fts IS NULL OR epoch_us(e.ts) <= fp.fts),
+       |sq AS (SELECT user_id, event_type, us, event_id,
+       |ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn,
+       |LEAD(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+       |FROM ev),
+       |tr AS (
+       |SELECT 'start' AS j, event_type AS k FROM sq WHERE rn = 1
+       |UNION ALL
+       |SELECT event_type AS j, COALESCE(nxt, 'null') AS k FROM sq
+       |WHERE event_type <> 'purchase'),
+       |cnt AS (SELECT j, k, CAST(COUNT(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2),
+       |tm0 AS (SELECT j, k,
+       |(c * 1000000) // CAST(SUM(c) OVER (PARTITION BY j) AS BIGINT) AS prob FROM cnt),
+       |tm AS (SELECT j, k, prob FROM tm0
+       |UNION ALL SELECT 'purchase', 'purchase', CAST(1000000 AS BIGINT)
+       |UNION ALL SELECT 'null', 'null', CAST(1000000 AS BIGINT)),
+       |vars AS (SELECT DISTINCT j AS v FROM cnt WHERE j NOT IN ('start')
+       |UNION ALL SELECT 'FULL'),
+       |tt AS MATERIALIZED (SELECT vars.v, tm.j,
+       |CASE WHEN tm.k = vars.v AND vars.v <> 'FULL' THEN 'null' ELSE tm.k END AS k,
+       |CAST(SUM(prob) AS BIGINT) AS prob
+       |FROM tm CROSS JOIN vars
+       |WHERE NOT (tm.j = vars.v AND vars.v <> 'FULL')
+       |GROUP BY 1, 2, 3),
+       |p0 AS (SELECT v, 'start' AS state, CAST(1000000 AS BIGINT) AS val FROM vars),
+       |$steps,
+       |pc AS (SELECT v, COALESCE(MAX(CASE WHEN state = 'purchase' THEN val END), 0) AS p_conv
+       |FROM p12 GROUP BY 1)
+       |SELECT c.v AS channel, f.p_conv AS p_full_e6, c.p_conv AS p_removed_e6,
+       |CASE WHEN f.p_conv > 0 THEN
+       |(CASE WHEN f.p_conv - c.p_conv < 0 THEN -1 WHEN f.p_conv - c.p_conv > 0 THEN 1 ELSE 0 END)
+       |* (ABS(f.p_conv - c.p_conv) * 1000000 // f.p_conv)
+       |ELSE 0 END AS removal_effect_e6
+       |FROM pc c CROSS JOIN (SELECT p_conv FROM pc WHERE v = 'FULL') f
+       |WHERE c.v <> 'FULL'
+       |ORDER BY channel""".stripMargin.replace('\n', ' ')
+  }
+
+  // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ewma_daily"          -> (qEwmaDaily _),
@@ -903,7 +1081,9 @@ object SignalQueries {
     "q_graph_negative_samples" -> (qNegativeSamples _),
     "q_session_survival"    -> (qSessionSurvival _),
     "q_graph_rwr_multi"     -> (qRwrMulti _),
-    "q_graph_k4"            -> (qK4 _))
+    "q_graph_k4"            -> (qK4 _),
+    "q_source_drift_tv"     -> (qSourceDriftTv _),
+    "q_markov_attribution"  -> (qMarkovAttribution _))
 
   val oracles: Map[String, String] = Map(
     "q_ewma_daily"          -> qEwmaDailySql,
@@ -922,5 +1102,7 @@ object SignalQueries {
     "q_graph_negative_samples" -> qNegativeSamplesSql,
     "q_session_survival"    -> qSessionSurvivalSql,
     "q_graph_rwr_multi"     -> qRwrMultiSql,
-    "q_graph_k4"            -> qK4Sql)
+    "q_graph_k4"            -> qK4Sql,
+    "q_source_drift_tv"     -> qSourceDriftTvSql,
+    "q_markov_attribution"  -> qMarkovAttributionSql)
 }

@@ -59,4 +59,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.indexOf("HashAggregate", winIdx) >= 0,
       "window not above an aggregate:\n" + p.take(1200))
   }
+
+  test("EWMA fold runs without any join — pure agg + per-type array fold") {
+    val p = plan("q_ewma_daily")
+    assert(!p.contains("Join"), p.take(800))
+  }
+
+  test("winnowing is per-row array work — no join anywhere") {
+    val p = plan("q_text_winnow")
+    assert(!p.contains("Join"), p.take(800))
+  }
+
+  test("CUPED moments reach the variants as broadcasts, never a shuffle join") {
+    val p = plan("q_cuped")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("square and K4 censuses never degrade to a cartesian product") {
+    assert(!plan("q_graph_squares").contains("CartesianProduct"))
+    assert(!plan("q_graph_k4").contains("CartesianProduct"))
+  }
+
+  test("fanout sampling counts with map-side partial aggregation") {
+    // the sampled h1 frame is checkpointed (its per-vertex rank window
+    // runs inside the checkpoint action), so the final plan is the
+    // 2-hop join + count: assert it partial-aggregates before the
+    // exchange and never degrades to a cartesian product
+    val p = plan("q_graph_sample_fanout")
+    assert(p.contains("partial_count"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
 }

@@ -293,6 +293,29 @@ class SignalSpec extends SparkSpec {
     assert(census(k5) == ((10L, 5L)))
   }
 
+  test("markov removal effects: removing a channel never raises conversion") {
+    val rows = Queries.all("q_markov_attribution")(spark, sf)
+      .select(col("channel"), col("p_full_e6"), col("p_removed_e6"), col("removal_effect_e6"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (ch, full, removed, eff) =>
+      assert(removed <= full, s"$ch: removal raised conversion")
+      assert(eff >= 0L && eff <= 1000000L, s"$ch: effect out of range")
+      assert(ch != "FULL" && ch != "purchase" && ch != "start")
+    }
+  }
+
+  test("source drift TV distance is symmetric-complete and bounded") {
+    val rows = Queries.all("q_source_drift_tv")(spark, sf)
+      .select(col("s1"), col("s2"), col("tv_e6")).as[(String, String, Long)].collect()
+    // 20 sources -> 190 unordered pairs, every tv in [0, 1e6]
+    assert(rows.length == 190)
+    rows.foreach { case (a, b, tv) =>
+      assert(a < b)
+      assert(tv >= 0L && tv <= 1000000L)
+    }
+  }
+
   test("square census counts C4s: one on a 4-cycle, three on K4") {
     val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
     val got1 = SignalQueries.squareCensus(c4).select(col("n_squares")).as[Long].head()
