@@ -1063,6 +1063,156 @@ object SignalQueries {
   }
 
   // ------------------------------------------------------------------
+  // q_item_cf — item-item collaborative filtering (squared cosine)
+  // ------------------------------------------------------------------
+
+  /** Item-item collaborative filtering over the customer–part purchase
+    * matrix: co-occurrence counts normalized by popularity as SQUARED
+    * cosine (c²·10⁶ div (pop₁·pop₂) — monotone in cosine, so the top-5
+    * ranking is identical and no sqrt enters the integer pipeline),
+    * top-5 similar items per item under a deterministic tiebreak. The
+    * self-join is keyed on USER with a 200-distinct-items hub cap —
+    * per-user pair fan-out is capped at a constant, so a power user
+    * can't quadratically explode the shuffle at warehouse scale (the
+    * contamination df-cap discipline). */
+  private def qItemCf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(s, dir)
+    val ui0 = t.orders.join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("u"), col("l_partkey").as("i")).distinct()
+      .localCheckpoint()
+    val keep = ui0.groupBy(col("u")).agg(count(lit(1)).as("ni"))
+      .filter(col("ni") <= 200).select(col("u"))
+    val ui = ui0.join(keep, Seq("u"), "left_semi").localCheckpoint()
+    val pop = ui.groupBy(col("i")).agg(count(lit(1)).as("p"))
+    val co = ui.as("a").join(ui.as("b"),
+        col("a.u") === col("b.u") && col("a.i") =!= col("b.i"))
+      .groupBy(col("a.i").as("i1"), col("b.i").as("i2"))
+      .agg(count(lit(1)).as("c"))
+    val sim = co
+      .join(pop.select(col("i").as("i1"), col("p").as("p1")), Seq("i1"))
+      .join(pop.select(col("i").as("i2"), col("p").as("p2")), Seq("i2"))
+      .select(col("i1"), col("i2"), col("c"),
+        expr("(c * c * 1000000) div (p1 * p2)").as("cos2_e6"))
+    sim.withColumn("r", row_number().over(
+        Window.partitionBy(col("i1")).orderBy(col("cos2_e6").desc, col("i2"))))
+      .filter(col("r") <= 5)
+      .select(col("i1"), col("i2"), col("c"), col("cos2_e6"))
+      .orderBy(col("i1"), col("cos2_e6").desc, col("i2"))
+  }
+
+  private val qItemCfSql =
+    """WITH ui0 AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+      |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |keep AS (SELECT u FROM ui0 GROUP BY u HAVING COUNT(*) <= 200),
+      |ui AS MATERIALIZED (SELECT ui0.u, ui0.i FROM ui0 JOIN keep ON keep.u = ui0.u),
+      |pop AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS p FROM ui GROUP BY 1),
+      |co AS (SELECT a.i AS i1, b.i AS i2, CAST(COUNT(*) AS BIGINT) AS c
+      |FROM ui a JOIN ui b ON a.u = b.u AND a.i <> b.i GROUP BY 1, 2),
+      |sim AS (SELECT i1, i2, c, (c * c * 1000000) // (pa.p * pb.p) AS cos2_e6
+      |FROM co JOIN pop pa ON pa.i = co.i1 JOIN pop pb ON pb.i = co.i2),
+      |rk AS (SELECT i1, i2, c, cos2_e6,
+      |ROW_NUMBER() OVER (PARTITION BY i1 ORDER BY cos2_e6 DESC, i2) AS r FROM sim)
+      |SELECT i1, i2, c, cos2_e6 FROM rk WHERE r <= 5
+      |ORDER BY i1, cos2_e6 DESC, i2""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // q_stl_lite — moving-average trend / day-of-week seasonal / residual
+  // ------------------------------------------------------------------
+
+  /** STL-lite decomposition of the daily revenue series: trend = 7-day
+    * centered moving average (full windows only), seasonal = per
+    * day-of-week mean of the detrended series (sign-decomposed
+    * division — detrended values go negative), residual = v − trend −
+    * seasonal. The one global window runs over the DAILY frame
+    * (calendar-bounded, like the EWMA fold) — the corpus pass is the
+    * (day) rollup. The anomaly triage view: which part of a spike is
+    * trend, which is weekday rhythm, which is genuinely new. */
+  private def qStlLite(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(s, dir)
+    val d = t.events
+      .select(expr(s"ts div $DayUs").as("day"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("v"))
+    val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val tr = d
+      .withColumn("wn", count(lit(1)).over(w))
+      .withColumn("trend",
+        when(col("wn") === 7, expr("sum(v) over (order by day rows between 3 preceding and 3 following) div 7")))
+      .filter(col("trend").isNotNull)
+      .select(col("day"), col("v"), col("trend"),
+        pmod(col("day"), lit(7L)).as("dow"),
+        (col("v") - col("trend")).as("detr"))
+      .localCheckpoint()
+    val se = tr.groupBy(col("dow"))
+      .agg(sum(col("detr")).as("sd"), count(lit(1)).as("cn"))
+      .select(col("dow"),
+        (signum(col("sd")).cast("long") * expr("abs(sd) div cn")).as("seas"))
+    tr.join(se, Seq("dow"))
+      .select(col("day"), col("v"), col("trend"), col("seas"),
+        (col("v") - col("trend") - col("seas")).as("resid"))
+      .orderBy(col("day"))
+  }
+
+  private val qStlLiteSql =
+    s"""WITH d AS (SELECT epoch_us(ts) // $DayUs AS day,
+       |CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS v
+       |FROM events GROUP BY 1),
+       |tr AS (SELECT day, v,
+       |CASE WHEN COUNT(*) OVER w = 7 THEN CAST(SUM(v) OVER w AS BIGINT) // 7
+       |ELSE NULL END AS trend
+       |FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |de AS (SELECT day, v, trend, day % 7 AS dow, v - trend AS detr
+       |FROM tr WHERE trend IS NOT NULL),
+       |se AS (SELECT dow,
+       |(CASE WHEN SUM(detr) < 0 THEN -1 WHEN SUM(detr) > 0 THEN 1 ELSE 0 END)
+       |* (CAST(ABS(SUM(detr)) AS BIGINT) // COUNT(*)) AS seas
+       |FROM de GROUP BY 1)
+       |SELECT de.day, de.v, de.trend, se.seas, de.v - de.trend - se.seas AS resid
+       |FROM de JOIN se ON se.dow = de.dow ORDER BY day""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // q_asof_nearest — nearest-event temporal join
+  // ------------------------------------------------------------------
+
+  /** Nearest-event join: every signup matched to the SAME USER's
+    * closest purchase by absolute time distance (ties → earlier, then
+    * smaller id) — the symmetric companion of the backward-only
+    * q_asof_purchase. The join is user-keyed (per-user signup×purchase
+    * fan-out, never cross-user), then one per-signup rank window picks
+    * the minimum — the standard nearest-neighbor-in-time shape. */
+  private def qAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(s, dir)
+    val ev = t.events.localCheckpoint()
+    val sg = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id"), col("ts").as("us"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pus"))
+    sg.join(pu, Seq("user_id"))
+      .withColumn("abs_dt_us", abs(col("us") - col("pus")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("event_id"))
+          .orderBy(col("abs_dt_us"), col("pus"), col("pid"))))
+      .filter(col("r") === 1)
+      .select(col("user_id"), col("event_id"), col("pid"), col("abs_dt_us"))
+      .orderBy(col("event_id"))
+  }
+
+  private val qAsofNearestSql =
+    """WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+      |WHERE event_type = 'signup'),
+      |p AS (SELECT user_id, event_id AS pid, epoch_us(ts) AS pus FROM events
+      |WHERE event_type = 'purchase'),
+      |j AS (SELECT s.user_id, s.event_id, p.pid, ABS(s.us - p.pus) AS adt,
+      |ROW_NUMBER() OVER (PARTITION BY s.event_id
+      |ORDER BY ABS(s.us - p.pus), p.pus, p.pid) AS r
+      |FROM s JOIN p ON p.user_id = s.user_id)
+      |SELECT user_id, event_id, pid, CAST(adt AS BIGINT) AS abs_dt_us
+      |FROM j WHERE r = 1 ORDER BY event_id""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ewma_daily"          -> (qEwmaDaily _),
@@ -1083,7 +1233,10 @@ object SignalQueries {
     "q_graph_rwr_multi"     -> (qRwrMulti _),
     "q_graph_k4"            -> (qK4 _),
     "q_source_drift_tv"     -> (qSourceDriftTv _),
-    "q_markov_attribution"  -> (qMarkovAttribution _))
+    "q_markov_attribution"  -> (qMarkovAttribution _),
+    "q_item_cf"             -> (qItemCf _),
+    "q_stl_lite"            -> (qStlLite _),
+    "q_asof_nearest"        -> (qAsofNearest _))
 
   val oracles: Map[String, String] = Map(
     "q_ewma_daily"          -> qEwmaDailySql,
@@ -1104,5 +1257,8 @@ object SignalQueries {
     "q_graph_rwr_multi"     -> qRwrMultiSql,
     "q_graph_k4"            -> qK4Sql,
     "q_source_drift_tv"     -> qSourceDriftTvSql,
-    "q_markov_attribution"  -> qMarkovAttributionSql)
+    "q_markov_attribution"  -> qMarkovAttributionSql,
+    "q_item_cf"             -> qItemCfSql,
+    "q_stl_lite"            -> qStlLiteSql,
+    "q_asof_nearest"        -> qAsofNearestSql)
 }

@@ -316,6 +316,40 @@ class SignalSpec extends SparkSpec {
     }
   }
 
+  test("item CF keeps at most 5 similar items, cosine-squared bounded") {
+    val rows = Queries.all("q_item_cf")(spark, sf)
+      .select(col("i1"), col("cos2_e6")).as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, g) => assert(g.length <= 5) }
+    rows.foreach { case (_, c2) => assert(c2 >= 0L && c2 <= 1000000L) }
+  }
+
+  test("STL-lite decomposition reassembles exactly: v = trend + seas + resid") {
+    val rows = Queries.all("q_stl_lite")(spark, sf)
+      .select(col("v"), col("trend"), col("seas"), col("resid"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, t, se, r) => assert(v == t + se + r) }
+  }
+
+  test("nearest-event join picks the true minimum |dt| per signup") {
+    val t = Tables(spark, sf)
+    val ev = t.events.select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val purchases = ev.filter(_._4 == "purchase").groupBy(_._1)
+    val got = Queries.all("q_asof_nearest")(spark, sf)
+      .select(col("user_id"), col("event_id"), col("abs_dt_us"))
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val sgTs = ev.filter(_._4 == "signup").map(e => e._2 -> (e._1, e._3)).toMap
+    got.foreach { case (u, sid, adt) =>
+      val (user, sts) = sgTs(sid)
+      assert(user == u)
+      val best = purchases(u).map(p => math.abs(sts - p._3)).min
+      assert(adt == best, s"signup $sid: $adt != $best")
+    }
+  }
+
   test("square census counts C4s: one on a 4-cycle, three on K4") {
     val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
     val got1 = SignalQueries.squareCensus(c4).select(col("n_squares")).as[Long].head()
