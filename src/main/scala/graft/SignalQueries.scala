@@ -1213,6 +1213,109 @@ object SignalQueries {
       |FROM j WHERE r = 1 ORDER BY event_id""".stripMargin.replace('\n', ' ')
 
   // ------------------------------------------------------------------
+  // q_winnow_matches — cross-document winnowing match step (MOSS)
+  // ------------------------------------------------------------------
+
+  /** The MOSS match step over [[winnowPanel]]'s fingerprints: each
+    * doc's selected hashes (position-deduped to the 32-char hash),
+    * fingerprints shared by more than 50 docs dropped (the
+    * boilerplate-fingerprint df cap — the same hub discipline as
+    * contamination grams), then a fingerprint-keyed equi-join counts
+    * shared fingerprints per doc pair and the top-50 pairs report. The
+    * candidate volume is Σ df² over KEPT fingerprints — capped by
+    * construction, never all-pairs. Completes the plagiarism-detection
+    * story: select → index → match. */
+  private def qWinnowMatches(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    val sel = d.select(col("doc_id"), expr(
+        """CASE WHEN length(text) < 8 THEN array()
+          |ELSE transform(sequence(1, length(text) - 7),
+          |p -> concat(md5(substring(text, p, 8)),
+          |lpad(cast(100000000 - p as string), 9, '0'))) END"""
+          .stripMargin.replace('\n', ' ')).as("hs"))
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(hs) = 0 THEN array()
+          |ELSE array_distinct(transform(sequence(1, greatest(size(hs) - 3, 1)),
+          |w -> substring(array_min(slice(hs, w, 4)), 1, 32))) END"""
+          .stripMargin.replace('\n', ' ')).as("sel32"))
+      // materialize BEFORE the explode: projection collapse would
+      // otherwise inline the hs construction into every generated row,
+      // turning the per-doc O(n·w) selection into O(n²·w) md5 work
+      .localCheckpoint()
+    val fp = sel.select(col("doc_id"), explode(col("sel32")).as("f"))
+    val keep = fp.groupBy(col("f")).agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") <= 50).select(col("f"))
+    val fpk = fp.join(keep, Seq("f"), "left_semi").localCheckpoint()
+    fpk.as("a").join(fpk.as("b"),
+        col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+      // orderBy+limit compiles to TakeOrderedAndProject — a distributed
+      // per-partition top-k merged on the driver, NOT a single-partition
+      // global rank window (measured: the window form hangs a single
+      // thread on the full pair frame at sf0.1)
+      .orderBy(col("shared").desc, col("a"), col("b"))
+      .limit(50)
+      .orderBy(col("shared").desc, col("a"), col("b"))
+  }
+
+  private val qWinnowMatchesSql =
+    """WITH g AS (SELECT doc_id,
+      |CASE WHEN length(text) < 8 THEN []
+      |ELSE list_transform(range(1, length(text) - 6),
+      |p -> md5(substring(text, CAST(p AS INT), 8))
+      ||| lpad(CAST(100000000 - p AS VARCHAR), 9, '0')) END AS hs
+      |FROM documents),
+      |w AS (SELECT doc_id,
+      |CASE WHEN len(hs) = 0 THEN []
+      |ELSE list_distinct(list_transform(list_transform(range(1, greatest(len(hs) - 2, 2)),
+      |s -> list_min(list_slice(hs, s, s + 3))), x -> substring(x, 1, 32))) END AS sel
+      |FROM g),
+      |fp AS MATERIALIZED (SELECT doc_id, unnest(sel) AS f FROM w),
+      |dfc AS (SELECT f FROM fp GROUP BY f HAVING COUNT(*) <= 50),
+      |fpk AS MATERIALIZED (SELECT fp.doc_id, fp.f FROM fp JOIN dfc ON dfc.f = fp.f),
+      |pr AS (SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS shared
+      |FROM fpk a JOIN fpk b ON a.f = b.f AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |rk AS (SELECT a, b, shared,
+      |ROW_NUMBER() OVER (ORDER BY shared DESC, a, b) AS r FROM pr WHERE shared >= 2)
+      |SELECT a, b, shared FROM rk WHERE r <= 50
+      |ORDER BY shared DESC, a, b""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // q_multimodal_dhash — gradient (difference) perceptual hash
+  // ------------------------------------------------------------------
+
+  /** dHash of every document-as-image
+    * ([[graft.multimodal.Multimodal.differenceHash]], 61 cells): bit c
+    * fires when cell c+1's mean exceeds cell c's — the gradient
+    * companion of q_multimodal_ahash (brightness) and
+    * q_multimodal_phash (frequency); together the three cover the
+    * classic perceptual-hash family. Exact cross-multiplied integer
+    * rule, −1 sentinels preserved. */
+  private def qMultimodalDhash(s: SparkSession, dir: String): DataFrame =
+    multimodal.Multimodal.differenceHash(
+      multimodal.Multimodal.documentsAsPpm(Tables(s, dir).documents))
+      .orderBy(col("doc_id"))
+
+  private val qMultimodalDhashSql =
+    """WITH px AS MATERIALIZED (SELECT doc_id,
+      |ascii(substring(text, CAST(i AS INT), 1)) AS v,
+      |((i - 1) * 61) // length(text) AS cell
+      |FROM documents, unnest(range(1, length(text) + 1)) AS t(i)),
+      |cl AS (SELECT doc_id, cell, CAST(SUM(v) AS BIGINT) AS s,
+      |CAST(COUNT(*) AS BIGINT) AS nc FROM px GROUP BY 1, 2),
+      |h AS (SELECT a.doc_id,
+      |CAST(SUM(CASE WHEN b.s * a.nc > a.s * b.nc
+      |THEN (CAST(1 AS BIGINT) << CAST(a.cell AS INT)) ELSE 0 END) AS BIGINT) AS dhash
+      |FROM cl a JOIN cl b ON b.doc_id = a.doc_id AND b.cell = a.cell + 1 GROUP BY 1),
+      |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_px FROM px GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(n.n_px, 0) AS n_px, COALESCE(h.dhash, -1) AS dhash
+      |FROM documents d LEFT JOIN n ON d.doc_id = n.doc_id
+      |LEFT JOIN h ON h.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ewma_daily"          -> (qEwmaDaily _),
@@ -1236,7 +1339,9 @@ object SignalQueries {
     "q_markov_attribution"  -> (qMarkovAttribution _),
     "q_item_cf"             -> (qItemCf _),
     "q_stl_lite"            -> (qStlLite _),
-    "q_asof_nearest"        -> (qAsofNearest _))
+    "q_asof_nearest"        -> (qAsofNearest _),
+    "q_winnow_matches"      -> (qWinnowMatches _),
+    "q_multimodal_dhash"    -> (qMultimodalDhash _))
 
   val oracles: Map[String, String] = Map(
     "q_ewma_daily"          -> qEwmaDailySql,
@@ -1260,5 +1365,7 @@ object SignalQueries {
     "q_markov_attribution"  -> qMarkovAttributionSql,
     "q_item_cf"             -> qItemCfSql,
     "q_stl_lite"            -> qStlLiteSql,
-    "q_asof_nearest"        -> qAsofNearestSql)
+    "q_asof_nearest"        -> qAsofNearestSql,
+    "q_winnow_matches"      -> qWinnowMatchesSql,
+    "q_multimodal_dhash"    -> qMultimodalDhashSql)
 }

@@ -482,6 +482,51 @@ object Multimodal {
       })
   }
 
+  /** Difference hash (dHash): 61 cell means along the pixel stream,
+    * bit c set when cell c+1's mean EXCEEDS cell c's — the gradient
+    * companion of [[averageHash]] (aHash thresholds on global
+    * brightness, dHash on local slope, so the pair catches both
+    * brightness-shift and gradient-flip near-dups). Exact-integer rule
+    * (cross-multiplied means); corrupt payloads keep the −1 sentinel. */
+  def differenceHash(media: DataFrame, cells: Int = 61,
+                     idCol: String = "doc_id",
+                     payloadCol: String = "payload"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).as("doc_id"), col(payloadCol).as("payload"))
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        decodePpmAt(r.payload, 0) match {
+          case Some((_, _, _, hdrLen)) =>
+            val n = r.payload.length - hdrLen
+            if (n <= 0) (r.doc_id, 0L, -1L)
+            else {
+              val sums = new Array[Long](cells)
+              val cnts = new Array[Long](cells)
+              var i = 0
+              while (i < n) {
+                val v = r.payload(hdrLen + i) & 0xff
+                val c = (i.toLong * cells / n).toInt
+                sums(c) += v
+                cnts(c) += 1
+                i += 1
+              }
+              var hash = 0L
+              var c = 0
+              while (c < cells - 1) {
+                if (cnts(c) > 0 && cnts(c + 1) > 0 &&
+                  sums(c + 1) * cnts(c) > sums(c) * cnts(c + 1))
+                  hash |= 1L << c
+                c += 1
+              }
+              (r.doc_id, n.toLong, hash)
+            }
+          case None => (r.doc_id, -1L, -1L)
+        }
+      })
+      .toDF("doc_id", "n_px", "dhash")
+  }
+
   /** pHash constants: 64 luminance cells, 16 kept DCT coefficients,
     * cosine kernel floor-scaled to 2²⁰ integers at CLASS-INIT time —
     * the SAME table is embedded as literals in the oracle SQL, so no

@@ -350,6 +350,30 @@ class SignalSpec extends SparkSpec {
     }
   }
 
+  test("winnow matches surface the genuinely overlapping doc pairs") {
+    val rows = Queries.all("q_winnow_matches")(spark, sf)
+      .select(col("a"), col("b"), col("shared")).as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { case (a, b, sh) => assert(a < b && sh >= 2) }
+    // top pair shares a LOT of fingerprints — the planted near-dups
+    assert(rows.map(_._3).max >= 10)
+  }
+
+  test("dHash fires on a gradient that aHash cannot see") {
+    // ramp (every cell mean rising) -> all 60 dhash compare-bits set;
+    // the flat doc -> none. Pure-ASCII (the docs->PPM fixture contract:
+    // chars > 127 would become multi-byte UTF-8 pixels); 61 chars = one
+    // char per cell.
+    val ramp = (0 until 61).map(i => (i + 33).toChar).mkString
+    val flat = "m" * 61
+    val d = Seq((2L, ramp), (4L, flat)).toDF("doc_id", "text")
+    val got = multimodal.Multimodal.differenceHash(
+        multimodal.Multimodal.documentsAsPpm(d))
+      .select(col("doc_id"), col("dhash")).as[(Long, Long)].collect().toMap
+    assert(java.lang.Long.bitCount(got(2L)) == 60)
+    assert(got(4L) == 0L)
+  }
+
   test("square census counts C4s: one on a 4-cycle, three on K4") {
     val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
     val got1 = SignalQueries.squareCensus(c4).select(col("n_squares")).as[Long].head()
