@@ -36,7 +36,8 @@ object GraftRunner {
     val algo = args(0)
     val opts = parseFlags(args.drop(1).toList, Map.empty)
     val inputKey =
-      if (PipelineAlgos(algo)) "docs"
+      if (algo == "query") "sf" // table directory, not a single file
+      else if (PipelineAlgos(algo)) "docs"
       else if (opts.contains("gen")) "gen" // synthetic input, no path needed
       else "edges"
     val required = (Seq(inputKey, "out") ++
@@ -69,7 +70,20 @@ object GraftRunner {
     * in-process callers and specs can drive the exact CLI dispatch
     * without a private session being created and stopped under them. */
   def execute(spark: SparkSession, algo: String, opts: Map[String, String]): DataFrame =
-        if (PipelineAlgos(algo)) {
+        // generic runner: any declared query by name over a table
+        // directory — the spark-submit path to the full 250+ query
+        // surface (the GiraphRunner arbitrary-computation analog for
+        // the relational/pipeline side)
+        if (algo == "query") {
+          val name = opts.getOrElse("name",
+            { System.err.println("query requires --name <q_...>"); usage(); sys.exit(2); "" })
+          graft.SparkEntry.queries.get(name) match {
+            case Some(fn) => fn(spark, opts("sf"))
+            case None =>
+              System.err.println(s"unknown query: $name (see SparkEntry.queries)")
+              sys.exit(2); null
+          }
+        } else if (PipelineAlgos(algo)) {
           val docs = spark.read.parquet(opts("docs"))
           val budget = opts.getOrElse("budget", "2048").toLong
           algo match {
@@ -268,6 +282,8 @@ object GraftRunner {
       |              (user computation from the job classpath)
       |              bench-messages [--msgs N] [--bytes N] (msg stress)
       |              bench-aggregators [--naggs N] (aggregator stress)
+      |or: GraftRunner query --name <q_...> --sf <table-dir> --out <path>
+      |  (runs any declared SparkEntry query over a testdata-layout dir)
       |or: GraftRunner <op> --docs <parquet> --out <path> [--k N] [--budget N]
       |  corpus op: dedup-exact dedup-minhash dedup-clusters tfidf vocab
       |             scrub pack sample sample-topk repetition winnow vad

@@ -88,6 +88,15 @@ class UserProgramSpec extends SparkSpec {
     assert(sq.select("n_squares").collect().head.getLong(0) == 0L)
   }
 
+  test("generic query action runs any declared query over a table dir") {
+    val out = GraftRunner.execute(spark, "query",
+      Map("name" -> "q01_agg", "sf" -> "/root/testdata/sf0.001"))
+    assert(out.count() > 0)
+    val g = GraftRunner.execute(spark, "query",
+      Map("name" -> "q_graph_degrees", "sf" -> "/root/testdata/sf0.001"))
+    assert(g.count() > 0)
+  }
+
   test("run-class rejects a class that is not a UserProgram") {
     intercept[ClassCastException] {
       GraftRunner.execute(spark, "run-class",
