@@ -1316,6 +1316,116 @@ object SignalQueries {
       |ORDER BY d.doc_id""".stripMargin.replace('\n', ' ')
 
   // ------------------------------------------------------------------
+  // TPC-H classics over the available columns: q10 / q13 / q18 shapes
+  // ------------------------------------------------------------------
+
+  /** TPC-H Q10 shape — returned-item revenue per customer, top 20: the
+    * canonical 3-way join + agg + top-k. Revenue in exact floor-cents;
+    * Catalyst broadcast-joins the customer dim and the top-k compiles
+    * to TakeOrderedAndProject. */
+  private def q10Returned(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.customer.join(t.orders, col("o_custkey") === col("c_custkey"))
+      .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).cast("long").as("rev_cents"))
+      .orderBy(col("rev_cents").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val q10ReturnedSql =
+    """SELECT c_custkey, c_name,
+      |CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+      |AS rev_cents
+      |FROM customer JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY 1, 2 ORDER BY rev_cents DESC, c_custkey
+      |LIMIT 20""".stripMargin.replace('\n', ' ')
+
+  /** TPC-H Q13 shape — customer distribution by order count, including
+    * zero-order customers (the LEFT JOIN is the point of the query). */
+  private def q13Custdist(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.customer.join(t.orders, col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val q13CustdistSql =
+    """WITH co AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY 1)
+      |SELECT c_count, COUNT(*) AS custdist FROM co GROUP BY 1
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin.replace('\n', ' ')
+
+  /** TPC-H Q18 shape — large-volume orders (Σqty > 150), top 20 by
+    * price: the semi-join-on-aggregate pattern (the HAVING subquery
+    * prunes BEFORE the wide join). */
+  private def q18Large(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val big = t.lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sq")).filter(col("sq") > 150)
+      .select(col("l_orderkey"))
+    big.join(t.orders, col("o_orderkey") === col("l_orderkey"))
+      .join(t.customer, col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem, Seq("l_orderkey"))
+      .groupBy(col("c_custkey"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      .agg(floor(sum(col("l_quantity"))).cast("long").as("qty"))
+      .orderBy(col("price_cents").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  private val q18LargeSql =
+    """WITH big AS (SELECT l_orderkey FROM lineitem GROUP BY 1
+      |HAVING SUM(l_quantity) > 150)
+      |SELECT c_custkey, o_orderkey,
+      |CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents,
+      |CAST(FLOOR(SUM(l_quantity)) AS BIGINT) AS qty
+      |FROM big JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN lineitem USING (l_orderkey)
+      |GROUP BY 1, 2, 3 ORDER BY price_cents DESC, o_orderkey
+      |LIMIT 20""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // q_dispersion — over/under-dispersion of daily event counts
+  // ------------------------------------------------------------------
+
+  /** Index of dispersion (variance/mean) of daily counts per event
+    * type: >1e6 = over-dispersed (bursty — a Poisson model would
+    * under-alert), <1e6 = under-dispersed (throttled). Exact integer
+    * moments: (k·Σn² − S²)·10⁶ div (S·(k−1)). One (type, day) rollup +
+    * one per-type scalar row. */
+  private def qDispersion(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.events.select(col("event_type"), expr(s"ts div $DayUs").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("ss"))
+      .filter(col("k") > 1 && col("s") > 0)
+      .select(col("event_type"), col("k"), col("s"),
+        expr("((k * ss - s * s) * 1000000) div (s * (k - 1))").as("dispersion_e6"))
+      .orderBy(col("event_type"))
+  }
+
+  private val qDispersionSql =
+    s"""WITH d AS (SELECT event_type, epoch_us(ts) // $DayUs AS day,
+       |CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+       |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k,
+       |CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n * n) AS BIGINT) AS ss
+       |FROM d GROUP BY 1)
+       |SELECT event_type, k, s,
+       |((k * ss - s * s) * 1000000) // (s * (k - 1)) AS dispersion_e6
+       |FROM st WHERE k > 1 AND s > 0
+       |ORDER BY event_type""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ewma_daily"          -> (qEwmaDaily _),
@@ -1341,7 +1451,11 @@ object SignalQueries {
     "q_stl_lite"            -> (qStlLite _),
     "q_asof_nearest"        -> (qAsofNearest _),
     "q_winnow_matches"      -> (qWinnowMatches _),
-    "q_multimodal_dhash"    -> (qMultimodalDhash _))
+    "q_multimodal_dhash"    -> (qMultimodalDhash _),
+    "q10_returned"          -> (q10Returned _),
+    "q13_custdist"          -> (q13Custdist _),
+    "q18_large"             -> (q18Large _),
+    "q_dispersion"          -> (qDispersion _))
 
   val oracles: Map[String, String] = Map(
     "q_ewma_daily"          -> qEwmaDailySql,
@@ -1367,5 +1481,9 @@ object SignalQueries {
     "q_stl_lite"            -> qStlLiteSql,
     "q_asof_nearest"        -> qAsofNearestSql,
     "q_winnow_matches"      -> qWinnowMatchesSql,
-    "q_multimodal_dhash"    -> qMultimodalDhashSql)
+    "q_multimodal_dhash"    -> qMultimodalDhashSql,
+    "q10_returned"          -> q10ReturnedSql,
+    "q13_custdist"          -> q13CustdistSql,
+    "q18_large"             -> q18LargeSql,
+    "q_dispersion"          -> qDispersionSql)
 }

@@ -82,6 +82,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan("q_graph_k4").contains("CartesianProduct"))
   }
 
+  test("q18 prunes via the aggregate semi-filter BEFORE the wide join") {
+    val p = plan("q18_large")
+    // the Σqty > 150 filter must appear as an aggregate below the first
+    // join with orders — i.e. the big-orders frame is reduced first
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0, p.take(800))
+    assert(p.indexOf("HashAggregate", joinIdx) >= 0, p.take(1200))
+  }
+
   test("fanout sampling counts with map-side partial aggregation") {
     // the sampled h1 frame is checkpointed (its per-vertex rank window
     // runs inside the checkpoint action), so the final plan is the
