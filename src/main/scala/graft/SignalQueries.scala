@@ -1426,6 +1426,112 @@ object SignalQueries {
        |ORDER BY event_type""".stripMargin.replace('\n', ' ')
 
   // ------------------------------------------------------------------
+  // q_graph_homophily — categorical (attribute) assortativity
+  // ------------------------------------------------------------------
+
+  /** Nation homophily of the customer–supplier trade graph: observed
+    * same-nation edge share vs the share expected under random mixing
+    * (Σ d_c(n)·d_s(n) / m²), combined as the standard homophily index
+    * (obs − exp)/(1 − exp) — the categorical companion of the
+    * degree-assortativity panel. The numerator can go NEGATIVE
+    * (heterophily), so the division is sign-decomposed. One edge scan +
+    * two nation-keyed margins (≤ 25 rows each). */
+  private def qHomophily(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val e = t.orders.join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp")).distinct()
+    val en = e
+      .join(t.customer.select(col("c_custkey").as("c"), col("c_nationkey").as("cn")), Seq("c"))
+      .join(t.supplier.select(col("s_suppkey").as("sp"), col("s_nationkey").as("sn")), Seq("sp"))
+      .select(col("cn"), col("sn")).localCheckpoint()
+    val tot = en.agg(count(lit(1)).as("m"),
+      sum(when(col("cn") === col("sn"), 1L).otherwise(0L)).as("same"))
+    val exn = en.groupBy(col("cn").as("nk")).agg(count(lit(1)).as("dc"))
+      .join(en.groupBy(col("sn").as("nk")).agg(count(lit(1)).as("ds")), Seq("nk"))
+      .agg(sum(col("dc") * col("ds")).as("en"))
+    tot.crossJoin(broadcast(exn))
+      .select(col("m"), col("same"),
+        expr("(same * 1000000) div m").as("observed_e6"),
+        expr("(en * 1000000) div (m * m)").as("expected_e6"),
+        when(col("m") * col("m") - col("en") > 0,
+          signum(col("same") * col("m") - col("en")).cast("long") *
+            expr("(abs(same * m - en) * 1000000) div (m * m - en)"))
+          .otherwise(lit(0L)).as("homophily_e6"))
+  }
+
+  private val qHomophilySql =
+    """WITH e AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sp
+      |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |en AS MATERIALIZED (SELECT cu.c_nationkey AS cn, su.s_nationkey AS sn
+      |FROM e JOIN customer cu ON cu.c_custkey = e.c
+      |JOIN supplier su ON su.s_suppkey = e.sp),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+      |CAST(COUNT(*) FILTER (WHERE cn = sn) AS BIGINT) AS same FROM en),
+      |mc AS (SELECT cn AS nk, CAST(COUNT(*) AS BIGINT) AS dc FROM en GROUP BY 1),
+      |ms AS (SELECT sn AS nk, CAST(COUNT(*) AS BIGINT) AS ds FROM en GROUP BY 1),
+      |ex AS (SELECT CAST(SUM(mc.dc * ms.ds) AS BIGINT) AS en FROM mc JOIN ms USING (nk))
+      |SELECT m, same, (same * 1000000) // m AS observed_e6,
+      |(en * 1000000) // (m * m) AS expected_e6,
+      |CASE WHEN m * m - en > 0 THEN
+      |(CASE WHEN same * m - en < 0 THEN -1 WHEN same * m - en > 0 THEN 1 ELSE 0 END)
+      |* (ABS(same * m - en) * 1000000 // (m * m - en))
+      |ELSE 0 END AS homophily_e6
+      |FROM tot CROSS JOIN ex""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // q_growth_accounting — new / retained / resurrected / churned
+  // ------------------------------------------------------------------
+
+  /** Daily growth accounting: every active user classified as new
+    * (first day), retained (also active yesterday) or resurrected
+    * (returning after a gap), plus yesterday's actives who went silent
+    * (churned) — the canonical DAU-decomposition every growth team
+    * reads. Built from the deduped (user, day) frame with two
+    * shifted self-joins (day±1); no window wider than the user-day
+    * rollup. */
+  private def qGrowthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val ud = t.events.select(col("user_id"), expr(s"ts div $DayUs").as("day"))
+      .distinct().localCheckpoint()
+    val fu = ud.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val prev = ud.select(col("user_id"), (col("day") + 1).as("day"), lit(1).as("wp"))
+    val st = ud.join(fu, Seq("user_id")).join(prev, Seq("user_id", "day"), "left")
+    val cls = st.groupBy(col("day")).agg(
+      sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("new_users"),
+      sum(when(col("day") > col("first_day") && col("wp").isNotNull, 1L).otherwise(0L)).as("retained"),
+      sum(when(col("day") > col("first_day") && col("wp").isNull, 1L).otherwise(0L)).as("resurrected"))
+    val nxt = ud.select(col("user_id"), (col("day") - 1).as("day"), lit(1).as("hn"))
+    val ch = ud.join(nxt, Seq("user_id", "day"), "left")
+      .filter(col("hn").isNull)
+      .groupBy((col("day") + 1).as("day")).agg(count(lit(1)).as("churned"))
+    cls.join(ch, Seq("day"), "left")
+      .select(col("day"), col("new_users"), col("retained"), col("resurrected"),
+        coalesce(col("churned"), lit(0L)).as("churned"))
+      .orderBy(col("day"))
+  }
+
+  private val qGrowthAccountingSql =
+    s"""WITH ud AS MATERIALIZED (SELECT DISTINCT user_id,
+       |epoch_us(ts) // $DayUs AS day FROM events),
+       |fu AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY 1),
+       |st AS (SELECT ud.day, ud.user_id, fu.first_day,
+       |EXISTS (SELECT 1 FROM ud p WHERE p.user_id = ud.user_id
+       |AND p.day = ud.day - 1) AS wp
+       |FROM ud JOIN fu USING (user_id)),
+       |cls AS (SELECT day,
+       |CAST(COUNT(*) FILTER (WHERE day = first_day) AS BIGINT) AS new_users,
+       |CAST(COUNT(*) FILTER (WHERE day > first_day AND wp) AS BIGINT) AS retained,
+       |CAST(COUNT(*) FILTER (WHERE day > first_day AND NOT wp) AS BIGINT) AS resurrected
+       |FROM st GROUP BY 1),
+       |ch AS (SELECT day + 1 AS day, CAST(COUNT(*) AS BIGINT) AS churned FROM ud s
+       |WHERE NOT EXISTS (SELECT 1 FROM ud n WHERE n.user_id = s.user_id
+       |AND n.day = s.day + 1) GROUP BY 1)
+       |SELECT c.day, new_users, retained, resurrected,
+       |COALESCE(ch.churned, 0) AS churned
+       |FROM cls c LEFT JOIN ch ON ch.day = c.day
+       |ORDER BY c.day""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ewma_daily"          -> (qEwmaDaily _),
@@ -1455,7 +1561,9 @@ object SignalQueries {
     "q10_returned"          -> (q10Returned _),
     "q13_custdist"          -> (q13Custdist _),
     "q18_large"             -> (q18Large _),
-    "q_dispersion"          -> (qDispersion _))
+    "q_dispersion"          -> (qDispersion _),
+    "q_graph_homophily"     -> (qHomophily _),
+    "q_growth_accounting"   -> (qGrowthAccounting _))
 
   val oracles: Map[String, String] = Map(
     "q_ewma_daily"          -> qEwmaDailySql,
@@ -1485,5 +1593,7 @@ object SignalQueries {
     "q10_returned"          -> q10ReturnedSql,
     "q13_custdist"          -> q13CustdistSql,
     "q18_large"             -> q18LargeSql,
-    "q_dispersion"          -> qDispersionSql)
+    "q_dispersion"          -> qDispersionSql,
+    "q_graph_homophily"     -> qHomophilySql,
+    "q_growth_accounting"   -> qGrowthAccountingSql)
 }

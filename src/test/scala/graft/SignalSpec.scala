@@ -374,6 +374,33 @@ class SignalSpec extends SparkSpec {
     assert(got(4L) == 0L)
   }
 
+  test("growth accounting balances: DAU(d) = new + retained + resurrected") {
+    val t = Tables(spark, sf)
+    val dau = t.events.select(expr("ts div 86400000000").as("day"), col("user_id"))
+      .distinct().groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      .as[(Long, Long)].collect().toMap
+    val rows = Queries.all("q_growth_accounting")(spark, sf)
+      .select(col("day"), col("new_users"), col("retained"), col("resurrected"), col("churned"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, nw, re, rs, _) => assert(nw + re + rs == dau(d)) }
+    // second identity: DAU(d) = DAU(d-1) + new + resurrected - churned
+    rows.sortBy(_._1).sliding(2).foreach {
+      case Array(a, b) if b._1 == a._1 + 1 =>
+        assert(dau(b._1) == dau(a._1) + b._2 + b._4 - b._5)
+      case _ =>
+    }
+  }
+
+  test("homophily index is bounded and consistent with its margins") {
+    val r = Queries.all("q_graph_homophily")(spark, sf)
+      .select(col("m"), col("same"), col("observed_e6"), col("expected_e6"), col("homophily_e6"))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(r._2 <= r._1)
+    assert(r._3 >= 0 && r._3 <= 1000000L && r._4 >= 0 && r._4 <= 1000000L)
+    assert(r._5 >= -1000000L && r._5 <= 1000000L)
+  }
+
   test("square census counts C4s: one on a 4-cycle, three on K4") {
     val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
     val got1 = SignalQueries.squareCensus(c4).select(col("n_squares")).as[Long].head()
