@@ -1532,6 +1532,90 @@ object SignalQueries {
        |ORDER BY c.day""".stripMargin.replace('\n', ' ')
 
   // ------------------------------------------------------------------
+  // q_graph_component_sizes — WCC size histogram
+  // ------------------------------------------------------------------
+
+  /** Component-size histogram of the event-chain graph: run the real
+    * FastSV WCC ([[graft.graph.Algos.wcc]]), roll components up to
+    * sizes, sizes up to a histogram — the fragmentation panel read
+    * before any per-component work is scheduled. The oracle exploits
+    * the chain structure independently (a user's events form one
+    * component, so sizes are per-user event counts): a hash match
+    * proves the ENGINE's fixpoint found exactly those components. */
+  private def qComponentSizes(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    graph.Algos.wcc(graph.Prep.makeSymmetric(TestGraphs.eventChain(t)))
+      .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_components"))
+      .orderBy(col("sz"))
+  }
+
+  private val qComponentSizesSql =
+    """WITH cs AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS sz
+      |FROM events GROUP BY 1)
+      |SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_components
+      |FROM cs GROUP BY 1 ORDER BY sz""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
+  // q_markov_entropy — per-state transition entropy (predictability)
+  // ------------------------------------------------------------------
+
+  /** Per-state entropy of the journey transition matrix (the
+    * q_markov_attribution construction): floor-log2 Shannon bits of
+    * "what happens next" from each state — low entropy = predictable
+    * flows (automate them), high = genuine user choice. Same
+    * libm-free ilog2 = bitlength−1 recipe as the corpus entropy
+    * panel. */
+  private def qMarkovEntropy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(s, dir)
+    val ev0 = t.events.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val fp = ev0.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("fts"))
+    val ev = ev0.join(fp, Seq("user_id"), "left")
+      .filter(col("fts").isNull || col("ts") <= col("fts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val seq0 = ev.withColumn("rn", row_number().over(w))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+    val tr = seq0.filter(col("rn") === 1)
+      .select(lit("start").as("j"), col("event_type").as("k"))
+      .unionAll(seq0.filter(col("event_type") =!= "purchase")
+        .select(col("event_type").as("j"), coalesce(col("nxt"), lit("null")).as("k")))
+    tr.groupBy(col("j"), col("k")).agg(count(lit(1)).as("c"))
+      .withColumn("rt", sum(col("c")).over(Window.partitionBy(col("j"))))
+      .groupBy(col("j"), col("rt"))
+      .agg(count(lit(1)).as("n_next"),
+        expr("cast(sum(c * (length(bin(rt div c)) - 1)) as bigint)").as("hb"))
+      .select(col("j").as("state"), col("rt").as("n_transitions"), col("n_next"),
+        expr("(hb * 1000000) div rt").as("entropy_floor_e6"))
+      .orderBy(col("state"))
+  }
+
+  private val qMarkovEntropySql =
+    """WITH fp AS (SELECT user_id, MIN(epoch_us(ts)) AS fts FROM events
+      |WHERE event_type = 'purchase' GROUP BY 1),
+      |ev AS (SELECT e.user_id, e.event_type, epoch_us(e.ts) AS us, e.event_id
+      |FROM events e LEFT JOIN fp ON fp.user_id = e.user_id
+      |WHERE fp.fts IS NULL OR epoch_us(e.ts) <= fp.fts),
+      |sq AS (SELECT user_id, event_type, us, event_id,
+      |ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn,
+      |LEAD(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+      |FROM ev),
+      |tr AS (
+      |SELECT 'start' AS j, event_type AS k FROM sq WHERE rn = 1
+      |UNION ALL
+      |SELECT event_type AS j, COALESCE(nxt, 'null') AS k FROM sq
+      |WHERE event_type <> 'purchase'),
+      |cnt AS (SELECT j, k, CAST(COUNT(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2),
+      |wt AS (SELECT j, k, c, CAST(SUM(c) OVER (PARTITION BY j) AS BIGINT) AS rt FROM cnt),
+      |ag AS (SELECT j, rt, CAST(COUNT(*) AS BIGINT) AS n_next,
+      |CAST(SUM(c * (length(bin(rt // c)) - 1)) AS BIGINT) AS hb
+      |FROM wt GROUP BY 1, 2)
+      |SELECT j AS state, rt AS n_transitions, n_next,
+      |(hb * 1000000) // rt AS entropy_floor_e6
+      |FROM ag ORDER BY state""".stripMargin.replace('\n', ' ')
+
+  // ------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ewma_daily"          -> (qEwmaDaily _),
@@ -1563,7 +1647,9 @@ object SignalQueries {
     "q18_large"             -> (q18Large _),
     "q_dispersion"          -> (qDispersion _),
     "q_graph_homophily"     -> (qHomophily _),
-    "q_growth_accounting"   -> (qGrowthAccounting _))
+    "q_growth_accounting"   -> (qGrowthAccounting _),
+    "q_graph_component_sizes" -> (qComponentSizes _),
+    "q_markov_entropy"      -> (qMarkovEntropy _))
 
   val oracles: Map[String, String] = Map(
     "q_ewma_daily"          -> qEwmaDailySql,
@@ -1595,5 +1681,7 @@ object SignalQueries {
     "q18_large"             -> q18LargeSql,
     "q_dispersion"          -> qDispersionSql,
     "q_graph_homophily"     -> qHomophilySql,
-    "q_growth_accounting"   -> qGrowthAccountingSql)
+    "q_growth_accounting"   -> qGrowthAccountingSql,
+    "q_graph_component_sizes" -> qComponentSizesSql,
+    "q_markov_entropy"      -> qMarkovEntropySql)
 }
