@@ -71,11 +71,12 @@ object AnalyticsQueries {
     * (same 30-min-gap rule as q_sessions), emit +1 at each session start
     * and -1 one µs past its end, collapse same-instant deltas, and take
     * the running sum. The curve lives on session BOUNDARIES (2 rows per
-    * session, ≪ events), so the one global ordered window runs over a
-    * frame that is already thousands of times smaller than the input; at
-    * warehouse scale the same cumulative sum is a two-pass
-    * range-partitioned prefix sum over the boundary frame. Top-10 ties
-    * broken by earliest instant. */
+    * session, ≪ events) but a per-session frame is still data-sized at
+    * warehouse scale, so the cumulative sum IS the two-pass
+    * range-partitioned prefix sum ([[graft.operators.DistributedRank]]:
+    * per-partition running sum + broadcast partition offsets — handles
+    * the negative −1 deltas via per-partition value totals). Top-10
+    * ties broken by earliest instant. */
   private def qPeakConcurrency(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -91,9 +92,8 @@ object AnalyticsQueries {
     val deltas = sess.select(col("st").as("b_ts"), lit(1L).as("delta"))
       .unionAll(sess.select((col("en") + lit(1L)).as("b_ts"), lit(-1L).as("delta")))
       .groupBy(col("b_ts")).agg(sum(col("delta")).as("d"))
-    deltas
-      .withColumn("conc", sum(col("d")).over(Window.orderBy(col("b_ts"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+    graft.operators.DistributedRank.withRankAndCumSum(deltas,
+        Seq(col("b_ts")), "__rn", Some((col("d"), "conc")))
       .select(col("b_ts").as("ts"), col("conc"))
       .orderBy(col("conc").desc, col("ts")).limit(10)
       .orderBy(col("conc").desc, col("ts"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.graph.{Algos, Prep}
 import graft.functions.Sketches
-import graft.operators.{AsOfJoin, Quantiles, RangeJoin, Skyline}
+import graft.operators.{AsOfJoin, DistributedRank, Quantiles, RangeJoin, Skyline}
 import graft.sql.{Exact, OracleGen}
 import graft.sql.Exact.{e2, e4, e6}
 
@@ -191,14 +191,16 @@ object Queries {
   /** Revenue deciles: customers ntile(10)-bucketed by total spend
     * (unique (rev desc, custkey) order makes the bucketing a pure
     * function of the data — NTILE's remainder-to-early-buckets rule is
-    * shared SQL semantics). */
+    * shared SQL semantics). The bucketing runs on
+    * [[graft.operators.DistributedRank]] (range-partitioned offset
+    * rank, NTILE derived arithmetically from the global row number) —
+    * never a zero-partitionBy window over the customer frame. */
   private def qNtile(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     val rev = t.orders.groupBy(col("o_custkey"))
       .agg(e2(sum(col("o_totalprice"))).as("rev_e2"))
-    rev.withColumn("decile",
-        ntile(10).over(Window.orderBy(col("rev_e2").desc, col("o_custkey")))
-          .cast("long")) // BIGINT on both engines (DuckDB NTILE is int64)
+    DistributedRank.withNtile(rev,
+        Seq(col("rev_e2").desc, col("o_custkey")), 10, "decile")
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"), sum(col("rev_e2")).as("sum_rev_e2"))
       .orderBy(col("decile"))
@@ -946,19 +948,24 @@ object Queries {
 
   /** Pareto/ABC classification: customers ranked by revenue, running
     * cumulative share cut at 70%/90% into A/B/C bands — the standard
-    * inventory/CRM 80-20 report. The cumulative and the grand total
-    * ride ONE ordered window pass over the customer AGGREGATE (≪ fact
-    * table — the only global sort is post-agg, same posture as
-    * q_window_funcs); band thresholds compare cum·10 against total·7|9
-    * in exact BIGINT cents, no fractional share until the final e6. */
+    * inventory/CRM 80-20 report. The cumulative rides
+    * [[graft.operators.DistributedRank]]'s range-partitioned prefix sum
+    * (per-partition running sum + broadcast partition offsets — never a
+    * single-partition ordered window, even though the frame is post-agg:
+    * a per-customer frame is still data-sized at 100 TB); the grand
+    * total is a broadcast scalar. Band thresholds compare cum·10
+    * against total·7|9 in exact BIGINT cents, no fractional share until
+    * the final e6. */
   private def qParetoAbc(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     val rev = t.orders.groupBy(col("o_custkey"))
       .agg(e2(sum(col("o_totalprice"))).as("rev"))
-    val ord = Window.orderBy(col("rev").desc, col("o_custkey"))
-    rev.select(col("o_custkey"), col("rev"),
-        sum(col("rev")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
-        sum(col("rev")).over(ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("total"))
+    val tot = rev.agg(sum(col("rev")).cast("long").as("total"))
+    DistributedRank.withRankAndCumSum(rev,
+        Seq(col("rev").desc, col("o_custkey")), "__rn",
+        Some((col("rev"), "cum")))
+      .drop("__rn")
+      .crossJoin(broadcast(tot))
       .withColumn("cls",
         when(col("cum") * 10 <= col("total") * 7, lit("A"))
           .when(col("cum") * 10 <= col("total") * 9, lit("B"))
@@ -1121,9 +1128,10 @@ object Queries {
     * frequency (order count), monetary (cents) quintiled independently
     * over UNIQUE orders (metric, custkey) — ntile ties are therefore a
     * pure function of the data — then rolled up to the 5×5×5 segment
-    * grid. All three ntile windows sort the customer AGGREGATE (1% of
-    * the fact table); ntile is cast to long on the Spark side (int32
-    * vs DuckDB int64 — the documented dtype trap). */
+    * grid. Each quintile runs on [[graft.operators.DistributedRank]]
+    * (range-partitioned offset rank + arithmetic NTILE — a per-customer
+    * frame is data-sized at warehouse scale, so no zero-partitionBy
+    * window), the three bucketings re-joined on the unique custkey. */
   private def qRfm(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     val day = expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')").cast("long")
@@ -1133,10 +1141,14 @@ object Queries {
     val maxDay = per.agg(max(col("last_day")).as("max_day"))
     val scored = per.crossJoin(broadcast(maxDay))
       .withColumn("recency", col("max_day") - col("last_day"))
-    scored.select(col("o_custkey"), col("m"),
-        ntile(5).over(Window.orderBy(col("recency").asc, col("o_custkey"))).cast("long").as("r_q"),
-        ntile(5).over(Window.orderBy(col("f").desc, col("o_custkey"))).cast("long").as("f_q"),
-        ntile(5).over(Window.orderBy(col("m").desc, col("o_custkey"))).cast("long").as("m_q"))
+      .localCheckpoint() // three quintile passes read the same frame once
+    def quint(order: Seq[org.apache.spark.sql.Column], out: String) =
+      DistributedRank.withNtile(scored, order, 5, out)
+        .select(col("o_custkey"), col(out))
+    scored.select(col("o_custkey"), col("m"))
+      .join(quint(Seq(col("recency").asc, col("o_custkey")), "r_q"), Seq("o_custkey"))
+      .join(quint(Seq(col("f").desc, col("o_custkey")), "f_q"), Seq("o_custkey"))
+      .join(quint(Seq(col("m").desc, col("o_custkey")), "m_q"), Seq("o_custkey"))
       .groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_customers"), sum(col("m")).cast("long").as("m_sum_e2"))
       .orderBy(col("r_q"), col("f_q"), col("m_q"))
@@ -1220,13 +1232,15 @@ object Queries {
     * so the rank is a pure function of the multiset). The numerator
     * ×10⁶ exceeds BIGINT at warehouse scale, so the one division runs
     * on DECIMAL(38,0)/HUGEINT — exact on both engines (the kmv
-    * precedent). One sort window + one agg. */
+    * precedent). The global rank i comes from
+    * [[graft.operators.DistributedRank]] (range-partitioned offset
+    * rank), then one agg. */
   private def qGini(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     val rev = t.orders.groupBy(col("o_custkey"))
       .agg(e2(sum(col("o_totalprice"))).as("x"))
-    val w = Window.orderBy(col("x"), col("o_custkey"))
-    rev.select(col("x"), row_number().over(w).cast("long").as("i"))
+    DistributedRank.withRowNumber(rev,
+        Seq(col("x"), col("o_custkey")), "i")
       .agg(count(lit(1)).as("n"), sum(col("x")).cast("long").as("sx"),
         sum(col("i") * col("x")).cast("long").as("sxi"))
       .select(col("n"), col("sx"),
@@ -1855,22 +1869,33 @@ object Queries {
   }
 
   /** Ranking-function tour over customer revenue: rank, dense_rank,
-    * percent_rank, cume_dist and the gap to the next customer — the
-    * remaining window-function family in one pass (ONE sort over a
-    * unique (rev desc, custkey) order, so every rank is a pure function
-    * of the data; the two fractional ranks are small-integer ratios,
-    * exact-rounded in both engines, floored at e6). */
+    * percent_rank, cume_dist and the gap to the next customer. The
+    * order (rev desc, custkey) is UNIQUE, which collapses the whole
+    * family onto ONE global row number rn from
+    * [[graft.operators.DistributedRank]]: rank = dense_rank = rn,
+    * percent_rank = (rn−1)/(N−1) and cume_dist = rn/N (identical
+    * double-division operand order as the window builtins, floored at
+    * e6), and lead() becomes an equi-join of rn against rn+1 — no
+    * zero-partitionBy window anywhere, every step range-partitioned. */
   private def qWindowFuncs(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     val rev = t.orders.groupBy(col("o_custkey"))
       .agg(e2(sum(col("o_totalprice"))).as("rev_e2"))
-    val w = Window.orderBy(col("rev_e2").desc, col("o_custkey"))
-    rev.select(col("o_custkey"), col("rev_e2"),
-        rank().over(w).cast("long").as("rnk"),
-        dense_rank().over(w).cast("long").as("drnk"),
-        e6(percent_rank().over(w)).as("pct_rank_e6"),
-        e6(cume_dist().over(w)).as("cume_dist_e6"),
-        (col("rev_e2") - coalesce(lead(col("rev_e2"), 1).over(w), lit(0L)))
+    val ranked = DistributedRank.withRowNumber(rev,
+      Seq(col("rev_e2").desc, col("o_custkey")), "rn")
+    val n = ranked.agg(count(lit(1)).cast("long").as("n"))
+    val nxt = ranked.select((col("rn") - 1).as("rn"), col("rev_e2").as("next_rev"))
+    ranked.crossJoin(broadcast(n))
+      .join(nxt, Seq("rn"), "left")
+      .select(col("o_custkey"), col("rev_e2"),
+        col("rn").as("rnk"),
+        col("rn").as("drnk"),
+        e6(when(col("n") > 1, // single-row frame: PERCENT_RANK is 0, not 0/0
+            (col("rn") - 1).cast("double") / (col("n") - 1).cast("double"))
+          .otherwise(lit(0.0))).as("pct_rank_e6"),
+        e6(col("rn").cast("double") / col("n").cast("double"))
+          .as("cume_dist_e6"),
+        (col("rev_e2") - coalesce(col("next_rev"), lit(0L)))
           .as("gap_to_next_e2"))
       .orderBy(col("rnk"))
   }

@@ -89,26 +89,34 @@ object RetrievalQueries {
     Retrieval.hybridRrf(t.documents, t.embeddings, Terms, queryVecId = 0L, k = 10)
   }
 
+  private val HybridCand = 50
+
   private val qHybridSql =
     s"""WITH j AS MATERIALIZED (SELECT d.doc_id, d.text, e.embedding
        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
        |toks AS MATERIALIZED (${tokSql("j")}),
        |$bm25Ctes,
+       |sp AS (SELECT doc_id, score_e6 FROM bm WHERE doc_id <> 0
+       |ORDER BY score_e6 DESC, doc_id LIMIT $HybridCand),
+       |spr AS (SELECT doc_id,
+       |CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank_bm25 FROM sp),
        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
        |dense AS (SELECT j.doc_id,
        |CAST(FLOOR(${cosSql("q.qv", "j.embedding")} * 10000) AS BIGINT) AS rcos_e4
        |FROM j, q WHERE j.doc_id <> 0),
-       |r AS (SELECT dense.doc_id, rcos_e4, COALESCE(bm.score_e6, 0) AS score_e6
-       |FROM dense LEFT JOIN bm USING (doc_id)),
-       |rk AS (SELECT doc_id,
-       |CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank_bm25,
-       |CAST(ROW_NUMBER() OVER (ORDER BY rcos_e4 DESC, doc_id) AS BIGINT) AS rank_vec
-       |FROM r),
-       |f AS (SELECT doc_id, rank_bm25, rank_vec,
-       |CAST(1000000 // (60 + rank_bm25) + 1000000 // (60 + rank_vec) AS BIGINT) AS rrf_e6
-       |FROM rk)
-       |SELECT doc_id, rank_bm25, rank_vec, rrf_e6 FROM f
-       |QUALIFY ROW_NUMBER() OVER (ORDER BY rrf_e6 DESC, doc_id) <= 10
+       |de AS (SELECT doc_id, rcos_e4 FROM dense
+       |ORDER BY rcos_e4 DESC, doc_id LIMIT $HybridCand),
+       |der AS (SELECT doc_id,
+       |CAST(ROW_NUMBER() OVER (ORDER BY rcos_e4 DESC, doc_id) AS BIGINT) AS rank_vec FROM de),
+       |f AS (SELECT COALESCE(spr.doc_id, der.doc_id) AS doc_id,
+       |COALESCE(rank_bm25, 0) AS rank_bm25, COALESCE(rank_vec, 0) AS rank_vec
+       |FROM spr FULL JOIN der ON spr.doc_id = der.doc_id),
+       |g AS (SELECT doc_id, rank_bm25, rank_vec,
+       |CAST(CASE WHEN rank_bm25 > 0 THEN 1000000 // (60 + rank_bm25) ELSE 0 END
+       |+ CASE WHEN rank_vec > 0 THEN 1000000 // (60 + rank_vec) ELSE 0 END AS BIGINT) AS rrf_e6
+       |FROM f)
+       |SELECT doc_id, rank_bm25, rank_vec, rrf_e6 FROM
+       |(SELECT * FROM g ORDER BY rrf_e6 DESC, doc_id LIMIT 10) z
        |ORDER BY rrf_e6 DESC, doc_id""".stripMargin.replace('\n', ' ')
 
   // --- q_ann_mmr --------------------------------------------------------

@@ -387,13 +387,18 @@ object SignalQueries {
     daily.groupBy(col("event_type"))
       .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("arr"))
       .select(col("event_type"), expr(
+        // explicit init flag in the accumulator (the EwmaDaily hasEwma
+        // pattern), NOT a sign-of-l sentinel: the level can legitimately
+        // go negative on a steep decline (l=100, b=-50, v=0 → l<0 two
+        // steps later) and a sign sentinel would silently restart the
+        // recurrence while the oracle's rn=1-anchored CTE continues it
         """explode(transform(arr, (e, i) ->
           |named_struct('day', e.day, 'v', e.v, 'st',
           |aggregate(slice(arr, 1, i + 1),
-          |named_struct('l', -1L, 'b', 0L),
-          |(acc, y) -> if(acc.l < 0,
-          |named_struct('l', y.v, 'b', 0L),
-          |named_struct(
+          |named_struct('init', false, 'l', 0L, 'b', 0L),
+          |(acc, y) -> if(NOT acc.init,
+          |named_struct('init', true, 'l', y.v, 'b', 0L),
+          |named_struct('init', true,
           |'l', (y.v + 3 * (acc.l + acc.b)) div 4,
           |'b', (7 * acc.b + ((y.v + 3 * (acc.l + acc.b)) div 4 - acc.l)) div 8))))))"""
           .stripMargin.replace('\n', ' ')).as("r"))
@@ -483,9 +488,11 @@ object SignalQueries {
     * executor ships ≤ 64 counters). P50/P90/P99 are answered from the
     * cumulative buckets with a guaranteed ≤ 2× overestimate (the bucket
     * upper bound); the exact order statistic is computed alongside as
-    * the AUDIT baseline (a global sort — the cost the sketch avoids)
-    * and the ratio reported. The sketch/exact split is the point of the
-    * query: the cheap path and its error, measured. */
+    * the AUDIT baseline (a full distributed sort+rank — the cost the
+    * sketch avoids — via [[graft.operators.DistributedRank]], so even
+    * the audit side never single-partitions) and the ratio reported.
+    * The sketch/exact split is the point of the query: the cheap path
+    * and its error, measured. */
   private def qQuantileSketch(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
@@ -502,7 +509,11 @@ object SignalQueries {
       .select(col("q"), expr("(n * q + 99) div 100").as("r"))
     val pick = qs.join(cum, col("cc") >= col("r"))
       .groupBy(col("q"), col("r")).agg(min(col("bkt")).as("bucket"))
-    val ranked = c.withColumn("rn", row_number().over(Window.orderBy(col("cents"))).cast("long"))
+    // exact-audit rank: range-partitioned offset rank, not a global
+    // window — the audit side must not itself be the scale-killer the
+    // sketch exists to avoid
+    val ranked = graft.operators.DistributedRank.withRowNumber(
+      c, Seq(col("cents")), "rn")
     val ex = qs.join(ranked, col("rn") === col("r"))
       .select(col("q").as("q2"), col("cents").as("exact_cents"))
     pick.join(ex, col("q") === col("q2"))
@@ -717,10 +728,10 @@ object SignalQueries {
     * first 2 survivors kept per vertex under the (s, dst) order. The
     * classic trainer-side negatives generator: candidate volume is a
     * constant per vertex, the anti-join is one equi-join against the
-    * edge list, and nothing depends on degree. The id-compaction
-    * (row_number over the vertex list) is the one global window — at
-    * warehouse scale it is the standard zipWithIndex id-map, built once
-    * and reused. */
+    * edge list, and nothing depends on degree. The id-compaction is the
+    * standard zipWithIndex-style dense id-map, built distributed via
+    * [[graft.operators.DistributedRank]] (range-partitioned offset
+    * rank — no global window over the vertex list). */
   private def qNegativeSamples(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cp = TestGraphs.partCoPairs(Tables(s, dir)).localCheckpoint()
@@ -729,8 +740,9 @@ object SignalQueries {
       .localCheckpoint()
     val vx = e.select(col("src").as("id")).distinct().localCheckpoint()
     val n = vx.agg(count(lit(1)).as("n"))
-    val ids = vx.withColumn("idx",
-      (row_number().over(Window.orderBy(col("id"))) - 1).cast("long"))
+    val ids = graft.operators.DistributedRank.withRowNumber(
+        vx, Seq(col("id")), "__rn")
+      .select(col("id"), (col("__rn") - 1).as("idx"))
     val cand = vx.crossJoin(broadcast(n))
       .select(col("id").as("src"), col("n"),
         explode(expr("sequence(0, 3)")).as("s"))
@@ -1550,9 +1562,14 @@ object SignalQueries {
       .orderBy(col("sz"))
   }
 
+  // HAVING >= 2 matches the engine's edge-derived vertex set: a
+  // single-event user produces no eventChain edge, hence no vertex and
+  // no size-1 component (current generators emit ≥ 2 events per user, so
+  // the clause is a no-op today — but the parity must not depend on an
+  // unstated generator floor)
   private val qComponentSizesSql =
     """WITH cs AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS sz
-      |FROM events GROUP BY 1)
+      |FROM events GROUP BY 1 HAVING COUNT(*) >= 2)
       |SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_components
       |FROM cs GROUP BY 1 ORDER BY sz""".stripMargin.replace('\n', ' ')
 

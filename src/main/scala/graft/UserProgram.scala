@@ -28,8 +28,19 @@ trait UserProgram {
 
   /** Message combiner aggregate over the payload (e.g. `min(col("m"))`),
     * applied per destination `id` — partial (map-side) + final, exactly
-    * the reference's MessageCombiner contract. */
-  def combineMsg: Column
+    * the reference's MessageCombiner contract.
+    *
+    * DEFAULT: no combiner — exactly Giraph's default, where
+    * `Computation.compute(vertex, messages)` receives the raw message
+    * iterable unless a MessageCombiner is registered
+    * (CORE/graph/ComputeCallable.java:279-340). Here [[vprog]] then sees
+    * `msg` as an ARRAY of every message sent to the vertex, in arbitrary
+    * order (Giraph's iterable is equally unordered). Memory contract:
+    * one vertex's messages materialize in one row (bound =
+    * max-in-degree × message size) — override with a real aggregate
+    * whenever the reduction is associative. */
+  def combineMsg: Column = org.apache.spark.sql.functions.collect_list(
+    org.apache.spark.sql.functions.col("msg"))
 
   /** Vertex program: previous vertex frame ⋈ combined `msg` frame →
     * next vertex frame (same schema as `init`'s result). */

@@ -31,6 +31,21 @@ object Algos {
     org.apache.spark.sql.graft.CheckpointBridge.localCheckpointHash(
       df, key, df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
 
+  /** localCheckpoint with MEASURED stats (CheckpointBridge). A plain
+    * `localCheckpoint()` PROPAGATES the pre-checkpoint plan's estimated
+    * Statistics through the LogicalRDD (LogicalRDD.fromDataset →
+    * rewriteStatsAndConstraints), so a fixpoint whose iterate references
+    * itself k≥2 times per round compounds sizeInBytes multiplicatively —
+    * bits grow k^round, and by ~15 supersteps of a 3-self-reference loop
+    * the driver burns minutes in BigInteger.multiply inside
+    * SizeInBytesOnlyStatsPlanVisitor and dies with "BigInteger would
+    * overflow supported range" (reproduced by IndependentOracleSpec's
+    * many-round SCC tangle). Measured stats reset the estimate to the
+    * frame's REAL byte size every round — both correct and
+    * broadcast-friendly. */
+  private def ckptStats(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.CheckpointBridge.localCheckpointStats(df)
+
   /** Fresh-flag delta-frontier reachability: the ids reachable from
     * `seeds` along `edges` within ≤ `maxHops` hops (seeds included), i.e.
     * the partial fixpoint n_i = n_{i-1} ∪ {dst | src ∈ n_{i-1}} after
@@ -44,7 +59,7 @@ object Algos {
     * once per wave. */
   private def reachable(seeds: DataFrame, edges: DataFrame, maxHops: Int): DataFrame = {
     var reached = seeds.select(col("id")).distinct()
-      .withColumn("fresh", lit(true)).localCheckpoint()
+      .withColumn("fresh", lit(true)).transform(ckptStats)
     var live = true
     var h = 0
     while (live && h < maxHops) {
@@ -57,7 +72,7 @@ object Algos {
               Seq("src"))
             .select(col("dst").as("id"), lit(true).as("cand")))
           .groupBy(col("id")).agg(bool_and(col("cand")).as("fresh"))
-          .localCheckpoint()
+          .transform(ckptStats)
         // the new frame is eagerly materialized; the superseded wave's
         // blocks are dead — drop them at the RDD level (Dataset.unpersist
         // is a no-op on localCheckpoint frames) instead of waiting on the
@@ -383,7 +398,11 @@ object Algos {
   def rwrMulti(edges: DataFrame, nSources: Int, iterations: Int,
                damping: Double = 0.85, resetProb: Double = 0.15): DataFrame = {
     val e = ckptHash(edges.select("src", "dst"), "src")
-    val v = ckptHash(verticesOf(e), "id")
+    // vertex frame = vertices WITH out-edges, matching the single-source
+    // randomWalkWithRestart (inner join with deg) and the oracle's
+    // DISTINCT-src CTE: sink (dst-only) vertices hold no walk state in
+    // the reference semantics, so they must not emit (sink, tag) rows
+    val v = ckptHash(e.select(col("src").as("id")).distinct(), "id")
     val srcs = e.select(col("src")).distinct()
       .orderBy(col("src")).limit(nSources)
       .select(col("src").as("tag")).localCheckpoint()
@@ -592,7 +611,10 @@ object Algos {
     * edge-count scalar. */
   def kTruss(pairs: DataFrame, k: Int,
              opts: PregelOptions = PregelOptions(maxSupersteps = 40)): DataFrame = {
-    var e = pairs.select(col("u"), col("v")).localCheckpoint()
+    // ckptStats, not plain localCheckpoint: edgeSupport references e
+    // three times per round, so estimated stats would compound 3^rounds
+    // through the checkpoints (see ckptStats)
+    var e = pairs.select(col("u"), col("v")).transform(ckptStats)
     var cnt = e.count()
     var step = 0
     while (step < opts.maxSupersteps) {
@@ -606,7 +628,7 @@ object Algos {
         return sup.orderBy(col("u"), col("v"))
       }
       val kept = sup.filter(col("support") >= k - 2)
-        .select("u", "v").localCheckpoint()
+        .select("u", "v").transform(ckptStats)
       freeCkpt(sup); freeCkpt(e)
       e = kept
       cnt = keptCnt
@@ -1827,8 +1849,17 @@ object Algos {
   def scc(edges: DataFrame, opts: PregelOptions = PregelOptions()): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    var remEdges = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
-    var remVerts = verticesOf(remEdges).persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (not persist) across OUTER rounds: persist keeps
+    // the LOGICAL plan, and each round's remainder frame nests the
+    // previous round's joins — after ~10 peel rounds Catalyst's
+    // sizeInBytes estimation multiplies BigInt sizes over the nested
+    // join tree until the driver burns minutes in BigInteger.multiply
+    // and dies with "BigInteger would overflow supported range"
+    // (reproduced by IndependentOracleSpec's many-round tangle fixture).
+    // Checkpointing truncates the plan per round — the repo's own
+    // iterate-eagerly rule, applied to the outer loop too.
+    var remEdges = edges.select("src", "dst").transform(ckptStats)
+    var remVerts = verticesOf(remEdges).transform(ckptStats)
     var remaining = remVerts.count()
     var result: DataFrame = Seq.empty[(Long, Long)].toDF("id", "comp")
     var round = 0
@@ -1842,7 +1873,7 @@ object Algos {
       // full length in plain-propagation supersteps). Same unique
       // fixpoint, same per-round shape as wcc's FastSV loop.
       var f = remVerts.select(col("id"), col("id").as("f_old"), col("id").as("lbl"))
-        .localCheckpoint()
+        .transform(ckptStats)
       var changed = 1L
       var cstep = 0
       while (changed > 0 && cstep < opts.maxSupersteps) {
@@ -1855,7 +1886,7 @@ object Algos {
           .join(gp, col("lbl") === col("gid"), "left")
           .select(col("id"), col("lbl").as("f_old"),
             greatest(col("lbl"), col("m1"), col("gf")).as("lbl"))
-          .localCheckpoint()
+          .transform(ckptStats)
         changed = next.select(count(when(col("lbl") > col("f_old"), lit(1))).as("c"))
           .first().getLong(0)
         freeCkpt(f) // every f (incl. the first) is this loop's checkpoint
@@ -1881,32 +1912,34 @@ object Algos {
       val assigned = reachable(roots, colored, opts.maxSupersteps)
         .join(colors, Seq("id"))
         .select(col("id"), col("color").as("comp"))
-        .localCheckpoint()
+        .transform(ckptStats)
       colored.unpersist()
       val prevResult = result
-      result = result.union(assigned).localCheckpoint()
-      // the union is materialized; ONLY the superseded accumulator
-      // checkpoint is dead here. `assigned` is still read by the
-      // newVerts anti-join below, and newVerts/newEdges keep persist
-      // (not checkpoint) lineage through it — freeing it would make an
-      // eviction-recompute fail with missing checkpoint blocks. It is
-      // reclaimed by the ContextCleaner / the harness sweep instead.
+      result = result.union(assigned).transform(ckptStats)
+      // the union is materialized; the superseded accumulator checkpoint
+      // is dead. `assigned` stays live until the eager newVerts
+      // anti-join below has materialized, then is freed with the round.
       // (round-0 prevResult is a LocalRelation — freeCkpt is a no-op.)
       freeCkpt(prevResult)
       val newVerts = remVerts.join(assigned.select("id"), Seq("id"), "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(ckptStats)
       val newEdges = remEdges
         .join(newVerts.select(col("id").as("src")), Seq("src"), "left_semi")
         .join(newVerts.select(col("id").as("dst")), Seq("dst"), "left_semi")
         .select("src", "dst")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(ckptStats)
       remaining = newVerts.count()
-      remVerts.unpersist(); remEdges.unpersist(); colors.unpersist()
+      // new remainder frames are materialized — the superseded round's
+      // checkpoints (and this round's assigned set, already folded into
+      // the result checkpoint AND consumed by the eager newVerts
+      // anti-join) are dead now
+      freeCkpt(remVerts); freeCkpt(remEdges); freeCkpt(assigned)
+      colors.unpersist()
       remVerts = newVerts
       remEdges = newEdges
       round += 1
     }
-    remVerts.unpersist(); remEdges.unpersist()
+    freeCkpt(remVerts); freeCkpt(remEdges)
     result
   }
 

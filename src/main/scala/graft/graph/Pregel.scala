@@ -147,6 +147,32 @@ object Pregel {
     verts
   }
 
+  /** [[run]] with NO MessageCombiner — the reference's default mode:
+    * when no combiner is registered, `Computation.compute(vertex,
+    * messages)` receives the RAW message iterable
+    * (CORE/graph/ComputeCallable.java:279-340). Here `vprog` receives
+    * the combined frame with `msg` as an ARRAY of all messages sent to
+    * the vertex this superstep, in ARBITRARY order (Giraph's iterable
+    * is equally unordered — programs must be order-insensitive, or
+    * sort/aggregate the array themselves with `sort_array`/
+    * `aggregate`).
+    *
+    * Memory contract (same as the reference without a combiner): every
+    * message to one vertex materializes in that vertex's row, so the
+    * per-row bound is max-in-degree × message size. At warehouse scale
+    * prefer a real combiner whenever the program's reduction is
+    * associative — this mode exists for the computations that genuinely
+    * need the full list (e.g. the reference's VerifyMessage). The
+    * `groupBy(id).agg(collect_list)` still map-side PARTIALLY collects
+    * per sender partition, so the shuffle moves each message once. */
+  def runMessageList(
+      vertices: DataFrame,
+      edges: DataFrame,
+      sendMsg: DataFrame => DataFrame,
+      vprog: (DataFrame, DataFrame) => DataFrame,
+      opts: PregelOptions = PregelOptions()): DataFrame =
+    run(vertices, edges, sendMsg, collect_list(col("msg")), vprog, opts)
+
   /** Fixed-iteration variant with a per-iteration driver hook ("master
     * compute", giraph-core .../master/MasterCompute.java:49-294): `master`
     * sees the superstep number and the current vertex frame and may halt

@@ -51,17 +51,16 @@ object Retrieval {
     bm25WithTerms(toks, terms.toDF("token"), k)
   }
 
-  /** [[bm25]] over an exploded (doc_id, token) frame and a DYNAMIC term
-    * frame (broadcast) — the form [[prfExpand]]'s second stage needs,
-    * where the query terms are themselves a query result. */
-  private def bm25WithTerms(toks: DataFrame, termsDf: DataFrame, k: Int): DataFrame = {
+  /** Per-doc BM25 scores (no cut) over an exploded (doc_id, token) frame
+    * and a DYNAMIC term frame (broadcast): (doc_id, n_terms, score_e6),
+    * one row per doc with ≥ 1 query-term hit. */
+  private def bm25Scores(toks: DataFrame, termsDf: DataFrame): DataFrame = {
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_toks"))
     val tf = toks.join(broadcast(termsDf.distinct()), Seq("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val scored = tf
-      .join(broadcast(df), Seq("token"))
+    tf.join(broadcast(df), Seq("token"))
       .join(dl, Seq("doc_id"))
       .join(broadcast(totals), lit(true))
       .withColumn("idf_e6", idiv(col("n_docs") * lit(1000000L), col("df")))
@@ -70,13 +69,18 @@ object Retrieval {
         lit(20L) * col("n_toks") * col("tf") + lit(6L) * col("n_toks")
           + lit(18L) * col("dl") * col("n_docs")))
       .withColumn("term_e6", idiv(col("idf_e6") * col("sat_e6"), lit(1000000L)))
-    scored.groupBy(col("doc_id"))
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("term_e6")).cast("long").as("score_e6"))
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("score_e6").desc, col("doc_id"))))
-      .filter(col("rn") <= k).drop("rn")
-      .orderBy(col("score_e6").desc, col("doc_id"))
   }
+
+  /** [[bm25Scores]] cut to the global top k — `orderBy(...).limit(k)`,
+    * which Spark compiles to TakeOrderedAndProject (per-partition top-k
+    * heaps merged on the driver), NEVER a zero-partitionBy rank window
+    * (that would single-partition-sort the whole scored corpus). */
+  private def bm25WithTerms(toks: DataFrame, termsDf: DataFrame, k: Int): DataFrame =
+    bm25Scores(toks, termsDf)
+      .orderBy(col("score_e6").desc, col("doc_id")).limit(k)
+      .orderBy(col("score_e6").desc, col("doc_id"))
 
   /** Pseudo-relevance feedback (RM3-shaped two-stage retrieval): score
     * the seed terms, take the top `fbDocs` documents, harvest their
@@ -102,46 +106,57 @@ object Retrieval {
     out
   }
 
-  /** Hybrid sparse+dense retrieval via reciprocal-rank fusion: rank the
-    * intersection corpus (docs that carry an embedding) once by BM25 and
-    * once by cosine to the query vector, then fuse with
-    * rrf_e6 = 10⁶//(60+rank_bm25) + 10⁶//(60+rank_vec). Docs without a
-    * query-term hit rank after all hits (score 0, doc_id order) so both
-    * rank lists are total — the standard RRF-over-full-lists shape.
+  /** Hybrid sparse+dense retrieval via reciprocal-rank fusion over CUT
+    * rank lists (the production RRF shape): take the top `nCand` docs of
+    * the intersection corpus (docs that carry an embedding) once by BM25
+    * and once by cosine to the query vector — each cut is an
+    * `orderBy(...).limit(nCand)` (TakeOrderedAndProject, distributed
+    * top-k heaps) — rank WITHIN each bounded nCand-row list, full-outer
+    * fuse on doc_id with rrf_e6 = Σ_lists 10⁶//(60+rank) (a doc absent
+    * from one list contributes 0 for it; its reported rank is 0), and
+    * cut the fused frame to the final top k.
     *
-    * Scale shape: the BM25 side is [[bm25]]'s postings-only aggregate;
-    * the dense side is one broadcast (single query vector) scan; the two
-    * global rank windows are over the scored corpus (at a real deployment
-    * rank lists would be cut to top-K before fusion — done here via the
-    * bm25 k cap on the sparse side).
+    * Scale shape: the BM25 side is [[bm25Scores]]' postings-only
+    * aggregate; the dense side is one broadcast (single query vector)
+    * scan; every global sort is a limit-k TakeOrderedAndProject and the
+    * only rank windows run over ≤ nCand-row post-limit frames — no
+    * zero-partitionBy window ever sees a data-sized frame.
     */
   def hybridRrf(docs: DataFrame, emb: DataFrame, terms: Seq[String],
-                queryVecId: Long, k: Int): DataFrame = {
+                queryVecId: Long, k: Int, nCand: Int = 50): DataFrame = {
     val joined = docs.join(emb, col("doc_id") === col("vec_id"))
       .select(col("doc_id"), col("text"), col("embedding"))
     val qv = emb.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("qv"))
-    // sparse scores over the full intersection corpus (no cap: the rank
-    // list must be total for RRF; absent docs get score 0)
-    val sparse = bm25(joined, terms, Int.MaxValue)
-      .select(col("doc_id"), col("score_e6"))
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = joined.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    // corpus stats (N, A, df) are over the FULL intersection corpus; the
+    // query doc is dropped from the scored list before the cut
+    val sparse = bm25Scores(toks, terms.toDF("token"))
+      .filter(col("doc_id") =!= queryVecId)
+      .orderBy(col("score_e6").desc, col("doc_id")).limit(nCand)
+      .withColumn("rank_bm25", row_number().over( // bounded: ≤ nCand rows
+        Window.orderBy(col("score_e6").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rank_bm25"))
     val dense = joined.join(broadcast(qv), lit(true))
       .filter(col("doc_id") =!= queryVecId)
       .select(col("doc_id"),
         graft.sql.Exact.e4(Similarity.cosine(col("qv"), col("embedding"))).as("rcos_e4"))
-    val ranked = dense.join(sparse, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("score_e6"))
-      .withColumn("rank_bm25", row_number().over(
-        Window.orderBy(col("score_e6").desc, col("doc_id"))).cast("long"))
-      .withColumn("rank_vec", row_number().over(
+      .orderBy(col("rcos_e4").desc, col("doc_id")).limit(nCand)
+      .withColumn("rank_vec", row_number().over( // bounded: ≤ nCand rows
         Window.orderBy(col("rcos_e4").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rank_vec"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_bm25"), lit(0L)).as("rank_bm25"),
+        coalesce(col("rank_vec"), lit(0L)).as("rank_vec"))
       .withColumn("rrf_e6",
-        idiv(lit(1000000L), lit(60L) + col("rank_bm25"))
-          + idiv(lit(1000000L), lit(60L) + col("rank_vec")))
-    ranked
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("rrf_e6").desc, col("doc_id"))))
-      .filter(col("rn") <= k).drop("rn")
+        when(col("rank_bm25") > 0,
+          idiv(lit(1000000L), lit(60L) + col("rank_bm25"))).otherwise(lit(0L))
+          + when(col("rank_vec") > 0,
+            idiv(lit(1000000L), lit(60L) + col("rank_vec"))).otherwise(lit(0L)))
+      .orderBy(col("rrf_e6").desc, col("doc_id")).limit(k)
       .select(col("doc_id"), col("rank_bm25"), col("rank_vec"), col("rrf_e6"))
       .orderBy(col("rrf_e6").desc, col("doc_id"))
   }

@@ -574,6 +574,7 @@ object Similarity {
     var x = spark.range(dim).select(col("id").as("j2"), lit(1024L).as("x"))
     var r = 0
     while (r < rounds) {
+      val prev = x
       val w = full.join(x, Seq("j2"))
         .groupBy(col("i")).agg(sum(col("c") * col("x")).as("w"))
       val m = w.agg(max(abs(col("w"))).as("m"))
@@ -581,9 +582,20 @@ object Similarity {
         .select(col("i").as("j2"),
           expr("if(w < 0, -((-w) * 1024 div m), (w * 1024) div m)").as("x"))
         .localCheckpoint() // d rows; keeps the unrolled plan flat
+      // release the superseded iterate (round 0's prev is the un-
+      // checkpointed range seed — free is a no-op there); without this
+      // the d-row blocks accumulate across rounds and callers
+      if (r > 0) org.apache.spark.sql.graft.CheckpointBridge.free(prev)
       r += 1
     }
-    x.select(col("j2").cast("long").as("dim"), col("x").as("comp"))
+    // materialize the final result BEFORE freeing its inputs (the salsa
+    // localCheckpoint + freeCkpt discipline), then release cov/full
+    val out = x.select(col("j2").cast("long").as("dim"), col("x").as("comp"))
       .orderBy(col("dim"))
+      .localCheckpoint()
+    org.apache.spark.sql.graft.CheckpointBridge.free(x)
+    org.apache.spark.sql.graft.CheckpointBridge.free(full)
+    org.apache.spark.sql.graft.CheckpointBridge.free(cov)
+    out
   }
 }

@@ -91,6 +91,93 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.indexOf("HashAggregate", joinIdx) >= 0, p.take(1200))
   }
 
+  // ------------------------------------------------------------------
+  // corpus-wide lint: the entire declared registry is scanned for the
+  // single-partition total-order scale-killer class — a WindowExec with
+  // an EMPTY partitionSpec ("moving all data to a single partition", as
+  // Spark itself warns) whose input is not already cut by a limit.
+  // Structurally bounded frames (a zero-partitionBy window ABOVE a
+  // GlobalLimit/TakeOrderedAndProject — e.g. ranking a top-k list that
+  // was already cut) are exempt by shape; semantically bounded frames
+  // (calendar days, source/vocab rollups, ≤64 sketch buckets) are
+  // whitelisted BY NAME with a justification each. Anything else fails
+  // CI — this automates round 6's "What's wrong #1/#2" finding class.
+  // ------------------------------------------------------------------
+
+  /** name → why a zero-partitionBy window over this frame stays bounded
+    * as the input grows 100× (the frame is keyed by something the data
+    * volume does not grow: calendar, vocab cap, bucket count, ...). */
+  private val boundedFrameWhitelist: Map[String, String] = Map(
+    "q_moving_avg"        -> "window over the DAILY aggregate: frame rows = distinct calendar days",
+    "q_mom_growth"        -> "window over the MONTHLY aggregate: frame rows = distinct months",
+    "q_hll_algebra"       -> "window over the daily HLL rollup: frame rows = distinct days",
+    "q_split_3way"        -> "window over the per-day split counts: frame rows = distinct days",
+    "q_calendar_fill"     -> "window over the generated calendar spine: frame rows = distinct days",
+    "q_mix_epochs"        -> "window over the per-SOURCE rollup: frame rows = distinct sources (corpus catalog, not corpus size)",
+    "q_quantile_sketch"   -> "cumulative window over the log2-bucket histogram: frame rows <= 64 buckets by construction",
+    "q_text_zipf"         -> "rank window over the vocab-capped type frame: frame rows = capped vocabulary",
+    "q_vocab_coverage"    -> "rank window over the token TYPE frame (types grow ~Heaps-sublinearly and the rank feeds a capped head)",
+    "q_text_heaps"        -> "window over the per-bucket (log-spaced corpus prefix) frame: frame rows = fixed bucket count",
+    "q_changepoint_cusum" -> "window over the daily series: frame rows = distinct days",
+    "q_sax_symbols"       -> "ntile over the WEEKLY aggregate: frame rows = distinct weeks",
+    "q_interpolate"       -> "gap-fill windows over the daily series: frame rows = distinct days",
+    "q_item_cf"           -> "centered-window smoothing over the daily frame: frame rows = distinct days",
+    "q_anomaly_mad"       -> "window over the daily series: frame rows = distinct days",
+    "q_markov_attribution"-> "window over the |types|^2 transition matrix: frame rows = event-type vocabulary squared")
+
+  private def boundedByLimit(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+    p.collectFirst {
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.CollectLimitExec => true
+    }.nonEmpty
+
+  private def globalWindowViolations(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+    p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty && !boundedByLimit(w.child) =>
+        w.windowExpression.map(_.sql).mkString(", ").take(120)
+    }
+
+  test("corpus-wide lint: no unbounded zero-partitionBy window in any declared plan") {
+    val names = Queries.all.keys.toSeq.sorted
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    val whitelistHits = scala.collection.mutable.Set[String]()
+    names.foreach { name =>
+      val df = Queries.all(name)(spark, sf)
+      val v = globalWindowViolations(df.queryExecution.sparkPlan)
+      if (v.nonEmpty) {
+        if (boundedFrameWhitelist.contains(name)) whitelistHits += name
+        else offenders += s"$name: ${v.mkString(" | ")}"
+      }
+      // registry queries persist/checkpoint internally during
+      // construction — drop leftovers so the sweep doesn't accumulate
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    assert(offenders.isEmpty,
+      s"unbounded zero-partitionBy WindowExec (single-partition sort of a " +
+        s"data-sized frame) in:\n  ${offenders.mkString("\n  ")}")
+    // keep the whitelist honest: every entry must still be needed
+    val stale = boundedFrameWhitelist.keySet -- whitelistHits
+    assert(stale.isEmpty,
+      s"stale whitelist entries (no global window in their plan anymore): $stale")
+  }
+
+  test("lint self-check: a planted rank window is caught") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val planted = spark.range(100).toDF("id")
+      .withColumn("rn", row_number().over(Window.orderBy(col("id"))))
+      .filter(col("rn") <= 5)
+    assert(globalWindowViolations(planted.queryExecution.sparkPlan).nonEmpty,
+      "lint failed to flag a deliberately planted zero-partitionBy rank window")
+    // and the scale-safe form passes
+    val safe = spark.range(100).toDF("id").orderBy(col("id")).limit(5)
+    assert(globalWindowViolations(safe.queryExecution.sparkPlan).isEmpty)
+  }
+
   test("fanout sampling counts with map-side partial aggregation") {
     // the sampled h1 frame is checkpointed (its per-vertex rank window
     // runs inside the checkpoint action), so the final plan is the

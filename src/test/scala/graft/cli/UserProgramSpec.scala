@@ -19,7 +19,7 @@ class MaxLabelUserProgram extends UserProgram {
   def sendMsg(joined: DataFrame): DataFrame =
     joined.select(col("dst").as("id"), col("lbl").as("msg"))
 
-  def combineMsg: Column = max(col("msg"))
+  override def combineMsg: Column = max(col("msg"))
 
   def vprog(verts: DataFrame, msgs: DataFrame): DataFrame = {
     val better = col("msg").isNotNull && col("msg") > col("lbl")
@@ -28,6 +28,36 @@ class MaxLabelUserProgram extends UserProgram {
       when(better, col("msg")).otherwise(col("lbl")).as("lbl"),
       coalesce(better, lit(false)).as("active"))
   }
+}
+
+/** Fixture for the NO-COMBINER mode (the reference's default — raw
+  * message iterable): each vertex takes the MODE of its neighbors'
+  * labels (most frequent, ties to the smallest) — a genuinely
+  * non-combinable reduction (needs the full multiset, like the
+  * reference's VerifyMessage needs every message). `combineMsg` is NOT
+  * overridden, so `vprog` receives `msg` as the raw message array. */
+class NeighborModeUserProgram extends UserProgram {
+  def init(spark: SparkSession, edges: DataFrame, opts: Map[String, String]): DataFrame =
+    edges.select(col("src").as("id")).union(edges.select(col("dst").as("id")))
+      .distinct()
+      .select(col("id"), col("id").as("lbl"), lit(true).as("active"))
+
+  def sendMsg(joined: DataFrame): DataFrame =
+    joined.select(col("dst").as("id"), col("lbl").as("msg"))
+
+  // one superstep: receive all neighbor labels, take the mode, halt
+  def vprog(verts: DataFrame, msgs: DataFrame): DataFrame =
+    verts.join(msgs, Seq("id"), "left").select(
+      col("id"),
+      coalesce(
+        // maximize (count, -label): most frequent neighbor label, ties
+        // to the SMALLEST label — order-insensitive over the raw array
+        -expr("array_max(transform(array_distinct(msg), " +
+          "x -> struct(size(filter(msg, y -> y = x)) as c, -x as neg)))").getField("neg"),
+        col("lbl")).as("lbl"),
+      lit(false).as("active"))
+
+  override def maxSupersteps: Int = 5
 }
 
 class UserProgramSpec extends SparkSpec {
@@ -49,6 +79,28 @@ class UserProgramSpec extends SparkSpec {
     val got = out.select("id", "lbl").orderBy("id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got === Seq((1L, 9L), (2L, 9L), (3L, 9L), (5L, 6L), (6L, 6L), (9L, 9L)))
+  }
+
+  // path 1-2-3 plus star 10-(7,8,9) with a 7-8 chord: hand-computed
+  // neighbor modes N(1)={2}→2, N(2)={1,3}→1, N(3)={2}→2, N(7)={10,8}→8,
+  // N(8)={10,7}→7, N(9)={10}→10, N(10)={7,8,9}→7
+  private lazy val modeEdgesPath: String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_userprog_mode")
+    val path = s"$tmp/edges"
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 7L), (10L, 8L), (10L, 9L), (7L, 8L))
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  test("a no-combiner user program receives the raw message list (reference default mode)") {
+    val out = GraftRunner.execute(spark, "run-class",
+      Map("class" -> "graft.cli.NeighborModeUserProgram", "edges" -> modeEdgesPath))
+    val got = out.select("id", "lbl").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 2L), (2L, 1L), (3L, 2L), (7L, 8L), (8L, 7L),
+      (9L, 10L), (10L, 7L)))
   }
 
   test("structure-panel CLI actions run end-to-end on an edge file") {

@@ -236,6 +236,47 @@ class StreamingSpec extends SparkSpec {
     assert(out.toMap.apply(0L) == 2L)
   }
 
+  test("funnel FSM state survives a checkpointed kill+restart") {
+    // the streaming analog of PregelSpec's kill+resume: the
+    // flatMapGroupsWithState FSM must recover its per-user stage vector
+    // from the SS checkpoint, not just its source offsets
+    implicit val sqlCtx = spark.sqlContext
+    def tev(id: Long, sec: Long, user: Long, ty: String) =
+      Event(id, new Timestamp(sec * 1000L), user, ty, 1.0)
+    val base = java.nio.file.Files.createTempDirectory("funnel_restart").toString
+    val (outDir, ckDir) = (s"$base/out", s"$base/ck")
+    val input = MemoryStream[Event]
+    // foreachBatch sink: checkpoint-recoverable (the memory sink is not,
+    // in update mode), and the parquet output is the restart evidence
+    def start() = EventStreams.Funnel.run(input.toDS())
+      .writeStream
+      .option("checkpointLocation", ckDir)
+      .outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[EventStreams.FunnelHit], _: Long) =>
+        df.write.mode("append").parquet(outDir)
+      }
+      .start()
+    val q1 = start()
+    // pre-kill: user 1 is two stages in (signup+click), user 2 one stage
+    input.addData(tev(1, 100, 1, "signup"), tev(2, 150, 1, "click"),
+      tev(10, 120, 2, "signup"))
+    q1.processAllAvailable()
+    q1.stop() // simulated failure — state lives only in the checkpoint now
+    val q2 = start()
+    // post-restart: the purchases complete ONLY if the pre-kill stage
+    // timestamps were recovered from state-store snapshots
+    input.addData(tev(3, 300, 1, "purchase"),
+      tev(11, 180, 2, "click"), tev(12, 200, 2, "purchase"))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(outDir).as[EventStreams.FunnelHit]
+      .collect().map(h => h.user_id -> ((h.t_signup_ms, h.t_click_ms, h.t_purchase_ms)))
+      .toMap
+    assert(got.size == 2)
+    assert(got(1L) == ((100000L, 150000L, 300000L))) // signup+click are PRE-kill
+    assert(got(2L) == ((120000L, 180000L, 200000L))) // signup is PRE-kill
+  }
+
   test("streaming tumbling over the REAL events table equals the batch buckets") {
     // Round-5 lesson: every streaming spec used synthetic fixtures, so a
     // Spark-image type shift in the real table went unseen. This parity
