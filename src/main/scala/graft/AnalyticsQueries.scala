@@ -728,14 +728,17 @@ object AnalyticsQueries {
   /** What share of all token occurrences the k most frequent types
     * cover, k ∈ {10, 100, 1000} — the tokenizer-design curve (how big a
     * vocabulary buys how much of the corpus). One frequency aggregate,
-    * one rank window over the type frame (≪ corpus), a 3-way fan-out. */
+    * then a top-max(k) cut via orderBy+limit (TakeOrderedAndProject —
+    * the type frame is ≪ corpus but still Heaps-grows with it, so no
+    * unbounded rank window) and a rank within the 1000-row cut. */
   private def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
     val tf = Tables(s, dir).documents
       .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
     val tot = tf.agg(sum(col("c")).cast("long").as("total"))
     val kArr = array(CoverageKs.map(lit): _*)
-    tf.withColumn("rank",
+    tf.orderBy(col("c").desc, col("token")).limit(CoverageKs.max.toInt)
+      .withColumn("rank",
         row_number().over(Window.orderBy(col("c").desc, col("token"))).cast("long"))
       .select(explode(kArr).as("k"), col("rank"), col("c"))
       .filter(col("rank") <= col("k"))

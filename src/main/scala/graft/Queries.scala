@@ -1494,9 +1494,12 @@ object Queries {
 
   /** Time-to-convert: for each user, the gap from first view to the
     * first purchase AT OR AFTER it, summarized as exact quantiles of
-    * whole seconds ([[graft.operators.Quantiles.exactScaled]]). Two
-    * per-user min-aggs + one grouped quantile pass; micro-truncated
-    * timestamps per the ns-vs-us trap. */
+    * whole seconds ([[graft.operators.Quantiles.exactScaledGlobal]] —
+    * the single-group quantile is a GLOBAL order statistic, so the rank
+    * pass rides DistributedRank instead of a constant-group window that
+    * Catalyst folds into a single-partition sort). Two per-user
+    * min-aggs + one distributed rank pass; micro-truncated timestamps
+    * per the ns-vs-us trap. */
   private def qTimeToConvert(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     val firstView = t.events.filter(col("event_type") === "view")
@@ -1506,8 +1509,9 @@ object Queries {
     val deltas = firstView.join(purch, Seq("user_id"))
       .filter(col("p_us") >= col("v_us"))
       .groupBy(col("user_id"), col("v_us")).agg(min(col("p_us")).as("p_us"))
-      .select(lit("all").as("g"), expr("(p_us - v_us) div 1000000").as("gap_s"))
-    Quantiles.exactScaled(deltas, "gap_s", "g", Seq((1, 4), (1, 2), (3, 4)), 1L)
+      .select(expr("(p_us - v_us) div 1000000").as("gap_s"))
+    Quantiles.exactScaledGlobal(deltas, "gap_s", "all",
+      Seq((1, 4), (1, 2), (3, 4)), 1L)
   }
 
   private val qTimeToConvertSql = {

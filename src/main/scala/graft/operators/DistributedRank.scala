@@ -94,6 +94,41 @@ object DistributedRank {
                     numParts: Int = 32): DataFrame =
     withRankAndCumSum(df, order, rankCol, None, numParts)
 
+  /** `df` plus the STRICT global prefix max of `valueCol` over the total
+    * order `order` (max over all strictly-preceding rows; NULL on the
+    * first row) as `outCol` — the distributed replacement for
+    * `max(v).over(Window.orderBy(...).rowsBetween(unboundedPreceding,
+    * -1))`, e.g. the sort-filter skyline sweep. Same two-pass shape:
+    * per-partition strict prefix max + a broadcast map of each
+    * partition's predecessor-partitions max. */
+  def withStrictPrefixMax(df: DataFrame, order: Seq[Column], valueCol: Column,
+                          outCol: String, numParts: Int = 32): DataFrame = {
+    val w = Window.partitionBy(col(Pid)).orderBy(order: _*)
+    val parted = df.repartitionByRange(numParts, order: _*)
+      .withColumn(Pid, spark_partition_id())
+      .withColumn(Lsum,
+        max(valueCol).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .localCheckpoint()
+    val perPart = parted.groupBy(col(Pid))
+      .agg(max(valueCol).cast("long").as("m"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    // offset(p) = max over all partitions before p (None for the first)
+    var acc: Option[Long] = None
+    val offsets = perPart.flatMap { case (pid, m) =>
+      val o = acc.map(pid -> _); acc = Some(acc.fold(m)(math.max(_, m))); o
+    }
+    val offCol: Column =
+      if (offsets.isEmpty) lit(null).cast("long")
+      else element_at(
+        map(offsets.flatMap(o => Seq(lit(o._1), lit(o._2))): _*), col(Pid))
+    parted
+      .withColumn(outCol,
+        greatest(col(Lsum).cast("long"), offCol)) // greatest ignores NULLs
+      .drop(Pid, Lsum)
+  }
+
   /** SQL-standard NTILE from a global row number: `n` buckets over `total`
     * rows — bucket size ⌊total/n⌋, the first total mod n buckets take one
     * extra row (identical in Spark and DuckDB). `rn` must be the 1-based

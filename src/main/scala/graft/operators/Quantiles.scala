@@ -57,6 +57,40 @@ object Quantiles {
       .orderBy(col("g"), col("pnum"), col("pden"))
   }
 
+  /** [[exactScaled]] for a SINGLE global group. The grouped form's
+    * `Window.partitionBy(g)` with a constant group is constant-folded by
+    * Catalyst into a zero-partition window — a single-partition sort of
+    * the whole value frame (the exact scale-killer the plan lint hunts).
+    * Here the rank pass runs on [[DistributedRank.withRowNumber]]
+    * (range-partitioned offset rank) and the interpolation neighbor
+    * v_{r+1} comes from a rank equi-join (the lead() of a total order,
+    * without the window). Output schema and arithmetic are identical to
+    * [[exactScaled]] with group ≡ `groupName`, so [[exactScaledSql]]
+    * remains the oracle. */
+  def exactScaledGlobal(df: DataFrame, valueCol: String, groupName: String,
+                        ps: Seq[(Int, Int)], scale: Long): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val v = df.select(col(valueCol).cast("long").as("v"))
+    val ranked0 = DistributedRank.withRowNumber(v, Seq(col("v")), "rn")
+    val nxt = ranked0.select((col("rn") - 2).as("rr"), col("v").as("v_next"))
+    val ranked = ranked0.select((col("rn") - 1).as("rr"), col("v"))
+      .join(nxt, Seq("rr"), "left")
+    val counts = v.agg(count(lit(1)).as("n"))
+    val pFrame = ps.toDF("pnum", "pden")
+    val idx = counts.crossJoin(broadcast(pFrame))
+      .withColumn("rr", expr("(pnum * (n - 1)) div pden"))
+      .withColumn("rem", expr("(pnum * (n - 1)) % pden"))
+    idx.join(ranked, Seq("rr"))
+      .select(lit(groupName).as("g"), col("pnum"), col("pden"),
+        col("v").as("vlo"), coalesce(col("v_next"), col("v")).as("vhi"),
+        col("rem"))
+      .select(col("g"), col("pnum"), col("pden"),
+        (col("vlo") * lit(scale) +
+          expr(s"((vhi - vlo) * $scale * rem) div pden")).as("q_scaled"))
+      .orderBy(col("g"), col("pnum"), col("pden"))
+  }
+
   /** Lower weighted median per group: the smallest v whose running
     * weight reaches half the total — 2·cumw ≥ W in exact integers, no
     * halving division. The survey/econometrics aggregate (quantity-

@@ -22,10 +22,11 @@ import org.apache.spark.sql.functions._
   * Scale: dominance within ANY subset implies global dominance, so
   * stage 1 prunes per hash-bucket (window partitioned by bucket — a
   * plain shuffle, no global sort), and only the per-bucket survivors —
-  * skyline-sized, ≪ n — enter the stage-2 global window. The global
-  * stage is single-partition by construction, which is exactly why it
-  * runs on the pruned set; at 100 TB the stage-1 reduction is what
-  * keeps it a driver-scale sort.
+  * skyline-sized, ≪ n — enter stage 2. Stage 2's global sweep runs on
+  * [[DistributedRank.withStrictPrefixMax]] (range-partitioned prefix
+  * max + broadcast partition offsets), so even an adversarial
+  * (anti-correlated) input whose skyline IS O(n) never single-partitions
+  * — the sweep stays N-way parallel at any survivor count.
   */
 object Skyline {
 
@@ -38,17 +39,18 @@ object Skyline {
       .select(col(minCol).cast("long").as("minv"), col(maxCol).cast("long").as("maxv"))
       .groupBy(col("minv"), col("maxv")).agg(count(lit(1)).as("n_rows"))
 
-    def pass(in: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec) =
-      in.withColumn("prev_max",
-          max(col("maxv")).over(w.orderBy(col("minv").asc, col("maxv").desc)
-            .rowsBetween(Window.unboundedPreceding, -1)))
-        .filter(col("prev_max").isNull || col("prev_max") < col("maxv"))
-        .drop("prev_max")
-
-    val local = pass(
-      pairs.withColumn("b", pmod(hash(col("minv"), col("maxv")), lit(buckets))),
-      Window.partitionBy(col("b"))).drop("b")
-    pass(local, Window.partitionBy())
+    val local = pairs
+      .withColumn("b", pmod(hash(col("minv"), col("maxv")), lit(buckets)))
+      .withColumn("prev_max",
+        max(col("maxv")).over(Window.partitionBy(col("b"))
+          .orderBy(col("minv").asc, col("maxv").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("prev_max").isNull || col("prev_max") < col("maxv"))
+      .drop("prev_max", "b")
+    DistributedRank.withStrictPrefixMax(local,
+        Seq(col("minv").asc, col("maxv").desc), col("maxv"), "prev_max")
+      .filter(col("prev_max").isNull || col("prev_max") < col("maxv"))
+      .drop("prev_max")
   }
 
   /** DuckDB twin over `table`: single global pass (sound because the

@@ -106,24 +106,23 @@ class PlanAuditSpec extends SparkSpec {
 
   /** name → why a zero-partitionBy window over this frame stays bounded
     * as the input grows 100× (the frame is keyed by something the data
-    * volume does not grow: calendar, vocab cap, bucket count, ...). */
+    * volume does not grow: calendar, digit/cell count, ...). This list
+    * is measured, not guessed: the stale-entry assert below fails on any
+    * entry whose plan no longer carries a global window, and the
+    * offender assert fails on any global window outside it. */
   private val boundedFrameWhitelist: Map[String, String] = Map(
-    "q_moving_avg"        -> "window over the DAILY aggregate: frame rows = distinct calendar days",
-    "q_mom_growth"        -> "window over the MONTHLY aggregate: frame rows = distinct months",
-    "q_hll_algebra"       -> "window over the daily HLL rollup: frame rows = distinct days",
-    "q_split_3way"        -> "window over the per-day split counts: frame rows = distinct days",
-    "q_calendar_fill"     -> "window over the generated calendar spine: frame rows = distinct days",
-    "q_mix_epochs"        -> "window over the per-SOURCE rollup: frame rows = distinct sources (corpus catalog, not corpus size)",
-    "q_quantile_sketch"   -> "cumulative window over the log2-bucket histogram: frame rows <= 64 buckets by construction",
-    "q_text_zipf"         -> "rank window over the vocab-capped type frame: frame rows = capped vocabulary",
-    "q_vocab_coverage"    -> "rank window over the token TYPE frame (types grow ~Heaps-sublinearly and the rank feeds a capped head)",
-    "q_text_heaps"        -> "window over the per-bucket (log-spaced corpus prefix) frame: frame rows = fixed bucket count",
-    "q_changepoint_cusum" -> "window over the daily series: frame rows = distinct days",
-    "q_sax_symbols"       -> "ntile over the WEEKLY aggregate: frame rows = distinct weeks",
-    "q_interpolate"       -> "gap-fill windows over the daily series: frame rows = distinct days",
-    "q_item_cf"           -> "centered-window smoothing over the daily frame: frame rows = distinct days",
-    "q_anomaly_mad"       -> "window over the daily series: frame rows = distinct days",
-    "q_markov_attribution"-> "window over the |types|^2 transition matrix: frame rows = event-type vocabulary squared")
+    "q_autocorr"         -> "lag/lead over the DAILY revenue series: frame rows = distinct calendar days",
+    "q_benford"          -> "window total over the 9-row first-digit frame: frame rows = 9 digits",
+    "q_changepoint"      -> "CUSUM windows over the daily series: frame rows = distinct calendar days",
+    "q_chi2"             -> "window total over the segment x priority cell frame: frame rows = 5x3 categories",
+    "q_cumulative_users" -> "running sum over the daily new-user counts: frame rows = distinct calendar days",
+    "q_interpolate"      -> "gap-fill windows over the daily series: frame rows = distinct calendar days",
+    "q_mix_epochs"       -> "largest-remainder rank over the per-SOURCE rollup: frame rows = source catalog, not corpus size",
+    "q_mom_growth"       -> "lag over the MONTHLY aggregate: frame rows = distinct months",
+    "q_moving_avg"       -> "trailing-7 window over the daily series: frame rows = distinct calendar days",
+    "q_quantile_sketch"  -> "cumulative window over the log2-bucket histogram: frame rows <= 64 buckets by construction",
+    "q_sax_symbols"      -> "ntile over the WEEKLY aggregate: frame rows = distinct weeks",
+    "q_text_heaps"       -> "growth-curve windows over the log-spaced prefix buckets: frame rows = fixed bucket count")
 
   private def boundedByLimit(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
     p.collectFirst {
@@ -165,15 +164,19 @@ class PlanAuditSpec extends SparkSpec {
       s"stale whitelist entries (no global window in their plan anymore): $stale")
   }
 
-  test("lint self-check: a planted rank window is caught") {
+  test("lint self-check: a planted global window is caught") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
+    // a global running sum — nothing in the optimizer can bound it.
+    // (a bare rank-filter would NOT do as the plant: Spark's
+    // LimitPushDownThroughWindow pushes a Limit BELOW such a window,
+    // making the frame bounded — which the lint correctly accepts)
     val planted = spark.range(100).toDF("id")
-      .withColumn("rn", row_number().over(Window.orderBy(col("id"))))
-      .filter(col("rn") <= 5)
+      .withColumn("cum", sum(col("id")).over(Window.orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     assert(globalWindowViolations(planted.queryExecution.sparkPlan).nonEmpty,
-      "lint failed to flag a deliberately planted zero-partitionBy rank window")
-    // and the scale-safe form passes
+      "lint failed to flag a deliberately planted zero-partitionBy window")
+    // and the scale-safe top-k form passes
     val safe = spark.range(100).toDF("id").orderBy(col("id")).limit(5)
     assert(globalWindowViolations(safe.queryExecution.sparkPlan).isEmpty)
   }
