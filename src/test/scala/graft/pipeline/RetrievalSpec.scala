@@ -46,7 +46,9 @@ class RetrievalSpec extends SparkSpec {
   test("hybridRrf fuses a sparse and a dense rank list reciprocally") {
     // doc 0 is the query vector's own row (excluded from results).
     // dense ranks (cosine to v0): 1:[1,0] best, then 2, then 3.
-    // sparse ranks (terms {x}): doc 3 highest tf, then 2, then 1 (no hit).
+    // sparse CUT list (terms {x}): only hit docs appear — 3 (tf=2) → 1,
+    // 2 (tf=1) → 2; doc 1 has no hit and is ABSENT (rank 0, contributes
+    // nothing) under the cut-list RRF spec.
     val docs = Seq(
       (0L, "z z"), (1L, "z z z"), (2L, "x z z"), (3L, "x x z")
     ).toDF("doc_id", "text")
@@ -57,15 +59,36 @@ class RetrievalSpec extends SparkSpec {
     val r = Retrieval.hybridRrf(docs, emb, Seq("x"), queryVecId = 0L, k = 10)
       .as[(Long, Long, Long, Long)].collect()
     val byDoc = r.map(t => t._1 -> ((t._2, t._3, t._4))).toMap
-    // dense ranks: 1→1, 2→2, 3→3 ; sparse ranks: 3→1, 2→2, 1→3
+    // dense ranks: 1→1, 2→2, 3→3 ; sparse ranks: 3→1, 2→2, 1→absent(0)
     assert(byDoc(1L)._2 == 1L && byDoc(3L)._2 == 3L)
-    assert(byDoc(3L)._1 == 1L && byDoc(1L)._1 == 3L)
-    // symmetric rank profiles (1,3)/(3,1) fuse equal and BEAT (2,2) —
-    // 1/(60+r) is convex: 1e6//61 + 1e6//63 = 16393+15873 = 32266
-    // > 2*(1e6//62) = 32258
-    assert(byDoc(1L)._3 > byDoc(2L)._3 && byDoc(1L)._3 == byDoc(3L)._3)
-    // output ordering: rrf desc, doc_id tiebreak (1 and 3 tie)
-    assert(r.map(_._1).toSeq == Seq(1L, 3L, 2L))
+    assert(byDoc(3L)._1 == 1L && byDoc(1L)._1 == 0L)
+    // profile (1,3) beats (2,2) — 1/(60+r) is convex:
+    // 1e6//61 + 1e6//63 = 16393+15873 = 32266 > 2*(1e6//62) = 32258;
+    // doc 1's single-list profile (–,1) = 16393 trails both.
+    assert(byDoc(3L)._3 == 32266L && byDoc(2L)._3 == 32258L)
+    assert(byDoc(1L)._3 == 16393L)
+    // output ordering: rrf desc, doc_id tiebreak
+    assert(r.map(_._1).toSeq == Seq(3L, 2L, 1L))
+  }
+
+  test("hybridRrf nCand cut bounds each list before fusion") {
+    // With nCand=2 the dense list keeps only docs 1,2; doc 3 still tops
+    // the sparse list. Doc 3's dense rank must be 0 (cut), not 3.
+    val docs = Seq(
+      (0L, "z z"), (1L, "z z z"), (2L, "x z z"), (3L, "x x z")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.99f, 0.1f)),
+      (2L, Array(0.5f, 0.8f)), (3L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val r = Retrieval.hybridRrf(docs, emb, Seq("x"), queryVecId = 0L,
+        k = 10, nCand = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    val byDoc = r.map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(byDoc(3L) == ((1L, 0L, 16393L)))
+    assert(byDoc(2L) == ((2L, 2L, 32258L)))
+    assert(byDoc(1L) == ((0L, 1L, 16393L)))
+    assert(r.map(_._1).toSeq == Seq(2L, 1L, 3L)) // doc_id breaks the tie
   }
 
   // --- MMR --------------------------------------------------------------
