@@ -2766,7 +2766,7 @@ object Queries {
     "q_graph_deg_stats" -> (qDegStats _),
     "q_graph_deg_hist" -> (qDegHist _),
     "q_graph_partition_stats" -> (qPartitionStats _),
-    "q_graph_prep_stats" -> (qPrepStats _)) ++ PipelineQueries.all ++ CorpusQueries.all ++ RetrievalQueries.all ++ AnalyticsQueries.all ++ SignalQueries.all
+    "q_graph_prep_stats" -> (qPrepStats _)) ++ TpchQueries.all ++ PipelineQueries.all ++ CorpusQueries.all ++ RetrievalQueries.all ++ AnalyticsQueries.all ++ SignalQueries.all
 
   val oracles: Map[String, String] = Map(
     "q01_agg"          -> q01Sql,
@@ -2885,5 +2885,5 @@ object Queries {
     "q_graph_deg_stats" -> qDegStatsSql,
     "q_graph_deg_hist" -> qDegHistSql,
     "q_graph_partition_stats" -> qPartitionStatsSql,
-    "q_graph_prep_stats" -> qPrepStatsSql) ++ PipelineQueries.oracles ++ CorpusQueries.oracles ++ RetrievalQueries.oracles ++ AnalyticsQueries.oracles ++ SignalQueries.oracles
+    "q_graph_prep_stats" -> qPrepStatsSql) ++ TpchQueries.oracles ++ PipelineQueries.oracles ++ CorpusQueries.oracles ++ RetrievalQueries.oracles ++ AnalyticsQueries.oracles ++ SignalQueries.oracles
 }
