@@ -337,11 +337,18 @@ object TpchQueries {
     val fo = t.orders.filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey"), col("o_orderdate"))
     val li = t.lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    // repartition by l_orderkey BEFORE the pair-distinct: the distinct's
+    // ClusteredDistribution(l_orderkey, l_suppkey) is satisfied by the
+    // orderkey-only partitioning (subset rule), and the downstream
+    // semi/anti joins need exactly hashpartitioning(l_orderkey) — one
+    // exchange per side instead of two
     val allSup = li.join(fo, col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .repartition(col("l_orderkey")).distinct()
     val late = li.join(fo, col("l_orderkey") === col("o_orderkey") &&
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .repartition(col("l_orderkey")).distinct()
     val w = late.as("w")
     // EXISTS another supplier on the order … AND NOT EXISTS another LATE
     // supplier — the classic semi-then-anti chain on the same key
