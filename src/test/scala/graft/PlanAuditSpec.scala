@@ -181,6 +181,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(globalWindowViolations(safe.queryExecution.sparkPlan).isEmpty)
   }
 
+  // ---- TPC-H family pins (round 7) ---------------------------------
+
+  test("q19: the OR-of-conjuncts predicate reaches BOTH parquet scans") {
+    val p = plan("q19_orpred")
+    // each scan's PushedFilters must carry the disjunction, not just
+    // IsNotNull residue — split on scans and count the Or( pushdowns
+    val pushed = "PushedFilters: \\[[^\\]]*Or\\(".r.findAllIn(p).size
+    assert(pushed >= 2, "OR predicate not pushed to both scans:\n" + p.take(1500))
+  }
+
+  test("q21: subset-rule repartition — the pair-distinct never pays its own exchange") {
+    val p = plan("q21_waiting")
+    // the (orderkey, suppkey) distinct must run on the orderkey-only
+    // partitioning (ClusteredDistribution subset rule); a regression
+    // reintroduces a composite-key exchange under each distinct
+    val pairExchange = "hashpartitioning\\(l_orderkey#\\d+L, l_suppkey".r
+    assert(pairExchange.findFirstIn(p).isEmpty,
+      "pair-key exchange reappeared under the distinct:\n" + p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q22: scalar threshold is a 1-row broadcast; idle filter an anti-join") {
+    val p = plan("q22_idle")
+    assert(p.contains("LeftAnti"), p.take(1200))
+    // the only nested-loop join allowed is the 1-row scalar cross join
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("SortMergeJoin LeftAnti"), // anti must stay hash/broadcast
+      "anti-join degraded to a sort-merge on the small side:\n" + p.take(1200))
+  }
+
+  test("q04: the correlated EXISTS is a semi-join with pushed date bounds") {
+    val p = plan("q04_priority")
+    assert(p.contains("LeftSemi"), p.take(1200))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "order-date window not pushed to the orders scan:\n" + p.take(1500))
+  }
+
   test("fanout sampling counts with map-side partial aggregation") {
     // the sampled h1 frame is checkpointed (its per-vertex rank window
     // runs inside the checkpoint action), so the final plan is the
