@@ -352,6 +352,35 @@ object EventStreams {
         col("purchase_ts"), col("click_id"), col("click_ts"))
   }
 
+  /** Left-outer watermarked stream-stream join: every click, paired with
+    * the same user's purchase in the FOLLOWING `window_` if one arrives
+    * (purchase_ts ∈ [click_ts, click_ts + window_]), or null columns if
+    * none does — the "which clicks never converted" feed. The
+    * null-extended row for an unmatched click is emitted only once the
+    * global watermark passes click_ts + window_ (Spark must prove no
+    * matching purchase can still arrive before declaring the click
+    * unconverted), so the unmatched feed lags the watermark by design.
+    * State bound is the same as [[attributionJoin]]: O(watermark-window
+    * of events) per side, never O(stream). Works identically on bounded
+    * frames (plain left-outer range join). */
+  def attributionJoinLeftOuter(clicks: DataFrame, purchases: DataFrame,
+                               window_ : String = "1 hour",
+                               watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("ts").as("click_ts"), col("user_id").as("click_user"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("user_id").as("purchase_user"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+        col("click_user") === col("purchase_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $window_"),
+        "left_outer")
+      .select(col("click_id"), col("click_user").as("user_id"),
+        col("click_ts"), col("purchase_id"), col("purchase_ts"))
+  }
+
   /** Streaming incremental dedup: a continuously-arriving document
     * stream probed against the PERSISTED MinHash signature index
     * ([[graft.dedup.Dedup.writeSignatureIndex]]) via stream-static

@@ -212,6 +212,42 @@ class StreamingSpec extends SparkSpec {
     query.stop()
   }
 
+  test("left-outer stream-stream join emits unconverted clicks after watermark close") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val query = EventStreams.attributionJoinLeftOuter(
+        clicks.toDS().toDF(), purchases.toDS().toDF())
+      .writeStream.format("memory").queryName("attrib_lo")
+      .outputMode("append").start()
+    // user 1's click converts at +600s; user 2's click never converts
+    clicks.addData(ev(1, 100, 1), ev(2, 200, 2))
+    purchases.addData(ev(10, 700, 1))
+    query.processAllAvailable()
+    // feeder batches advance the global watermark past 200 + 1h + 2h so
+    // the join state for click 2 is evicted and its null row emitted
+    // (eviction happens in the batch AFTER the watermark update — hence
+    // two feeder rounds)
+    clicks.addData(ev(90, 20000, 9)); purchases.addData(ev(91, 20000, 9))
+    query.processAllAvailable()
+    clicks.addData(ev(92, 30000, 9)); purchases.addData(ev(93, 30000, 9))
+    query.processAllAvailable()
+    val got = spark.table("attrib_lo")
+      .filter(col("click_ts") < to_timestamp(lit("1970-01-01 01:00:00")))
+      .select(col("click_id"), col("purchase_id")).as[(Long, Option[Long])]
+      .collect().toSet
+    assert(got == Set((1L, Some(10L)), (2L, None)))
+    // batch parity on the closed region: the same frames as a bounded
+    // left-outer range join agree row-for-row
+    val cB = Seq(ev(1, 100, 1), ev(2, 200, 2)).toDF()
+    val pB = Seq(ev(10, 700, 1)).toDF()
+    val batch = EventStreams.attributionJoinLeftOuter(cB, pB)
+      .select(col("click_id"), col("purchase_id")).as[(Long, Option[Long])]
+      .collect().toSet
+    assert(batch == got)
+    query.stop()
+  }
+
   test("file-sink query restarts from its checkpoint without duplicating output") {
     val base = java.nio.file.Files.createTempDirectory("restart").toString
     val (inDir, outDir, ckDir) = (s"$base/in", s"$base/out", s"$base/ck")
