@@ -748,10 +748,15 @@ object Corpus {
     * per-doc rollup is a fingerprint equi-join — never doc×doc. The
     * gram explode is persisted once and feeds both passes. */
   def dupSpans(docs: DataFrame, n: Int = 10): DataFrame = {
+    // repartition by gk BEFORE persisting: both consumers cluster on gk
+    // (the dup-gram groupBy and the back-join), so the persisted frame
+    // carries the partitioning they need and the gram explode shuffles
+    // ONCE instead of once per consumer
     val g = docs.select(col("doc_id"),
         explode(wordNgramsAll(tokens(col("text")), n)).as("gram"))
       .select(col("doc_id"),
         conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gk"))
+      .repartition(col("gk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // "≥ 2 distinct docs" as min≠max — two scalar partials instead of a
     // per-gram distinct-set build (countDistinct's internal expand)
@@ -779,10 +784,12 @@ object Corpus {
     * expansion is n rows per duplicated window INSTANCE (bounded by
     * dup-window volume, not corpus volume). */
   def dupSpanCut(docs: DataFrame, n: Int = 10): DataFrame = {
+    // same single-shuffle discipline as [[dupSpans]]
     val g = docs.select(col("doc_id"),
         posexplode(wordNgramsAll(tokens(col("text")), n)).as(Seq("pos0", "gram")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("i"),
         conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gk"))
+      .repartition(col("gk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = g.groupBy(col("gk"))
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))

@@ -56,11 +56,24 @@ object TextFunctions {
     * truncated n-gram: `try_element_at` (not `element_at`, which THROWS
     * on out-of-range indices under Spark 4's default ANSI mode) returns
     * null past the end and `concat_ws` skips nulls — the same NULL-skip
-    * the DuckDB oracles' `concat_ws(' ', tok[i], …)` performs. */
+    * the DuckDB oracles' `concat_ws(' ', tok[i], …)` performs.
+    *
+    * The `tok` expression is BOUND ONCE per row by wrapping it as the
+    * 1-element input of an outer `transform` and referencing only the
+    * lambda variable inside: Catalyst does no subexpression elimination
+    * inside higher-order-function lambdas, so the naive form re-evaluates
+    * the caller's `tok` (typically `tokens(text)`, a regex split) for
+    * EVERY window × EVERY of the n element_at calls — measured 20.4 s →
+    * 1.3 s for the sf0.1 10-gram explode (15×). Same family as the
+    * CollapseProject/winnowing trap, but fixed at the expression level so
+    * no caller can reintroduce it. */
   def wordNgramsAll(tok: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), greatest(size(tok) - lit(n - 1), lit(1))),
-      i => concat_ws(" ", (0 until n).map(o => try_element_at(tok, i + lit(o))): _*))
+    element_at(
+      transform(array(tok), a =>
+        transform(
+          sequence(lit(1), greatest(size(a) - lit(n - 1), lit(1))),
+          i => concat_ws(" ", (0 until n).map(o => try_element_at(a, i + lit(o))): _*))),
+      1)
 
   /** Deduplicated word n-grams joined with single spaces. */
   def wordNgrams(tok: Column, n: Int): Column =
