@@ -50,10 +50,14 @@ object Dedup {
   def lshCandidates(withSig: DataFrame, bands: Int, rowsPerBand: Int,
                     idCol: String = "doc_id",
                     blockCols: Seq[String] = Nil): DataFrame = {
+    // bind sig once per row (1-element-array transform): if the caller's
+    // sig is an unpersisted minhash expression, CollapseProject inlines
+    // it into the lambda and the signature would be recomputed per band
     val banded = withSig.select(
       (col(idCol) +: blockCols.map(col)) :+
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+        posexplode(element_at(transform(array(col("sig")), s =>
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => md5(concat_ws("|", slice(s, b * rowsPerBand + 1, lit(rowsPerBand)))))), 1))
           .as(Seq("band", "bv")): _*)
     val keys = Seq("band", "bv") ++ blockCols
     banded.as("a").join(banded.as("b"),
