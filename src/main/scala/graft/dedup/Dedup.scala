@@ -17,6 +17,19 @@ import graft.text.TextFunctions._
   */
 object Dedup {
 
+  /** LSH band hashes of a signature array: element b = md5 of the b-th
+    * `rowsPerBand`-slice of `sig`. The signature is BOUND ONCE per row
+    * via the 1-element-array transform: Catalyst does no subexpression
+    * elimination inside HOF lambdas, so a naive `slice(sig, …)` body
+    * re-evaluates an unpersisted signature expression per band
+    * (bands × the minhash md5 work). Shared by every banding site so the
+    * guard can't be forgotten. */
+  def bandHashes(sig: org.apache.spark.sql.Column, bands: Int,
+                 rowsPerBand: Int): org.apache.spark.sql.Column =
+    element_at(transform(array(sig), s =>
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(concat_ws("|", slice(s, b * rowsPerBand + 1, lit(rowsPerBand)))))), 1)
+
   /** Materialize the (small) final pair frame, then release the persisted
     * signature frame backing it: the signatures are orders of magnitude
     * larger than the pairs and would otherwise stay cached until the
@@ -50,14 +63,9 @@ object Dedup {
   def lshCandidates(withSig: DataFrame, bands: Int, rowsPerBand: Int,
                     idCol: String = "doc_id",
                     blockCols: Seq[String] = Nil): DataFrame = {
-    // bind sig once per row (1-element-array transform): if the caller's
-    // sig is an unpersisted minhash expression, CollapseProject inlines
-    // it into the lambda and the signature would be recomputed per band
     val banded = withSig.select(
       (col(idCol) +: blockCols.map(col)) :+
-        posexplode(element_at(transform(array(col("sig")), s =>
-          transform(sequence(lit(0), lit(bands - 1)),
-            b => md5(concat_ws("|", slice(s, b * rowsPerBand + 1, lit(rowsPerBand)))))), 1))
+        posexplode(bandHashes(col("sig"), bands, rowsPerBand))
           .as(Seq("band", "bv")): _*)
     val keys = Seq("band", "bv") ++ blockCols
     banded.as("a").join(banded.as("b"),
@@ -104,8 +112,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rowsPerBand = numHashes / bands
     sigs.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+        posexplode(bandHashes(col("sig"), bands, rowsPerBand))
           .as(Seq("band", "bv")))
       .write.mode("overwrite").parquet(s"$path/buckets")
     sigs.select(col("doc_id"), col("sh"))
@@ -129,8 +136,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rowsPerBand = numHashes / bands
     val newBanded = sigs.select(col("doc_id").as("new_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      posexplode(bandHashes(col("sig"), bands, rowsPerBand))
         .as(Seq("band", "bv")))
     val cands = spark.read.parquet(s"$indexPath/buckets")
       .join(broadcast(newBanded), Seq("band", "bv"))

@@ -403,12 +403,14 @@ object EventStreams {
     import graft.text.TextFunctions._
     val spark = newDocs.sparkSession
     val rpb = numHashes / bands
+    // bandHashes binds the signature once per row — essential here: a
+    // streaming frame can't be persisted, so the naive band lambda would
+    // recompute the minhash per band in every micro-batch
     val banded = newDocs.select(col("doc_id").as("new_id"),
         shingleSet(col("text"), shingleLen).as("shn"))
       .withColumn("sig", minhashSignature(col("shn"), numHashes))
       .select(col("new_id"), col("shn"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => md5(concat_ws("|", slice(col("sig"), b * rpb + 1, lit(rpb))))))
+        posexplode(graft.dedup.Dedup.bandHashes(col("sig"), bands, rpb))
           .as(Seq("band", "bv")))
     val buckets = newDocs.sparkSession.read.parquet(s"$indexPath/buckets")
     val shingles = spark.read.parquet(s"$indexPath/shingles")
