@@ -29,7 +29,9 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  private val Targets = Seq("q_graph_k4", "q_item_cf", "q_winnow_matches")
+  private val Targets: Seq[String] = sys.env.get("SPARK_GRAFT_PROBE")
+    .map(_.split(",").toSeq)
+    .getOrElse(Seq("q_graph_k4", "q_item_cf", "q_winnow_matches"))
 
   private def rotated(k: Int): String = {
     val a = "abcdefghijklmnopqrstuvwxyz"
