@@ -181,6 +181,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(globalWindowViolations(safe.queryExecution.sparkPlan).isEmpty)
   }
 
+  // ---- expression-shape pin (round 7) ------------------------------
+
+  test("wordNgramsAll binds its token expression once (HOF-lambda trap guard)") {
+    import org.apache.spark.sql.functions.col
+    import graft.text.TextFunctions
+    // the fixed form is element_at(transform(array(<tok>), a -> ...), 1):
+    // the caller's tok expression must appear as the OUTER transform's
+    // input (evaluated once per row), never inside a lambda body where
+    // Catalyst would re-evaluate it per element — the naive form cost
+    // 15× on the sf0.1 10-gram explode (PLANS.md round 7)
+    val top = TextFunctions.wordNgramsAll(
+      TextFunctions.tokens(col("text")), 10).toString.replaceAll("\\s+", "")
+    assert(top.startsWith("element_at(transform(array(split("),
+      s"wordNgramsAll no longer binds the token array as the outer HOF input: $top")
+  }
+
   // ---- TPC-H family pins (round 7) ---------------------------------
 
   test("q19: the OR-of-conjuncts predicate reaches BOTH parquet scans") {
