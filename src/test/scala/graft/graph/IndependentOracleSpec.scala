@@ -181,4 +181,38 @@ class IndependentOracleSpec extends SparkSpec {
       .take(15)
     assert(ours == expected)
   }
+
+  // --- MST (Borůvka) vs in-memory Kruskal -------------------------------
+
+  test("Borůvka MSF equals a from-scratch Kruskal union-find, edge for edge") {
+    // deterministic 60-vertex multigraph with REPEATED weights (the
+    // (w, u, v) tie-break is exactly what makes Borůvka ≡ Kruskal, so
+    // ties are the interesting case), plus an isolated 3-cycle island so
+    // the FOREST case is exercised
+    val raw = (0L until 60L).flatMap { i =>
+      Seq((i, (i * 7 + 3) % 60, (i * 31) % 11 + 1),
+          (i, (i * 13 + 5) % 60, (i * 17) % 11 + 1))
+    } ++ Seq((100L, 101L, 2L), (101L, 102L, 2L), (100L, 102L, 2L))
+    val pairs = raw
+      .map { case (a, b, w) => (math.min(a, b), math.max(a, b), w) }
+      .filter { case (a, b, _) => a != b }.distinct
+    val ours = Algos.mst(pairs.toDF("u", "v", "w"))
+      .select(col("u"), col("v"), col("w"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+
+    // Kruskal with path-compressing union-find over (w, u, v) order —
+    // shares nothing with the engine's gather-contract rounds
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val kruskal = pairs.sortBy { case (u, v, w) => (w, u, v) }
+      .flatMap { case (u, v, w) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru == rv) None else { parent(ru) = rv; Some((u, v, w)) }
+      }
+    assert(ours == kruskal.sorted)
+    assert(ours.size == 60 - 1 + 2) // spanning tree + 3-cycle island tree
+  }
 }
