@@ -130,9 +130,11 @@ object Pregel {
       // eager localCheckpoint: materializes AND truncates the logical
       // plan — without it the plan tree grows exponentially with the
       // superstep count (each step references the previous frame 2-3
-      // times) and analysis alone OOMs (SURVEY §7.4 risk #1)
-      val newVerts = materialize(vprog(verts, msgs), step, opts, numParts)
-      active = newVerts.filter(col("active")).count()
+      // times) and analysis alone OOMs (SURVEY §7.4 risk #1). The
+      // active-count rides the materialization job (fused accumulator):
+      // one driver barrier per superstep, not two.
+      val (newVerts, nActive) = materializeCount(vprog(verts, msgs), step, opts, numParts)
+      active = nActive
       writeAggregates(newVerts, step, opts)
       opts.onSuperstep(newVerts, step)
       // first frame is the caller's (persisted — plain unpersist; freeing
@@ -239,6 +241,8 @@ object Pregel {
     * reliable and resumable, unlike `RDD.checkpoint` files which die with
     * the SparkContext); a declared-hash(id) localCheckpoint otherwise
     * (plain localCheckpoint loses partitioning under AQE — see run()). */
+  /** Checkpoint without a fused count — for loops whose frames carry no
+    * `active` column (fixed-iteration mode terminates by master check). */
   private def materialize(df: DataFrame, step: Int, opts: PregelOptions,
                           numParts: Int): DataFrame =
     opts.checkpointDir match {
@@ -248,6 +252,18 @@ object Pregel {
         df.sparkSession.read.parquet(path)
       case _ => org.apache.spark.sql.graft.CheckpointBridge
         .localCheckpointHash(df, "id", numParts)
+    }
+
+  private def materializeCount(df: DataFrame, step: Int, opts: PregelOptions,
+                               numParts: Int): (DataFrame, Long) =
+    opts.checkpointDir match {
+      case Some(dir) if (step + 1) % opts.checkpointEvery == 0 =>
+        val path = s"$dir/step_$step"
+        df.write.mode("overwrite").parquet(path)
+        val back = df.sparkSession.read.parquet(path)
+        (back, back.filter(col("active")).count())
+      case _ => org.apache.spark.sql.graft.CheckpointBridge
+        .localCheckpointHashCount(df, "id", numParts, "active")
     }
 
   /** The latest completed snapshot under `dir`: (superstep, frame).

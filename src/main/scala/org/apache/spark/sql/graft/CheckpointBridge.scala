@@ -80,6 +80,49 @@ object CheckpointBridge {
     }
   }
 
+  /** [[localCheckpointHash]] that ALSO counts the rows whose `boolCol`
+    * is true DURING the materialization job — fusing the Pregel loop's
+    * per-superstep (checkpoint, active-count) job pair into one job, i.e.
+    * one driver barrier per superstep instead of two. The accumulator
+    * fires inside the single materializing action; a task retry can only
+    * ever over-count rows that exist, so a true zero (termination) can
+    * never be reported as non-zero spuriously in the other direction —
+    * the loop may at worst run one redundant round, never stop early.
+    *
+    * Row copies mirror `Dataset.checkpoint`'s own implementation: the
+    * physical rows are reused UnsafeRows and MUST be copied before
+    * caching. */
+  def localCheckpointHashCount(df: DataFrame, key: String, n: Int,
+                               boolCol: String): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val base = df.repartition(n, col(key))
+    val output = base.queryExecution.analyzed.output
+    val ord = output.indexWhere(_.name == boolCol)
+    require(ord >= 0, s"no column $boolCol in $output")
+    val keyAttr = output.find(_.name == key).getOrElse(
+      throw new IllegalArgumentException(s"no column $key in $output"))
+    val acc = spark.sparkContext.longAccumulator("graft.activeCount")
+    val rdd = base.queryExecution.toRdd.mapPartitions({ it =>
+      it.map { row =>
+        if (!row.isNullAt(ord) && row.getBoolean(ord)) acc.add(1L)
+        row.copy()
+      }
+    }, preservesPartitioning = true)
+    rdd.localCheckpoint()
+    rdd.count() // the ONE materializing job; acc is complete after it
+    val stats = spark.sparkContext.getRDDStorageInfo.find(_.id == rdd.id)
+      .map(i => org.apache.spark.sql.catalyst.plans.logical.Statistics(
+        sizeInBytes = BigInt(i.memSize + i.diskSize).max(1)))
+    val declared = new LogicalRDD(
+      output, rdd, HashPartitioning(Seq(keyAttr), n),
+      Nil, false, None)(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      stats, None)
+    (org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      declared), acc.value)
+  }
+
   /** Plain localCheckpoint that declares the frame's MEASURED size (no
     * partitioning claim — the input is checkpointed as-laid-out, no
     * repartition pass). For iterated frames SMALL enough that their
