@@ -64,15 +64,22 @@ object Algos {
     var h = 0
     while (live && h < maxHops) {
       val k = math.min(WaveBatch, maxHops - h)
-      (0 until k).foreach { _ =>
+      (0 until k).foreach { i =>
         val prev = reached
-        reached = reached.select(col("id"), lit(false).as("cand"))
+        val next = reached.select(col("id"), lit(false).as("cand"))
           .union(edges
             .join(broadcast(reached.filter(col("fresh")).select(col("id").as("src"))),
               Seq("src"))
             .select(col("dst").as("id"), lit(true).as("cand")))
           .groupBy(col("id")).agg(bool_and(col("cand")).as("fresh"))
-          .transform(ckptStats)
+        // batch-boundary round: the fresh-count rides the checkpoint's
+        // own materializing job (fused accumulator — no separate count)
+        if (i == k - 1) {
+          val (ck, freshCnt) = org.apache.spark.sql.graft.CheckpointBridge
+            .localCheckpointStatsCountWhere(next, col("fresh"))
+          reached = ck
+          live = freshCnt > 0
+        } else reached = ckptStats(next)
         // the new frame is eagerly materialized; the superseded wave's
         // blocks are dead — drop them at the RDD level (Dataset.unpersist
         // is a no-op on localCheckpoint frames) instead of waiting on the
@@ -80,7 +87,6 @@ object Algos {
         freeCkpt(prev)
       }
       h += k
-      live = reached.filter(col("fresh")).count() > 0
     }
     reached.select("id")
   }
@@ -1595,16 +1601,18 @@ object Algos {
         .select(col("id"))
       val outs = e.join(ins.select(col("id").as("src")), Seq("src"))
         .select(col("dst").as("id")).distinct()
-      val next = verts
-        .join(ins.withColumn("is_in", lit(1)), Seq("id"), "left")
-        .join(outs.withColumn("is_out", lit(1)), Seq("id"), "left")
-        .select(col("id"),
-          when(col("st") =!= 0, col("st"))
-            .when(col("is_in") === 1, lit(1))
-            .when(col("is_out") === 1, lit(2))
-            .otherwise(lit(0)).as("st"))
-        .localCheckpoint()
-      undecided = next.filter(col("st") === 0).count()
+      // the undecided-count rides the checkpoint job (fused accumulator)
+      val (next, stillUndecided) = org.apache.spark.sql.graft.CheckpointBridge
+        .localCheckpointStatsCountWhere(verts
+          .join(ins.withColumn("is_in", lit(1)), Seq("id"), "left")
+          .join(outs.withColumn("is_out", lit(1)), Seq("id"), "left")
+          .select(col("id"),
+            when(col("st") =!= 0, col("st"))
+              .when(col("is_in") === 1, lit(1))
+              .when(col("is_out") === 1, lit(2))
+              .otherwise(lit(0)).as("st")),
+          col("st") === 0)
+      undecided = stillUndecided
       if (step == 0) verts.unpersist() else freeCkpt(verts)
       verts = next
       step += 1
@@ -1626,12 +1634,13 @@ object Algos {
     while (changed && step < opts.maxSupersteps && edgeCount > 0) {
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("src").as("id"))
-      val next = e
-        .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
-        .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
-        .select("src", "dst")
-        .localCheckpoint()
-      val nextCount = next.count()
+      // edge-count rides the checkpoint job (fused accumulator)
+      val (next, nextCount) = org.apache.spark.sql.graft.CheckpointBridge
+        .localCheckpointStatsCountWhere(e
+          .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          .select("src", "dst"),
+          lit(true))
       changed = nextCount != edgeCount
       edgeCount = nextCount
       freeCkpt(e) // every e (incl. the first) is this loop's checkpoint

@@ -123,6 +123,50 @@ object CheckpointBridge {
       declared), acc.value)
   }
 
+  /** [[localCheckpointHashCount]] for an arbitrary predicate: the
+    * predicate is appended as a synthetic boolean column for the fused
+    * count and dropped again on the way out (the Project on top of the
+    * declared LogicalRDD preserves its partitioning). */
+  def localCheckpointHashCountWhere(df: DataFrame, key: String, n: Int,
+                                    pred: org.apache.spark.sql.Column): (DataFrame, Long) = {
+    val (ck, cnt) = localCheckpointHashCount(
+      df.withColumn("__graft_cnt", pred), key, n, "__graft_cnt")
+    (ck.drop("__graft_cnt"), cnt)
+  }
+
+  /** [[localCheckpointStats]] with a fused predicate count (same
+    * accumulator-on-the-materializing-action contract as
+    * [[localCheckpointHashCount]], no partitioning claim and no
+    * repartition pass). */
+  def localCheckpointStatsCountWhere(df: DataFrame,
+                                     pred: org.apache.spark.sql.Column): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val flagged = df.withColumn("__graft_cnt", pred)
+    val output = flagged.queryExecution.analyzed.output
+    val ord = output.size - 1
+    val acc = spark.sparkContext.longAccumulator("graft.statsCount")
+    val rdd = flagged.queryExecution.toRdd.mapPartitions({ it =>
+      it.map { row =>
+        if (!row.isNullAt(ord) && row.getBoolean(ord)) acc.add(1L)
+        row.copy()
+      }
+    }, preservesPartitioning = true)
+    rdd.localCheckpoint()
+    rdd.count()
+    val stats = spark.sparkContext.getRDDStorageInfo.find(_.id == rdd.id)
+      .map(i => org.apache.spark.sql.catalyst.plans.logical.Statistics(
+        sizeInBytes = BigInt(i.memSize + i.diskSize).max(1)))
+    val declared = new LogicalRDD(
+      output, rdd,
+      org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(rdd.getNumPartitions),
+      Nil, false, None)(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      stats, None)
+    (org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      declared).drop("__graft_cnt"), acc.value)
+  }
+
   /** Plain localCheckpoint that declares the frame's MEASURED size (no
     * partitioning claim — the input is checkpointed as-laid-out, no
     * repartition pass). For iterated frames SMALL enough that their
