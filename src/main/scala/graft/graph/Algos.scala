@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.CheckpointBridge.{free => freeCkpt}
@@ -30,6 +30,14 @@ object Algos {
   private def ckptHash(df: DataFrame, key: String): DataFrame =
     org.apache.spark.sql.graft.CheckpointBridge.localCheckpointHash(
       df, key, df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+
+  /** [[ckptHash]] with a fused predicate count — the loop's convergence
+    * count rides the checkpoint's own materializing job (one driver
+    * barrier per round, not two). */
+  private def ckptHashCountWhere(df: DataFrame, key: String,
+                                 pred: Column): (DataFrame, Long) =
+    org.apache.spark.sql.graft.CheckpointBridge.localCheckpointHashCountWhere(
+      df, key, df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, pred)
 
   /** localCheckpoint with MEASURED stats (CheckpointBridge). A plain
     * `localCheckpoint()` PROPAGATES the pre-checkpoint plan's estimated
@@ -1059,13 +1067,13 @@ object Algos {
         .select(col("id"),
           aggregate(coalesce(col("cols"), array().cast("array<long>")),
             lit(0L), (acc, c) => when(c === acc, acc + 1L).otherwise(acc)).as("newc"))
-      val next = ckptHash(
+      val (next, stillUncolored) = ckptHashCountWhere(
         verts.join(assigned, Seq("id"), "left")
           .select(col("id"), col("p"), coalesce(col("color"), col("newc")).as("color")),
-        "id")
+        "id", col("color").isNull)
       freeCkpt(verts)
       verts = next
-      uncolored = verts.filter(col("color").isNull).count()
+      uncolored = stillUncolored
       round += 1
     }
     val out = verts.select(col("id"), col("color")).orderBy(col("id")).localCheckpoint()
@@ -1108,14 +1116,14 @@ object Algos {
       val nextMatched = matched.union(mutual).localCheckpoint()
       val mv = nextMatched.select(col("u").as("id"))
         .union(nextMatched.select(col("v").as("id"))).distinct()
-      val nextLive = ckptHash(
+      val (nextLive, nextLiveCount) = ckptHashCountWhere(
         live.join(mv.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
           .join(mv.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
-          .select(col("src"), col("dst")), "src")
+          .select(col("src"), col("dst")), "src", lit(true))
       freeCkpt(matched); if (round > 0) freeCkpt(live)
       matched = nextMatched
       live = nextLive
-      liveCount = live.count()
+      liveCount = nextLiveCount
       round += 1
     }
     val out = matched.orderBy(col("u")).localCheckpoint()
@@ -1153,14 +1161,14 @@ object Algos {
       val nextMatched = matched.union(mutual).localCheckpoint()
       val mv = nextMatched.select(col("u").as("id"))
         .union(nextMatched.select(col("v").as("id"))).distinct()
-      val nextLive = ckptHash(
+      val (nextLive, nextLiveCount) = ckptHashCountWhere(
         live.join(mv.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
           .join(mv.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
-          .select(col("src"), col("dst"), col("w")), "src")
+          .select(col("src"), col("dst"), col("w")), "src", lit(true))
       freeCkpt(matched); if (round > 0) freeCkpt(live)
       matched = nextMatched
       live = nextLive
-      liveCount = live.count()
+      liveCount = nextLiveCount
       round += 1
     }
     val out = matched.orderBy(col("u")).localCheckpoint()
