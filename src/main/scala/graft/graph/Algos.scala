@@ -160,13 +160,13 @@ object Algos {
         .join(gp, col("f") === col("gid"), "left")
         .select(col("id"), col("f").as("f_old"),
           least(col("f"), col("m1"), col("gf")).as("f"))
-      val next =
-        if (smallV) org.apache.spark.sql.graft.CheckpointBridge.localCheckpointStats(next0)
-        else ckptHash(next0, "id")
-      // single pass over the (already materialized) checkpointed frame:
-      // count(when(...)) counts only the changed rows
-      changed = next.select(count(when(col("f") < col("f_old"), lit(1))).as("c"))
-        .first().getLong(0)
+      // the changed-count rides the checkpoint's materializing job
+      // (fused accumulator — one driver barrier per round, not two)
+      val (next, nChanged) =
+        if (smallV) org.apache.spark.sql.graft.CheckpointBridge
+          .localCheckpointStatsCountWhere(next0, col("f") < col("f_old"))
+        else ckptHashCountWhere(next0, "id", col("f") < col("f_old"))
+      changed = nChanged
       freeCkpt(f) // every f here (init included) is this loop's own checkpoint
       f = next // carries a stale f_old column; joins above project it away
       step += 1
@@ -589,7 +589,7 @@ object Algos {
     * intermediate. Self-managed checkpoints (freed before returning the
     * materialized support frame) so the peeling loop doesn't strand
     * blocks per round. Returns (u, v, support), support 0-filled. */
-  private def edgeSupport(e: DataFrame): DataFrame = {
+  private def edgeSupport0(e: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val o = orientByDegree(e, pairDegrees(e))
       .select(col("src"), col("dst")).localCheckpoint()
     val nb = o.groupBy(col("src").as("id"))
@@ -604,11 +604,25 @@ object Algos {
       least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
     val credits = edge("src", "dst").union(edge("src", "w")).union(edge("dst", "w"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
-    val out = e.join(credits, Seq("u", "v"), "left")
-      .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("support"))
-      .localCheckpoint()
-    freeCkpt(o); freeCkpt(nb)
+    (e.join(credits, Seq("u", "v"), "left")
+      .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("support")),
+      Seq(o, nb))
+  }
+
+  private def edgeSupport(e: DataFrame): DataFrame = {
+    val (out0, tmp) = edgeSupport0(e)
+    val out = out0.localCheckpoint()
+    tmp.foreach(freeCkpt)
     out
+  }
+
+  /** [[edgeSupport]] with a fused predicate count on the checkpoint job. */
+  private def edgeSupportCount(e: DataFrame, pred: Column): (DataFrame, Long) = {
+    val (out0, tmp) = edgeSupport0(e)
+    val r = org.apache.spark.sql.graft.CheckpointBridge
+      .localCheckpointStatsCountWhere(out0, pred)
+    tmp.foreach(freeCkpt)
+    r
   }
 
   /** k-truss: the maximal subgraph where every edge closes ≥ k−2
@@ -632,11 +646,11 @@ object Algos {
     var cnt = e.count()
     var step = 0
     while (step < opts.maxSupersteps) {
-      val sup = edgeSupport(e)
       // fixpoint ⟺ a support pass over the CURRENT edge set drops
       // nothing (filtering on stale supports would exit one round early
-      // with under-supported edges still in)
-      val keptCnt = sup.filter(col("support") >= k - 2).count()
+      // with under-supported edges still in); the kept-count rides the
+      // support checkpoint's own job
+      val (sup, keptCnt) = edgeSupportCount(e, col("support") >= k - 2)
       if (keptCnt == cnt) {
         freeCkpt(e)
         return sup.orderBy(col("u"), col("v"))
@@ -687,8 +701,11 @@ object Algos {
         .groupBy(col("comp")).agg(min(col("e")).as("m"))
         .select(col("m.u").as("u"), col("m.v").as("v"), col("m.w").as("w"))
         .distinct()
-        .localCheckpoint()
-      merges = cand.count()
+        .transform(d => {
+          val (ck, n) = org.apache.spark.sql.graft.CheckpointBridge
+            .localCheckpointStatsCountWhere(d, lit(true))
+          merges = n; ck
+        })
       if (merges > 0) {
         val acc = if (chosen == null) cand
           else chosen.union(cand).localCheckpoint()
@@ -1898,14 +1915,15 @@ object Algos {
           .join(f.select(col("id").as("src"), col("lbl").as("ls")), Seq("src"))
           .groupBy(col("dst").as("id")).agg(max(col("ls")).as("m1"))
         val gp = f.select(col("id").as("gid"), col("lbl").as("gf"))
-        val next = f
-          .join(m1, Seq("id"), "left")
-          .join(gp, col("lbl") === col("gid"), "left")
-          .select(col("id"), col("lbl").as("f_old"),
-            greatest(col("lbl"), col("m1"), col("gf")).as("lbl"))
-          .transform(ckptStats)
-        changed = next.select(count(when(col("lbl") > col("f_old"), lit(1))).as("c"))
-          .first().getLong(0)
+        // changed-count fused into the checkpoint job (one barrier/round)
+        val (next, nChanged) = org.apache.spark.sql.graft.CheckpointBridge
+          .localCheckpointStatsCountWhere(f
+            .join(m1, Seq("id"), "left")
+            .join(gp, col("lbl") === col("gid"), "left")
+            .select(col("id"), col("lbl").as("f_old"),
+              greatest(col("lbl"), col("m1"), col("gf")).as("lbl")),
+            col("lbl") > col("f_old"))
+        changed = nChanged
         freeCkpt(f) // every f (incl. the first) is this loop's checkpoint
         f = next
         cstep += 1
@@ -1938,14 +1956,16 @@ object Algos {
       // anti-join below has materialized, then is freed with the round.
       // (round-0 prevResult is a LocalRelation — freeCkpt is a no-op.)
       freeCkpt(prevResult)
-      val newVerts = remVerts.join(assigned.select("id"), Seq("id"), "left_anti")
-        .transform(ckptStats)
+      // remainder-count fused into the remainder checkpoint job
+      val (newVerts, nRemaining) = org.apache.spark.sql.graft.CheckpointBridge
+        .localCheckpointStatsCountWhere(
+          remVerts.join(assigned.select("id"), Seq("id"), "left_anti"), lit(true))
       val newEdges = remEdges
         .join(newVerts.select(col("id").as("src")), Seq("src"), "left_semi")
         .join(newVerts.select(col("id").as("dst")), Seq("dst"), "left_semi")
         .select("src", "dst")
         .transform(ckptStats)
-      remaining = newVerts.count()
+      remaining = nRemaining
       // new remainder frames are materialized — the superseded round's
       // checkpoints (and this round's assigned set, already folded into
       // the result checkpoint AND consumed by the eager newVerts
