@@ -913,8 +913,11 @@ object Algos {
         .select(col("dst").as("id"), col("tag"), (col("level") + 1L).as("level"))
         .groupBy(col("id"), col("tag")).agg(min(col("level")).as("level"))
         .join(settled.select("id", "tag"), Seq("id", "tag"), "left_anti")
-        .localCheckpoint()
-      live = next.count() > 0
+        .transform(d => {
+          val (ck, n) = org.apache.spark.sql.graft.CheckpointBridge
+            .localCheckpointStatsCountWhere(d, lit(true))
+          live = n > 0; ck
+        })
       if (live) {
         val merged = settled.union(next).localCheckpoint()
         freeCkpt(settled)
@@ -1312,8 +1315,11 @@ object Algos {
         .groupBy(col("id"), col("tag"))
         .agg(sum(col("sigma")).as("sigma"))
         .select(col("id"), col("tag"), lit((h + 1).toLong).as("level"), col("sigma"))
-        .localCheckpoint()
-      live = next.count() > 0
+        .transform(d => {
+          val (ck, n) = org.apache.spark.sql.graft.CheckpointBridge
+            .localCheckpointStatsCountWhere(d, lit(true))
+          live = n > 0; ck
+        })
       if (live) {
         val merged = settled.union(next).localCheckpoint()
         freeCkpt(settled)
