@@ -970,9 +970,12 @@ object Algos {
         .select(col("dst").as("id"), col("tag"), (col("level") + 1L).as("level"))
         .groupBy(col("id"), col("tag")).agg(min(col("level")).as("level"))
         .join(settled.select("id", "tag"), Seq("id", "tag"), "left_anti")
-        .localCheckpoint()
+        .transform(d => {
+          val (ck, n) = org.apache.spark.sql.graft.CheckpointBridge
+            .localCheckpointStatsCountWhere(d, lit(true))
+          counts :+= ((h.toLong, counts.last._2 + n)); ck
+        })
       val merged = settled.union(next).localCheckpoint()
-      counts :+= ((h.toLong, counts.last._2 + next.count()))
       freeCkpt(settled)
       if (h > 1) freeCkpt(frontier)
       settled = merged
@@ -2064,10 +2067,12 @@ object Algos {
     val counts = Seq.newBuilder[(Long, Long)]
     (1 to rounds).foreach { r =>
       val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
-      val peeled = verts.join(deg, Seq("id"), "left")
-        .filter(coalesce(col("d"), lit(0L)) <= 1)
-        .select(col("id")).localCheckpoint()
-      counts += ((r.toLong, peeled.count()))
+      // the peel-size metric rides the checkpoint job
+      val (peeled, nPeeled) = org.apache.spark.sql.graft.CheckpointBridge
+        .localCheckpointStatsCountWhere(verts.join(deg, Seq("id"), "left")
+          .filter(coalesce(col("d"), lit(0L)) <= 1)
+          .select(col("id")), lit(true))
+      counts += ((r.toLong, nPeeled))
       val pv = verts.join(peeled, Seq("id"), "left_anti").localCheckpoint()
       val pe = e.join(peeled.select(col("id").as("src")), Seq("src"), "left_anti")
         .join(peeled.select(col("id").as("dst")), Seq("dst"), "left_anti")
