@@ -21,7 +21,25 @@ import org.apache.spark.sql.functions._
   *    structure is isomorphic but hashes are disjoint across copies, so
   *    fingerprint df distributions match the original instead of
   *    stacking 10× (a plain text copy would collapse under the df cap
-  *    and break the linearity argument).
+  *    and break the linearity argument);
+  *  - supplier/customer: key-offset copies, and lineitem's l_suppkey is
+  *    offset in step with supplier, so the customer–supplier graphs
+  *    ([[TestGraphs.custSupp]], custSuppTemporal, suppCoPairs) become 10
+  *    disjoint isomorphic components too (round-7 verdict task 2);
+  *  - events: event_id/user_id-offset copies with ts unchanged — each
+  *    copy's per-user event chains are exactly the original's.
+  *
+  * Caveat, documented not hidden: [[TestGraphs.suppRing]] (and therefore
+  * waitFor / taggedWaitFor behind q_graph_deadlock / q_graph_bracha /
+  * q_graph_bowtie) derives edges as (3s+1) mod |supplier|, so at 10×
+  * suppliers it is ONE 10×-sized multiplicative ring, not 10 disjoint
+  * rings — exactly 10× the edges with the same out-degree profile, but
+  * copies mix. Those kernels run a FIXED round count (or log-diameter
+  * doubling), so the ratio still isolates per-round engine cost vs data
+  * volume; it is just not an output-exact-linear construction there.
+  * Single-source kernels (temporal reach, bracha) touch one copy's worth
+  * of frontier by construction — their ratio prices the 10× edge frame
+  * each round joins against, which is the honest per-round bill.
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ScaleProbe"
   * Prints one line per (query, scale) + the decade ratio; results are
@@ -31,7 +49,8 @@ object ScaleProbe {
 
   private val Targets: Seq[String] = sys.env.get("SPARK_GRAFT_PROBE")
     .map(_.split(",").toSeq)
-    .getOrElse(Seq("q_graph_k4", "q_item_cf", "q_winnow_matches"))
+    .getOrElse(Seq("q_graph_bowtie", "q_graph_bracha", "q_graph_deadlock",
+      "q_graph_temporal", "q_graph_neighborhood"))
 
   private def rotated(k: Int): String = {
     val a = "abcdefghijklmnopqrstuvwxyz"
@@ -40,20 +59,29 @@ object ScaleProbe {
 
   private def buildTenX(spark: SparkSession, src: String, out: String): Unit = {
     val fs = new java.io.File(out)
-    if (new java.io.File(s"$out/_DONE").exists()) return
+    // v2: adds supplier/customer/events copies + l_suppkey offsets; a v1
+    // dir (plain _DONE) is rebuilt so probes never mix generations
+    if (new java.io.File(s"$out/_DONE_v2").exists()) return
     fs.mkdirs()
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     val ord = spark.read.parquet(s"$src/orders.parquet")
     val docs = spark.read.parquet(s"$src/documents.parquet")
+    val supp = spark.read.parquet(s"$src/supplier.parquet")
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    val ev = spark.read.parquet(s"$src/events.parquet")
     val maxO = ord.agg(max(col("o_orderkey"))).first().getLong(0) + 1
     val maxP = li.agg(max(col("l_partkey"))).first().getLong(0) + 1
     val maxC = ord.agg(max(col("o_custkey"))).first().getLong(0) + 1
     val maxD = docs.agg(max(col("doc_id"))).first().getLong(0) + 1
+    val maxS = supp.agg(max(col("s_suppkey"))).first().getLong(0) + 1
+    val maxE = ev.agg(max(col("event_id"))).first().getLong(0) + 1
+    val maxU = ev.agg(max(col("user_id"))).first().getLong(0) + 1
     val copies = (0 until 10).map(lit(_))
     def rep(df: DataFrame) = df.withColumn("__k", explode(array(copies: _*)))
     rep(li)
       .withColumn("l_orderkey", col("l_orderkey") + col("__k") * maxO)
       .withColumn("l_partkey", col("l_partkey") + col("__k") * maxP)
+      .withColumn("l_suppkey", col("l_suppkey") + col("__k") * maxS)
       .drop("__k")
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     rep(ord)
@@ -61,6 +89,25 @@ object ScaleProbe {
       .withColumn("o_custkey", col("o_custkey") + col("__k") * maxC)
       .drop("__k")
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    rep(supp)
+      .withColumn("s_suppkey", col("s_suppkey") + col("__k") * maxS)
+      .drop("__k")
+      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+    rep(cust)
+      .withColumn("c_custkey", col("c_custkey") + col("__k") * maxC)
+      .drop("__k")
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    rep(ev)
+      .withColumn("event_id", col("event_id") + col("__k") * maxE)
+      .withColumn("user_id", col("user_id") + col("__k") * maxU)
+      .drop("__k")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    // small dims referenced by some fixtures: copy through unchanged
+    Seq("region", "nation", "part").foreach { t =>
+      val f = new java.io.File(s"$src/$t.parquet")
+      if (f.exists()) spark.read.parquet(f.getPath)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     rep(docs)
       .withColumn("doc_id", col("doc_id") + col("__k") * maxD)
@@ -71,7 +118,7 @@ object ScaleProbe {
         })
       .drop("__k")
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    new java.io.File(s"$out/_DONE").createNewFile()
+    new java.io.File(s"$out/_DONE_v2").createNewFile()
     ()
   }
 
@@ -101,6 +148,31 @@ object ScaleProbe {
       val (t10, n10) = time(q, tenx)
       println(f"SCALE $q%-18s 1x: $t1%7.2fs ($n1 rows)  10x: $t10%7.2fs ($n10 rows)  ratio=${t10 / t1}%5.2f")
     }
+    // Candidate-vs-verify cost attribution for the exact Jaccard join
+    // (round-7 verdict task 3). sorted is persisted inside the staged
+    // builder, so: t_tok = materializing the sorted-token frame;
+    // t_cand = the candidate equi-join alone (reuses sorted);
+    // t_full = candidates regenerated + exact verify, so
+    // verify ≈ t_full − t_cand on a warm sorted frame.
+    if (sys.env.contains("SPARK_GRAFT_JACCARD_BREAKDOWN"))
+      Seq("1x" -> src, "10x" -> tenx).foreach { case (lbl, dir) =>
+        val d = Tables(spark, dir).documents
+        val (sorted, cand, out) = graft.dedup.Dedup.jaccardJoinStaged(
+          d.select(col("doc_id"),
+            graft.text.TextFunctions.shingleSet(col("text"), 8).as("items")), 80)
+        def tt[A](f: => A): (Double, A) = {
+          val t0 = System.nanoTime(); val a = f
+          ((System.nanoTime() - t0) / 1e9, a)
+        }
+        val (tTok, nDocs) = tt(sorted.count())
+        val (tCand, nCand) = tt(cand.count())
+        val (tFull, nOut) = tt(out.count())
+        println(f"JACCARD $lbl%-3s docs=$nDocs%d tok=$tTok%6.2fs cand=$nCand%d " +
+          f"candJoin=$tCand%6.2fs full=$tFull%6.2fs verify~=${tFull - tCand}%6.2fs out=$nOut%d")
+        sorted.unpersist()
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
     spark.stop()
   }
 }

@@ -319,23 +319,35 @@ object Algos {
     var verts = ckptHash(v.join(deg, Seq("id"), "left")
       .select(col("id"), lit(1.0 / n).as("pr"),
         coalesce(col("outdeg"), lit(0.0)).as("outdeg")), "id")
+    // The per-row |Δ| metric rides the checkpoint's materializing job
+    // (CheckpointBridge.localCheckpointHashDeltaWhere): one driver
+    // barrier per round, not checkpoint + a separate delta-agg job
+    // (round-7 verdict task 5). The accumulator contract is one-sided —
+    // a retry can only inflate the delta, so the loop can only run long,
+    // never halt early — and the delta is loop control, not result data.
+    require(Set("sum", "max", "sum_rel", "max_rel", "rmse")(convergence),
+      s"unknown convergence: $convergence")
+    val diff = abs(col("pr") - col("prev_pr"))
+    val rowMetric = convergence match {
+      case "sum" | "max"         => diff
+      case "sum_rel" | "max_rel" => diff / col("prev_pr")
+      case "rmse"                => diff * diff
+    }
+    val np = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     var it = 0
     var delta = Double.MaxValue
     while (it < maxIters && delta >= tol) {
       val prev = verts
-      verts = ckptHash(prUpdate(prev, e, n, damping, resetProb), "id")
-      val diff = abs(col("pr") - col("prev_pr"))
-      val metric = convergence match {
-        case "sum"     => sum(diff)
-        case "max"     => max(diff)
-        case "sum_rel" => sum(diff / col("prev_pr"))
-        case "max_rel" => max(diff / col("prev_pr"))
-        case "rmse"    => sqrt(sum(diff * diff) / lit(n))
-        case other => throw new IllegalArgumentException(s"unknown convergence: $other")
-      }
-      delta = verts
+      val nextJ = prUpdate(prev, e, n, damping, resetProb)
         .join(prev.select(col("id"), col("pr").as("prev_pr")), Seq("id"))
-        .agg(metric.as("d")).first().getDouble(0)
+      val (ck, dSum, dMax) = org.apache.spark.sql.graft.CheckpointBridge
+        .localCheckpointHashDeltaWhere(nextJ, "id", np, rowMetric)
+      verts = ck.select("id", "pr", "outdeg")
+      delta = convergence match {
+        case "sum" | "sum_rel" => dSum
+        case "max" | "max_rel" => dMax
+        case "rmse"            => math.sqrt(dSum / n)
+      }
       freeCkpt(prev)
       it += 1
     }
@@ -971,9 +983,14 @@ object Algos {
         .groupBy(col("id"), col("tag")).agg(min(col("level")).as("level"))
         .join(settled.select("id", "tag"), Seq("id", "tag"), "left_anti")
         .transform(d => {
-          val (ck, n) = org.apache.spark.sql.graft.CheckpointBridge
-            .localCheckpointStatsCountWhere(d, lit(true))
-          counts :+= ((h.toLong, counts.last._2 + n)); ck
+          // This count is RESULT data, not loop control: the fused
+          // accumulator is at-least-once under task retries, so recount
+          // the materialized blocks exactly (a count() over a cached
+          // checkpoint is a metadata-cheap job; the loop is fixed-length,
+          // so no barrier is saved by fusing here anyway).
+          val ck = org.apache.spark.sql.graft.CheckpointBridge
+            .localCheckpointStats(d)
+          counts :+= ((h.toLong, counts.last._2 + ck.count())); ck
         })
       val merged = settled.union(next).localCheckpoint()
       freeCkpt(settled)
@@ -2067,12 +2084,14 @@ object Algos {
     val counts = Seq.newBuilder[(Long, Long)]
     (1 to rounds).foreach { r =>
       val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
-      // the peel-size metric rides the checkpoint job
-      val (peeled, nPeeled) = org.apache.spark.sql.graft.CheckpointBridge
-        .localCheckpointStatsCountWhere(verts.join(deg, Seq("id"), "left")
+      // the peel size is RESULT data (not loop control — the round count
+      // is fixed), so count the materialized blocks exactly rather than
+      // ride an at-least-once accumulator that task retries can inflate
+      val peeled = org.apache.spark.sql.graft.CheckpointBridge
+        .localCheckpointStats(verts.join(deg, Seq("id"), "left")
           .filter(coalesce(col("d"), lit(0L)) <= 1)
-          .select(col("id")), lit(true))
-      counts += ((r.toLong, nPeeled))
+          .select(col("id")))
+      counts += ((r.toLong, peeled.count()))
       val pv = verts.join(peeled, Seq("id"), "left_anti").localCheckpoint()
       val pe = e.join(peeled.select(col("id").as("src")), Seq("src"), "left_anti")
         .join(peeled.select(col("id").as("dst")), Seq("dst"), "left_anti")

@@ -38,17 +38,35 @@ object DistributedRank {
   private val Lrn  = "__dr_lrn"
   private val Lsum = "__dr_lsum"
 
+  /** `numParts <= 0` (the default at every call site) resolves to the
+    * session's `spark.sql.shuffle.partitions`: 32 under the local test
+    * config, executor-fleet-sized on a real cluster. A constant here
+    * would cap the range exchange at a fixed way-count — at 100× the
+    * per-partition local sort becomes the new wall — so the operator
+    * follows the same knob every other shuffle in the plan follows. */
+  private[operators] def resolveParts(df: DataFrame, numParts: Int): Int =
+    if (numParts > 0) numParts
+    else df.sparkSession.sessionState.conf.numShufflePartitions
+
   /** `df` plus a global 1-based BIGINT `rankCol` following `order`, and —
     * when `sumCol` is set — a global running `sum(sumCol)` (inclusive of
     * the current row) as `cumCol`. Equivalent to
     * `row_number().over(Window.orderBy(order))` /
     * `sum(c).over(Window.orderBy(order).rowsBetween(unboundedPreceding,
-    * currentRow))` but range-partitioned. */
+    * currentRow))` but range-partitioned.
+    *
+    * `sumCol` contract: pass a NON-NULL column for exact SQL running-sum
+    * parity (all call sites do). With NULLs present the offset collect is
+    * NULL-safe (an all-NULL partition contributes 0), but a row whose
+    * in-partition prefix is all-NULL reports NULL even when a PRIOR
+    * partition held values — SQL's global frame would report that prior
+    * sum. Null-position-exact semantics would need a non-null-count
+    * offset map; not built because no caller sums a nullable column. */
   def withRankAndCumSum(df: DataFrame, order: Seq[Column], rankCol: String,
                         sumCol: Option[(Column, String)] = None,
-                        numParts: Int = 32): DataFrame = {
+                        numParts: Int = 0): DataFrame = {
     val w = Window.partitionBy(col(Pid)).orderBy(order: _*)
-    val local0 = df.repartitionByRange(numParts, order: _*)
+    val local0 = df.repartitionByRange(resolveParts(df, numParts), order: _*)
       .withColumn(Pid, spark_partition_id())
       .withColumn(Lrn, row_number().over(w).cast("long"))
     val local = sumCol match {
@@ -60,13 +78,13 @@ object DistributedRank {
     val parted = local.localCheckpoint()
     val perPart = parted.groupBy(col(Pid))
       .agg(count(lit(1)).as("c"),
-        (sumCol match {
+        coalesce((sumCol match {
           // partition total = sum of the VALUE column (not max of the
           // running sum — negative values make the running sum
           // non-monotonic, e.g. sweep-line ±1 deltas)
           case Some((c, _)) => sum(c)
           case None         => lit(0L)
-        }).cast("long").as("s"))
+        }).cast("long"), lit(0L)).as("s")) // all-NULL partition sums to 0
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
@@ -91,7 +109,7 @@ object DistributedRank {
   /** `df` plus a global 1-based BIGINT `rankCol` (row_number semantics)
     * over the total order `order`. */
   def withRowNumber(df: DataFrame, order: Seq[Column], rankCol: String,
-                    numParts: Int = 32): DataFrame =
+                    numParts: Int = 0): DataFrame =
     withRankAndCumSum(df, order, rankCol, None, numParts)
 
   /** `df` plus the STRICT global prefix max of `valueCol` over the total
@@ -102,9 +120,9 @@ object DistributedRank {
     * per-partition strict prefix max + a broadcast map of each
     * partition's predecessor-partitions max. */
   def withStrictPrefixMax(df: DataFrame, order: Seq[Column], valueCol: Column,
-                          outCol: String, numParts: Int = 32): DataFrame = {
+                          outCol: String, numParts: Int = 0): DataFrame = {
     val w = Window.partitionBy(col(Pid)).orderBy(order: _*)
-    val parted = df.repartitionByRange(numParts, order: _*)
+    val parted = df.repartitionByRange(resolveParts(df, numParts), order: _*)
       .withColumn(Pid, spark_partition_id())
       .withColumn(Lsum,
         max(valueCol).over(w.rowsBetween(Window.unboundedPreceding, -1)))
@@ -112,12 +130,16 @@ object DistributedRank {
     val perPart = parted.groupBy(col(Pid))
       .agg(max(valueCol).cast("long").as("m"))
       .collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
+      // an all-NULL partition has no max (max() ignores NULL rows): it
+      // contributes nothing forward but its rows still read the offset
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
       .sortBy(_._1)
-    // offset(p) = max over all partitions before p (None for the first)
+    // offset(p) = max over all partitions before p (None until a value)
     var acc: Option[Long] = None
     val offsets = perPart.flatMap { case (pid, m) =>
-      val o = acc.map(pid -> _); acc = Some(acc.fold(m)(math.max(_, m))); o
+      val o = acc.map(pid -> _)
+      acc = (acc.toSeq ++ m.toSeq).reduceOption(_ max _); o
     }
     val offCol: Column =
       if (offsets.isEmpty) lit(null).cast("long")
@@ -148,7 +170,7 @@ object DistributedRank {
     * `order` — the distributed replacement for
     * `ntile(n).over(Window.orderBy(...))`. */
   def withNtile(df: DataFrame, order: Seq[Column], n: Int, bucketCol: String,
-                numParts: Int = 32): DataFrame = {
+                numParts: Int = 0): DataFrame = {
     val rn = "__dr_rn_" + bucketCol
     val ranked = withRowNumber(df, order, rn, numParts)
     // total row count is already known driver-side from the offset pass,

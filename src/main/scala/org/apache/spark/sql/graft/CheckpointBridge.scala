@@ -129,9 +129,80 @@ object CheckpointBridge {
     * declared LogicalRDD preserves its partitioning). */
   def localCheckpointHashCountWhere(df: DataFrame, key: String, n: Int,
                                     pred: org.apache.spark.sql.Column): (DataFrame, Long) = {
+    require(!df.columns.contains("__graft_cnt"),
+      "input already has a __graft_cnt column: withColumn would replace it " +
+        "and the fused count would read caller data")
     val (ck, cnt) = localCheckpointHashCount(
       df.withColumn("__graft_cnt", pred), key, n, "__graft_cnt")
     (ck.drop("__graft_cnt"), cnt)
+  }
+
+  /** Max-of-doubles accumulator (Spark ships sum-only DoubleAccumulator).
+    * max is IDEMPOTENT, so task retries cannot perturb it at all. */
+  private final class MaxDoubleAccumulator
+      extends org.apache.spark.util.AccumulatorV2[java.lang.Double, java.lang.Double] {
+    private var _v = Double.NegativeInfinity
+    override def isZero: Boolean = _v == Double.NegativeInfinity
+    override def copy(): MaxDoubleAccumulator = {
+      val c = new MaxDoubleAccumulator; c._v = _v; c
+    }
+    override def reset(): Unit = _v = Double.NegativeInfinity
+    override def add(v: java.lang.Double): Unit = if (v > _v) _v = v
+    override def merge(
+        o: org.apache.spark.util.AccumulatorV2[java.lang.Double, java.lang.Double]): Unit =
+      o match { case m: MaxDoubleAccumulator => if (m._v > _v) _v = m._v; case _ => () }
+    override def value: java.lang.Double = _v
+  }
+
+  /** [[localCheckpointHashCount]] for a DOUBLE convergence metric: the
+    * SUM and MAX of `metric` over all rows accumulate during the one
+    * materializing job, so a delta-halted loop (pagerankConverged) pays
+    * one driver barrier per round instead of checkpoint + delta-agg.
+    * Returns (frame without the metric column, sum, max); max is
+    * Double.NegativeInfinity on an empty frame.
+    *
+    * Same one-sided-error contract as the fused counts: a task retry can
+    * only re-ADD non-negative metric values (callers pass |Δ|-shaped
+    * metrics), so the reported delta is ≥ the true delta — the loop can
+    * at worst run extra rounds, never halt early on a wrong small delta.
+    * The delta is LOOP CONTROL only; it must never become query result
+    * data (ADVICE r7). */
+  def localCheckpointHashDeltaWhere(df: DataFrame, key: String, n: Int,
+                                    metric: org.apache.spark.sql.Column)
+      : (DataFrame, Double, Double) = {
+    require(!df.columns.contains("__graft_delta"),
+      "input already has a __graft_delta column")
+    val spark = df.sparkSession
+    val base = df.withColumn("__graft_delta", metric.cast("double"))
+      .repartition(n, col(key))
+    val output = base.queryExecution.analyzed.output
+    val ord = output.indexWhere(_.name == "__graft_delta")
+    val keyAttr = output.find(_.name == key).getOrElse(
+      throw new IllegalArgumentException(s"no column $key in $output"))
+    val sumAcc = spark.sparkContext.doubleAccumulator("graft.deltaSum")
+    val maxAcc = new MaxDoubleAccumulator
+    spark.sparkContext.register(maxAcc, "graft.deltaMax")
+    val rdd = base.queryExecution.toRdd.mapPartitions({ it =>
+      it.map { row =>
+        if (!row.isNullAt(ord)) {
+          val d = row.getDouble(ord); sumAcc.add(d); maxAcc.add(d)
+        }
+        row.copy()
+      }
+    }, preservesPartitioning = true)
+    rdd.localCheckpoint()
+    rdd.count() // the ONE materializing job; both accumulators complete
+    val stats = spark.sparkContext.getRDDStorageInfo.find(_.id == rdd.id)
+      .map(i => org.apache.spark.sql.catalyst.plans.logical.Statistics(
+        sizeInBytes = BigInt(i.memSize + i.diskSize).max(1)))
+    val declared = new LogicalRDD(
+      output, rdd, HashPartitioning(Seq(keyAttr), n),
+      Nil, false, None)(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      stats, None)
+    (org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      declared).drop("__graft_delta"), sumAcc.value, maxAcc.value)
   }
 
   /** [[localCheckpointStats]] with a fused predicate count (same
@@ -140,6 +211,10 @@ object CheckpointBridge {
     * repartition pass). */
   def localCheckpointStatsCountWhere(df: DataFrame,
                                      pred: org.apache.spark.sql.Column): (DataFrame, Long) = {
+    require(!df.columns.contains("__graft_cnt"),
+      "input already has a __graft_cnt column: withColumn would replace it " +
+        "in place, so ord would read the wrong column and drop() would " +
+        "remove caller data")
     val spark = df.sparkSession
     val flagged = df.withColumn("__graft_cnt", pred)
     val output = flagged.queryExecution.analyzed.output

@@ -51,6 +51,40 @@ class AlgosSpec extends SparkSpec {
     assert(r2 < 60)
   }
 
+  test("converged pagerank pays one materializing action per round " +
+    "(delta rides the checkpoint job)") {
+    val e = Prep.makeSymmetric(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L)).toDF("src", "dst"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def jobsFor(iters: Int): Int = {
+      org.apache.spark.sql.graft.CheckpointBridge.drainListeners(spark)
+      jobs.set(0)
+      val (_, r) = Algos.pagerankConverged(e, maxIters = iters, tol = 0.0)
+      assert(r == iters) // tol 0 can't be undershot: every round runs
+      org.apache.spark.sql.graft.CheckpointBridge.drainListeners(spark)
+      jobs.get()
+    }
+    try {
+      val j3 = jobsFor(3)
+      val j6 = jobsFor(6)
+      // Per-round bill = 1 fused checkpoint+delta job (the only
+      // materializing ACTION) + 1 plan-internal broadcast-exchange
+      // collect for the dangling-mass scalar. The dangling sum feeds the
+      // RESULT ranks, so it must stay an exact in-plan aggregate — an
+      // at-least-once accumulator would corrupt output under retries
+      // (ADVICE r7). Before the delta fusion this was 3 jobs/round.
+      assert(j6 - j3 == 3 * 2,
+        s"per-round jobs changed: maxIters=3 ran $j3, maxIters=6 ran $j6")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("bfs levels are hop counts") {
     val e = Prep.makeSymmetric(Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst"))
     val got = Algos.bfs(e, Seq(1L)).orderBy("id").as[(Long, Long)].collect().toSeq

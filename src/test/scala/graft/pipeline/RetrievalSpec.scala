@@ -212,6 +212,33 @@ class RetrievalSpec extends SparkSpec {
     assert(r60.find(t => t._1 == 1L && t._2 == 2L).get._5 == 666666L)
   }
 
+  test("jaccardJoin asymmetric index prefix loses no pairs (randomized " +
+    "brute-force parity)") {
+    import graft.dedup.Dedup
+    // clustered sets so near-duplicates actually exist: each doc mutates
+    // a per-cluster base vocabulary a little
+    val rnd = new scala.util.Random(83)
+    val docs = (0 until 120).map { i =>
+      val base = (0 until 30).map(j => s"t${i / 4}_$j")
+      val mutated = base.filter(_ => rnd.nextInt(10) > 0) ++
+        (0 until rnd.nextInt(4)).map(k => s"x${i}_$k")
+      (i.toLong, mutated.distinct)
+    }
+    Seq(60, 80, 90).foreach { t =>
+      val got = Dedup.jaccardJoin(docs.toDF("doc_id", "items"), t)
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      val exp = (for {
+        (a, sa) <- docs; (b, sb) <- docs if a < b
+        inter = sa.toSet.intersect(sb.toSet).size.toLong
+        uni = sa.size + sb.size - inter
+        if inter * 100L >= uni * t
+      } yield (a, b) -> ((inter, uni))).toMap
+      assert(got == exp, s"threshold $t: got ${got.size} pairs, " +
+        s"expected ${exp.size}")
+    }
+  }
+
   // --- DSIR scores ------------------------------------------------------
 
   test("dsirScores rank target-like documents above off-target ones") {
