@@ -1249,14 +1249,20 @@ object PipelineQueries {
     // single most expensive kernel in the library at full corpus —
     // 59s → ~15s at sf0.1)
     val docs = Tables(s, dir).documents.filter(col("doc_id") % 2 === 0)
+    // ONE persisted shingle pass feeds both sides: the exact-truth join
+    // reads it twice internally (df pass + sorted-token build) and the
+    // MinHash side once more — unshared, that is three full text-shingle
+    // scans of the corpus for one audit.
+    val sh = docs.select(col("doc_id"),
+        graft.text.TextFunctions.shingleSet(col("text"), 8).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val truth = Dedup.jaccardJoin(
-        docs.select(col("doc_id"),
-          graft.text.TextFunctions.shingleSet(col("text"), 8).as("items")),
-        thresholdPct = 70)
+        sh.select(col("doc_id"), col("sh").as("items")), thresholdPct = 70)
       .select(col("a"), col("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = Dedup.lshCandidates(
-        Dedup.withMinhash(docs, shingleLen = 8, numHashes = 16), 4, 4)
+        sh.withColumn("sig",
+          graft.text.TextFunctions.minhashSignature(col("sh"), 16)), 4, 4)
       .select(col("ida").as("a"), col("idb").as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hits = truth.join(cands, Seq("a", "b"), "left_semi")
@@ -1269,7 +1275,7 @@ object PipelineQueries {
         when(col("n_cands") > 0, expr("(n_hits * 1000000) div n_cands"))
           .otherwise(lit(0L)).as("precision_e6"))
       .localCheckpoint()
-    truth.unpersist(); cands.unpersist()
+    sh.unpersist(); truth.unpersist(); cands.unpersist()
     out
   }
 

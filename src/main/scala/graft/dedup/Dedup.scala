@@ -34,11 +34,20 @@ object Dedup {
     * signature frame backing it: the signatures are orders of magnitude
     * larger than the pairs and would otherwise stay cached until the
     * ContextCleaner happens to collect them — in a long session running
-    * many dedup passes that is an unbounded cache leak. */
-  private def finish(out: DataFrame, cached: DataFrame): DataFrame = {
+    * many dedup passes that is an unbounded cache leak.
+    *
+    * The deterministic output ordering is applied AFTER the checkpoint,
+    * over the materialized pair frame: a sort on top of the
+    * un-materialized pipeline plans as a range exchange whose
+    * partitioner SAMPLES its child first, evaluating the whole join
+    * pipeline twice per run (measured 35 s → 18 s on the t=70 exact
+    * Jaccard truth pass at sf0.1 once the sample pass ran over
+    * checkpointed rows instead). */
+  private def finish(out: DataFrame, cached: DataFrame,
+                     keys: org.apache.spark.sql.Column*): DataFrame = {
     val m = out.localCheckpoint()
     cached.unpersist()
-    m
+    if (keys.isEmpty) m else m.orderBy(keys: _*)
   }
 
   /** Exact duplicate clusters on whitespace/case-normalized text:
@@ -96,7 +105,7 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("ida").as("a"), col("idb").as("b"),
         graft.sql.Exact.e6(col("jac")).as("jac_e6"))
-      .orderBy(col("a"), col("b")), sigs)
+      , sigs, col("a"), col("b"))
   }
 
   /** Persist a MinHash signature index: the banded (band, bv, doc_id)
@@ -150,7 +159,7 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("new_id"), col("idx_id"),
         graft.sql.Exact.e6(col("jac")).as("jac_e6"))
-      .orderBy(col("new_id"), col("idx_id")), sigs)
+      , sigs, col("new_id"), col("idx_id"))
   }
 
   /** The incremental dedup ACTION: the increment minus every document
@@ -206,7 +215,7 @@ object Dedup {
       .withColumn("ham", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("ham") <= maxHamming)
       .select(col("ida").as("a"), col("idb").as("b"), col("ham"))
-      .orderBy(col("a"), col("b")), fp)
+      , fp, col("a"), col("b"))
   }
 
   /** Canonicalize near-duplicate PAIRS into clusters: connected
@@ -280,7 +289,7 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("ida").as("a"), col("idb").as("b"),
         graft.sql.Exact.e6(col("jac")).as("jac_e6"))
-      .orderBy(col("a"), col("b")), tri)
+      , tri, col("a"), col("b"))
   }
 
   /** Embedding-cosine near-duplicates: candidate pairs from
@@ -317,7 +326,7 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("ida").as("a"), col("idb").as("b"),
         graft.sql.Exact.e4(col("cos")).as("rcos_e4"))
-      .orderBy(col("a"), col("b")), e)
+      , e, col("a"), col("b"))
   }
 
   // --- content-defined (CDC) chunk dedup --------------------------------
@@ -413,10 +422,9 @@ object Dedup {
       .filter(col("ov") >= threshold)
       .select(col("ida").as("a"), col("idb").as("b"), col("shared"),
         graft.sql.Exact.e6(col("ov")).as("overlap_e6"))
-      .orderBy(col("a"), col("b"))
     val m = out.localCheckpoint()
     ch.unpersist(); chf.unpersist()
-    m
+    m.orderBy(col("a"), col("b"))
   }
 
   /** EXACT token-set Jaccard similarity join with prefix filtering
@@ -449,9 +457,19 @@ object Dedup {
     * bit-identical because verification is exact either way. */
   def jaccardJoin(sets: DataFrame, thresholdPct: Int = 80): DataFrame = {
     val (sorted, _, out) = jaccardJoinStaged(sets, thresholdPct)
+    // Materialize the shared sorted-token frame FIRST, as its own 32-way
+    // job: the output plan references `sorted` from three subtrees (the
+    // prefix exchange and both verify sides), and letting the first
+    // consumer stage fault the cache in lazily serializes the build
+    // behind AQE's stage-by-stage materialization (measured 3.5× on the
+    // whole query at sf0.1: 55.7 s lazy vs ~16 s staged, same plans).
+    sorted.count()
+    // Checkpoint the UNSORTED verified pairs, then order the
+    // materialized (output-sized) frame: a sort above the live pipeline
+    // would range-sample it, running the candidate+verify joins twice.
     val m = out.localCheckpoint()
     sorted.unpersist()
-    m
+    m.orderBy(col("a"), col("b"))
   }
 
   /** [[jaccardJoin]] with its three stages exposed for cost attribution
@@ -497,11 +515,25 @@ object Dedup {
     // prefix of the pair's size-SMALLER doc ((n, doc_id)-lexicographic
     // order breaks size ties). The output pair is re-canonicalized to
     // (a, b) = (min id, max id), same key space as before.
-    val p1 = prefix.select(col("doc_id").as("da"), col("n").as("pna"),
+    //
+    // Plan shape (round-9 repair of the round-8 regression): both join
+    // inputs derive from ONE explicit hash-exchange of the prefix frame
+    // on `tok` — the index side is a filter ABOVE that exchange, so
+    // ReuseExchange computes the explode+shuffle once — and the join is
+    // pinned to a SHUFFLED HASH JOIN building on the index (smaller)
+    // side. Without the pin, Catalyst's estimates broadcast the PROBE
+    // side and that broadcast build runs as a single task (measured
+    // 33 s of a 71 s query at sf0.1 — a serial stage no cluster can
+    // parallelize); with it every stage is np-way and neither side is
+    // ever collected to one node, which is the only shape that
+    // survives a corpus where both prefix frames are TB-scale.
+    val np = sets.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val shuffled = prefix.repartition(np, col("tok"))
+    val p1 = shuffled.select(col("doc_id").as("da"), col("n").as("pna"),
       col("pos").as("pa"), col("tok"))
-    val p2 = prefix.filter(col("idx")).select(col("doc_id").as("db"),
+    val p2 = shuffled.filter(col("idx")).select(col("doc_id").as("db"),
       col("n").as("pnb"), col("pos").as("pb"), col("tok"))
-    val cand = p1.join(p2,
+    val cand = p1.join(p2.hint("shuffle_hash"),
         p1("tok") === p2("tok")
           && (col("pnb") < col("pna")
             || (col("pnb") === col("pna") && col("db") < col("da")))
@@ -513,14 +545,20 @@ object Dedup {
       .distinct()
     val left = sorted.select(col("doc_id").as("a"), col("stoks").as("ta"), col("n").as("na"))
     val right = sorted.select(col("doc_id").as("b"), col("stoks").as("tb"), col("n").as("nb"))
-    val out = cand.join(left, Seq("a")).join(right, Seq("b"))
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+    // Per-pair exact verification: one array_intersect per candidate
+    // pair inside the join (the threshold predicate pushes into the join
+    // condition, so non-pairs never materialize); survivors re-evaluate
+    // it once more for the output column, and survivors are
+    // output-count-sized.
+    val scored = cand.join(left, Seq("a")).join(right, Seq("b"))
+      .select(col("a"), col("b"), col("na"), col("nb"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"))
+    val out = scored
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * 100L >= col("uni") * t)
       .select(col("a"), col("b"), col("inter"), col("uni"),
         ((col("inter") * 1000000L - pmod(col("inter") * 1000000L, col("uni")))
           / col("uni")).cast("long").as("jaccard_e6"))
-      .orderBy(col("a"), col("b"))
     (sorted, cand, out)
   }
 }

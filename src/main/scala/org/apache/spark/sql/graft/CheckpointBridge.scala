@@ -23,6 +23,29 @@ import org.apache.spark.sql.functions.col
   * caller-owned data too.
   */
 object CheckpointBridge {
+
+  /** Plan and execute `body` with AQE OFF, restoring the session conf
+    * after. The fused-count checkpoints exist to make each fixpoint
+    * round cost ONE driver job; under AQE the same round pays one job
+    * per query-stage materialization (measured 7 jobs/round on the
+    * pagerankConverged body: sums shuffle, two join stages, the
+    * repartition, the dangling broadcast, then the count — round-8
+    * verdict). AQE buys nothing inside these round bodies — every join
+    * input is a declared-partitioning LogicalRDD with measured stats,
+    * so there are no runtime re-plan decisions left to make, while each
+    * extra stage job is a driver scheduling round-trip that a
+    * 1000-executor cluster pays in O(100 ms) units per round. The
+    * toggle is scoped: only the fused helpers' own planning+execution
+    * run non-adaptively (tests and the bench run queries sequentially
+    * on the shared session, so the temporary session-conf flip cannot
+    * leak into a concurrent query's planning). */
+  private def withAqeOff[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
+
   def free(df: Dataset[_]): Unit = {
     df.unpersist(false)
     df.queryExecution.analyzed.collectLeaves().foreach {
@@ -95,6 +118,7 @@ object CheckpointBridge {
   def localCheckpointHashCount(df: DataFrame, key: String, n: Int,
                                boolCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession
+    withAqeOff(spark) {
     val base = df.repartition(n, col(key))
     val output = base.queryExecution.analyzed.output
     val ord = output.indexWhere(_.name == boolCol)
@@ -121,6 +145,7 @@ object CheckpointBridge {
     (org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       declared), acc.value)
+    }
   }
 
   /** [[localCheckpointHashCount]] for an arbitrary predicate: the
@@ -157,9 +182,14 @@ object CheckpointBridge {
   /** [[localCheckpointHashCount]] for a DOUBLE convergence metric: the
     * SUM and MAX of `metric` over all rows accumulate during the one
     * materializing job, so a delta-halted loop (pagerankConverged) pays
-    * one driver barrier per round instead of checkpoint + delta-agg.
-    * Returns (frame without the metric column, sum, max); max is
-    * Double.NegativeInfinity on an empty frame.
+    * ONE materializing action per round instead of checkpoint +
+    * delta-agg. Measured round bill (AlgosSpec job trace): exactly one
+    * action job; any broadcast-exchange builds inside the round's plan
+    * (the dangling-mass scalar always; other join builds only when the
+    * frames are small enough that stats elect broadcast) run as
+    * additional async future jobs, whose count is scale-dependent by
+    * design. Returns (frame without the metric column, sum, max); max
+    * is Double.NegativeInfinity on an empty frame.
     *
     * Same one-sided-error contract as the fused counts: a task retry can
     * only re-ADD non-negative metric values (callers pass |Δ|-shaped
@@ -173,6 +203,7 @@ object CheckpointBridge {
     require(!df.columns.contains("__graft_delta"),
       "input already has a __graft_delta column")
     val spark = df.sparkSession
+    withAqeOff(spark) {
     val base = df.withColumn("__graft_delta", metric.cast("double"))
       .repartition(n, col(key))
     val output = base.queryExecution.analyzed.output
@@ -203,6 +234,7 @@ object CheckpointBridge {
     (org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       declared).drop("__graft_delta"), sumAcc.value, maxAcc.value)
+    }
   }
 
   /** [[localCheckpointStats]] with a fused predicate count (same
@@ -216,6 +248,7 @@ object CheckpointBridge {
         "in place, so ord would read the wrong column and drop() would " +
         "remove caller data")
     val spark = df.sparkSession
+    withAqeOff(spark) {
     val flagged = df.withColumn("__graft_cnt", pred)
     val output = flagged.queryExecution.analyzed.output
     val ord = output.size - 1
@@ -240,6 +273,7 @@ object CheckpointBridge {
     (org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       declared).drop("__graft_cnt"), acc.value)
+    }
   }
 
   /** Plain localCheckpoint that declares the frame's MEASURED size (no

@@ -244,4 +244,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p.take(1200))
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
+
+  test("jaccardJoin candidate join: shuffled hash building on the index " +
+    "side, one prefix exchange reused by both sides") {
+    // Round-8 regression guard (verdict task 1): Catalyst's estimates
+    // once elected a BROADCAST of the probe-side prefix whose build ran
+    // as a single task (33 s of a 71 s query at sf0.1 — a serial stage
+    // no cluster parallelizes). The repaired shape is pinned here: a
+    // ShuffledHashJoin on tok with the (smaller, ilen-cut) index side
+    // as BuildRight, and both join inputs fed by ONE repartition(tok)
+    // exchange so the explode+shuffle of the prefix frame runs once.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val sets = graft.Tables(spark, sf).documents
+      .select(col("doc_id"),
+        graft.text.TextFunctions.shingleSet(col("text"), 8).as("items"))
+    val (sorted, cand, _) = graft.dedup.Dedup.jaccardJoinStaged(sets, 80)
+    // only the candidate-join section: the cached token-sort build below
+    // the InMemoryTableScan boundary legitimately broadcasts the df
+    // frame on tok and must not trip the negative assert
+    val pre = cand.queryExecution.executedPlan.toString
+      .split("InMemoryTableScan", 2)(0)
+    assert(pre.contains("ShuffledHashJoin [tok"), pre.take(2000))
+    assert(pre.contains("BuildRight"), pre.take(2000))
+    assert(!pre.contains("BroadcastHashJoin"),
+      "candidate join degraded back to a broadcast on tok:\n" + pre.take(2000))
+    cand.count() // materialize so AQE resolves stage reuse
+    val post = cand.queryExecution.executedPlan.toString
+    val stageIds = "ShuffleQueryStage (\\d+)".r
+      .findAllMatchIn(post).map(_.group(1)).toSeq
+    assert(stageIds.distinct.size < stageIds.size,
+      "prefix exchange no longer reused (each side pays its own shuffle):\n"
+        + post.take(2500))
+    sorted.unpersist()
+  }
 }

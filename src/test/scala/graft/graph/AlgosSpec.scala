@@ -56,32 +56,50 @@ class AlgosSpec extends SparkSpec {
     val e = Prep.makeSymmetric(
       Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L)).toDF("src", "dst"))
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fused = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+        jobs.incrementAndGet()
+        if (js.stageInfos.exists(_.name.contains("localCheckpointHashDeltaWhere")))
+          fused.incrementAndGet()
+        ()
       }
     }
     spark.sparkContext.addSparkListener(listener)
-    def jobsFor(iters: Int): Int = {
+    def jobsFor(iters: Int): (Int, Int) = {
       org.apache.spark.sql.graft.CheckpointBridge.drainListeners(spark)
-      jobs.set(0)
+      jobs.set(0); fused.set(0)
       val (_, r) = Algos.pagerankConverged(e, maxIters = iters, tol = 0.0)
       assert(r == iters) // tol 0 can't be undershot: every round runs
       org.apache.spark.sql.graft.CheckpointBridge.drainListeners(spark)
-      jobs.get()
+      (jobs.get(), fused.get())
     }
     try {
-      val j3 = jobsFor(3)
-      val j6 = jobsFor(6)
-      // Per-round bill = 1 fused checkpoint+delta job (the only
-      // materializing ACTION) + 1 plan-internal broadcast-exchange
-      // collect for the dangling-mass scalar. The dangling sum feeds the
-      // RESULT ranks, so it must stay an exact in-plan aggregate — an
-      // at-least-once accumulator would corrupt output under retries
-      // (ADVICE r7). Before the delta fusion this was 3 jobs/round.
-      assert(j6 - j3 == 3 * 2,
-        s"per-round jobs changed: maxIters=3 ran $j3, maxIters=6 ran $j6")
+      val (j3, f3) = jobsFor(3)
+      val (j6, f6) = jobsFor(6)
+      // The fusion's claim: ONE materializing ACTION per round — the
+      // fused checkpoint+delta count (job-traced: its stage carries the
+      // localCheckpointHashDeltaWhere call site). Holding that requires
+      // the fused helpers to plan the round body NON-adaptively
+      // (CheckpointBridge.withAqeOff): under AQE every query-stage
+      // materialization is its own job and the same body paid
+      // 7 jobs/round (round-8 verdict measurement).
+      assert(f6 - f3 == 3,
+        s"materializing actions per round changed: maxIters=3 ran $f3, maxIters=6 ran $f6")
+      // The remaining per-round jobs are plan-internal BROADCAST builds
+      // (async futures, not driver barriers): the dangling-mass scalar —
+      // which feeds the RESULT ranks, so it must stay an exact in-plan
+      // aggregate; an at-least-once accumulator would corrupt output
+      // under retries (ADVICE r7) — plus, at this 5-vertex scale where
+      // declared stats make EVERY join broadcastable, the verts⋈edges,
+      // sums-join and prev-join build sides. On a real graph those three
+      // stay co-partitioned exchange-free joins (declared partitioning),
+      // leaving count + dangling broadcast. Bound the toy-scale total so
+      // a regression that sneaks extra ACTIONS (the pre-fusion shape
+      // paid 7+/round) still fails.
+      assert(j6 - j3 <= 3 * 5,
+        s"per-round jobs grew past 1 action + 4 broadcasts: maxIters=3 ran $j3, maxIters=6 ran $j6")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 

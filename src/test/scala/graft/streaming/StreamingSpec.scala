@@ -516,4 +516,76 @@ class StreamingSpec extends SparkSpec {
     assert(out == batch)
     query.stop()
   }
+
+  // --- state-size boundedness under the watermark horizon -------------
+  // (round-8 verdict task 5 / round-7 task 6): the scale contract of
+  // every stateful streaming operator here is that state is
+  // O(watermark horizon of events), not O(stream). These drive many
+  // multiples of the horizon through the query and assert, via
+  // StreamingQueryProgress.stateOperators.numRowsTotal, that retained
+  // state stays bounded by a couple of horizons while the total fed
+  // grows unbounded.
+
+  private def lastStateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.reverseIterator
+      .find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum)
+      .getOrElse(-1L)
+
+  test("attribution join state stays bounded by the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val query = EventStreams.attributionJoin(
+        clicks.toDS().toDF(), purchases.toDS().toDF())
+      .writeStream.format("memory").queryName("attrib_state")
+      .outputMode("append").start()
+    // 8 waves, 4 h apart in event time; join horizon = 1 h window +
+    // 2 h watermark = 3 h < 4 h, so each wave's buffered rows are
+    // evictable before the next wave lands
+    val waveClicks = 25
+    val wavePurch = 5
+    val waves = 8
+    (0 until waves).foreach { w =>
+      val base = w * 14400L
+      clicks.addData((0 until waveClicks).map(i =>
+        ev(w * 1000L + i, base + i, w * 100L + i)): _*)
+      purchases.addData((0 until wavePurch).map(i =>
+        ev(w * 1000L + 500 + i, base + 60 + i, w * 100L + i)): _*)
+      query.processAllAvailable()
+    }
+    val fed = waves * (waveClicks + wavePurch)
+    val st = lastStateRows(query)
+    assert(st >= 0, "no stateOperators progress reported")
+    // eviction lags one batch behind the watermark update, so up to two
+    // waves may be retained — but never the whole feed
+    assert(st <= 3L * (waveClicks + wavePurch),
+      s"join state $st rows after feeding $fed — not bounded by the horizon")
+    query.stop()
+  }
+
+  test("exact-DAU chained dedup+agg state stays bounded by the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.dailyActiveUsers(input.toDS().toDF())
+      .writeStream.format("memory").queryName("dau_state")
+      .outputMode("update").start()
+    // 10 days, 20 users/day, 2 events per user-day; horizon = 25 h, so
+    // only ~2 days of (user, day) dedup rows + ~2 day windows may live
+    val days = 10
+    val users = 20
+    (0 until days).foreach { d =>
+      val base = d * 86400L
+      input.addData((0 until users).flatMap(u => Seq(
+        ev(d * 10000L + u * 2L, base + u * 60L, u.toLong),
+        ev(d * 10000L + u * 2L + 1L, base + u * 60L + 30L, u.toLong))): _*)
+      query.processAllAvailable()
+    }
+    val fedUserDays = days * users
+    val st = lastStateRows(query)
+    assert(st >= 0, "no stateOperators progress reported")
+    assert(st <= 3L * users + 3L,
+      s"DAU state $st rows after $fedUserDays distinct user-days — not bounded")
+    query.stop()
+  }
 }
