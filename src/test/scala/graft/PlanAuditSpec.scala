@@ -217,6 +217,16 @@ class PlanAuditSpec extends SparkSpec {
       "pair-key exchange reappeared under the distinct:\n" + p.take(1500))
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
     assert(!p.contains("CartesianProduct"), p.take(800))
+    // total shuffle-exchange count pin (round-8 verdict task 6): the
+    // measured plan pays 4 — the two REPARTITION_BY_COL passes of
+    // lineitem on l_orderkey (the subset-rule layout the multi-supplier
+    // distinct and the waiting anti/semi joins share), the l_suppkey
+    // exchange feeding the per-supplier count, and one ENSURE under the
+    // exists/not-exists pair; a Spark upgrade or stats regression that
+    // sneaks a fifth shuffle into this plan fails here
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 4,
+      s"q21 shuffle-exchange count grew: $shuffles > 4\n" + p.take(2000))
   }
 
   test("q22: scalar threshold is a 1-row broadcast; idle filter an anti-join") {
