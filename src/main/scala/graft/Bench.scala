@@ -1,6 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Per-query Spark JOB counts emitted next to seconds in the bench
+    * JSON (round-9 verdict task 2). Wall time in the one-JVM 275-query
+    * suite carries ±2-3× position noise (twice adjudicated by
+    * standalone probes); the job count is deterministic for a fixed
+    * binary+plan, so the adjudication rule is: a wall-time delta with
+    * UNCHANGED job count is suite noise, a job-count delta is a real
+    * plan/driver-bill change. Counted via SparkListener and read only
+    * after a deterministic listener-bus drain (events are async). */
+  private val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -23,6 +32,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCounter.incrementAndGet(); ()
+      }
+    })
     // Untimed warmup: exercise the scan/shuffle/agg/join/codegen paths so
     // JIT cold-start lands here, not on whichever query happens to run
     // first (measured multi-second first-query penalties otherwise).
@@ -59,9 +73,10 @@ object Bench {
     // name-sorted: a stable, documented order makes per-query times
     // comparable across rounds (Map hash order reshuffles whenever the
     // query set changes, moving JIT/GC position effects between queries)
-    def runPass(): Seq[(String, Double)] = SparkEntry.queries.toSeq.sortBy(_._1)
+    def runPass(): Seq[(String, Double, Int)] = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        jobCounter.set(0)
         val t0 = System.nanoTime()
         // A failed query must be UN-MASKABLE: record a NEGATIVE elapsed
         // time and log it. (Round 5 silently recorded 20 analysis-time
@@ -73,6 +88,10 @@ object Bench {
         }
         val dt0 = (System.nanoTime() - t0) / 1e9
         val dt = if (ok) dt0 else -dt0
+        // job count read AFTER the bus drain (async delivery) and OUTSIDE
+        // the timed window — the drain is bookkeeping, not query cost
+        org.apache.spark.sql.graft.CheckpointBridge.drainListeners(spark)
+        val jobs = jobCounter.get()
         // harness hygiene runs OUTSIDE the timed window — it's
         // between-query bookkeeping, not query cost:
         // clearCache drops only catalog-tracked datasets; localCheckpoint
@@ -84,24 +103,28 @@ object Bench {
         // (GC-triggered) never reclaims dead broadcasts/accumulators and
         // they accumulate across the run — nudge it between queries
         System.gc()
-        name -> dt
+        (name, dt, jobs)
       }
     // Round to ms: full double reprs pushed the round-4 line past what the
     // harness captured whole (BENCH_r04 `total` arrived truncated
     // mid-number). Headline fields lead the object so a tail truncation
     // can only ever cost per-query detail, never the total.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def emit(results: Seq[(String, Double)], passTotals: Seq[Double],
+    def emit(results: Seq[(String, Double, Int)], passTotals: Seq[Double],
              nPasses: Int): Unit = {
-      val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
+      val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      // deterministic per-query job counts (the adjudication metric for
+      // wall-time deltas — see scaladoc on jobCounter); min across passes
+      val js = results.map { case (k, _, j) => s"\"" + k + "\":" + j }
         .mkString("{", ",", "}")
       // total sums SUCCESSFUL queries only; failures (negative entries)
       // are surfaced in an explicit errors list so they never read fast.
       val total = results.map(_._2).filter(_ >= 0).sum
-      val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      val errs = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       val passes = passTotals.map(f).mkString("[", ",", "]")
       val line =
-        s"""{"metric":"total","value":${f(total)},"unit":"sec","n_passes":$nPasses,"pass_totals":$passes,"n_err":${errs.size},"errors":${errs.mkString("[", ",", "]")},"sf":"$sfDir","queries":$qs}"""
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","n_passes":$nPasses,"pass_totals":$passes,"n_err":${errs.size},"errors":${errs.mkString("[", ",", "]")},"sf":"$sfDir","queries":$qs,"jobs":$js}"""
       println(line)
       // Belt-and-braces: also persist the full line to a file the judge
       // can read even if the stdout capture clips.
@@ -118,15 +141,22 @@ object Bench {
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
     val p1 = runPass()
     emit(p1, Seq(p1.map(_._2).filter(_ >= 0).sum), 1)
-    var best = p1.toMap
+    var best = p1.map { case (k, v, j) => k -> ((v, j)) }.toMap
     var totals = Seq(p1.map(_._2).filter(_ >= 0).sum)
     (2 to nPasses).foreach { _ =>
       val p = runPass()
       totals :+= p.map(_._2).filter(_ >= 0).sum
-      // per-query min; an error in any pass keeps the query flagged
-      // (negative min) — a flaky failure must stay visible
-      best = p.map { case (k, v) => k -> math.min(best.getOrElse(k, v), v) }.toMap
-      emit(p1.map { case (k, _) => k -> best(k) }, totals, totals.size)
+      // per-query min on BOTH time and jobs; an error in any pass keeps
+      // the query flagged (negative min) — a flaky failure must stay
+      // visible. Jobs are deterministic per plan, so min-vs-last only
+      // matters when a listener-drain hiccup inflates one pass.
+      best = p.map { case (k, v, j) =>
+        val (pv, pj) = best.getOrElse(k, (v, j))
+        k -> ((math.min(pv, v), math.min(pj, j)))
+      }.toMap
+      emit(p1.map { case (k, _, _) =>
+        val (v, j) = best(k); (k, v, j)
+      }, totals, totals.size)
     }
     spark.stop()
   }

@@ -527,7 +527,10 @@ object Dedup {
     // parallelize); with it every stage is np-way and neither side is
     // ever collected to one node, which is the only shape that
     // survives a corpus where both prefix frames are TB-scale.
-    val np = sets.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // resolved through SQLConf (not a raw string parse): platforms that
+    // set the conf to a non-numeric alias (e.g. "auto") resolve to the
+    // effective partition count instead of a NumberFormatException
+    val np = sets.sparkSession.sessionState.conf.numShufflePartitions
     val shuffled = prefix.repartition(np, col("tok"))
     val p1 = shuffled.select(col("doc_id").as("da"), col("n").as("pna"),
       col("pos").as("pa"), col("tok"))

@@ -29,7 +29,7 @@ object Algos {
     * under AQE, so iteration joins would reshuffle it every round. */
   private def ckptHash(df: DataFrame, key: String): DataFrame =
     org.apache.spark.sql.graft.CheckpointBridge.localCheckpointHash(
-      df, key, df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      df, key, df.sparkSession.sessionState.conf.numShufflePartitions)
 
   /** [[ckptHash]] with a fused predicate count — the loop's convergence
     * count rides the checkpoint's own materializing job (one driver
@@ -37,7 +37,7 @@ object Algos {
   private def ckptHashCountWhere(df: DataFrame, key: String,
                                  pred: Column): (DataFrame, Long) =
     org.apache.spark.sql.graft.CheckpointBridge.localCheckpointHashCountWhere(
-      df, key, df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, pred)
+      df, key, df.sparkSession.sessionState.conf.numShufflePartitions, pred)
 
   /** localCheckpoint with MEASURED stats (CheckpointBridge). A plain
     * `localCheckpoint()` PROPAGATES the pre-checkpoint plan's estimated
@@ -333,7 +333,7 @@ object Algos {
       case "sum_rel" | "max_rel" => diff / col("prev_pr")
       case "rmse"                => diff * diff
     }
-    val np = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val np = edges.sparkSession.sessionState.conf.numShufflePartitions
     var it = 0
     var delta = Double.MaxValue
     while (it < maxIters && delta >= tol) {
@@ -900,41 +900,59 @@ object Algos {
 
   /** The shared tagged multi-source BFS behind the distance centralities:
     * state is (id, tag, level) — |sources|× the single-source frame, one
-    * loop instead of |sources| loops (each round: frontier⋈edges + an
-    * anti-join against the settled set + a min-combine; BFS levels are
-    * final on first arrival, so the frontier is exactly the new rows).
-    * Returns the settled frame as a managed checkpoint — callers MUST
-    * freeCkpt it after materializing their aggregate. */
+    * loop instead of |sources| loops (each round: frontier⋈edges + a
+    * min-combine + anti-joins against the LAST TWO frontiers; BFS levels
+    * are final on first arrival, so the frontier is exactly the new
+    * rows). Input MUST be symmetric (both callers symmetrize): the
+    * undirected frontier rule below depends on it.
+    *
+    * UNDIRECTED FRONTIER RULE (round-10, the 10×-decade fix): on a
+    * symmetric graph |dist(u,t) − dist(v,t)| ≤ 1 across any edge, so a
+    * candidate expanded from frontier h can only collide with frontiers
+    * h and h−1 — anti-joining those two ROUND-SIZED checkpoints replaces
+    * the ball-sized settled anti-join, which silently flipped from a
+    * broadcast to a full exchange+sort of the whole reached set every
+    * round once the ball outgrew the broadcast threshold (q_graph_
+    * neighborhood measured 15.1× on the 10× events decade before this
+    * fix — ScaleProbe r10, PLANS.md). It also removes the per-round
+    * settled∪next re-checkpoint: each frontier stays its own checkpoint
+    * and the settled result is their lazy union.
+    *
+    * Returns the settled frame as a union of managed checkpoints —
+    * callers MUST freeCkpt it after materializing their aggregate
+    * (freeCkpt walks every LogicalRDD leaf, freeing all levels). */
   private def taggedBfs(symEdges: DataFrame, sources: Seq[Long],
                         maxHops: Int): DataFrame = {
     val s = symEdges.sparkSession
     import s.implicits._
     val e = ckptHash(symEdges.select("src", "dst"), "src")
-    var settled = sources.map(x => (x, x, 0L)).toDF("id", "tag", "level")
+    val src0 = sources.map(x => (x, x, 0L)).toDF("id", "tag", "level")
       .localCheckpoint()
-    var frontier = settled
+    var frontiers = Vector(src0)
+    var frontier = src0
+    var prev: DataFrame = null
     var h = 0
     var live = true
     while (live && h < maxHops) {
-      // min-combine BEFORE the anti-join: the partial agg collapses the
-      // |frontier|·deg expansion map-side, so the sort-merge anti-join
-      // only ever sees ≤ |distinct (id, tag)| rows (same fix as
+      // min-combine BEFORE the anti-joins: the partial agg collapses the
+      // |frontier|·deg expansion map-side, so the anti-joins only ever
+      // see ≤ |distinct (id, tag)| rows (same fix as
       // [[neighborhoodFunction]]; measured 10× there at sf0.1)
       val next = frontier.select(col("id").as("src"), col("tag"), col("level"))
         .join(e, Seq("src"))
         .select(col("dst").as("id"), col("tag"), (col("level") + 1L).as("level"))
         .groupBy(col("id"), col("tag")).agg(min(col("level")).as("level"))
-        .join(settled.select("id", "tag"), Seq("id", "tag"), "left_anti")
-        .transform(d => {
+        .join(frontier.select("id", "tag"), Seq("id", "tag"), "left_anti")
+        .transform(d0 => {
+          val d = if (prev == null) d0
+            else d0.join(prev.select("id", "tag"), Seq("id", "tag"), "left_anti")
           val (ck, n) = org.apache.spark.sql.graft.CheckpointBridge
             .localCheckpointStatsCountWhere(d, lit(true))
           live = n > 0; ck
         })
       if (live) {
-        val merged = settled.union(next).localCheckpoint()
-        freeCkpt(settled)
-        if (h > 0) freeCkpt(frontier)
-        settled = merged
+        frontiers :+= next
+        prev = frontier
         frontier = next
       } else {
         freeCkpt(next)
@@ -942,7 +960,7 @@ object Algos {
       h += 1
     }
     freeCkpt(e)
-    settled
+    frontiers.reduce(_ union _)
   }
 
   /** Exact neighborhood function N(h) over a deterministic 1/sampleMod
@@ -953,10 +971,16 @@ object Algos {
     * predicate, never a driver-side id list, so the source set scales
     * with the graph.
     *
-    * Per round: frontier⋈edges + an anti-join against the settled set +
-    * a min-combine — the [[eccentricities]] frontier discipline, so the
-    * cost is output-linear in newly-reached pairs (no re-distinct of the
-    * whole ball per round). The driver sees maxH+1 count scalars.
+    * Per round: frontier⋈edges + a min-combine + anti-joins against the
+    * last TWO frontiers — the [[taggedBfs]] undirected frontier rule
+    * (input must be symmetric): a candidate expanded from frontier h can
+    * only collide with frontiers h and h−1, so the anti-join partners
+    * are ROUND-SIZED and the growing ball is never shuffled, sorted, or
+    * re-checkpointed at all. Before round 10 this anti-joined the whole
+    * settled ball, which broadcast at sf0.1 but flipped to a per-round
+    * full exchange+sort of the ball at the 10× events decade — measured
+    * 15.1× there (ScaleProbe r10, PLANS.md); the frontier rule restores
+    * the output-linear bill. The driver sees maxH+1 count scalars.
     * [[anfSketch]] is the constant-state sketch variant for when even
     * the sampled pair frame is too wide (AlgosSpec asserts it tracks
     * this exact operator). */
@@ -965,13 +989,13 @@ object Algos {
     val s = symEdges.sparkSession
     import s.implicits._
     val e = ckptHash(symEdges.select("src", "dst"), "src")
-    var settled = ckptHash(
+    var frontier = ckptHash(
       verticesOf(e).filter(pmod(col("id"), lit(sampleMod)) === 0L)
         .select(col("id"), col("id").as("tag"), lit(0L).as("level")), "id")
-    var frontier = settled
-    var counts = Vector((0L, settled.count()))
+    var prev: DataFrame = null
+    var counts = Vector((0L, frontier.count()))
     (1 to maxH).foreach { h =>
-      // AGGREGATE BEFORE THE ANTI-JOIN: the raw expansion is
+      // AGGREGATE BEFORE THE ANTI-JOINS: the raw expansion is
       // |frontier|·deg rows (∼ pairs·avgdeg ≈ 400M at sf0.1 over the
       // run); the min-combine's map-side partial agg collapses it to
       // ≤ |distinct (id, tag)| BEFORE anything shuffles or sorts.
@@ -981,8 +1005,10 @@ object Algos {
         .join(e, Seq("src"))
         .select(col("dst").as("id"), col("tag"), (col("level") + 1L).as("level"))
         .groupBy(col("id"), col("tag")).agg(min(col("level")).as("level"))
-        .join(settled.select("id", "tag"), Seq("id", "tag"), "left_anti")
-        .transform(d => {
+        .join(frontier.select("id", "tag"), Seq("id", "tag"), "left_anti")
+        .transform(d0 => {
+          val d = if (prev == null) d0
+            else d0.join(prev.select("id", "tag"), Seq("id", "tag"), "left_anti")
           // This count is RESULT data, not loop control: the fused
           // accumulator is at-least-once under task retries, so recount
           // the materialized blocks exactly (a count() over a cached
@@ -992,13 +1018,13 @@ object Algos {
             .localCheckpointStats(d)
           counts :+= ((h.toLong, counts.last._2 + ck.count())); ck
         })
-      val merged = settled.union(next).localCheckpoint()
-      freeCkpt(settled)
-      if (h > 1) freeCkpt(frontier)
-      settled = merged
+      if (prev != null) freeCkpt(prev)
+      prev = frontier
       frontier = next
     }
-    freeCkpt(settled); freeCkpt(frontier); freeCkpt(e)
+    freeCkpt(frontier)
+    if (prev != null) freeCkpt(prev)
+    freeCkpt(e)
     counts.toDF("h", "n_pairs").orderBy(col("h"))
   }
 

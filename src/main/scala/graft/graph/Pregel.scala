@@ -114,7 +114,7 @@ object Pregel {
     // the vprog join are exchange-free on these sides — the one-shuffle-
     // per-superstep (combined messages only) contract, enforced by the
     // CoverageSpec plan assertion.
-    val numParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val numParts = spark.sessionState.conf.numShufflePartitions
     val e = org.apache.spark.sql.graft.CheckpointBridge
       .localCheckpointHash(edges.toDF(), "src", numParts)
 
@@ -188,7 +188,7 @@ object Pregel {
       step: (DataFrame, Int) => DataFrame,
       master: (DataFrame, Int) => Boolean = (_, _) => true): DataFrame = {
     val resumed = resumePoint(vertices.sparkSession, opts)
-    val numParts = vertices.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val numParts = vertices.sparkSession.sessionState.conf.numShufflePartitions
     var verts = resumed.map(_._2).getOrElse(vertices).persist(opts.storageLevel)
     var fromCaller = true
     verts.count()

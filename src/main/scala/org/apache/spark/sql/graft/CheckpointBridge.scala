@@ -24,8 +24,8 @@ import org.apache.spark.sql.functions.col
   */
 object CheckpointBridge {
 
-  /** Plan and execute `body` with AQE OFF, restoring the session conf
-    * after. The fused-count checkpoints exist to make each fixpoint
+  /** Rebind `df` onto a session that plans with AQE OFF. The fused-count
+    * checkpoints exist to make each fixpoint
     * round cost ONE driver job; under AQE the same round pays one job
     * per query-stage materialization (measured 7 jobs/round on the
     * pagerankConverged body: sums shuffle, two join stages, the
@@ -34,16 +34,33 @@ object CheckpointBridge {
     * input is a declared-partitioning LogicalRDD with measured stats,
     * so there are no runtime re-plan decisions left to make, while each
     * extra stage job is a driver scheduling round-trip that a
-    * 1000-executor cluster pays in O(100 ms) units per round. The
-    * toggle is scoped: only the fused helpers' own planning+execution
-    * run non-adaptively (tests and the bench run queries sequentially
-    * on the shared session, so the temporary session-conf flip cannot
-    * leak into a concurrent query's planning). */
-  private def withAqeOff[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
-    val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try body finally spark.conf.set(key, prev)
+    * 1000-executor cluster pays in O(100 ms) units per round.
+    *
+    * SESSION-SCOPED (round-10, was a session-global conf flip): the
+    * input frame's logical plan is rebound onto a fresh CLONED session
+    * whose conf (cloned too) has AQE off — physical planning reads the
+    * BOUND session's conf, so only the helper's own planning+execution
+    * is non-adaptive. (A thread-local `SQLConf.withExistingConf` clone
+    * does NOT work: measured on 4.1.2, executedPlan stays
+    * AdaptiveSparkPlanExec even though SQLConf.get reads false inside
+    * the scope — planning resolves the session conf, not the
+    * thread-local.) A concurrent query on the caller's session plans
+    * adaptively as configured, the caller's conf is never touched, and
+    * overlapping fixpoints each get their own clone — nothing to
+    * restore, nothing to race. cloneSession() copies SessionState
+    * (conf, catalog incl. temp views, registry) and shares the
+    * SparkContext, so accumulators, cached blocks, and the returned
+    * declared-LogicalRDD frames (always built against the CALLER's
+    * session) behave exactly as before. Per-round clone cost is driver
+    * metadata only — measured: 50 clones add ONE listener to the shared
+    * LiveListenerBus total (the execution-listener bus is shared, not
+    * per-session), so a 1000-round fixpoint leaks nothing. Pinned by
+    * the two-thread test in CheckpointBridgeSpec. */
+  private def aqeOffTwin(df: DataFrame): DataFrame = {
+    val parent = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val clone = parent.cloneSession()
+    clone.conf.set("spark.sql.adaptive.enabled", "false")
+    org.apache.spark.sql.classic.Dataset.ofRows(clone, df.queryExecution.logical)
   }
 
   def free(df: Dataset[_]): Unit = {
@@ -68,7 +85,14 @@ object CheckpointBridge {
     * rebuilds the LogicalRDD leaf declaring that HashPartitioning. The
     * declaration is sound because the RDD partitions ARE the shuffle
     * output partitions of that exact partitioning — nothing is assumed.
-    */
+    *
+    * Deliberately planned ADAPTIVELY (not wrapped in withAqeOff, unlike
+    * the fused helpers and localCheckpointStats): this checkpoint's
+    * callers feed it BIG frames — one-shot edge prep (symmetrize/dedup
+    * pipelines whose shuffles genuinely benefit from AQE coalescing and
+    * skew splits at TB scale) and big-frame round bodies. Loops that
+    * want the one-job-per-round driver bill use the fused
+    * localCheckpointHashCount/DeltaWhere variants, which are AQE-off. */
   def localCheckpointHash(df: DataFrame, key: String, n: Int): DataFrame = {
     val ck = df.repartition(n, col(key)).localCheckpoint()
     ck.queryExecution.analyzed match {
@@ -118,8 +142,7 @@ object CheckpointBridge {
   def localCheckpointHashCount(df: DataFrame, key: String, n: Int,
                                boolCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession
-    withAqeOff(spark) {
-    val base = df.repartition(n, col(key))
+    val base = aqeOffTwin(df).repartition(n, col(key))
     val output = base.queryExecution.analyzed.output
     val ord = output.indexWhere(_.name == boolCol)
     require(ord >= 0, s"no column $boolCol in $output")
@@ -145,7 +168,6 @@ object CheckpointBridge {
     (org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       declared), acc.value)
-    }
   }
 
   /** [[localCheckpointHashCount]] for an arbitrary predicate: the
@@ -203,8 +225,7 @@ object CheckpointBridge {
     require(!df.columns.contains("__graft_delta"),
       "input already has a __graft_delta column")
     val spark = df.sparkSession
-    withAqeOff(spark) {
-    val base = df.withColumn("__graft_delta", metric.cast("double"))
+    val base = aqeOffTwin(df).withColumn("__graft_delta", metric.cast("double"))
       .repartition(n, col(key))
     val output = base.queryExecution.analyzed.output
     val ord = output.indexWhere(_.name == "__graft_delta")
@@ -234,7 +255,6 @@ object CheckpointBridge {
     (org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       declared).drop("__graft_delta"), sumAcc.value, maxAcc.value)
-    }
   }
 
   /** [[localCheckpointStats]] with a fused predicate count (same
@@ -248,8 +268,7 @@ object CheckpointBridge {
         "in place, so ord would read the wrong column and drop() would " +
         "remove caller data")
     val spark = df.sparkSession
-    withAqeOff(spark) {
-    val flagged = df.withColumn("__graft_cnt", pred)
+    val flagged = aqeOffTwin(df).withColumn("__graft_cnt", pred)
     val output = flagged.queryExecution.analyzed.output
     val ord = output.size - 1
     val acc = spark.sparkContext.longAccumulator("graft.statsCount")
@@ -273,7 +292,6 @@ object CheckpointBridge {
     (org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       declared).drop("__graft_cnt"), acc.value)
-    }
   }
 
   /** Plain localCheckpoint that declares the frame's MEASURED size (no
@@ -282,24 +300,36 @@ object CheckpointBridge {
     * joins should broadcast, this is the better checkpoint: the declared
     * stats let the planner pick broadcast statically (a bare checkpoint
     * reports "huge" and blocks it), and skipping the forced repartition
-    * saves one full exchange of the frame per round. */
+    * saves one full exchange of the frame per round.
+    *
+    * Planned AQE-OFF like the fused helpers (ADVICE r9): the loops that
+    * call this per round (WCC's vertex frame, tagged-BFS frontiers,
+    * leaf-peel) otherwise pay one driver job per AQE query-stage
+    * materialization — the exact bill the fused helpers eliminated. The
+    * toggle is safe here BY CONTRACT: this checkpoint is for frames
+    * small enough to broadcast, and the measured stats make the static
+    * planner pick that broadcast — AQE's runtime conversions and skew
+    * splits have nothing left to add inside these round bodies. */
   def localCheckpointStats(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint()
+    // checkpoint via the AQE-off twin; the returned frame is rebound to
+    // the CALLER's session (a clone-bound result would silently plan
+    // every downstream consumer non-adaptively too)
+    val parent = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val ck = aqeOffTwin(df).localCheckpoint()
     ck.queryExecution.analyzed match {
       case l: LogicalRDD =>
-        val stats = ck.sparkSession.sparkContext.getRDDStorageInfo
+        val stats = parent.sparkContext.getRDDStorageInfo
           .find(_.id == l.rdd.id)
           .map(i => org.apache.spark.sql.catalyst.plans.logical.Statistics(
             sizeInBytes = BigInt(i.memSize + i.diskSize).max(1)))
         val declared = new LogicalRDD(
           l.output, l.rdd, l.outputPartitioning,
           l.outputOrdering, l.isStreaming, l.getStream)(
-          ck.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-          stats, None)
+          parent, stats, None)
+        org.apache.spark.sql.classic.Dataset.ofRows(parent, declared)
+      case _ =>
         org.apache.spark.sql.classic.Dataset.ofRows(
-          ck.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-          declared)
-      case _ => ck
+          parent, ck.queryExecution.logical)
     }
   }
 

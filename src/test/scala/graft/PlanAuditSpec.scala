@@ -139,16 +139,57 @@ class PlanAuditSpec extends SparkSpec {
         w.windowExpression.map(_.sql).mkString(", ").take(120)
     }
 
-  test("corpus-wide lint: no unbounded zero-partitionBy window in any declared plan") {
+  // ---- serial-stage lint (round-9 verdict task 3) -------------------
+  // The round-8 jaccard regression hid a broadcast build that executed
+  // as ONE task (33 s serial stage) inside an otherwise-green plan for a
+  // full round. This flags any stage the planner has ALREADY committed
+  // to one partition while carrying a data-sized frame: a shuffle
+  // exchange whose output partitioning has numPartitions == 1, a
+  // coalesce(1), or a broadcast build over a single-partition child —
+  // unless the subtree below is scalar (empty-grouping aggregate, ≤1 row
+  // by construction) or already cut by a limit-class operator. Scalar
+  // aggregates and top-k cuts are the only legitimate single-partition
+  // citizens at 100 TB.
+
+  private def scalarOrLimited(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+    boundedByLimit(p) || p.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+          if a.groupingExpressions.isEmpty => true
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+          if a.groupingExpressions.isEmpty => true
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec
+          if a.groupingExpressions.isEmpty => true
+    }.nonEmpty
+
+  private def serialStageViolations(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+    p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.numPartitions == 1 && !scalarOrLimited(e.child) =>
+        s"1-partition shuffle (${e.outputPartitioning}) over ${e.child.nodeName}"
+      case c: org.apache.spark.sql.execution.CoalesceExec
+          if c.numPartitions == 1 && !scalarOrLimited(c.child) =>
+        s"coalesce(1) over ${c.child.nodeName}"
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+          if b.child.outputPartitioning.numPartitions == 1 && !scalarOrLimited(b.child) =>
+        s"single-task broadcast build over ${b.child.nodeName}"
+    }
+
+  test("corpus-wide lint: no unbounded global window and no serial " +
+    "1-partition stage in any declared plan") {
     val names = Queries.all.keys.toSeq.sorted
     val offenders = scala.collection.mutable.ListBuffer[String]()
     val whitelistHits = scala.collection.mutable.Set[String]()
     names.foreach { name =>
       val df = Queries.all(name)(spark, sf)
-      val v = globalWindowViolations(df.queryExecution.sparkPlan)
+      val plan = df.queryExecution.sparkPlan
+      val v = globalWindowViolations(plan)
       if (v.nonEmpty) {
         if (boundedFrameWhitelist.contains(name)) whitelistHits += name
-        else offenders += s"$name: ${v.mkString(" | ")}"
+        else offenders += s"$name [window]: ${v.mkString(" | ")}"
+      }
+      serialStageViolations(plan).foreach { s =>
+        offenders += s"$name [serial]: $s"
       }
       // registry queries persist/checkpoint internally during
       // construction — drop leftovers so the sweep doesn't accumulate
@@ -156,12 +197,28 @@ class PlanAuditSpec extends SparkSpec {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     assert(offenders.isEmpty,
-      s"unbounded zero-partitionBy WindowExec (single-partition sort of a " +
+      s"scale-killer stage (single-partition sort/shuffle/build of a " +
         s"data-sized frame) in:\n  ${offenders.mkString("\n  ")}")
     // keep the whitelist honest: every entry must still be needed
     val stale = boundedFrameWhitelist.keySet -- whitelistHits
     assert(stale.isEmpty,
       s"stale whitelist entries (no global window in their plan anymore): $stale")
+  }
+
+  test("serial-stage lint self-check: a planted 1-partition shuffle is " +
+    "caught; scalar aggregates and top-k cuts stay legitimate") {
+    import org.apache.spark.sql.functions._
+    val planted = spark.range(1000).toDF("id").repartition(1)
+      .filter(col("id") > 10)
+    assert(serialStageViolations(planted.queryExecution.sparkPlan).nonEmpty,
+      "lint failed to flag a deliberately planted 1-partition shuffle:\n" +
+        planted.queryExecution.sparkPlan.toString.take(800))
+    val scalar = spark.range(1000).agg(sum(col("id")).as("s"))
+    assert(serialStageViolations(scalar.queryExecution.sparkPlan).isEmpty,
+      scalar.queryExecution.sparkPlan.toString.take(800))
+    val topk = spark.range(1000).toDF("id").orderBy(col("id")).limit(5)
+    assert(serialStageViolations(topk.queryExecution.sparkPlan).isEmpty,
+      topk.queryExecution.sparkPlan.toString.take(800))
   }
 
   test("lint self-check: a planted global window is caught") {
@@ -270,22 +327,37 @@ class PlanAuditSpec extends SparkSpec {
       .select(col("doc_id"),
         graft.text.TextFunctions.shingleSet(col("text"), 8).as("items"))
     val (sorted, cand, _) = graft.dedup.Dedup.jaccardJoinStaged(sets, 80)
-    // only the candidate-join section: the cached token-sort build below
-    // the InMemoryTableScan boundary legitimately broadcasts the df
-    // frame on tok and must not trip the negative assert
-    val pre = cand.queryExecution.executedPlan.toString
-      .split("InMemoryTableScan", 2)(0)
-    assert(pre.contains("ShuffledHashJoin [tok"), pre.take(2000))
-    assert(pre.contains("BuildRight"), pre.take(2000))
-    assert(!pre.contains("BroadcastHashJoin"),
-      "candidate join degraded back to a broadcast on tok:\n" + pre.take(2000))
+    // anchor the asserts on the JOIN NODES themselves (ADVICE r9: the
+    // old string-split at the first "InMemoryTableScan" ran vacuously
+    // whenever the cached frame's scan printed before the candidate
+    // join). collect() naturally stops at the InMemoryTableScan LEAF, so
+    // the cached token-sort build below it — which legitimately
+    // broadcasts the small df frame — never reaches the negative assert.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
+    def top(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case o => o
+    }
+    val pre = top(cand.queryExecution.executedPlan)
+    val shj = pre.collect { case j: ShuffledHashJoinExec => j }
+    assert(shj.exists(j => j.leftKeys.exists(_.toString.contains("tok")) &&
+        j.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildRight),
+      "candidate join is not a ShuffledHashJoin on tok building the " +
+        "index side:\n" + pre.toString.take(2000))
+    assert(pre.collect { case b: BroadcastHashJoinExec => b }.isEmpty,
+      "candidate join degraded back to a broadcast on tok:\n" + pre.toString.take(2000))
     cand.count() // materialize so AQE resolves stage reuse
-    val post = cand.queryExecution.executedPlan.toString
+    val post = top(cand.queryExecution.executedPlan)
+    // no broadcast slipped in at RUNTIME either (AQE re-plan)
+    assert(post.collect { case b: BroadcastHashJoinExec => b }.isEmpty,
+      "AQE runtime-converted the candidate join to a broadcast:\n" + post.toString.take(2000))
     val stageIds = "ShuffleQueryStage (\\d+)".r
-      .findAllMatchIn(post).map(_.group(1)).toSeq
+      .findAllMatchIn(post.toString).map(_.group(1)).toSeq
     assert(stageIds.distinct.size < stageIds.size,
       "prefix exchange no longer reused (each side pays its own shuffle):\n"
-        + post.take(2500))
+        + post.toString.take(2500))
     sorted.unpersist()
   }
 }
