@@ -1164,7 +1164,15 @@ object Algos {
       conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long").as("p")),
       "id")
     var live = e
-    var matched = Seq.empty[(Long, Long)].toDF("u", "v").localCheckpoint()
+    // one ROUND-SIZED checkpoint per round; the matched result is their
+    // lazy union. The anti-join partner is only THIS round's mutual
+    // endpoints: live already excludes every earlier round's endpoints
+    // inductively, so anti-joining the full (growing) matched set was
+    // redundant work that broadcasts at test scale but flips to a
+    // per-round ball exchange past the threshold (the taggedBfs r10
+    // cliff class) — and the matched∪mutual re-checkpoint per round
+    // (O(rounds·matched) writes) disappears with it.
+    var rounds = Vector.empty[DataFrame]
     var round = 0
     var liveCount = live.count()
     while (liveCount > 0 && round < maxRounds) {
@@ -1174,26 +1182,29 @@ object Algos {
           Window.partitionBy(col("src")).orderBy(col("np").desc, col("dst").desc)))
         .filter(col("rn") === 1)
         .select(col("src"), col("dst"))
-      val mutual = pick.as("a")
-        .join(pick.as("b"),
-          col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
-        .filter(col("a.src") < col("a.dst"))
-        .select(col("a.src").as("u"), col("a.dst").as("v"))
-      val nextMatched = matched.union(mutual).localCheckpoint()
-      val mv = nextMatched.select(col("u").as("id"))
-        .union(nextMatched.select(col("v").as("id"))).distinct()
+      val mutual = org.apache.spark.sql.graft.CheckpointBridge
+        .localCheckpointStats(pick.as("a")
+          .join(pick.as("b"),
+            col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+          .filter(col("a.src") < col("a.dst"))
+          .select(col("a.src").as("u"), col("a.dst").as("v")))
+      rounds :+= mutual
+      // dup endpoints are harmless on the anti-join's build side — no
+      // distinct pass needed
+      val mv = mutual.select(col("u").as("id"))
+        .union(mutual.select(col("v").as("id")))
       val (nextLive, nextLiveCount) = ckptHashCountWhere(
         live.join(mv.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
           .join(mv.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
           .select(col("src"), col("dst")), "src", lit(true))
-      freeCkpt(matched); if (round > 0) freeCkpt(live)
-      matched = nextMatched
+      if (round > 0) freeCkpt(live)
       live = nextLive
       liveCount = nextLiveCount
       round += 1
     }
-    val out = matched.orderBy(col("u")).localCheckpoint()
-    freeCkpt(matched); freeCkpt(live); freeCkpt(prio); freeCkpt(e)
+    val out = (Seq.empty[(Long, Long)].toDF("u", "v") +: rounds)
+      .reduce(_ union _).orderBy(col("u")).localCheckpoint()
+    rounds.foreach(freeCkpt); freeCkpt(live); freeCkpt(prio); freeCkpt(e)
     out
   }
 
@@ -1210,7 +1221,10 @@ object Algos {
     val s = symEdges.sparkSession
     import s.implicits._
     var live = ckptHash(symEdges.select("src", "dst", "w"), "src")
-    var matched = Seq.empty[(Long, Long, Long)].toDF("u", "v", "w").localCheckpoint()
+    // round-sized checkpoints + current-round-endpoints anti-join — same
+    // rationale as [[maximalMatching]] (live inductively excludes every
+    // earlier round's matched endpoints)
+    var rounds = Vector.empty[DataFrame]
     var round = 0
     var liveCount = live.count()
     while (liveCount > 0 && round < maxRounds) {
@@ -1219,26 +1233,27 @@ object Algos {
           Window.partitionBy(col("src")).orderBy(col("w").desc, col("dst").desc)))
         .filter(col("rn") === 1)
         .select(col("src"), col("dst"), col("w"))
-      val mutual = pick.as("a")
-        .join(pick.as("b"),
-          col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
-        .filter(col("a.src") < col("a.dst"))
-        .select(col("a.src").as("u"), col("a.dst").as("v"), col("a.w").as("w"))
-      val nextMatched = matched.union(mutual).localCheckpoint()
-      val mv = nextMatched.select(col("u").as("id"))
-        .union(nextMatched.select(col("v").as("id"))).distinct()
+      val mutual = org.apache.spark.sql.graft.CheckpointBridge
+        .localCheckpointStats(pick.as("a")
+          .join(pick.as("b"),
+            col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+          .filter(col("a.src") < col("a.dst"))
+          .select(col("a.src").as("u"), col("a.dst").as("v"), col("a.w").as("w")))
+      rounds :+= mutual
+      val mv = mutual.select(col("u").as("id"))
+        .union(mutual.select(col("v").as("id")))
       val (nextLive, nextLiveCount) = ckptHashCountWhere(
         live.join(mv.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
           .join(mv.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
           .select(col("src"), col("dst"), col("w")), "src", lit(true))
-      freeCkpt(matched); if (round > 0) freeCkpt(live)
-      matched = nextMatched
+      if (round > 0) freeCkpt(live)
       live = nextLive
       liveCount = nextLiveCount
       round += 1
     }
-    val out = matched.orderBy(col("u")).localCheckpoint()
-    freeCkpt(matched); freeCkpt(live)
+    val out = (Seq.empty[(Long, Long, Long)].toDF("u", "v", "w") +: rounds)
+      .reduce(_ union _).orderBy(col("u")).localCheckpoint()
+    rounds.foreach(freeCkpt); freeCkpt(live)
     out
   }
 
@@ -1339,7 +1354,8 @@ object Algos {
     * σ values are exact BIGINTs; δ is the one double chain (÷, +, ×,
     * all correctly rounded on identical operands), so an unrolled SQL
     * oracle replays the recurrence to the floor-scale. Driver traffic:
-    * one max(level) scalar. Sampled sources (not all-pairs) is the
+    * none (max level is driver-known from the per-level checkpoint
+    * vector). Sampled sources (not all-pairs) is the
     * standard 100 TB posture — exact Brandes is Θ(|V|·|E|).
     * Returns (id, bc DOUBLE) for every vertex with a nonzero
     * dependency; sources themselves accumulate no δ. */
@@ -1348,49 +1364,67 @@ object Algos {
     val s = symEdges.sparkSession
     import s.implicits._
     val e = ckptHash(symEdges.select("src", "dst"), "src")
-    var settled = sources.map(x => (x, x, 0L, 1L)).toDF("id", "tag", "level", "sigma")
+    val src0 = sources.map(x => (x, x, 0L, 1L)).toDF("id", "tag", "level", "sigma")
       .localCheckpoint()
-    var frontier = settled
+    // one checkpoint PER LEVEL (levels(h) holds exactly the level-h
+    // rows): the forward anti-joins use the [[taggedBfs]] undirected
+    // two-frontier rule — a candidate expanded from frontier h can only
+    // collide with frontiers h and h−1 on a symmetric graph — so the
+    // growing settled ball is never shuffled, sorted, or re-union-
+    // checkpointed (the pre-r10 shape broadcast the ball at sf0.1 but
+    // flipped to a per-round full exchange+sort past the broadcast
+    // threshold — the q_graph_neighborhood 15× decade cliff). The
+    // backward pass then indexes its level slices DIRECTLY instead of
+    // filtering the ball twice per level, and max(level) is
+    // driver-known (one fewer scalar job).
+    var levels = Vector(src0)
+    var frontier = src0
+    var prev: DataFrame = null
     var h = 0
     var live = true
     while (live && h < maxHops) {
+      // sigma-combine BEFORE the anti-joins (map-side partial agg
+      // collapses the |frontier|·deg expansion): dropping a settled
+      // (id, tag) group before or after the sum is equivalent — every
+      // contribution to a NEW vertex comes from frontier h by the BFS
+      // level invariant.
       val next = frontier.select(col("id").as("src"), col("tag"), col("sigma"))
         .join(e, Seq("src"))
         .select(col("dst").as("id"), col("tag"), col("sigma"))
-        .join(settled.select("id", "tag"), Seq("id", "tag"), "left_anti")
         .groupBy(col("id"), col("tag"))
         .agg(sum(col("sigma")).as("sigma"))
-        .select(col("id"), col("tag"), lit((h + 1).toLong).as("level"), col("sigma"))
-        .transform(d => {
+        .join(frontier.select("id", "tag"), Seq("id", "tag"), "left_anti")
+        .transform(d0 => {
+          val d = if (prev == null) d0
+            else d0.join(prev.select("id", "tag"), Seq("id", "tag"), "left_anti")
           val (ck, n) = org.apache.spark.sql.graft.CheckpointBridge
-            .localCheckpointStatsCountWhere(d, lit(true))
+            .localCheckpointStatsCountWhere(d.select(col("id"), col("tag"),
+              lit((h + 1).toLong).as("level"), col("sigma")), lit(true))
           live = n > 0; ck
         })
       if (live) {
-        val merged = settled.union(next).localCheckpoint()
-        freeCkpt(settled)
-        if (h > 0) freeCkpt(frontier)
-        settled = merged
+        levels :+= next
+        prev = frontier
         frontier = next
       } else {
         freeCkpt(next)
       }
       h += 1
     }
-    val maxLevel = settled.agg(max(col("level"))).first().getLong(0)
+    val maxLevel = levels.length - 1
     // backward accumulation, deepest level first; deltaUp carries the
     // (id, tag, delta) rows of level l+1 (empty at the deepest level)
     var deltaUp = s.emptyDataset[(Long, Long, Double)].toDF("id", "tag", "delta")
     val perLevel = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var l = maxLevel - 1
     while (l >= 1) {
-      val up = settled.filter(col("level") === l + 1)
+      val up = levels(l + 1)
         .select(col("id").as("w_id"), col("tag").as("tag_w"), col("sigma").as("sigma_w"))
         .join(deltaUp.select(col("id").as("w_id"), col("tag").as("tag_w"), col("delta")),
           Seq("w_id", "tag_w"), "left")
         .select(col("w_id"), col("tag_w"), col("sigma_w"),
           coalesce(col("delta"), lit(0.0)).as("delta_w"))
-      val dl = settled.filter(col("level") === l)
+      val dl = levels(l)
         .select(col("id"), col("tag"), col("sigma"))
         .join(e, col("id") === col("src"))
         .join(up, col("dst") === col("w_id") && col("tag") === col("tag_w"))
@@ -1409,7 +1443,7 @@ object Algos {
         .orderBy(col("id"))
         .localCheckpoint()
     perLevel.foreach(freeCkpt)
-    freeCkpt(settled); freeCkpt(e)
+    levels.foreach(freeCkpt); freeCkpt(e)
     out
   }
 
@@ -1947,7 +1981,12 @@ object Algos {
     var remEdges = edges.select("src", "dst").transform(ckptStats)
     var remVerts = verticesOf(remEdges).transform(ckptStats)
     var remaining = remVerts.count()
-    var result: DataFrame = Seq.empty[(Long, Long)].toDF("id", "comp")
+    // per-round assigned sets stay their OWN checkpoints and the result
+    // is their lazy union (taggedBfs r10 discipline): the old
+    // result∪assigned re-checkpoint wrote the growing result ball every
+    // round — O(rounds·|V|) churn that buys nothing, since the rounds'
+    // sets are disjoint by construction.
+    var assignedRounds = Vector.empty[DataFrame]
     var round = 0
     while (remaining > 0 && round < 64) {
       // (1) forward max-id color propagation to fixpoint, with pointer
@@ -2001,13 +2040,7 @@ object Algos {
         .select(col("id"), col("color").as("comp"))
         .transform(ckptStats)
       colored.unpersist()
-      val prevResult = result
-      result = result.union(assigned).transform(ckptStats)
-      // the union is materialized; the superseded accumulator checkpoint
-      // is dead. `assigned` stays live until the eager newVerts
-      // anti-join below has materialized, then is freed with the round.
-      // (round-0 prevResult is a LocalRelation — freeCkpt is a no-op.)
-      freeCkpt(prevResult)
+      assignedRounds :+= assigned
       // remainder-count fused into the remainder checkpoint job
       val (newVerts, nRemaining) = org.apache.spark.sql.graft.CheckpointBridge
         .localCheckpointStatsCountWhere(
@@ -2019,17 +2052,17 @@ object Algos {
         .transform(ckptStats)
       remaining = nRemaining
       // new remainder frames are materialized — the superseded round's
-      // checkpoints (and this round's assigned set, already folded into
-      // the result checkpoint AND consumed by the eager newVerts
-      // anti-join) are dead now
-      freeCkpt(remVerts); freeCkpt(remEdges); freeCkpt(assigned)
+      // remainder checkpoints are dead now; `assigned` stays live as
+      // part of the result union until the caller materializes it
+      freeCkpt(remVerts); freeCkpt(remEdges)
       colors.unpersist()
       remVerts = newVerts
       remEdges = newEdges
       round += 1
     }
     freeCkpt(remVerts); freeCkpt(remEdges)
-    result
+    (Seq.empty[(Long, Long)].toDF("id", "comp") +: assignedRounds)
+      .reduce(_ union _)
   }
 
   /** Rich-club connectivity curve φ(k) = 2·E_k / (N_k·(N_k−1)) over an
