@@ -1636,10 +1636,14 @@ object Algos {
   /** Bow-tie decomposition (Broder et al. 2000, the classic web-graph
     * macro-structure): vertices classified against the LARGEST SCC —
     * `core` (in it), `in` (reach it), `out` (reached from it), `other`
-    * (neither). Composes [[scc]] with two frontier-expansion loops
-    * (forward and on reversed edges) seeded by the core — each round
-    * one edge join + distinct, iterated to fixpoint, state one row per
-    * reached vertex; driver traffic is the per-round count scalar. A
+    * (neither). Composes [[scc]] with two [[reachable]] delta-frontier
+    * loops (forward and on reversed edges) seeded by the core — per
+    * wave the edge join expands the FRESH frontier only, one fused
+    * checkpoint(+count at batch boundaries) job; driver traffic is the
+    * batched convergence scalar. (Pre-r10 this used a private ball
+    * loop that re-expanded and re-distincted the whole reached set
+    * every wave — the growing-frame class; on the ring fixture it read
+    * flat only because the core reach converges in O(1) waves.) A
     * vertex reaching AND reached by the core is in the core SCC by
     * definition, so the four classes partition the vertex set. */
   def bowtie(edges: DataFrame, opts: PregelOptions = PregelOptions()): DataFrame = {
@@ -1650,30 +1654,9 @@ object Algos {
     val coreSet = comp.join(broadcast(core), Seq("comp")).select(col("id"))
       .localCheckpoint()
 
-    def reach(ed: DataFrame): DataFrame = {
-      var r = coreSet
-      var n = r.count()
-      var live = true
-      while (live) {
-        // checkpoint the expansion BEFORE the union: Union's constraint
-        // rewrite chokes (key-not-found) when one child carries join
-        // constraints over attributes absent from the mapping — two
-        // leaf-like children sidestep the optimizer bug
-        val step = r.select(col("id").as("src")).join(ed, Seq("src"))
-          .select(col("dst").as("id")).distinct().localCheckpoint()
-        val nxt = step.union(r).distinct().localCheckpoint()
-        freeCkpt(step)
-        val n2 = nxt.count()
-        if (n2 > n) {
-          if (!(r eq coreSet)) freeCkpt(r)
-          r = nxt; n = n2
-        } else { freeCkpt(nxt); live = false }
-      }
-      r
-    }
-
-    val fwd = reach(e)
-    val bwd = reach(e.select(col("dst").as("src"), col("src").as("dst")))
+    val fwd = reachable(coreSet, e, opts.maxSupersteps)
+    val bwd = reachable(coreSet,
+      e.select(col("dst").as("src"), col("src").as("dst")), opts.maxSupersteps)
     val out = verticesOf(e)
       .join(coreSet.withColumnRenamed("id", "cid"), col("id") === col("cid"), "left")
       .join(bwd.withColumnRenamed("id", "bid"), col("id") === col("bid"), "left")
