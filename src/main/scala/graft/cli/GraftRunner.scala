@@ -159,7 +159,11 @@ object GraftRunner {
                   .select(col("src").as("u"), col("dst").as("v")).distinct(),
                 k = opts.getOrElse("k", "4").toInt)
             case "lpa"   => Algos.lpa(edges, rounds = iters)
-            case "ecc"   => Algos.eccentricities(edges,
+            // ecc/neighborhood REQUIRE symmetric input (the r10
+            // two-frontier anti-join is only sound when |dist(u)−dist(v)|
+            // ≤ 1 across an edge) — symmetrize unconditionally here
+            // rather than trust --symmetric; idempotent if already done
+            case "ecc"   => Algos.eccentricities(Prep.makeSymmetric(edges),
               source.map(Seq(_)).getOrElse(Seq(minSrc(edges))))
             case "walks" => Algos.randomWalks(edges, len = opts.getOrElse("len", "4").toInt)
             case "mst" =>
@@ -188,7 +192,8 @@ object GraftRunner {
                 .select(col("src").as("u"), col("dst").as("v")).distinct())
             case "peel" => Algos.leafPeelCounts(edges,
               rounds = opts.getOrElse("rounds", "6").toInt)
-            case "neighborhood" => Algos.neighborhoodFunction(edges,
+            case "neighborhood" => Algos.neighborhoodFunction(
+              Prep.makeSymmetric(edges),
               maxH = opts.getOrElse("maxh", "4").toInt,
               sampleMod = opts.getOrElse("samplemod", "37").toLong)
             case "anf-sketch" => Algos.anfSketch(edges,

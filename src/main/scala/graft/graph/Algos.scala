@@ -58,43 +58,51 @@ object Algos {
     * `seeds` along `edges` within ≤ `maxHops` hops (seeds included), i.e.
     * the partial fixpoint n_i = n_{i-1} ∪ {dst | src ∈ n_{i-1}} after
     * maxHops rounds. Single state frame (id, fresh = first seen this
-    * wave); per wave ONE small groupBy+checkpoint job whose edge join
-    * carries an explicit broadcast hint on the frontier (checkpoint
-    * leaves have no stats, so Catalyst would otherwise sort-merge-shuffle
-    * all edges every wave). Convergence is checked every [[WaveBatch]]
-    * waves — post-fixpoint waves are no-ops, so the hop count honored is
-    * exact. Callers should pass persisted/cheap `edges`: they are scanned
-    * once per wave. */
+    * wave); per wave ONE fused checkpoint+fresh-count job — the count
+    * rides the materializing action, so convergence is detected EVERY
+    * wave and the loop exits the moment the frontier empties (the old
+    * [[WaveBatch]]-boundary check paid up to WaveBatch−1 no-op wave
+    * jobs after the fixpoint). The accumulator is at-least-once under
+    * task retries, which only errs toward one extra no-op wave, never
+    * an early stop — a true zero is always reported as zero.
+    *
+    * The frontier join's broadcast hint is SIZE-GATED by the exact
+    * fresh count (r10, code-review finding): a checkpoint-leaf filter
+    * carries the BALL's measured sizeInBytes (filters don't reduce the
+    * size-only estimate), so Catalyst alone would sort-merge-shuffle
+    * all edges every wave even for a 10-row frontier — but an
+    * unconditional hint force-broadcasts bowtie's core seed = the
+    * LARGEST SCC, a driver-killing build at web scale. Small counted
+    * frontiers broadcast; large ones take the shuffled join that
+    * scales. Callers should pass persisted/cheap `edges`: they are
+    * scanned once per wave. */
   private def reachable(seeds: DataFrame, edges: DataFrame, maxHops: Int): DataFrame = {
-    var reached = seeds.select(col("id")).distinct()
-      .withColumn("fresh", lit(true)).transform(ckptStats)
-    var live = true
+    val bcBytes = seeds.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    def hint(frontier: DataFrame, n: Long): DataFrame =
+      if (n * 32L <= bcBytes) broadcast(frontier) else frontier // ~32 B/id row
+    var (reached, fresh) = org.apache.spark.sql.graft.CheckpointBridge
+      .localCheckpointStatsCountWhere(
+        seeds.select(col("id")).distinct().withColumn("fresh", lit(true)),
+        col("fresh"))
     var h = 0
-    while (live && h < maxHops) {
-      val k = math.min(WaveBatch, maxHops - h)
-      (0 until k).foreach { i =>
-        val prev = reached
-        val next = reached.select(col("id"), lit(false).as("cand"))
-          .union(edges
-            .join(broadcast(reached.filter(col("fresh")).select(col("id").as("src"))),
-              Seq("src"))
-            .select(col("dst").as("id"), lit(true).as("cand")))
-          .groupBy(col("id")).agg(bool_and(col("cand")).as("fresh"))
-        // batch-boundary round: the fresh-count rides the checkpoint's
-        // own materializing job (fused accumulator — no separate count)
-        if (i == k - 1) {
-          val (ck, freshCnt) = org.apache.spark.sql.graft.CheckpointBridge
-            .localCheckpointStatsCountWhere(next, col("fresh"))
-          reached = ck
-          live = freshCnt > 0
-        } else reached = ckptStats(next)
-        // the new frame is eagerly materialized; the superseded wave's
-        // blocks are dead — drop them at the RDD level (Dataset.unpersist
-        // is a no-op on localCheckpoint frames) instead of waiting on the
-        // ContextCleaner. Every prev here is a direct checkpoint product.
-        freeCkpt(prev)
-      }
-      h += k
+    while (fresh > 0 && h < maxHops) {
+      val prev = reached
+      val next = reached.select(col("id"), lit(false).as("cand"))
+        .union(edges
+          .join(hint(reached.filter(col("fresh")).select(col("id").as("src")), fresh),
+            Seq("src"))
+          .select(col("dst").as("id"), lit(true).as("cand")))
+        .groupBy(col("id")).agg(bool_and(col("cand")).as("fresh"))
+      val (ck, freshCnt) = org.apache.spark.sql.graft.CheckpointBridge
+        .localCheckpointStatsCountWhere(next, col("fresh"))
+      reached = ck
+      fresh = freshCnt
+      // the new frame is eagerly materialized; the superseded wave's
+      // blocks are dead — drop them at the RDD level (Dataset.unpersist
+      // is a no-op on localCheckpoint frames) instead of waiting on the
+      // ContextCleaner. Every prev here is a direct checkpoint product.
+      freeCkpt(prev)
+      h += 1
     }
     reached.select("id")
   }
@@ -1654,9 +1662,14 @@ object Algos {
     val coreSet = comp.join(broadcast(core), Seq("comp")).select(col("id"))
       .localCheckpoint()
 
-    val fwd = reachable(coreSet, e, opts.maxSupersteps)
+    // Int.MaxValue: bow-tie classification is a TRUE fixpoint (a vertex
+    // 51 hops up a tendril is still "in") — reachable's per-wave fused
+    // convergence count makes the unbounded loop exact and job-minimal,
+    // and its size-gated hint keeps the SCC-sized wave-1 frontier off
+    // the broadcast path (code-review r10 findings 2+3)
+    val fwd = reachable(coreSet, e, Int.MaxValue)
     val bwd = reachable(coreSet,
-      e.select(col("dst").as("src"), col("src").as("dst")), opts.maxSupersteps)
+      e.select(col("dst").as("src"), col("src").as("dst")), Int.MaxValue)
     val out = verticesOf(e)
       .join(coreSet.withColumnRenamed("id", "cid"), col("id") === col("cid"), "left")
       .join(bwd.withColumnRenamed("id", "bid"), col("id") === col("bid"), "left")

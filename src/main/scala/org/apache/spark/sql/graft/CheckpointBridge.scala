@@ -305,11 +305,20 @@ object CheckpointBridge {
     * Planned AQE-OFF like the fused helpers (ADVICE r9): the loops that
     * call this per round (WCC's vertex frame, tagged-BFS frontiers,
     * leaf-peel) otherwise pay one driver job per AQE query-stage
-    * materialization — the exact bill the fused helpers eliminated. The
-    * toggle is safe here BY CONTRACT: this checkpoint is for frames
-    * small enough to broadcast, and the measured stats make the static
-    * planner pick that broadcast — AQE's runtime conversions and skew
-    * splits have nothing left to add inside these round bodies. */
+    * materialization — the exact bill the fused helpers eliminated. For
+    * those round bodies the toggle is free: the frames are
+    * broadcast-small, and the measured stats make the static planner
+    * pick that broadcast — AQE's runtime conversions and skew splits
+    * have nothing left to add. Known trade, accepted deliberately: a
+    * few ONE-SHOT call sites feed this data-sized frames (scc's round-0
+    * remainder, kTruss's pair frame, the matchings' window+self-join
+    * over the live edge set) and forgo AQE's post-shuffle coalescing
+    * there — their internal shuffles hash on high-cardinality keys
+    * (vertex/edge ids) with no skew-join site AQE could split, and the
+    * per-round job-bill win across the loop family dominates a one-time
+    * partition-count nicety. A checkpoint of a big frame that DOES
+    * contain a skewable join belongs on [[localCheckpointHash]] (stays
+    * adaptive) instead. */
   def localCheckpointStats(df: DataFrame): DataFrame = {
     // checkpoint via the AQE-off twin; the returned frame is rebound to
     // the CALLER's session (a clone-bound result would silently plan

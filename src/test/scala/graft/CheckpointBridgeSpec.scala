@@ -5,13 +5,15 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
 
 import org.apache.spark.sql.functions._
 
-/** Thread-scoping contract of the AQE-off planning inside
-  * CheckpointBridge's fused helpers (round-9 verdict task 4 / ADVICE):
-  * the toggle that plans fixpoint round bodies non-adaptively is a
-  * cloned SQLConf in the planner's thread-local, NOT a session-global
-  * conf flip — so a concurrent query on the same session must keep
-  * planning adaptively, the session conf must never read "false", and
-  * two overlapping fixpoints must not clobber each other (the old
+/** Scoping contract of the AQE-off planning inside CheckpointBridge's
+  * fused helpers (round-9 verdict task 4 / ADVICE): the toggle that
+  * plans fixpoint round bodies non-adaptively is a CLONED SESSION the
+  * input frame is rebound onto (`aqeOffTwin` — NOT a session-global
+  * conf flip, and NOT a thread-local SQLConf, which measurably does not
+  * scope physical planning on 4.1.2; see aqeOffTwin's scaladoc). So a
+  * concurrent query on the caller's session must keep planning
+  * adaptively, the caller's conf must never read "false", and two
+  * overlapping fixpoints must not clobber each other (the old
   * read-flip-restore implementation could race two restores and leave
   * AQE permanently disabled for the session).
   */
@@ -61,11 +63,15 @@ class CheckpointBridgeSpec extends SparkSpec {
       }
     })
     start.countDown()
-    fA.get(180, TimeUnit.SECONDS)
-    fB.get(180, TimeUnit.SECONDS)
-    stop.set(true)
-    fC.get(60, TimeUnit.SECONDS)
-    pool.shutdown()
+    try {
+      fA.get(180, TimeUnit.SECONDS)
+      fB.get(180, TimeUnit.SECONDS)
+    } finally {
+      // a writer timeout/failure must not leave the reader spinning on a
+      // non-daemon pool thread (suite hang instead of a clean failure)
+      stop.set(true)
+    }
+    try fC.get(60, TimeUnit.SECONDS) finally pool.shutdownNow()
     assert(failures.isEmpty, failures.toArray.mkString("; "))
     assert(confFlips.get() == 0,
       s"session-global AQE conf read 'false' ${confFlips.get()} times — the toggle leaked")

@@ -151,15 +151,31 @@ class PlanAuditSpec extends SparkSpec {
   // aggregates and top-k cuts are the only legitimate single-partition
   // citizens at 100 TB.
 
+  /** True iff the frame this node PRODUCES is provably tiny: the node
+    * itself is a scalar (empty-grouping) aggregate or a limit cut, seen
+    * through row-preserving/row-reducing unaries (Project/Filter/Sort).
+    * Deliberately NOT a collectFirst over the whole subtree — a scalar
+    * aggregate buried somewhere below (e.g. a normalization divisor
+    * joined into a data-sized frame) must not excuse a 1-partition
+    * stage that carries the full frame (code-review r10). */
+  @annotation.tailrec
   private def scalarOrLimited(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
-    boundedByLimit(p) || p.collectFirst {
+    p match {
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.CollectLimitExec => true
+      case _: org.apache.spark.sql.execution.LocalLimitExec => true
       case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
           if a.groupingExpressions.isEmpty => true
       case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
           if a.groupingExpressions.isEmpty => true
       case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec
           if a.groupingExpressions.isEmpty => true
-    }.nonEmpty
+      case u: org.apache.spark.sql.execution.ProjectExec => scalarOrLimited(u.child)
+      case u: org.apache.spark.sql.execution.FilterExec => scalarOrLimited(u.child)
+      case u: org.apache.spark.sql.execution.SortExec => scalarOrLimited(u.child)
+      case _ => false
+    }
 
   private def serialStageViolations(
       p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
@@ -219,6 +235,16 @@ class PlanAuditSpec extends SparkSpec {
     val topk = spark.range(1000).toDF("id").orderBy(col("id")).limit(5)
     assert(serialStageViolations(topk.queryExecution.sparkPlan).isEmpty,
       topk.queryExecution.sparkPlan.toString.take(800))
+    // a scalar aggregate merely PRESENT in the subtree must not excuse a
+    // 1-partition stage that carries the full frame (strict-descent
+    // whitelist, code-review r10)
+    val smuggled = spark.range(1000).toDF("id")
+      .crossJoin(spark.range(1000).agg(sum(col("id")).as("s")))
+      .repartition(1)
+      .filter(col("id") > 10)
+    assert(serialStageViolations(smuggled.queryExecution.sparkPlan).nonEmpty,
+      "lint excused a 1-partition shuffle because a scalar agg appeared " +
+        "below it:\n" + smuggled.queryExecution.sparkPlan.toString.take(1200))
   }
 
   test("lint self-check: a planted global window is caught") {
