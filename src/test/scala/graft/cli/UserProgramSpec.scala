@@ -103,6 +103,30 @@ class UserProgramSpec extends SparkSpec {
       (9L, 10L), (10L, 7L)))
   }
 
+  test("ecc/neighborhood CLI actions symmetrize DIRECTED input themselves") {
+    // the r10 two-frontier anti-join is only sound on symmetric graphs
+    // (|dist(u)−dist(v)| ≤ 1 across an edge) — the runner must not trust
+    // --symmetric for these algos. Fixture: a directed 3-cycle, whose
+    // raw form violates the invariant; correct symmetrized answers are
+    // asserted exactly.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_directed")
+    val path = s"$tmp/edges"
+    Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+      .write.mode("overwrite").parquet(path)
+    val ecc = GraftRunner.execute(spark, "ecc",
+      Map("edges" -> path, "source" -> "1"))
+    val r = ecc.collect().head
+    // undirected triangle from source 1: ecc = 1, 3 reached, Σdist = 2
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((1L, 1L, 3L, 2L)), ecc.collect().mkString(", "))
+    val nh = GraftRunner.execute(spark, "neighborhood",
+      Map("edges" -> path, "samplemod" -> "1", "maxh" -> "2"))
+    val got = nh.orderBy("h").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    // all 3 sources: N(0) = 3 pairs, N(1) = 3 + 6, N(2) = 9 (complete)
+    assert(got == Seq((0L, 3L), (1L, 9L), (2L, 9L)), got.toString)
+  }
+
   test("structure-panel CLI actions run end-to-end on an edge file") {
     val rc = GraftRunner.execute(spark, "richclub",
       Map("edges" -> edgesPath, "ks" -> "1"))
