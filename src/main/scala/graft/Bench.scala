@@ -146,13 +146,18 @@ object Bench {
     (2 to nPasses).foreach { _ =>
       val p = runPass()
       totals :+= p.map(_._2).filter(_ >= 0).sum
-      // per-query min on BOTH time and jobs; an error in any pass keeps
-      // the query flagged (negative min) — a flaky failure must stay
-      // visible. Jobs are deterministic per plan, so min-vs-last only
-      // matters when a listener-drain hiccup inflates one pass.
+      // per-query min on wall time, with (time, jobs) kept as a PAIR
+      // from the pass that won — independent mins could pair pass A's
+      // time with pass B's job count (notably: a pass that FAILED early
+      // has fewer jobs, and that count must never annotate a healthy
+      // pass's time — round-11 advice). An error in any pass keeps the
+      // query flagged (sticky negative) — a flaky failure must stay
+      // visible.
       best = p.map { case (k, v, j) =>
         val (pv, pj) = best.getOrElse(k, (v, j))
-        k -> ((math.min(pv, v), math.min(pj, j)))
+        k -> (if (pv < 0) (pv, pj)
+              else if (v < 0 || v < pv) (v, j)
+              else (pv, pj))
       }.toMap
       emit(p1.map { case (k, _, _) =>
         val (v, j) = best(k); (k, v, j)

@@ -159,12 +159,14 @@ object GraftRunner {
                   .select(col("src").as("u"), col("dst").as("v")).distinct(),
                 k = opts.getOrElse("k", "4").toInt)
             case "lpa"   => Algos.lpa(edges, rounds = iters)
-            // ecc/neighborhood REQUIRE symmetric input (the r10
+            // ecc/neighborhood symmetrize INTERNALLY since round 11 (the
             // two-frontier anti-join is only sound when |dist(u)−dist(v)|
-            // ≤ 1 across an edge) — symmetrize unconditionally here
-            // rather than trust --symmetric; idempotent if already done
-            case "ecc"   => Algos.eccentricities(Prep.makeSymmetric(edges),
-              source.map(Seq(_)).getOrElse(Seq(minSrc(edges))))
+            // ≤ 1 across an edge — the guard lives in taggedBfs /
+            // neighborhoodFunction now, not at call sites). The default
+            // source is the min VERTEX (endpoint of either orientation),
+            // so it no longer depends on the input's edge direction.
+            case "ecc"   => Algos.eccentricities(edges,
+              source.map(Seq(_)).getOrElse(Seq(minVertex(edges))))
             case "walks" => Algos.randomWalks(edges, len = opts.getOrElse("len", "4").toInt)
             case "mst" =>
               val we = if (edges.columns.contains("w")) edges
@@ -192,8 +194,7 @@ object GraftRunner {
                 .select(col("src").as("u"), col("dst").as("v")).distinct())
             case "peel" => Algos.leafPeelCounts(edges,
               rounds = opts.getOrElse("rounds", "6").toInt)
-            case "neighborhood" => Algos.neighborhoodFunction(
-              Prep.makeSymmetric(edges),
+            case "neighborhood" => Algos.neighborhoodFunction(edges,
               maxH = opts.getOrElse("maxh", "4").toInt,
               sampleMod = opts.getOrElse("samplemod", "37").toLong)
             case "anf-sketch" => Algos.anfSketch(edges,
@@ -231,6 +232,14 @@ object GraftRunner {
 
   private def minSrc(edges: DataFrame): Long =
     edges.agg(min(col("src"))).first().getLong(0)
+
+  /** Min vertex id over BOTH endpoints — the orientation-independent
+    * default source for the undirected algorithms (ecc symmetrizes
+    * internally, so a vertex appearing only as a destination is a valid
+    * source and the default must not change with the input's edge
+    * direction — round-11 advice fix). */
+  private def minVertex(edges: DataFrame): Long =
+    edges.agg(least(min(col("src")), min(col("dst")))).first().getLong(0)
 
   private def readEdges(spark: SparkSession, format: String, path: String): DataFrame =
     format match {

@@ -13,9 +13,68 @@ import graft.text.TextFunctions._
   * a self-join on (band, bandHash) — an equi-join Catalyst shuffles on
   * the band key, so cost is O(docs·bands) + per-bucket pair blowup,
   * never the O(n²) all-pairs. Verification (true Jaccard) runs only on
-  * candidates.
+  * candidates. The per-bucket blowup itself is BOUNDED since round 11:
+  * every banding family funnels through [[bucketPairs]], which
+  * star-expands buckets over `maxBucket` members instead of all-pairs
+  * expanding them — the degenerate-boilerplate-bucket guard.
   */
 object Dedup {
+
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger("graft.dedup.Dedup")
+
+  /** Default per-bucket member cap for the banding candidate self-joins
+    * ([[bucketPairs]]). Generous at test scale (no sf0.1 bucket comes
+    * within two orders of magnitude), binding at 100 TB where one
+    * degenerate bucket would otherwise quadratically dominate. */
+  val DefaultMaxBucket: Int = 10000
+
+  /** Candidate pairs from a banded frame — the one self-join every LSH
+    * family (MinHash, n-gram, SimHash, embedding) funnels through — with
+    * a per-bucket member bound (round-11 verdict task 1). A bucket
+    * holding B > `maxBucket` members (the 100 TB reality: millions of
+    * boilerplate near-copies landing in one (band, value) bucket after
+    * exact dedup misses them by a byte) would emit O(B²) pre-distinct
+    * pairs; CDC's `maxDf` hub cap is the in-repo precedent
+    * ([[cdcDupPairs]]), and the reference stripes exactly this blow-up
+    * class (BLOCK/library/striping/StripingUtils.java — hash-splitting a
+    * piece to bound peak message volume). Over-full buckets are
+    * STAR-EXPANDED, not dropped: members pair with the bucket's min id
+    * only — O(B) candidate rows that keep a genuinely-duplicate bucket
+    * transitively connected for [[dupClusters]], while a dissimilar
+    * degenerate bucket just yields B−1 candidates that fail exact
+    * verification. Detection is ONE fused checkpoint+count job over the
+    * bucket-size aggregate; the hot set is ≤ |banded| / maxBucket rows,
+    * so when it is empty (every run at test scale) the downstream plan
+    * is EXACTLY the unguarded self-join, and when it is not, the
+    * anti/semi joins against the tiny hot frame broadcast under AQE.
+    * Star-expanded bucket counts are logged — a silent cap would read
+    * as full recall when it is not. */
+  private def bucketPairs(banded: DataFrame, keys: Seq[String], idCol: String,
+                          maxBucket: Int): DataFrame = {
+    val kc = keys.map(col)
+    def selfJoin(d: DataFrame): DataFrame = d.as("a").join(d.as("b"),
+        keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("ida"), col(s"b.$idCol").as("idb"))
+    val pairs = if (maxBucket == Int.MaxValue) selfJoin(banded) else {
+      val (hot, nHot) = org.apache.spark.sql.graft.CheckpointBridge
+        .localCheckpointStatsCountWhere(
+          banded.groupBy(kc: _*).agg(count(lit(1)).as("bsz"))
+            .filter(col("bsz") > maxBucket).select(kc: _*), lit(true))
+      if (nHot == 0) { org.apache.spark.sql.graft.CheckpointBridge.free(hot); selfJoin(banded) }
+      else {
+        logger.warn(s"bucketPairs: star-expanding $nHot over-full bucket(s) " +
+          s"(> $maxBucket members each) instead of all-pairs expansion")
+        val members = banded.join(hot, keys, "left_semi")
+        val star = members
+          .join(members.groupBy(kc: _*).agg(min(col(idCol)).as("rep")), keys)
+          .filter(col(idCol) =!= col("rep"))
+          .select(col("rep").as("ida"), col(idCol).as("idb"))
+        selfJoin(banded.join(hot, keys, "left_anti")).union(star)
+      }
+    }
+    pairs.distinct()
+  }
 
   /** LSH band hashes of a signature array: element b = md5 of the b-th
     * `rowsPerBand`-slice of `sig`. The signature is BOUND ONCE per row
@@ -68,20 +127,17 @@ object Dedup {
   /** LSH banding: one row per (doc, band) with the band's hash; candidate
     * pairs are docs sharing any (band, bandHash) bucket — and, when
     * `blockCols` is non-empty, the same block (candidates never cross
-    * blocks, mirroring blocked dedup). */
+    * blocks, mirroring blocked dedup). Buckets over `maxBucket` members
+    * are star-expanded, never all-pairs-expanded ([[bucketPairs]]). */
   def lshCandidates(withSig: DataFrame, bands: Int, rowsPerBand: Int,
                     idCol: String = "doc_id",
-                    blockCols: Seq[String] = Nil): DataFrame = {
+                    blockCols: Seq[String] = Nil,
+                    maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val banded = withSig.select(
       (col(idCol) +: blockCols.map(col)) :+
         posexplode(bandHashes(col("sig"), bands, rowsPerBand))
           .as(Seq("band", "bv")): _*)
-    val keys = Seq("band", "bv") ++ blockCols
-    banded.as("a").join(banded.as("b"),
-        keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("ida"), col(s"b.$idCol").as("idb"))
-      .distinct()
+    bucketPairs(banded, Seq("band", "bv") ++ blockCols, idCol, maxBucket)
   }
 
   /** Full MinHash-LSH near-dup pipeline: candidates verified by true
@@ -192,9 +248,12 @@ object Dedup {
     * 2×30-bit bands over 60 bits keep buckets discriminating. Expected
     * bucket size is n / 2^(60/(maxHamming+1)) per band, corpus-entropy
     * permitting; for wider hamming tolerances at larger n, widen the
-    * fingerprint again or block by a partition column first. */
+    * fingerprint again or block by a partition column first. That
+    * expectation is now also ENFORCED, not just argued: buckets over
+    * `maxBucket` members star-expand ([[bucketPairs]]). */
   def simhashDupPairs(docs: DataFrame, shingleLen: Int = 8,
-                      maxHamming: Int = 1): DataFrame = {
+                      maxHamming: Int = 1,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val numBands = maxHamming + 1
     val bits = 60 / numBands
     val fp = docs
@@ -204,11 +263,7 @@ object Dedup {
       posexplode(array((0 until numBands).map(b =>
         shiftright(col("simhash"), b * bits).bitwiseAND(lit((1L << bits) - 1))): _*))
         .as(Seq("band", "bv")))
-    val cands = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-      .distinct()
+    val cands = bucketPairs(banded, Seq("band", "bv"), "doc_id", maxBucket)
     finish(cands
       .join(fp.select(col("doc_id").as("ida"), col("simhash").as("ha")), Seq("ida"))
       .join(fp.select(col("doc_id").as("idb"), col("simhash").as("hb")), Seq("idb"))
@@ -303,7 +358,8 @@ object Dedup {
     * persisted: the candidate self-join and both verify joins reuse it. */
   def embeddingDupPairs(emb: DataFrame, threshold: Double = 0.95,
                         numPlanes: Int = 64, bands: Int = 8,
-                        dim: Int = 64): DataFrame = {
+                        dim: Int = 64,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val s = graft.sim.VectorLSH.signs(numPlanes, dim)
     val e = emb.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", sqrt(graft.sim.Similarity.dot(col("embedding"), col("embedding"))))
@@ -311,11 +367,7 @@ object Dedup {
         col("embedding"), s, bands, numPlanes / bands))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = e.select(col("vec_id"), posexplode(col("bk")).as(Seq("band", "bv")))
-    val cands = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
-      .distinct()
+    val cands = bucketPairs(banded, Seq("band", "bv"), "vec_id", maxBucket)
     finish(cands
       .join(e.select(col("vec_id").as("ida"), col("embedding").as("ea"),
         col("nrm").as("na")), Seq("ida"))

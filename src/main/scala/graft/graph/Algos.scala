@@ -856,14 +856,17 @@ object Algos {
 
   /** Per-source eccentricity via ONE tagged multi-source BFS: state is
     * (id, tag, level) — |sources|× the single-source frame, one loop
-    * instead of |sources| loops (each round: frontier⋈edges + an
-    * anti-join against the settled set + a min-combine; BFS levels are
-    * final on first arrival, so the frontier is exactly the new rows).
+    * instead of |sources| loops (each round: frontier⋈edges + a
+    * min-combine + anti-joins against the last TWO frontiers — the
+    * [[taggedBfs]] undirected frontier rule; BFS levels are final on
+    * first arrival, so the frontier is exactly the new rows). Input may
+    * be directed: distances are over the UNDIRECTED graph ([[taggedBfs]]
+    * symmetrizes internally — idempotent on symmetric input).
     * Returns (source, ecc, n_reached) — max hop and reach size per
     * source; on a disconnected graph ecc is over the reachable part. */
-  def eccentricities(symEdges: DataFrame, sources: Seq[Long],
+  def eccentricities(edges: DataFrame, sources: Seq[Long],
                      maxHops: Int = 64): DataFrame = {
-    val settled = taggedBfs(symEdges, sources, maxHops)
+    val settled = taggedBfs(edges, sources, maxHops)
     // ecc (max), reach size, and the closeness numerator (sum of hop
     // distances) all fall out of the same settled frame — one BFS pays
     // for every distance-based centrality of the source set
@@ -891,9 +894,9 @@ object Algos {
     * exactly ON a floor-scale boundary (observed: Σ = 805.25 exactly →
     * e6 floor flipped 805249999 ↔ 805250000 between runs), so hashable
     * outputs must use the numerator, not the double. */
-  def harmonicCentrality(symEdges: DataFrame, sources: Seq[Long],
+  def harmonicCentrality(edges: DataFrame, sources: Seq[Long],
                          maxHops: Int = 64): DataFrame = {
-    val settled = taggedBfs(symEdges, sources, maxHops)
+    val settled = taggedBfs(edges, sources, maxHops)
     val out = settled.groupBy(col("tag").as("source"))
       .agg(sum(when(col("level") > 0, lit(1.0) / col("level"))
         .otherwise(lit(0.0))).as("harmonic"),
@@ -911,8 +914,13 @@ object Algos {
     * loop instead of |sources| loops (each round: frontier⋈edges + a
     * min-combine + anti-joins against the LAST TWO frontiers; BFS levels
     * are final on first arrival, so the frontier is exactly the new
-    * rows). Input MUST be symmetric (both callers symmetrize): the
-    * undirected frontier rule below depends on it.
+    * rows). The undirected frontier rule below is only sound on a
+    * SYMMETRIC graph, so the input is symmetrized HERE
+    * ([[Prep.makeSymmetric]] — one union+dropDuplicates folded into the
+    * edge-checkpoint job, idempotent on already-symmetric input): a
+    * programmatic caller handing directed edges gets correct undirected
+    * distances instead of silently wrong ones (round-11 guard; the CLI
+    * used to symmetrize on the callers' behalf).
     *
     * UNDIRECTED FRONTIER RULE (round-10, the 10×-decade fix): on a
     * symmetric graph |dist(u,t) − dist(v,t)| ≤ 1 across any edge, so a
@@ -929,11 +937,11 @@ object Algos {
     * Returns the settled frame as a union of managed checkpoints —
     * callers MUST freeCkpt it after materializing their aggregate
     * (freeCkpt walks every LogicalRDD leaf, freeing all levels). */
-  private def taggedBfs(symEdges: DataFrame, sources: Seq[Long],
-                        maxHops: Int): DataFrame = {
-    val s = symEdges.sparkSession
+  private[graft] def taggedBfs(edges: DataFrame, sources: Seq[Long],
+                               maxHops: Int): DataFrame = {
+    val s = edges.sparkSession
     import s.implicits._
-    val e = ckptHash(symEdges.select("src", "dst"), "src")
+    val e = ckptHash(Prep.makeSymmetric(edges.select("src", "dst")), "src")
     val src0 = sources.map(x => (x, x, 0L)).toDF("id", "tag", "level")
       .localCheckpoint()
     var frontiers = Vector(src0)
@@ -981,7 +989,9 @@ object Algos {
     *
     * Per round: frontier⋈edges + a min-combine + anti-joins against the
     * last TWO frontiers — the [[taggedBfs]] undirected frontier rule
-    * (input must be symmetric): a candidate expanded from frontier h can
+    * (the input is symmetrized internally, same round-11 guard as
+    * taggedBfs — directed callers get correct undirected N(h), never
+    * silently wrong counts): a candidate expanded from frontier h can
     * only collide with frontiers h and h−1, so the anti-join partners
     * are ROUND-SIZED and the growing ball is never shuffled, sorted, or
     * re-checkpointed at all. Before round 10 this anti-joined the whole
@@ -992,11 +1002,11 @@ object Algos {
     * [[anfSketch]] is the constant-state sketch variant for when even
     * the sampled pair frame is too wide (AlgosSpec asserts it tracks
     * this exact operator). */
-  def neighborhoodFunction(symEdges: DataFrame, maxH: Int = 4,
+  def neighborhoodFunction(edges: DataFrame, maxH: Int = 4,
                            sampleMod: Long = 151L): DataFrame = {
-    val s = symEdges.sparkSession
+    val s = edges.sparkSession
     import s.implicits._
-    val e = ckptHash(symEdges.select("src", "dst"), "src")
+    val e = ckptHash(Prep.makeSymmetric(edges.select("src", "dst")), "src")
     var frontier = ckptHash(
       verticesOf(e).filter(pmod(col("id"), lit(sampleMod)) === 0L)
         .select(col("id"), col("id").as("tag"), lit(0L).as("level")), "id")
@@ -1647,8 +1657,9 @@ object Algos {
     * (neither). Composes [[scc]] with two [[reachable]] delta-frontier
     * loops (forward and on reversed edges) seeded by the core — per
     * wave the edge join expands the FRESH frontier only, one fused
-    * checkpoint(+count at batch boundaries) job; driver traffic is the
-    * batched convergence scalar. (Pre-r10 this used a private ball
+    * checkpoint+fresh-count job per wave, so the loop exits the moment
+    * the frontier empties; driver traffic is one convergence scalar per
+    * wave. (Pre-r10 this used a private ball
     * loop that re-expanded and re-distincted the whole reached set
     * every wave — the growing-frame class; on the ring fixture it read
     * flat only because the core reach converges in O(1) waves.) A
@@ -1668,8 +1679,16 @@ object Algos {
     // and its size-gated hint keeps the SCC-sized wave-1 frontier off
     // the broadcast path (code-review r10 findings 2+3)
     val fwd = reachable(coreSet, e, Int.MaxValue)
-    val bwd = reachable(coreSet,
-      e.select(col("dst").as("src"), col("src").as("dst")), Int.MaxValue)
+    // The backward reach joins the TRANSPOSED edges on "src" every wave.
+    // A plain projection of `e` carries e's declared hash(original src)
+    // partitioning — which is hash(dst) of the reversed frame, the WRONG
+    // key — so every non-broadcast wave paid a full edge exchange
+    // (round-10 verdict, minor finding). Re-materializing through
+    // ckptHash declares hash(new src): one extra checkpoint job buys
+    // exchange-free edge sides on all large-frontier waves.
+    val rev = ckptHash(
+      e.select(col("dst").as("src"), col("src").as("dst")), "src")
+    val bwd = reachable(coreSet, rev, Int.MaxValue)
     val out = verticesOf(e)
       .join(coreSet.withColumnRenamed("id", "cid"), col("id") === col("cid"), "left")
       .join(bwd.withColumnRenamed("id", "bid"), col("id") === col("bid"), "left")
@@ -1680,7 +1699,8 @@ object Algos {
           .when(col("fid").isNotNull, lit("out"))
           .otherwise(lit("other")).as("cls"))
       .localCheckpoint()
-    freeCkpt(e); if (!(fwd eq coreSet)) freeCkpt(fwd)
+    freeCkpt(e); freeCkpt(rev)
+    if (!(fwd eq coreSet)) freeCkpt(fwd)
     if (!(bwd eq coreSet)) freeCkpt(bwd)
     freeCkpt(coreSet)
     out
@@ -2023,19 +2043,23 @@ object Algos {
       // vertex's color — the sweep reduces to monotone-set reachability
       // (delta-frontier, one small job per wave) + a color lookup,
       // instead of a full-vertex label-propagation Pregel loop.
-      val colored = remEdges
+      // ckptHash, not persist: the sweep joins this TRANSPOSED frame on
+      // "src" every wave, and a persisted frame's partitioning is
+      // invisible under AQE — declared hash(src) makes every
+      // non-broadcast wave exchange-free on the edge side (round-11,
+      // same fix as bowtie's reversed frame).
+      val colored = ckptHash(remEdges
         .join(colors.select(col("id").as("src"), col("color").as("c_src")), Seq("src"))
         .join(colors.select(col("id").as("dst"), col("color").as("c_dst")), Seq("dst"))
         .filter(col("c_src") === col("c_dst"))
         // reversed: membership flows from dst (closer to root) to src
-        .select(col("dst").as("src"), col("src").as("dst"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select(col("dst").as("src"), col("src").as("dst")), "src")
       val roots = colors.filter(col("id") === col("color")).select(col("id"))
       val assigned = reachable(roots, colored, opts.maxSupersteps)
         .join(colors, Seq("id"))
         .select(col("id"), col("color").as("comp"))
         .transform(ckptStats)
-      colored.unpersist()
+      freeCkpt(colored)
       assignedRounds :+= assigned
       // remainder-count fused into the remainder checkpoint job
       val (newVerts, nRemaining) = org.apache.spark.sql.graft.CheckpointBridge

@@ -158,13 +158,22 @@ class PlanAuditSpec extends SparkSpec {
     * aggregate buried somewhere below (e.g. a normalization divisor
     * joined into a data-sized frame) must not excuse a 1-partition
     * stage that carries the full frame (code-review r10). */
+  /** A limit only excuses a 1-partition stage when it actually bounds
+    * the frame to something driver-sized: limit(10_000_000) followed by
+    * a 1-partition shuffle of a data-sized frame must still trip the
+    * lint (round-11 advice). Every legitimate top-k cut in the corpus
+    * is ≤ a few hundred rows; 10k leaves headroom without excusing
+    * data-sized frames. */
+  private val MaxLimitCut = 10000
+
   @annotation.tailrec
   private def scalarOrLimited(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
     p match {
-      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
-      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
-      case _: org.apache.spark.sql.execution.CollectLimitExec => true
-      case _: org.apache.spark.sql.execution.LocalLimitExec => true
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec =>
+        t.limit <= MaxLimitCut
+      case l: org.apache.spark.sql.execution.GlobalLimitExec => l.limit <= MaxLimitCut
+      case l: org.apache.spark.sql.execution.CollectLimitExec => l.limit <= MaxLimitCut
+      case l: org.apache.spark.sql.execution.LocalLimitExec => l.limit <= MaxLimitCut
       case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
           if a.groupingExpressions.isEmpty => true
       case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
@@ -245,6 +254,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(serialStageViolations(smuggled.queryExecution.sparkPlan).nonEmpty,
       "lint excused a 1-partition shuffle because a scalar agg appeared " +
         "below it:\n" + smuggled.queryExecution.sparkPlan.toString.take(1200))
+    // a DATA-SIZED limit must not excuse the stage either: limit(10M)
+    // over a data-sized frame followed by a 1-partition shuffle is still
+    // a serial stage (round-11 advice — the limit-class whitelist is
+    // bounded by MaxLimitCut, not limit's mere presence)
+    val bigLimit = spark.range(1000).toDF("id").limit(10000000)
+      .repartition(1).filter(col("id") > 10)
+    assert(serialStageViolations(bigLimit.queryExecution.sparkPlan).nonEmpty,
+      "lint excused a 1-partition shuffle behind a 10M-row limit:\n" +
+        bigLimit.queryExecution.sparkPlan.toString.take(1200))
   }
 
   test("lint self-check: a planted global window is caught") {

@@ -280,6 +280,29 @@ class AlgosSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 2L, 1L), (10L, 2L, 3L, 3L)))
   }
 
+  test("two-frontier APIs symmetrize internally: directed input yields " +
+    "correct undirected distances, not silently wrong ones") {
+    // DIRECTED path 1→2→3→4→5. Before the round-11 guard the
+    // two-frontier anti-join was only sound on symmetric input and a
+    // programmatic caller handing this frame got wrong answers; now the
+    // APIs symmetrize internally, so distances are undirected.
+    val directed = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val ecc = Algos.eccentricities(directed, Seq(3L))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // from the middle: ecc 2, all 5 reached, dist_sum 2+1+0+1+2 = 6
+    assert(ecc == Seq((3L, 2L, 5L, 6L)))
+    val harm = Algos.harmonicCentrality(directed, Seq(5L))
+      .as[(Long, Double, Long, Long)].collect().toSeq
+    // 5 reaches everything undirected: Σ 1/d over d = 1,2,3,4
+    assert(harm.head._1 == 5L && harm.head._3 ==
+      Algos.HarmonicLcm + Algos.HarmonicLcm / 2 +
+        Algos.HarmonicLcm / 3 + Algos.HarmonicLcm / 4)
+    val nf = Algos.neighborhoodFunction(directed, maxH = 4, sampleMod = 1L)
+      .as[(Long, Long)].collect().toMap
+    // undirected path: N(4) = all 25 pairs reachable
+    assert(nf(0L) == 5L && nf(4L) == 25L)
+  }
+
   test("doubleSweep finds the exact diameter of a path graph") {
     // path 1-2-3-4-5: sweep 1 from min id 1 reaches 5 at level 4;
     // sweep 2 from 5 has eccentricity 4 — the true diameter

@@ -86,6 +86,50 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))            // unrelated doc
   }
 
+  test("hot-bucket guard: a planted boilerplate bucket star-expands to " +
+    "O(B) candidates, not O(B²), and stays one transitive cluster") {
+    // 300 byte-identical boilerplate docs: every LSH band maps all of
+    // them into ONE (band, bv) bucket — the degenerate shape the cap
+    // exists for. Unguarded, the self-join would emit B(B−1)/2 = 44 850
+    // pre-distinct pairs; star expansion emits exactly B−1 = 299.
+    val boiler = "subscribe to our newsletter for updates terms apply " +
+      "all rights reserved contact us at example dot com"
+    val planted = (0L until 300L).map(i => (100L + i, boiler))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.withMinhash(planted.unionByName(
+      docs.select(col("doc_id"), col("text"))), 8, 16)
+    val capped = Dedup.lshCandidates(sigs, bands = 4, rowsPerBand = 4,
+      maxBucket = 20)
+    val cands = capped.as[(Long, Long)].collect().toSeq
+    // every planted doc pairs with the bucket representative (min id
+    // 100) and with nothing else among the planted set
+    val plantedCands = cands.filter { case (a, b) => a >= 100L && b >= 100L }
+    assert(plantedCands.size == 299, s"got ${plantedCands.size} planted candidates")
+    assert(plantedCands.forall(_._1 == 100L))
+    // the guard is recall-preserving where it matters: the star pairs
+    // verify at jaccard 1.0 and the whole bucket collapses into ONE
+    // cluster under the canonical min id
+    val clusters = Dedup.dupClusters(
+        capped.filter(col("ida") >= 100L).select(col("ida").as("a"), col("idb").as("b")))
+      .as[(Long, Long)].collect().toMap
+    assert((100L until 400L).forall(i => clusters(i) == 100L))
+    // and the guard never fires on a healthy frame: default cap leaves
+    // the small corpus' candidate set byte-identical
+    val healthy = Dedup.withMinhash(docs, 8, 16)
+    assert(Dedup.lshCandidates(healthy, 4, 4).collect().toSet ==
+      Dedup.lshCandidates(healthy, 4, 4, maxBucket = Int.MaxValue).collect().toSet)
+  }
+
+  test("hot-bucket guard: simhash star-expands a planted degenerate bucket") {
+    val boiler = "identical boilerplate body repeated verbatim in every copy"
+    val planted = (0L until 50L).map(i => (500L + i, boiler)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashDupPairs(planted, maxBucket = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    // star pairs (rep=500, member) all verify at hamming 0
+    assert(pairs.size == 49)
+    assert(pairs.forall { case (a, _, ham) => a == 500L && ham == 0L })
+  }
+
   test("dup clusters label every member with the min id transitively") {
     val pairs = Seq((1L, 2L), (2L, 5L), (7L, 8L)).toDF("a", "b")
     val got = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
