@@ -813,14 +813,18 @@ object Algos {
     * ([[edgeSupport]], arboricity-bounded, no wedge materialization)
     * plus two degree lookups. Top `topK` by (jac desc, u, v). */
   def edgeJaccard(pairs: DataFrame, topK: Int): DataFrame = {
-    val e = pairs.select(col("u"), col("v"))
+    // Checkpoint the input ONCE (the triangleCount discipline): the
+    // support pass references the edge frame three times (degree pass,
+    // orientation join, 0-fill credits join), and `pairs` is often an
+    // expensive lazy derivation — partCoPairs is a lineitem self-join +
+    // distinct. Re-deriving it per reference read flat at sf0.1 but was
+    // the dominant term of a 17.1× blow-up at the 10× decade
+    // (ScaleProbe r11): three 10×-sized self-join+distinct evaluations,
+    // each spilling, where one checkpointed pass suffices.
+    val e = pairs.select(col("u"), col("v")).localCheckpoint()
     val sup = edgeSupport(e)
-    // degrees from the CHECKPOINTED support frame (same edge set), not
-    // from `pairs` — the input is often an expensive lazy derivation
-    // (self-join + distinct) that a second scan would recompute. (At
-    // sf0.1 the query is support-pass-bound — 16.4s, the one full
-    // intersection pass over 1.2M part-co-occurrence edges — so this is
-    // hygiene, not the bottleneck.)
+    // degrees from the CHECKPOINTED support frame (same edge set, same
+    // rows) — one aggregation over materialized blocks
     val deg = pairDegrees(sup)
     val out = sup
       .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
@@ -832,7 +836,7 @@ object Algos {
       .orderBy(col("jac_e6").desc, col("u"), col("v"))
       .limit(topK)
       .localCheckpoint() // materialize before freeing the support frame
-    freeCkpt(sup)
+    freeCkpt(sup); freeCkpt(e)
     out
   }
 
@@ -2043,23 +2047,28 @@ object Algos {
       // vertex's color — the sweep reduces to monotone-set reachability
       // (delta-frontier, one small job per wave) + a color lookup,
       // instead of a full-vertex label-propagation Pregel loop.
-      // ckptHash, not persist: the sweep joins this TRANSPOSED frame on
-      // "src" every wave, and a persisted frame's partitioning is
-      // invisible under AQE — declared hash(src) makes every
-      // non-broadcast wave exchange-free on the edge side (round-11,
-      // same fix as bowtie's reversed frame).
-      val colored = ckptHash(remEdges
+      // persist, NOT ckptHash (round-11 A/B): declaring hash(src) on
+      // this transposed frame was tried and REVERTED — it adds an
+      // unconditional exchange+materialization per outer round (+4 jobs,
+      // +1.5 s at sf0.1) that only pays for itself when several sweep
+      // waves take the non-broadcast join path, and the sweep's
+      // frontiers shrink below the broadcast gate after wave 1, so the
+      // saved edge-side exchanges never materialized (1.48× at the 10×
+      // decade either way; bowtie's reversed frame is the case where
+      // the trade DOES pay — its seed is the giant core every time).
+      val colored = remEdges
         .join(colors.select(col("id").as("src"), col("color").as("c_src")), Seq("src"))
         .join(colors.select(col("id").as("dst"), col("color").as("c_dst")), Seq("dst"))
         .filter(col("c_src") === col("c_dst"))
         // reversed: membership flows from dst (closer to root) to src
-        .select(col("dst").as("src"), col("src").as("dst")), "src")
+        .select(col("dst").as("src"), col("src").as("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val roots = colors.filter(col("id") === col("color")).select(col("id"))
       val assigned = reachable(roots, colored, opts.maxSupersteps)
         .join(colors, Seq("id"))
         .select(col("id"), col("color").as("comp"))
         .transform(ckptStats)
-      freeCkpt(colored)
+      colored.unpersist()
       assignedRounds :+= assigned
       // remainder-count fused into the remainder checkpoint job
       val (newVerts, nRemaining) = org.apache.spark.sql.graft.CheckpointBridge
