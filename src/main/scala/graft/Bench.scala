@@ -115,7 +115,8 @@ object Bench {
       val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
       // deterministic per-query job counts (the adjudication metric for
-      // wall-time deltas — see scaladoc on jobCounter); min across passes
+      // wall-time deltas — see scaladoc on jobCounter); reported as the
+      // (time, jobs) PAIR of the pass that won on wall time
       val js = results.map { case (k, _, j) => s"\"" + k + "\":" + j }
         .mkString("{", ",", "}")
       // total sums SUCCESSFUL queries only; failures (negative entries)

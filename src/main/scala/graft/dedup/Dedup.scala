@@ -43,10 +43,11 @@ object Dedup {
     * transitively connected for [[dupClusters]], while a dissimilar
     * degenerate bucket just yields B−1 candidates that fail exact
     * verification. Detection is ONE fused checkpoint+count job over the
-    * bucket-size aggregate; the hot set is ≤ |banded| / maxBucket rows,
-    * so when it is empty (every run at test scale) the downstream plan
-    * is EXACTLY the unguarded self-join, and when it is not, the
-    * anti/semi joins against the tiny hot frame broadcast under AQE.
+    * bucket-size aggregate (freed before returning — no pinned blocks
+    * either way); the hot-rep set is ≤ |banded| / maxBucket rows, so
+    * when it is empty (every run at test scale) the downstream plan is
+    * EXACTLY the unguarded self-join, and when it is not, the anti/star
+    * joins against the tiny hot-rep aggregate broadcast under AQE.
     * Star-expanded bucket counts are logged — a silent cap would read
     * as full recall when it is not. */
   private def bucketPairs(banded: DataFrame, keys: Seq[String], idCol: String,
@@ -57,20 +58,28 @@ object Dedup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("ida"), col(s"b.$idCol").as("idb"))
     val pairs = if (maxBucket == Int.MaxValue) selfJoin(banded) else {
-      val (hot, nHot) = org.apache.spark.sql.graft.CheckpointBridge
-        .localCheckpointStatsCountWhere(
-          banded.groupBy(kc: _*).agg(count(lit(1)).as("bsz"))
-            .filter(col("bsz") > maxBucket).select(kc: _*), lit(true))
-      if (nHot == 0) { org.apache.spark.sql.graft.CheckpointBridge.free(hot); selfJoin(banded) }
+      // ONE aggregate yields both the hot-bucket detection and the star
+      // representative (min id per over-full bucket). The checkpoint
+      // exists only to carry the fused count and is freed IMMEDIATELY —
+      // the joins below reference the LAZY plan, so nothing stays
+      // pinned when the guard fires (the re-evaluation costs two extra
+      // bucket-count passes in the RARE hot branch only; every in-repo
+      // caller persists the signature frame feeding `banded`).
+      val reps = banded.groupBy(kc: _*)
+        .agg(count(lit(1)).as("bsz"), min(col(idCol)).as("rep"))
+        .filter(col("bsz") > maxBucket)
+        .select(kc :+ col("rep"): _*)
+      val (ck, nHot) = org.apache.spark.sql.graft.CheckpointBridge
+        .localCheckpointStatsCountWhere(reps, lit(true))
+      org.apache.spark.sql.graft.CheckpointBridge.free(ck)
+      if (nHot == 0) selfJoin(banded)
       else {
         logger.warn(s"bucketPairs: star-expanding $nHot over-full bucket(s) " +
           s"(> $maxBucket members each) instead of all-pairs expansion")
-        val members = banded.join(hot, keys, "left_semi")
-        val star = members
-          .join(members.groupBy(kc: _*).agg(min(col(idCol)).as("rep")), keys)
+        val star = banded.join(reps, keys)
           .filter(col(idCol) =!= col("rep"))
           .select(col("rep").as("ida"), col(idCol).as("idb"))
-        selfJoin(banded.join(hot, keys, "left_anti")).union(star)
+        selfJoin(banded.join(reps.select(kc: _*), keys, "left_anti")).union(star)
       }
     }
     pairs.distinct()

@@ -1380,12 +1380,16 @@ object Algos {
     * vector). Sampled sources (not all-pairs) is the
     * standard 100 TB posture — exact Brandes is Θ(|V|·|E|).
     * Returns (id, bc DOUBLE) for every vertex with a nonzero
-    * dependency; sources themselves accumulate no δ. */
-  def betweenness(symEdges: DataFrame, sources: Seq[Long],
+    * dependency; sources themselves accumulate no δ. Input may be
+    * directed: bc is over the UNDIRECTED graph — the forward pass's
+    * two-frontier anti-join is only sound on symmetric input, so the
+    * edges are symmetrized internally (the round-11 taggedBfs guard;
+    * idempotent on already-symmetric input). */
+  def betweenness(edges: DataFrame, sources: Seq[Long],
                   maxHops: Int = 32): DataFrame = {
-    val s = symEdges.sparkSession
+    val s = edges.sparkSession
     import s.implicits._
-    val e = ckptHash(symEdges.select("src", "dst"), "src")
+    val e = ckptHash(Prep.makeSymmetric(edges.select("src", "dst")), "src")
     val src0 = sources.map(x => (x, x, 0L, 1L)).toDF("id", "tag", "level", "sigma")
       .localCheckpoint()
     // one checkpoint PER LEVEL (levels(h) holds exactly the level-h

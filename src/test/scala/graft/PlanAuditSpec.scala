@@ -124,11 +124,18 @@ class PlanAuditSpec extends SparkSpec {
     "q_sax_symbols"      -> "ntile over the WEEKLY aggregate: frame rows = distinct weeks",
     "q_text_heaps"       -> "growth-curve windows over the log-spaced prefix buckets: frame rows = fixed bucket count")
 
+  // a limit only bounds a window frame when it is actually small —
+  // same MaxLimitCut rule as the serial-stage whitelist (round-11
+  // code review: the advice fix had been applied to scalarOrLimited
+  // only, leaving limit(10M) able to excuse a global window)
   private def boundedByLimit(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
     p.collectFirst {
-      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
-      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
-      case _: org.apache.spark.sql.execution.CollectLimitExec => true
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+          if t.limit <= MaxLimitCut => true
+      case l: org.apache.spark.sql.execution.GlobalLimitExec
+          if l.limit <= MaxLimitCut => true
+      case l: org.apache.spark.sql.execution.CollectLimitExec
+          if l.limit <= MaxLimitCut => true
     }.nonEmpty
 
   private def globalWindowViolations(

@@ -301,6 +301,13 @@ class AlgosSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     // undirected path: N(4) = all 25 pairs reachable
     assert(nf(0L) == 5L && nf(4L) == 25L)
+    // betweenness rides the same two-frontier forward pass — same
+    // guard (round-11 code review): undirected Brandes from source 1
+    // on the path gives δ(2)=3, δ(3)=2, δ(4)=1 (each interior vertex
+    // sits on the shortest paths to everything beyond it)
+    val bc = Algos.betweenness(directed, Seq(1L))
+      .as[(Long, Double)].collect().toMap
+    assert(bc == Map(2L -> 3.0, 3L -> 2.0, 4L -> 1.0))
   }
 
   test("doubleSweep finds the exact diameter of a path graph") {
