@@ -125,6 +125,20 @@ class UserProgramSpec extends SparkSpec {
     val got = nh.orderBy("h").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
     // all 3 sources: N(0) = 3 pairs, N(1) = 3 + 6, N(2) = 9 (complete)
     assert(got == Seq((0L, 3L), (1L, 9L), (2L, 9L)), got.toString)
+    // default-source rule (round-11 advice fix): the default is the min
+    // VERTEX over both endpoints, not min(src) — on a graph whose min
+    // vertex appears only as a DESTINATION the old rule could never
+    // pick it, and the default changed with the input's orientation.
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_dstonly")
+    val path2 = s"$tmp2/edges"
+    // vertex 1 appears only as dst; min(src) = 2
+    Seq((2L, 1L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+      .write.mode("overwrite").parquet(path2)
+    val d = GraftRunner.execute(spark, "ecc", Map("edges" -> path2)).collect().head
+    // source must be vertex 1; undirected path 1-2-3-4: ecc(1) = 3,
+    // 4 reached, Σdist = 1+2+3 = 6
+    assert((d.getLong(0), d.getLong(1), d.getLong(2), d.getLong(3)) ==
+      ((1L, 3L, 4L, 6L)), d.toString)
   }
 
   test("structure-panel CLI actions run end-to-end on an edge file") {
