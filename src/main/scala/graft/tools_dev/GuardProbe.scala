@@ -23,6 +23,32 @@ object GuardProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_BUCKET_STATS: instead of the synthetic demo, measure
+    // the REAL max bucket size per banding family on a testdata corpus —
+    // the evidence behind DefaultMaxBucket's "no sf0.1 bucket comes
+    // within two orders of magnitude" claim.
+    sys.env.get("SPARK_GRAFT_BUCKET_STATS").foreach { dir =>
+      val docs = graft.Tables(spark, dir).documents
+      val sigs = graft.dedup.Dedup.withMinhash(docs, 8, 16)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mh = sigs.select(col("doc_id"),
+          posexplode(graft.dedup.Dedup.bandHashes(col("sig"), 4, 4)).as(Seq("band", "bv")))
+        .groupBy(col("band"), col("bv")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n")), count(lit(1))).first()
+      println(s"BUCKETSTATS minhash maxBucket=${mh.getLong(0)} buckets=${mh.getLong(1)}")
+      sigs.unpersist()
+      val sh = docs.select(col("doc_id"),
+          graft.text.TextFunctions.simhash60(
+            graft.text.TextFunctions.shingleSet(col("text"), 8)).as("s"))
+        .select(posexplode(array(
+          col("s").bitwiseAND(lit((1L << 30) - 1)),
+          shiftright(col("s"), 30).bitwiseAND(lit((1L << 30) - 1)))).as(Seq("band", "bv")))
+        .groupBy(col("band"), col("bv")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n")), count(lit(1))).first()
+      println(s"BUCKETSTATS simhash maxBucket=${sh.getLong(0)} buckets=${sh.getLong(1)}")
+      spark.stop()
+      return
+    }
     val boiler = "subscribe to our newsletter for updates terms apply " +
       "all rights reserved contact us at example dot com do not reply"
     val docs = spark.range(copies)
