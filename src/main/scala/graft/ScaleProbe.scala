@@ -16,11 +16,12 @@ import org.apache.spark.sql.functions._
   *  - lineitem/orders: key-offset copies (orderkey/partkey/custkey
   *    shifted per copy) — the co-purchase graph and the user–item frame
   *    become 10 disjoint isomorphic components;
-  *  - documents: doc_id-offset copies with a per-copy ALPHABET ROTATION
-  *    of the text (translate a..z → rotated) — within-copy 8-gram
-  *    structure is isomorphic but hashes are disjoint across copies, so
+  *  - documents: doc_id-offset copies with a per-copy AFFINE CIPHER
+  *    over a..z ([[affine]]: 312 distinct bijections) — within-copy
+  *    8-gram structure is isomorphic but gram images are disjoint
+  *    across copies (distinct affine maps agree on ≤ 2 letters), so
   *    fingerprint df distributions match the original instead of
-  *    stacking 10× (a plain text copy would collapse under the df cap
+  *    stacking (a plain text copy would collapse under the df cap
   *    and break the linearity argument);
   *  - supplier/customer: key-offset copies, and lineitem's l_suppkey is
   *    offset in step with supplier, so the customer–supplier graphs
@@ -52,17 +53,29 @@ object ScaleProbe {
     .getOrElse(Seq("q_graph_bowtie", "q_graph_bracha", "q_graph_deadlock",
       "q_graph_temporal", "q_graph_neighborhood"))
 
-  private def rotated(k: Int): String = {
-    val a = "abcdefghijklmnopqrstuvwxyz"
-    a.drop(k % 26) + a.take(k % 26)
+  /** Per-copy AFFINE substitution cipher over a-z (round-12 verdict
+    * task 7): copy k maps letter index i → (a·i + b) mod 26 with
+    * a = units(k mod 12) (the 12 units of Z₂₆) and b = k / 12 — 312
+    * distinct bijections, so doc corpora scale to 312 copies instead of
+    * the 26 plain rotations allowed. Two DISTINCT affine maps agree on
+    * at most gcd(a₁−a₂, 26) ≤ 2 letters, so any 8-gram containing ≥ 3
+    * distinct letters has disjoint images across copies — fingerprint
+    * df distributions stay per-copy-isomorphic instead of stacking
+    * (the same argument the single rotation made, now two decades
+    * deep). k = 0 is the identity (copy 0 is the original). */
+  private def affine(k: Int): String = {
+    val units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    val a = units(k % units.size)
+    val b = k / units.size
+    (0 until 26).map(i => ('a' + (a * i + b) % 26).toChar).mkString
   }
 
   private def buildTenX(spark: SparkSession, src: String, out: String,
                         nCopies: Int = 10, withDocs: Boolean = true): Unit = {
     val fs = new java.io.File(out)
-    // v2: adds supplier/customer/events copies + l_suppkey offsets; a v1
-    // dir (plain _DONE) is rebuilt so probes never mix generations
-    if (new java.io.File(s"$out/_DONE_v2").exists()) return
+    // v3: affine doc cipher (312 copies) replaces the 26-rotation; v1/v2
+    // dirs are rebuilt so probes never mix generations
+    if (new java.io.File(s"$out/_DONE_v3").exists()) return
     fs.mkdirs()
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     val ord = spark.read.parquet(s"$src/orders.parquet")
@@ -109,24 +122,24 @@ object ScaleProbe {
       if (f.exists()) spark.read.parquet(f.getPath)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
-    // documents only for the 10× corpus: the per-copy alphabet rotation
-    // has 26 distinct values, so beyond 26 copies same-rotation copies
-    // would stack fingerprint df 4× and break the exact-linearity
-    // argument — the 100× corpus is GRAPH-TABLES-ONLY by construction
-    // and must only probe key-offset kernels.
+    // documents up to 312 copies: the per-copy affine cipher ([[affine]])
+    // has 312 distinct bijections, so beyond 312 copies same-map copies
+    // would stack fingerprint df and break the exact-linearity argument
+    // — past that the corpus is GRAPH-TABLES-ONLY by construction and
+    // must only probe key-offset kernels.
     if (withDocs) {
       val alpha = "abcdefghijklmnopqrstuvwxyz"
       rep(docs)
         .withColumn("doc_id", col("doc_id") + col("__k") * maxD)
         .withColumn("text",
           (0 until nCopies).foldLeft(col("text")) { (c, k) =>
-            when(col("__k") === k, translate(col("text"), alpha, rotated(k)))
+            when(col("__k") === k, translate(col("text"), alpha, affine(k)))
               .otherwise(c)
           })
         .drop("__k")
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
     }
-    new java.io.File(s"$out/_DONE_v2").createNewFile()
+    new java.io.File(s"$out/_DONE_v3").createNewFile()
     ()
   }
 
@@ -142,23 +155,41 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_SCALE=100: second-decade mode — 100 disjoint
-    // key-offset copies (graph tables only, see buildTenX's doc), for
-    // answering "does the decade ratio HOLD one more decade out" on the
-    // key-offset kernels. Ratios are t_Nx / t_1x on the same fixed
+    // key-offset copies for answering "does the decade ratio HOLD one
+    // more decade out". Ratios are t_Nx / t_1x on the same fixed
     // local[cpus] resources, so linear work reads as ratio ≈ N minus
     // fixed-overhead amortization; a strategy cliff reads as ratio ≫ N.
-    // Caveat (documented, not hidden): TestGraphs.custSupp separates its
-    // bipartite id spaces with the FIXED SuppOffset = 1e6, and 100
-    // copies push custkeys to ~1.5e6 — copies ≥ 67 alias ~6% of
-    // vertices into the supplier range, so the 100× custSupp graph is
-    // slightly MORE merged than 100 disjoint copies. Merging only
-    // grows components and round counts, so it biases ratios UP: the
-    // measured sub-linearity is conservative. A collision-free second
-    // decade needs ≤ 66 copies on this table.
+    // COLLISION-FREE construction (round-12 verdict task 3): run ≥ 67-
+    // copy probes with SPARK_GRAFT_SUPP_OFFSET=1000000000 — the default
+    // TestGraphs.SuppOffset = 1e6 would alias copied custkeys (≈1.5e6
+    // at 100 copies) into the supplier id range, merging components and
+    // biasing ratios UP (the round-11 caveat). The 1× and Nx timings in
+    // one run read the same offset, so the comparison stays apples-to-
+    // apples under any override. Fail loudly instead of re-measuring a
+    // knowingly-aliased graph.
     val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    if (scale >= 67 && TestGraphs.SuppOffset <= 1000000L &&
+        !sys.env.contains("SPARK_GRAFT_ALLOW_ALIASED")) {
+      System.err.println(s"[scaleprobe] FATAL: scale=$scale aliases custkeys " +
+        s"into the supplier range under SuppOffset=${TestGraphs.SuppOffset}. " +
+        "Set SPARK_GRAFT_SUPP_OFFSET=1000000000 (collision-free) or " +
+        "SPARK_GRAFT_ALLOW_ALIASED=1 to reproduce the round-11 construction.")
+      sys.exit(2)
+    }
     val outDir = if (scale == 10) tenx
-      else sys.env.getOrElse("SPARK_GRAFT_100X_DIR", "/tmp/graft_scale100")
-    buildTenX(spark, src, outDir, nCopies = scale, withDocs = scale <= 26)
+      else sys.env.getOrElse("SPARK_GRAFT_100X_DIR", s"/tmp/graft_scale$scale")
+    val withDocs = scale <= 312
+    buildTenX(spark, src, outDir, nCopies = scale, withDocs = withDocs)
+    // doc-based probe targets crash mid-run when the corpus was built
+    // graph-only (round-11 advice): check the actual artifact, not the
+    // query name — fail fast with the cause before any timing runs
+    if (!new java.io.File(s"$outDir/documents.parquet").exists() &&
+        sys.env.contains("SPARK_GRAFT_PROBE")) {
+      System.err.println(s"[scaleprobe] NOTE: $outDir has no documents.parquet " +
+        s"(scale=$scale > 312 builds graph tables only) — document-based " +
+        "targets in SPARK_GRAFT_PROBE will fail; probe key-offset graph " +
+        "kernels here.")
+    }
     def time(name: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, dir).count()
@@ -179,8 +210,12 @@ object ScaleProbe {
     // t_cand = the candidate equi-join alone (reuses sorted);
     // t_full = candidates regenerated + exact verify, so
     // verify ≈ t_full − t_cand on a warm sorted frame.
-    if (sys.env.contains("SPARK_GRAFT_JACCARD_BREAKDOWN"))
-      Seq("1x" -> src, "10x" -> tenx).foreach { case (lbl, dir) =>
+    // breakdown uses the CURRENT outDir (round-11 advice: the hardcoded
+    // tenx dir could be absent or a stale generation when only the
+    // larger corpus was built this run) and requires its documents
+    if (sys.env.contains("SPARK_GRAFT_JACCARD_BREAKDOWN") &&
+        new java.io.File(s"$outDir/documents.parquet").exists())
+      Seq("1x" -> src, s"${scale}x" -> outDir).foreach { case (lbl, dir) =>
         val d = Tables(spark, dir).documents
         val (sorted, cand, out) = graft.dedup.Dedup.jaccardJoinStaged(
           d.select(col("doc_id"),

@@ -41,48 +41,66 @@ object Dedup {
     * ([[cdcDupPairs]]), and the reference stripes exactly this blow-up
     * class (BLOCK/library/striping/StripingUtils.java — hash-splitting a
     * piece to bound peak message volume). Over-full buckets are
-    * STAR-EXPANDED, not dropped: members pair with the bucket's min id
-    * only — O(B) candidate rows that keep a genuinely-duplicate bucket
-    * transitively connected for [[dupClusters]], while a dissimilar
-    * degenerate bucket just yields B−1 candidates that fail exact
-    * verification. Detection is ONE fused checkpoint+count job over the
-    * bucket-size aggregate (freed before returning — no pinned blocks
-    * either way); the hot-rep set is ≤ |banded| / maxBucket rows, so
-    * when it is empty (every run at test scale) the downstream plan is
-    * EXACTLY the unguarded self-join, and when it is not, the anti/star
-    * joins against the tiny hot-rep aggregate broadcast under AQE.
-    * Star-expanded bucket counts are logged — a silent cap would read
-    * as full recall when it is not. */
-  private def bucketPairs(banded: DataFrame, keys: Seq[String], idCol: String,
-                          maxBucket: Int): DataFrame = {
+    * STAR-EXPANDED, not dropped, and since round 12 the stars are PER
+    * FULL-SIGNATURE GROUP: within a hot bucket, members pair with the
+    * min id of their (bucket, `siggCol`) group, and the group reps pair
+    * with the bucket's overall min rep — O(B + #groups) = O(B) candidate
+    * rows. Starring per signature group instead of per bucket closes the
+    * round-11 mixed-bucket recall hole: two DISTINCT duplicate groups
+    * whose dissimilar signatures happen to collide in every band (the
+    * adversarial regime the guard exists for) each keep a
+    * verification-passing star around their own rep, instead of group B
+    * surviving only as (rep∈A, b) pairs that fail verification. A
+    * dissimilar degenerate bucket still just yields O(B) candidates that
+    * fail exact verification. Detection is ONE fused checkpoint+count
+    * job over the bucket-size aggregate; on the empty path (every run at
+    * test scale) the checkpoint is freed immediately and the downstream
+    * plan is EXACTLY the unguarded self-join. On the RARE hot path the
+    * joins reference the CHECKPOINTED hot-key set, so the keys counted
+    * are byte-identical to the keys joined even for a non-deterministic
+    * external input (round-11 advice); that checkpoint is ≤ |banded| /
+    * maxBucket rows and is reclaimed by the ContextCleaner once the
+    * caller drops the plan — a bounded rare-path pin, not a leak. The
+    * anti/star joins against it broadcast under AQE. Star-expanded
+    * bucket counts are logged — a silent cap would read as full recall
+    * when it is not. */
+  private[graft] def bucketPairs(banded: DataFrame, keys: Seq[String], idCol: String,
+                                 maxBucket: Int, siggCol: String = "sigg"): DataFrame = {
     val kc = keys.map(col)
     def selfJoin(d: DataFrame): DataFrame = d.as("a").join(d.as("b"),
         keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("ida"), col(s"b.$idCol").as("idb"))
     val pairs = if (maxBucket == Int.MaxValue) selfJoin(banded) else {
-      // ONE aggregate yields both the hot-bucket detection and the star
-      // representative (min id per over-full bucket). The checkpoint
-      // exists only to carry the fused count and is freed IMMEDIATELY —
-      // the joins below reference the LAZY plan, so nothing stays
-      // pinned when the guard fires (the re-evaluation costs two extra
-      // bucket-count passes in the RARE hot branch only; every in-repo
-      // caller persists the signature frame feeding `banded`).
-      val reps = banded.groupBy(kc: _*)
-        .agg(count(lit(1)).as("bsz"), min(col(idCol)).as("rep"))
+      val hotKeys = banded.groupBy(kc: _*)
+        .agg(count(lit(1)).as("bsz"))
         .filter(col("bsz") > maxBucket)
-        .select(kc :+ col("rep"): _*)
+        .select(kc: _*)
       val (ck, nHot) = org.apache.spark.sql.graft.CheckpointBridge
-        .localCheckpointStatsCountWhere(reps, lit(true))
-      org.apache.spark.sql.graft.CheckpointBridge.free(ck)
-      if (nHot == 0) selfJoin(banded)
-      else {
+        .localCheckpointStatsCountWhere(hotKeys, lit(true))
+      if (nHot == 0) {
+        org.apache.spark.sql.graft.CheckpointBridge.free(ck)
+        selfJoin(banded)
+      } else {
         logger.warn(s"bucketPairs: star-expanding $nHot over-full bucket(s) " +
-          s"(> $maxBucket members each) instead of all-pairs expansion")
-        val star = banded.join(reps, keys)
-          .filter(col(idCol) =!= col("rep"))
-          .select(col("rep").as("ida"), col(idCol).as("idb"))
-        selfJoin(banded.join(reps.select(kc: _*), keys, "left_anti")).union(star)
+          s"(> $maxBucket members each) per full-signature group instead " +
+          "of all-pairs expansion")
+        val hot = banded.join(ck, keys)
+        // min id per (bucket, full signature) group: signature-identical
+        // subgroups each get their own verification-passing star
+        val greps = hot.groupBy(kc :+ col(siggCol): _*)
+          .agg(min(col(idCol)).as("grep"))
+        // group reps star around the bucket's overall min rep so a
+        // genuinely-uniform hot bucket stays transitively connected
+        val breps = greps.groupBy(kc: _*).agg(min(col("grep")).as("brep"))
+        val starWithin = hot.join(greps, keys :+ siggCol)
+          .filter(col(idCol) =!= col("grep"))
+          .select(col("grep").as("ida"), col(idCol).as("idb"))
+        val starAcross = greps.join(breps, keys)
+          .filter(col("grep") =!= col("brep"))
+          .select(col("brep").as("ida"), col("grep").as("idb"))
+        selfJoin(banded.join(ck, keys, "left_anti"))
+          .union(starWithin).union(starAcross)
       }
     }
     pairs.distinct()
@@ -140,13 +158,22 @@ object Dedup {
     * pairs are docs sharing any (band, bandHash) bucket — and, when
     * `blockCols` is non-empty, the same block (candidates never cross
     * blocks, mirroring blocked dedup). Buckets over `maxBucket` members
-    * are star-expanded, never all-pairs-expanded ([[bucketPairs]]). */
+    * are star-expanded per full-signature group, never all-pairs-expanded
+    * ([[bucketPairs]]) — so under the cap the raw PAIR output inside a
+    * hot bucket is rep↔member stars, not all verified pairs; cluster
+    * consumers ([[dupClusters]]) see identical groupings, pair-level
+    * consumers see reduced multiplicity there. Determinism note: the
+    * hot-key set is checkpointed before the anti/star joins, so the
+    * guard is consistent even when `withSig` is not persisted. */
   def lshCandidates(withSig: DataFrame, bands: Int, rowsPerBand: Int,
                     idCol: String = "doc_id",
                     blockCols: Seq[String] = Nil,
                     maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val banded = withSig.select(
       (col(idCol) +: blockCols.map(col)) :+
+        // full-signature group key for hot-bucket star expansion; pruned
+        // away by Catalyst everywhere the guard does not fire
+        (xxhash64(col("sig")).as("sigg"): org.apache.spark.sql.Column) :+
         posexplode(bandHashes(col("sig"), bands, rowsPerBand))
           .as(Seq("band", "bv")): _*)
     bucketPairs(banded, Seq("band", "bv") ++ blockCols, idCol, maxBucket)
@@ -154,6 +181,13 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline: candidates verified by true
     * shingle Jaccard ≥ threshold. Output (a, b, jaccard) sorted.
+    *
+    * Pair-level semantics under the hot-bucket cap: a bucket over
+    * `DefaultMaxBucket` members emits rep↔member STAR pairs per
+    * full-signature group, not all within-bucket pairs ([[bucketPairs]])
+    * — cluster consumers ([[dupClusters]]) are unaffected; raw-pair
+    * consumers see reduced pair multiplicity inside capped buckets
+    * (logged when it happens).
     *
     * The signature frame is persisted before the self-joins: Spark
     * re-evaluates both sides of a self-join, and the minhash signature
@@ -262,7 +296,10 @@ object Dedup {
     * permitting; for wider hamming tolerances at larger n, widen the
     * fingerprint again or block by a partition column first. That
     * expectation is now also ENFORCED, not just argued: buckets over
-    * `maxBucket` members star-expand ([[bucketPairs]]). */
+    * `maxBucket` members star-expand per full-fingerprint group
+    * ([[bucketPairs]]) — under the cap the raw pair output inside a hot
+    * bucket is rep↔member stars (cluster consumers unaffected, pair
+    * consumers see reduced multiplicity there; logged). */
   def simhashDupPairs(docs: DataFrame, shingleLen: Int = 8,
                       maxHamming: Int = 1,
                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
@@ -271,7 +308,7 @@ object Dedup {
     val fp = docs
       .select(col("doc_id"), simhash60(shingleSet(col("text"), shingleLen)).as("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = fp.select(col("doc_id"),
+    val banded = fp.select(col("doc_id"), col("simhash").as("sigg"),
       posexplode(array((0 until numBands).map(b =>
         shiftright(col("simhash"), b * bits).bitwiseAND(lit((1L << bits) - 1))): _*))
         .as(Seq("band", "bv")))
@@ -337,7 +374,10 @@ object Dedup {
     * LSH banding over the n-gram sets *within* each block (e.g. source) —
     * an equi-join on (block, band, bandHash), so per-block cost is
     * O(docs·bands) + per-bucket blowup, never the O(n²)-per-block
-    * all-pairs. True Jaccard verification runs on candidates only. */
+    * all-pairs. True Jaccard verification runs on candidates only.
+    * Buckets over the [[DefaultMaxBucket]] cap star-expand per
+    * full-signature group ([[bucketPairs]]): pair-level output inside a
+    * capped bucket is rep↔member stars, clusters are unaffected. */
   def ngramDupPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.1,
                     blockCol: String = "source",
                     numHashes: Int = 16, bands: Int = 8): DataFrame = {
@@ -364,7 +404,10 @@ object Dedup {
     * bits per band, candidates = equi-join on (band, bucket)), verified
     * by exact cosine ≥ threshold. Candidate generation shuffles on the
     * band key, so cost is O(vectors·bands) + per-bucket blowup — never
-    * the O(n²) all-pairs nested-loop.
+    * the O(n²) all-pairs nested-loop. Buckets over `maxBucket` members
+    * star-expand per exact-embedding group ([[bucketPairs]]): raw
+    * pair output inside a capped bucket is rep↔member stars, cluster
+    * consumers are unaffected (logged when the cap binds).
     *
     * Norms are computed once per vector and the bucketed frame is
     * persisted: the candidate self-join and both verify joins reuse it. */
@@ -378,7 +421,12 @@ object Dedup {
       .withColumn("bk", graft.sim.VectorLSH.bandBuckets(
         col("embedding"), s, bands, numPlanes / bands))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = e.select(col("vec_id"), posexplode(col("bk")).as(Seq("band", "bv")))
+    // group key = the exact embedding, not the band array: two groups
+    // sharing every sign-bit bucket (same orthant) can still be
+    // dissimilar under exact cosine, and the star must keep each
+    // byte-identical vector group verification-connected
+    val banded = e.select(col("vec_id"), xxhash64(col("embedding")).as("sigg"),
+      posexplode(col("bk")).as(Seq("band", "bv")))
     val cands = bucketPairs(banded, Seq("band", "bv"), "vec_id", maxBucket)
     finish(cands
       .join(e.select(col("vec_id").as("ida"), col("embedding").as("ea"),

@@ -1005,18 +1005,53 @@ object Algos {
     * the output-linear bill. The driver sees maxH+1 count scalars.
     * [[anfSketch]] is the constant-state sketch variant for when even
     * the sampled pair frame is too wide (AlgosSpec asserts it tracks
-    * this exact operator). */
+    * this exact operator).
+    *
+    * SIZE GATE (round-12 verdict task 1): the exact operator's state is
+    * inherently PAIR-shaped — on a merged giant component the settled
+    * frame approaches sources × vertices, and the round-11 100× probe
+    * died on executor DISK EXHAUSTION there, an opaque failure two
+    * decades past test scale. Before each wave the loop projects the
+    * wave's expansion volume (|frontier| × average degree, the
+    * pre-combine row bill that actually spills) on top of the settled
+    * total, and fails FAST with an actionable message naming
+    * [[anfSketch]] when the projection crosses `maxPairs` (default
+    * 2·10⁹ pairs ≈ 50 GB of shuffle state; env override
+    * SPARK_GRAFT_MAX_EXACT_PAIRS). The projection adds ONE scalar job
+    * (a count+approx_count_distinct aggregate over the checkpointed
+    * edge frame) to the whole query. */
   def neighborhoodFunction(edges: DataFrame, maxH: Int = 4,
-                           sampleMod: Long = 151L): DataFrame = {
+                           sampleMod: Long = 151L,
+                           maxPairs: Long = sys.env.get("SPARK_GRAFT_MAX_EXACT_PAIRS")
+                             .map(_.toLong).getOrElse(2000000000L)): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     val e = ckptHash(Prep.makeSymmetric(edges.select("src", "dst")), "src")
+    // one scalar job: edge count + approximate vertex count → the
+    // average degree the per-wave expansion projection prices with
+    val dr = e.agg(count(lit(1)).as("m"),
+      approx_count_distinct(col("src")).as("n")).first()
+    val avgDeg = math.max(1.0, dr.getLong(0).toDouble / math.max(1L, dr.getLong(1)))
     var frontier = ckptHash(
       verticesOf(e).filter(pmod(col("id"), lit(sampleMod)) === 0L)
         .select(col("id"), col("id").as("tag"), lit(0L).as("level")), "id")
     var prev: DataFrame = null
     var counts = Vector((0L, frontier.count()))
+    var lastWave = counts.last._2
     (1 to maxH).foreach { h =>
+      val projected = counts.last._2 + (lastWave * avgDeg).toLong
+      if (projected > maxPairs) {
+        freeCkpt(frontier)
+        if (prev != null) freeCkpt(prev)
+        freeCkpt(e)
+        throw new IllegalStateException(
+          s"neighborhoodFunction: projected settled-pair volume ~$projected " +
+            s"at hop $h exceeds maxPairs=$maxPairs. Exact N(h) state is " +
+            "PAIR-shaped (sources × ball) and would exhaust executor " +
+            "disk at this scale — use graft.graph.Algos.anfSketch " +
+            "(constant per-vertex FM registers, spec-asserted against " +
+            "this operator), or raise maxPairs / sampleMod.")
+      }
       // AGGREGATE BEFORE THE ANTI-JOINS: the raw expansion is
       // |frontier|·deg rows (∼ pairs·avgdeg ≈ 400M at sf0.1 over the
       // run); the min-combine's map-side partial agg collapses it to
@@ -1038,7 +1073,9 @@ object Algos {
           // so no barrier is saved by fusing here anyway).
           val ck = org.apache.spark.sql.graft.CheckpointBridge
             .localCheckpointStats(d)
-          counts :+= ((h.toLong, counts.last._2 + ck.count())); ck
+          val n = ck.count()
+          lastWave = n
+          counts :+= ((h.toLong, counts.last._2 + n)); ck
         })
       if (prev != null) freeCkpt(prev)
       prev = frontier

@@ -587,6 +587,27 @@ class AlgosSpec extends SparkSpec {
     assert(got == Seq((0L, 4L), (1L, 10L), (2L, 14L), (3L, 16L), (4L, 16L)))
   }
 
+  test("neighborhoodFunction size gate fails fast naming anfSketch past " +
+    "the pair-volume boundary") {
+    // Round-12 verdict task 1: the exact operator's pair-shaped state
+    // must fail ACTIONABLY (not by executor disk exhaustion, as the
+    // 100× probe did) when the projected wave volume crosses the knob.
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val e = (p ++ p.map(_.swap)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      Algos.neighborhoodFunction(e, maxH = 4, sampleMod = 1L, maxPairs = 5L)
+    }
+    assert(ex.getMessage.contains("anfSketch"), ex.getMessage)
+    assert(ex.getMessage.contains("maxPairs=5"), ex.getMessage)
+    // the gate frees its checkpoints on the failure path: no pinned
+    // blocks beyond what the session already held
+    // (covered structurally — the throw path frees frontier/prev/e)
+    // and a generous knob leaves the result bit-identical
+    val got = Algos.neighborhoodFunction(e, maxH = 4, sampleMod = 1L)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 4L), (1L, 10L), (2L, 14L), (3L, 16L), (4L, 16L)))
+  }
+
   test("greedyColoring produces a proper coloring with mex color choice") {
     // triangle 1-2-3 plus pendant 4: needs 3 colors on the triangle,
     // pendant takes the mex against its single neighbor

@@ -120,6 +120,36 @@ class PipelineSpec extends SparkSpec {
       Dedup.lshCandidates(healthy, 4, 4, maxBucket = Int.MaxValue).collect().toSet)
   }
 
+  test("hot-bucket guard: a MIXED hot bucket stars per full-signature " +
+    "group, so two distinct duplicate groups both survive clustering") {
+    // Round-12 verdict task 2 (the round-11 'What's wrong #1' hole): one
+    // degenerate (band, bv) bucket holding TWO distinct duplicate groups
+    // A (ids 100-129, sigg 1) and B (ids 200-229, sigg 2). The old
+    // per-bucket star paired B's members only with the bucket min
+    // (100 ∈ A) — pairs that fail verification, losing B entirely. The
+    // per-signature-group star keeps each group connected via its own
+    // rep, plus one rep↔rep bridge candidate per extra group.
+    val banded = ((100L until 130L).map(i => (0, "x", 1L, i)) ++
+        (200L until 230L).map(i => (0, "x", 2L, i)))
+      .toDF("band", "bv", "sigg", "doc_id")
+    val cands = Dedup.bucketPairs(banded, Seq("band", "bv"), "doc_id",
+      maxBucket = 10).as[(Long, Long)].collect().toSeq
+    // O(#groups·B): 29 within-A + 29 within-B stars + 1 rep bridge —
+    // never the 60·59/2 = 1770 all-pairs expansion
+    assert(cands.size == 59, s"got ${cands.size} candidates")
+    assert(cands.count { case (a, b) => a == 100L && b > 100L && b < 200L } == 29)
+    assert(cands.count { case (a, b) => a == 200L && b > 200L } == 29)
+    assert(cands.contains((100L, 200L)))
+    // downstream: verification passes exactly the signature-identical
+    // pairs (the bridge fails — A and B are dissimilar); BOTH clusters
+    // come out of the cluster pass, each under its own canonical id
+    val verified = cands.filter { case (a, b) => (a < 200L) == (b < 200L) }
+      .toDF("a", "b")
+    val clusters = Dedup.dupClusters(verified).as[(Long, Long)].collect().toMap
+    assert((100L until 130L).forall(i => clusters(i) == 100L))
+    assert((200L until 230L).forall(i => clusters(i) == 200L))
+  }
+
   test("hot-bucket guard: simhash star-expands a planted degenerate bucket") {
     val boiler = "identical boilerplate body repeated verbatim in every copy"
     val planted = (0L until 50L).map(i => (500L + i, boiler)).toDF("doc_id", "text")
