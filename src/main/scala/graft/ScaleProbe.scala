@@ -200,9 +200,20 @@ object ScaleProbe {
       (dt, n)
     }
     Targets.foreach { q =>
-      val (t1, n1) = time(q, src)
-      val (t10, n10) = time(q, outDir)
-      println(f"SCALE $q%-18s 1x: $t1%7.2fs ($n1 rows)  ${scale}x: $t10%7.2fs ($n10 rows)  ratio=${t10 / t1}%5.2f")
+      // a target that fails (e.g. the neighborhoodFunction size gate
+      // firing past its documented pair-volume boundary) must not kill
+      // the rest of the batch — record the failure message as the
+      // result, which for the gate IS the graceful path being probed
+      try {
+        val (t1, n1) = time(q, src)
+        val (t10, n10) = time(q, outDir)
+        println(f"SCALE $q%-18s 1x: $t1%7.2fs ($n1 rows)  ${scale}x: $t10%7.2fs ($n10 rows)  ratio=${t10 / t1}%5.2f")
+      } catch {
+        case e: Exception =>
+          println(s"SCALE $q FAILED: ${e.getMessage}")
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
     }
     // Candidate-vs-verify cost attribution for the exact Jaccard join
     // (round-7 verdict task 3). sorted is persisted inside the staged
