@@ -869,19 +869,54 @@ object SignalQueries {
     * extension fan-out is out-degree-bounded in the oriented (acyclic)
     * graph — the same arboricity argument as the triangle pass.
     * Single-row (n_triangles, n_k4) output. */
-  private def qK4(s: SparkSession, dir: String): DataFrame = {
+  private def qK4(s: SparkSession, dir: String): DataFrame =
+    k4Census(s, dir,
+      sys.env.get("SPARK_GRAFT_K4_BATCHES").map(_.toInt).getOrElse(1))
+
+  /** K4 census with the same BOUNDED-SCRATCH batched mode as
+    * [[itemCf]]: every oriented clique is owned by its MIN vertex x
+    * (= a.u of the seed edge), so splitting the `a` side by
+    * `xxhash64(u) % batches` partitions the census exactly — each
+    * batch enumerates the triangles and K4 extensions whose min vertex
+    * hashes to it against the FULL edge list (linear sorts), the
+    * quadratic-ish intermediates (wedges, extension fan-out) drop to
+    * ~1/batches, and each batch reduces to two driver scalars before
+    * the next starts, so spill never accumulates. batches = 1 is the
+    * exact historical single-pass plan (the driver path; env knob
+    * SPARK_GRAFT_K4_BATCHES is probe-only). K4BatchedSpec asserts
+    * batched ≡ unbatched. */
+  private[graft] def k4Census(s: SparkSession, dir: String,
+                              batches: Int): DataFrame = {
     val cp = TestGraphs.partCoPairs(Tables(s, dir)).localCheckpoint()
-    val t = cp.as("a")
-      .join(cp.as("b"), col("b.u") === col("a.u") && col("b.v") > col("a.v"))
-      .join(cp.as("c"), col("c.u") === col("a.v") && col("c.v") === col("b.v"))
-      .select(col("a.u").as("x"), col("a.v").as("y"), col("b.v").as("z"))
-      .localCheckpoint()
-    val ext = t
-      .join(cp.select(col("u").as("z"), col("v").as("d")), Seq("z"))
-      .join(cp.select(col("u").as("x"), col("v").as("d")), Seq("x", "d"), "left_semi")
-      .join(cp.select(col("u").as("y"), col("v").as("d")), Seq("y", "d"), "left_semi")
-    t.agg(count(lit(1)).as("n_triangles"))
-      .crossJoin(ext.agg(count(lit(1)).as("n_k4")))
+    def census(cpA: DataFrame): (DataFrame, DataFrame) = {
+      val t = cpA.as("a")
+        .join(cp.as("b"), col("b.u") === col("a.u") && col("b.v") > col("a.v"))
+        .join(cp.as("c"), col("c.u") === col("a.v") && col("c.v") === col("b.v"))
+        .select(col("a.u").as("x"), col("a.v").as("y"), col("b.v").as("z"))
+        .localCheckpoint()
+      val ext = t
+        .join(cp.select(col("u").as("z"), col("v").as("d")), Seq("z"))
+        .join(cp.select(col("u").as("x"), col("v").as("d")), Seq("x", "d"), "left_semi")
+        .join(cp.select(col("u").as("y"), col("v").as("d")), Seq("y", "d"), "left_semi")
+      (t, ext)
+    }
+    if (batches <= 1) {
+      val (t, ext) = census(cp)
+      t.agg(count(lit(1)).as("n_triangles"))
+        .crossJoin(ext.agg(count(lit(1)).as("n_k4")))
+    } else {
+      var (nT, nK4) = (0L, 0L)
+      (0 until batches).foreach { b =>
+        val (t, ext) = census(
+          cp.filter(pmod(xxhash64(col("u")), lit(batches)) === b))
+        nT += t.count()
+        nK4 += ext.count()
+        org.apache.spark.sql.graft.CheckpointBridge.free(t)
+      }
+      org.apache.spark.sql.graft.CheckpointBridge.free(cp)
+      import s.implicits._
+      Seq((nT, nK4)).toDF("n_triangles", "n_k4")
+    }
   }
 
   private val qK4Sql =
@@ -1087,7 +1122,31 @@ object SignalQueries {
     * per-user pair fan-out is capped at a constant, so a power user
     * can't quadratically explode the shuffle at warehouse scale (the
     * contamination df-cap discipline). */
-  private def qItemCf(s: SparkSession, dir: String): DataFrame = {
+  private def qItemCf(s: SparkSession, dir: String): DataFrame =
+    itemCf(s, dir,
+      sys.env.get("SPARK_GRAFT_CF_BATCHES").map(_.toInt).getOrElse(1))
+
+  /** Item-CF with a BOUNDED-SCRATCH batched mode (round-12 second-
+    * decade work): the neighbor-intersection class (this kernel, k4,
+    * ktruss, edge_jaccard) tops a single box's scratch between 30× and
+    * 100× on the probe — the sort-merge spill of the intersection
+    * intermediates is LINEAR in data (cluster-scales, no size gate
+    * warranted) but lands on ONE disk in local mode. `batches` > 1
+    * splits the i1 side of the co-occurrence self-join by
+    * `xxhash64(i) % batches` and runs the FULL per-item pipeline
+    * (co-count → popularity-normalized cosine → top-5 window) per
+    * batch SEQUENTIALLY: the window is i1-partitioned and i1 ≡ the
+    * batch key, so batches are independent and exact; popularity is
+    * computed ONCE globally and reused. Peak scratch drops to
+    * ~1/batches of the intersection volume plus one full sort of the
+    * (small, linear) user-item frame per batch; per-batch results
+    * materialize as ≤5 rows/item checkpoints before the next batch
+    * starts, so spill never accumulates across batches. batches = 1 is
+    * the EXACT historical plan (the driver's correctness/bench path —
+    * env knob SPARK_GRAFT_CF_BATCHES is probe-only). ItemCfBatchedSpec
+    * asserts batched ≡ unbatched; the ≥67× probe row uses this path. */
+  private[graft] def itemCf(s: SparkSession, dir: String,
+                            batches: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = Tables(s, dir)
     val ui0 = t.orders.join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
@@ -1096,21 +1155,38 @@ object SignalQueries {
     val keep = ui0.groupBy(col("u")).agg(count(lit(1)).as("ni"))
       .filter(col("ni") <= 200).select(col("u"))
     val ui = ui0.join(keep, Seq("u"), "left_semi").localCheckpoint()
-    val pop = ui.groupBy(col("i")).agg(count(lit(1)).as("p"))
-    val co = ui.as("a").join(ui.as("b"),
-        col("a.u") === col("b.u") && col("a.i") =!= col("b.i"))
-      .groupBy(col("a.i").as("i1"), col("b.i").as("i2"))
-      .agg(count(lit(1)).as("c"))
-    val sim = co
-      .join(pop.select(col("i").as("i1"), col("p").as("p1")), Seq("i1"))
-      .join(pop.select(col("i").as("i2"), col("p").as("p2")), Seq("i2"))
-      .select(col("i1"), col("i2"), col("c"),
-        expr("(c * c * 1000000) div (p1 * p2)").as("cos2_e6"))
-    sim.withColumn("r", row_number().over(
-        Window.partitionBy(col("i1")).orderBy(col("cos2_e6").desc, col("i2"))))
-      .filter(col("r") <= 5)
-      .select(col("i1"), col("i2"), col("c"), col("cos2_e6"))
-      .orderBy(col("i1"), col("cos2_e6").desc, col("i2"))
+    val pop0 = ui.groupBy(col("i")).agg(count(lit(1)).as("p"))
+    // checkpoint the global popularity only when it is reused across
+    // batches — the batches = 1 plan stays byte-identical to history
+    val pop = if (batches <= 1) pop0 else pop0.localCheckpoint()
+    def topPerBatch(uiA: DataFrame): DataFrame = {
+      val co = uiA.as("a").join(ui.as("b"),
+          col("a.u") === col("b.u") && col("a.i") =!= col("b.i"))
+        .groupBy(col("a.i").as("i1"), col("b.i").as("i2"))
+        .agg(count(lit(1)).as("c"))
+      val sim = co
+        .join(pop.select(col("i").as("i1"), col("p").as("p1")), Seq("i1"))
+        .join(pop.select(col("i").as("i2"), col("p").as("p2")), Seq("i2"))
+        .select(col("i1"), col("i2"), col("c"),
+          expr("(c * c * 1000000) div (p1 * p2)").as("cos2_e6"))
+      sim.withColumn("r", row_number().over(
+          Window.partitionBy(col("i1")).orderBy(col("cos2_e6").desc, col("i2"))))
+        .filter(col("r") <= 5)
+        .select(col("i1"), col("i2"), col("c"), col("cos2_e6"))
+    }
+    val ranked =
+      if (batches <= 1) topPerBatch(ui)
+      else {
+        // sequential: each .localCheckpoint() materializes batch b's
+        // ≤5-rows-per-item result (and releases its spill) before
+        // batch b+1's join starts
+        val parts = (0 until batches).map { b =>
+          topPerBatch(ui.filter(pmod(xxhash64(col("i")), lit(batches)) === b))
+            .localCheckpoint()
+        }
+        parts.reduce(_ union _)
+      }
+    ranked.orderBy(col("i1"), col("cos2_e6").desc, col("i2"))
   }
 
   private val qItemCfSql =

@@ -1,0 +1,121 @@
+package graft.graph
+
+import scala.collection.mutable
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkSpec
+
+/** Adversarial property check of the bow-tie decomposition (Broder et
+  * al. 2000): ScalaCheck-random DIRECTED multigraphs against an
+  * in-memory classifier built from a textbook Kosaraju plus two plain
+  * BFS sweeps — no code shared with the DataFrame operator, which
+  * composes the FB-coloring SCC with two delta-frontier reachability
+  * loops. The whole pipeline must agree per vertex: the same largest
+  * SCC (size, then smallest max-id label — the operator's
+  * `orderBy(n desc, comp)` pick), the same forward/backward closures,
+  * the same core/in/out/other precedence. This exercises the
+  * composition (scc → core pick → two reaches → precedence joins) that
+  * the fixed ring fixture can't stress: random tangles where the core
+  * pick is ambiguous up to the tie-break, tendrils hang off both sides,
+  * and disconnected pieces must land in `other`. */
+class BowtiePropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Textbook Kosaraju, components labeled by max member id. */
+  private def kosarajuRef(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val fwd = edges.distinct.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val rev = edges.distinct.map(_.swap).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+    val seen = mutable.Set.empty[Long]
+    val order = mutable.ArrayBuffer.empty[Long]
+    verts.foreach { s =>
+      if (!seen.contains(s)) {
+        val stack = mutable.Stack((s, false))
+        while (stack.nonEmpty) {
+          val (v, expanded) = stack.pop()
+          if (expanded) order += v
+          else if (!seen.contains(v)) {
+            seen += v
+            stack.push((v, true))
+            fwd.getOrElse(v, Nil).foreach(w =>
+              if (!seen.contains(w)) stack.push((w, false)))
+          }
+        }
+      }
+    }
+    val comp = mutable.Map.empty[Long, Long]
+    order.reverseIterator.foreach { s =>
+      if (!comp.contains(s)) {
+        val members = mutable.ArrayBuffer.empty[Long]
+        val stack = mutable.Stack(s)
+        comp(s) = s
+        while (stack.nonEmpty) {
+          val v = stack.pop()
+          members += v
+          rev.getOrElse(v, Nil).foreach { w =>
+            if (!comp.contains(w)) { comp(w) = s; stack.push(w) }
+          }
+        }
+        val label = members.max
+        members.foreach(comp(_) = label)
+      }
+    }
+    comp.toMap
+  }
+
+  private def bfs(seeds: Set[Long], adj: Map[Long, Seq[Long]]): Set[Long] = {
+    val seen = mutable.Set.empty[Long] ++ seeds
+    val q = mutable.Queue.empty[Long] ++ seeds
+    while (q.nonEmpty) {
+      adj.getOrElse(q.dequeue(), Nil).foreach { w =>
+        if (seen.add(w)) q += w
+      }
+    }
+    seen.toSet
+  }
+
+  private def bowtieRef(edges: Seq[(Long, Long)]): Map[Long, String] = {
+    val comp = kosarajuRef(edges)
+    // largest SCC, tie-broken by smallest component label — the
+    // operator's orderBy(n desc, comp asc).limit(1)
+    val core = comp.groupBy(_._2).view.mapValues(_.size).toSeq
+      .minBy { case (label, n) => (-n, label) }._1
+    val coreSet = comp.collect { case (v, c) if c == core => v }.toSet
+    val fwdAdj = edges.distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val revAdj = edges.distinct.map(_.swap).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    val reachedFrom = bfs(coreSet, fwdAdj)
+    val reaching = bfs(coreSet, revAdj)
+    comp.keys.map { v =>
+      v -> (if (coreSet.contains(v)) "core"
+            else if (reaching.contains(v)) "in"
+            else if (reachedFrom.contains(v)) "out"
+            else "other")
+    }.toMap
+  }
+
+  test("bowtie equals in-memory Kosaraju+BFS classification") {
+    val gen = for {
+      n <- Gen.choose(4, 20)
+      m <- Gen.choose(n, 3 * n)
+      edges <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+    } yield edges
+    val prop = Prop.forAll(gen) { edges =>
+      val got = Algos.bowtie(edges.toDF("src", "dst"))
+        .as[(Long, String)].collect().toMap
+      val want = bowtieRef(edges)
+      if (got != want) {
+        System.err.println(s"MISMATCH edges=$edges\n got=$got\n want=$want")
+      }
+      got == want
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(6)
+        .withInitialSeed(org.scalacheck.rng.Seed(1221L)),
+      prop)
+    assert(r.passed, s"bowtie vs in-memory classification: ${r.status}")
+  }
+}
