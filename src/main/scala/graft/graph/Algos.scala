@@ -602,35 +602,69 @@ object Algos {
           .otherwise(lit(0L)).as("cc_e6"))
   }
 
+  /** Default batch count for the BOUNDED-SCRATCH support pass —
+    * probe-only env knob; 1 (every driver run) keeps every plan in the
+    * triangle-intersection family byte-identical to history. */
+  private[graph] val SupportBatches: Int =
+    sys.env.get("SPARK_GRAFT_SUPPORT_BATCHES").map(_.toInt).getOrElse(1)
+
   /** Per-edge triangle support over canonical pairs (u < v), via the
     * same degree-oriented adjacency intersection [[triangleCount]] uses:
     * each triangle found at its pivot edge credits its THREE canonical
     * edges through an output-linear 3-row union — never a wedge-sized
     * intermediate. Self-managed checkpoints (freed before returning the
     * materialized support frame) so the peeling loop doesn't strand
-    * blocks per round. Returns (u, v, support), support 0-filled. */
-  private def edgeSupport0(e: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    * blocks per round. Returns (u, v, support), support 0-filled.
+    * `batches` > 1 (SPARK_GRAFT_SUPPORT_BATCHES, probe-only) bounds
+    * peak spill at ~1/batches of the wedge volume — the itemCf/k4Census
+    * bounded-scratch pattern; results are exact either way
+    * (EdgeSupportBatchedSpec). kTruss and [[edgeJaccard]] inherit the
+    * knob through this pass. */
+  private def edgeSupport0(e: DataFrame,
+                           batches: Int = SupportBatches): (DataFrame, Seq[DataFrame]) = {
     val o = orientByDegree(e, pairDegrees(e))
       .select(col("src"), col("dst")).localCheckpoint()
     val nb = o.groupBy(col("src").as("id"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
       .localCheckpoint()
-    val tris = o
-      .join(nb.select(col("id").as("src"), col("nbrs").as("nu")), Seq("src"))
-      .join(nb.select(col("id").as("dst"), col("nbrs").as("nv")), Seq("dst"))
-      .select(col("src"), col("dst"),
-        explode(array_intersect(col("nu"), col("nv"))).as("w"))
-    def edge(a: String, b: String) = tris.select(
-      least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
-    val credits = edge("src", "dst").union(edge("src", "w")).union(edge("dst", "w"))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
-    (e.join(credits, Seq("u", "v"), "left")
+    def credits(oB: DataFrame): DataFrame = {
+      val tris = oB
+        .join(nb.select(col("id").as("src"), col("nbrs").as("nu")), Seq("src"))
+        .join(nb.select(col("id").as("dst"), col("nbrs").as("nv")), Seq("dst"))
+        .select(col("src"), col("dst"),
+          explode(array_intersect(col("nu"), col("nv"))).as("w"))
+      def edge(a: String, b: String) = tris.select(
+        least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
+      edge("src", "dst").union(edge("src", "w")).union(edge("dst", "w"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+    }
+    // BOUNDED-SCRATCH batched mode (the itemCf/k4Census pattern, see
+    // SignalQueries.itemCf): each triangle is enumerated at exactly one
+    // pivot edge, so splitting the pivot side by xxhash64(src) %
+    // batches partitions the enumeration exactly; per-batch credits are
+    // pre-aggregated (≤ |edges| rows after the groupBy) and CHECKPOINTED
+    // before the next batch's intersection explode starts, so peak
+    // spill is ~1/batches of the wedge volume, and the final pass sums
+    // the edge-linear partials. batches = 1 is the historical
+    // single-pass plan, byte-identical.
+    val (sup, partials) =
+      if (batches <= 1) (credits(o), Nil)
+      else {
+        val parts = (0 until batches).map { b =>
+          credits(o.filter(pmod(xxhash64(col("src")), lit(batches)) === b))
+            .localCheckpoint()
+        }
+        (parts.reduce(_ union _).groupBy(col("u"), col("v"))
+          .agg(sum(col("sup")).as("sup")), parts)
+      }
+    (e.join(sup, Seq("u", "v"), "left")
       .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("support")),
-      Seq(o, nb))
+      Seq(o, nb) ++ partials)
   }
 
-  private def edgeSupport(e: DataFrame): DataFrame = {
-    val (out0, tmp) = edgeSupport0(e)
+  private[graph] def edgeSupport(e: DataFrame,
+                                 batches: Int = SupportBatches): DataFrame = {
+    val (out0, tmp) = edgeSupport0(e, batches)
     val out = out0.localCheckpoint()
     tmp.foreach(freeCkpt)
     out
