@@ -62,15 +62,16 @@ class BrachaTouegPropertySpec extends SparkSpec {
     } yield edges.distinct
     val prop = Prop.forAll(gen) { edges =>
       val initiator = edges.flatMap(e => Seq(e._1, e._2)).min
-      val got = Algos.brachaToueg(edges.toDF("src", "dst", "tag"), initiator)
+      val rows = Algos.brachaToueg(edges.toDF("src", "dst", "tag"), initiator)
         .as[(Long, Int, Int)].collect()
-        .map { case (v, n0, f0) => v -> (n0, f0) }.toMap
+      val got = rows.map { case (v, n0, f0) => v -> (n0, f0) }.toMap
       val want = ref(edges, initiator, rounds = 20)
-      if (got != want) {
+      val ok = rows.length == got.size && got == want
+      if (!ok) {
         System.err.println(
           s"MISMATCH initiator=$initiator edges=$edges\n got=$got\n want=$want")
       }
-      got == want
+      ok
     }
     val r = SCTest.check(
       SCTest.Parameters.default

@@ -39,13 +39,14 @@ class ButterflyPropertySpec extends SparkSpec {
       edges <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, nl - 1L), Gen.choose(100L, 99L + nr)))
     } yield edges
     val prop = Prop.forAll(gen) { edges =>
-      val got = Algos.butterflyCount(edges.toDF("l", "r"))
-        .as[(Long, Long, Long, Long)].collect().head
+      val rows = Algos.butterflyCount(edges.toDF("l", "r"))
+        .as[(Long, Long, Long, Long)].collect()
       val want = butterflyRef(edges)
-      if (got != want) {
-        System.err.println(s"MISMATCH edges=$edges\n got=$got\n want=$want")
+      val ok = rows.length == 1 && rows.head == want
+      if (!ok) {
+        System.err.println(s"MISMATCH edges=$edges\n got=${rows.toSeq}\n want=$want")
       }
-      got == want
+      ok
     }
     val r = SCTest.check(
       SCTest.Parameters.default

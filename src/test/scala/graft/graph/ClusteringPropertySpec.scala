@@ -45,14 +45,15 @@ class ClusteringPropertySpec extends SparkSpec {
         case (a, b) if a != b => (math.min(a, b), math.max(a, b))
       }.distinct
       (pairs.nonEmpty: Prop) ==> {
-        val got = Algos.clusteringCoefficient(pairs.toDF("u", "v"))
+        val rows = Algos.clusteringCoefficient(pairs.toDF("u", "v"))
           .as[(Long, Long, Long)].collect()
-          .map { case (id, t, c) => id -> (t, c) }.toMap
+        val got = rows.map { case (id, t, c) => id -> (t, c) }.toMap
         val want = ccRef(pairs)
-        if (got != want) {
+        val ok = rows.length == got.size && got == want
+        if (!ok) {
           System.err.println(s"MISMATCH pairs=$pairs\n got=$got\n want=$want")
         }
-        got == want
+        ok
       }
     }
     val r = SCTest.check(

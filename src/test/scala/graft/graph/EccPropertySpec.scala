@@ -43,14 +43,15 @@ class EccPropertySpec extends SparkSpec {
       val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
       val sources = verts.take(3)
       val df = edges.toDF("src", "dst")
-      val gotEcc = Algos.eccentricities(df, sources)
+      val eccRows = Algos.eccentricities(df, sources)
         .as[(Long, Long, Long, Long)].collect()
-        .map { case (s, e, n, ds) => s -> (e, n, ds) }.toMap
-      val gotHar = Algos.harmonicCentrality(df, sources)
+      val gotEcc = eccRows.map { case (s, e, n, ds) => s -> (e, n, ds) }.toMap
+      val harRows = Algos.harmonicCentrality(df, sources)
         .select("source", "harmonic_num", "n_reached")
         .as[(Long, Long, Long)].collect()
-        .map { case (s, hn, n) => s -> (hn, n) }.toMap
-      val ok = sources.forall { s =>
+      val gotHar = harRows.map { case (s, hn, n) => s -> (hn, n) }.toMap
+      val ok = eccRows.length == gotEcc.size && harRows.length == gotHar.size &&
+        sources.forall { s =>
         val d = bfsRef(edges, s)
         val wantEcc = (d.values.max, d.size.toLong, d.values.sum)
         val wantHar = (d.values.filter(_ > 0).map(Algos.HarmonicLcm / _).sum,

@@ -39,14 +39,15 @@ class EdgeJaccardPropertySpec extends SparkSpec {
         case (a, b) if a != b => (math.min(a, b), math.max(a, b))
       }.distinct
       (pairs.nonEmpty: Prop) ==> {
-        val got = Algos.edgeJaccard(pairs.toDF("u", "v"), topK = 100000)
+        val rows = Algos.edgeJaccard(pairs.toDF("u", "v"), topK = 100000)
           .as[(Long, Long, Long, Long)].collect()
-          .map { case (u, v, s, j) => (u, v) -> (s, j) }.toMap
+        val got = rows.map { case (u, v, s, j) => (u, v) -> (s, j) }.toMap
         val want = jaccardRef(pairs)
-        if (got != want) {
+        val ok = rows.length == got.size && got == want
+        if (!ok) {
           System.err.println(s"MISMATCH pairs=$pairs\n got=$got\n want=$want")
         }
-        got == want
+        ok
       }
     }
     val r = SCTest.check(

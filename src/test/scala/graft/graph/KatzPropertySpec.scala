@@ -38,13 +38,15 @@ class KatzPropertySpec extends SparkSpec {
     val prop = Prop.forAll(gen) { edges =>
       // small divisor → large, structure-revealing path masses; the
       // engine contract is well-defined whatever A is
-      val got = Algos.katz(edges.toDF("src", "dst"), rounds = 4, attenDiv = 8L)
-        .as[(Long, Long)].collect().toMap
+      val rows = Algos.katz(edges.toDF("src", "dst"), rounds = 4, attenDiv = 8L)
+        .as[(Long, Long)].collect()
+      val got = rows.toMap
       val want = katzRef(edges, rounds = 4, attenDiv = 8L, scale = 1000000L)
-      if (got != want) {
+      val ok = rows.length == got.size && got == want
+      if (!ok) {
         System.err.println(s"MISMATCH edges=$edges\n got=$got\n want=$want")
       }
-      got == want
+      ok
     }
     val r = SCTest.check(
       SCTest.Parameters.default

@@ -41,14 +41,15 @@ class LinkPredictPropertySpec extends SparkSpec {
         case (a, b) if a != b => (math.min(a, b), math.max(a, b))
       }.distinct
       (pairs.nonEmpty: Prop) ==> {
-        val got = Algos.linkPredict(pairs.toDF("u", "v"), maxMidDeg = 4L)
+        val rows = Algos.linkPredict(pairs.toDF("u", "v"), maxMidDeg = 4L)
           .as[(Long, Long, Long, Long)].collect()
-          .map { case (u, v, cn, pa) => (u, v) -> (cn, pa) }.toMap
+        val got = rows.map { case (u, v, cn, pa) => (u, v) -> (cn, pa) }.toMap
         val want = lpRef(pairs, cap = 4L)
-        if (got != want) {
+        val ok = rows.length == got.size && got == want
+        if (!ok) {
           System.err.println(s"MISMATCH pairs=$pairs\n got=$got\n want=$want")
         }
-        got == want
+        ok
       }
     }
     val r = SCTest.check(

@@ -17,9 +17,9 @@ class LpaPropertySpec extends SparkSpec {
 
   private def lpaRef(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
     val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val in = edges.groupBy(_._2)
     var lbl = verts.map(v => v -> v).toMap
     for (_ <- 1 to rounds) {
-      val in = edges.groupBy(_._2)
       lbl = verts.map { v =>
         in.get(v) match {
           case None => v -> lbl(v)
@@ -42,13 +42,15 @@ class LpaPropertySpec extends SparkSpec {
     val prop = Prop.forAll(gen) { raw =>
       // symmetrize ROW-WISE (keep duplicates): votes must match 1:1
       val sym = raw.flatMap(e => Seq(e, e.swap))
-      val got = Algos.lpa(sym.toDF("src", "dst"), rounds = 3)
-        .as[(Long, Long)].collect().toMap
+      val rows = Algos.lpa(sym.toDF("src", "dst"), rounds = 3)
+        .as[(Long, Long)].collect()
+      val got = rows.toMap
       val want = lpaRef(sym, rounds = 3)
-      if (got != want) {
+      val ok = rows.length == got.size && got == want
+      if (!ok) {
         System.err.println(s"MISMATCH sym=$sym\n got=$got\n want=$want")
       }
-      got == want
+      ok
     }
     val r = SCTest.check(
       SCTest.Parameters.default

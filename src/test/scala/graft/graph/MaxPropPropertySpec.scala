@@ -39,13 +39,15 @@ class MaxPropPropertySpec extends SparkSpec {
     } yield edges
     val prop = Prop.forAll(gen) { edges =>
       val sym = edges.flatMap(e => Seq(e, e.swap))
-      val got = Algos.maxProp(sym.toDF("src", "dst"))
-        .as[(Long, Long)].collect().toMap
+      val rows = Algos.maxProp(sym.toDF("src", "dst"))
+        .as[(Long, Long)].collect()
+      val got = rows.toMap
       val want = maxRef(edges)
-      if (got != want) {
+      val ok = rows.length == got.size && got == want
+      if (!ok) {
         System.err.println(s"MISMATCH edges=$edges\n got=$got\n want=$want")
       }
-      got == want
+      ok
     }
     val r = SCTest.check(
       SCTest.Parameters.default

@@ -42,10 +42,11 @@ class ModularityPropertySpec extends SparkSpec {
           c -> (ids.size.toLong, internal2.toLong, degSum,
             internal2 / m2 - (degSum / m2) * (degSum / m2))
         }
-        val gotMod = Algos.modularity(sym.toDF("src", "dst"), comm.toDF("id", "community"))
+        val modRows = Algos.modularity(sym.toDF("src", "dst"), comm.toDF("id", "community"))
           .as[(Long, Long, Long, Long, Double)].collect()
-          .map { case (c, nm, i2, ds, q) => c -> (nm, i2, ds, q) }.toMap
-        val modOk = gotMod.keySet == wantMod.keySet && wantMod.forall {
+        val gotMod = modRows.map { case (c, nm, i2, ds, q) => c -> (nm, i2, ds, q) }.toMap
+        val modOk = modRows.length == gotMod.size &&
+          gotMod.keySet == wantMod.keySet && wantMod.forall {
           case (c, (nm, i2, ds, q)) =>
             val (gn, gi, gd, gq) = gotMod(c)
             gn == nm && gi == i2 && gd == ds && math.abs(gq - q) <= 1e-12
@@ -60,9 +61,10 @@ class ModularityPropertySpec extends SparkSpec {
         val svv = rows.map(r0 => r0._2 * r0._2).sum
         val wantR = (mm * suv - su * sv).toDouble /
           math.sqrt(((mm * suu - su * su).toDouble * (mm * svv - sv * sv).toDouble))
-        val (gm, gsuv, gr) = Algos.assortativity(sym.toDF("src", "dst"))
-          .as[(Long, Long, Double)].collect().head
-        val rOk = gm == mm && gsuv == suv &&
+        val aRows = Algos.assortativity(sym.toDF("src", "dst"))
+          .as[(Long, Long, Double)].collect()
+        val (gm, gsuv, gr) = aRows.head
+        val rOk = aRows.length == 1 && gm == mm && gsuv == suv &&
           ((gr.isNaN && wantR.isNaN) || math.abs(gr - wantR) <= 1e-12)
 
         if (!(modOk && rOk)) {

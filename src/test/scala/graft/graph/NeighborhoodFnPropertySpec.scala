@@ -45,14 +45,16 @@ class NeighborhoodFnPropertySpec extends SparkSpec {
       edges <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
     } yield edges
     val prop = Prop.forAll(gen) { edges =>
-      val got = Algos.neighborhoodFunction(
+      val rows = Algos.neighborhoodFunction(
           edges.toDF("src", "dst"), maxH = 3, sampleMod = 1L)
-        .as[(Long, Long)].collect().toMap
+        .as[(Long, Long)].collect()
+      val got = rows.toMap
       val want = nhRef(edges, maxH = 3)
-      if (got != want) {
+      val ok = rows.length == got.size && got == want
+      if (!ok) {
         System.err.println(s"MISMATCH edges=$edges\n got=$got\n want=$want")
       }
-      got == want
+      ok
     }
     val r = SCTest.check(
       SCTest.Parameters.default

@@ -42,10 +42,11 @@ class PagerankPropertySpec extends SparkSpec {
       edges <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
     } yield edges
     val prop = Prop.forAll(gen) { edges =>
-      val got = Algos.pagerank(edges.toDF("src", "dst"), iterations = 5)
-        .as[(Long, Double)].collect().toMap
+      val rows = Algos.pagerank(edges.toDF("src", "dst"), iterations = 5)
+        .as[(Long, Double)].collect()
+      val got = rows.toMap
       val want = pagerankRef(edges, iters = 5, damping = 0.85, reset = 0.15)
-      val sameKeys = got.keySet == want.keySet
+      val sameKeys = rows.length == got.size && got.keySet == want.keySet
       val close = sameKeys && want.forall { case (v, p) => math.abs(got(v) - p) <= 1e-10 }
       val mass = math.abs(got.values.sum - 1.0) <= 1e-9
       if (!(close && mass)) {

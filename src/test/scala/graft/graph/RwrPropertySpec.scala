@@ -33,18 +33,20 @@ class RwrPropertySpec extends SparkSpec {
     pr
   }
 
+  private val gen = for {
+    n <- Gen.choose(3, 25)
+    m <- Gen.choose(n, 3 * n)
+    edges <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+  } yield edges
+
   test("rwr matches the in-memory personalized power iteration") {
-    val gen = for {
-      n <- Gen.choose(3, 25)
-      m <- Gen.choose(n, 3 * n)
-      edges <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
-    } yield edges
     val prop = Prop.forAll(gen) { edges =>
       val source = edges.map(_._1).min // guaranteed out-degree > 0
-      val got = Algos.randomWalkWithRestart(edges.toDF("src", "dst"), source, iterations = 5)
-        .as[(Long, Double)].collect().toMap
+      val rows = Algos.randomWalkWithRestart(edges.toDF("src", "dst"), source, iterations = 5)
+        .as[(Long, Double)].collect()
+      val got = rows.toMap
       val want = rwrRef(edges, source, iters = 5, damping = 0.85, reset = 0.15)
-      val ok = got.keySet == want.keySet &&
+      val ok = rows.length == got.size && got.keySet == want.keySet &&
         want.forall { case (v, p) => math.abs(got(v) - p) <= 1e-10 }
       if (!ok) {
         System.err.println(
@@ -58,5 +60,32 @@ class RwrPropertySpec extends SparkSpec {
         .withInitialSeed(org.scalacheck.rng.Seed(1234L)),
       prop)
     assert(r.passed, s"rwr vs in-memory replay: ${r.status}")
+  }
+
+  test("rwrMulti reproduces each source's single-source vector") {
+    val prop = Prop.forAll(gen) { edges =>
+      val srcs = edges.map(_._1).distinct.sorted.take(3)
+      val rows = Algos.rwrMulti(edges.toDF("src", "dst"), nSources = 3, iterations = 5)
+        .select("id", "tag", "pr")
+        .as[(Long, Long, Double)].collect()
+      val got = rows.map { case (id, tag, pr) => (tag, id) -> pr }.toMap
+      val wants = srcs.map(s =>
+        s -> rwrRef(edges, s, iters = 5, damping = 0.85, reset = 0.15)).toMap
+      val ok = rows.length == got.size &&
+        got.keySet == wants.toSeq.flatMap { case (s, m) => m.keys.map(s -> _) }.toSet &&
+        wants.forall { case (s, m) =>
+          m.forall { case (v, p) => math.abs(got((s, v)) - p) <= 1e-10 }
+        }
+      if (!ok) {
+        System.err.println(s"MISMATCH srcs=$srcs edges=$edges\n got=$got\n wants=$wants")
+      }
+      ok
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(10)
+        .withInitialSeed(org.scalacheck.rng.Seed(1236L)),
+      prop)
+    assert(r.passed, s"rwrMulti vs per-source single runs: ${r.status}")
   }
 }

@@ -43,11 +43,12 @@ class SalsaPropertySpec extends SparkSpec {
       edges <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
     } yield edges
     val prop = Prop.forAll(gen) { edges =>
-      val got = Algos.salsa(edges.toDF("src", "dst"), iterations = 4)
+      val rows = Algos.salsa(edges.toDF("src", "dst"), iterations = 4)
         .as[(Long, Double, Double)].collect()
-        .map { case (v, au, hu) => v -> (au, hu) }.toMap
+      val got = rows.map { case (v, au, hu) => v -> (au, hu) }.toMap
       val want = salsaRef(edges, iters = 4)
-      val ok = got.keySet == want.keySet && want.forall { case (v, (wa, wh)) =>
+      val ok = rows.length == got.size &&
+        got.keySet == want.keySet && want.forall { case (v, (wa, wh)) =>
         math.abs(got(v)._1 - wa) <= 1e-9 && math.abs(got(v)._2 - wh) <= 1e-9
       }
       if (!ok) {

@@ -59,14 +59,16 @@ class SsspPropertySpec extends SparkSpec {
       // source = the min vertex id present (always exists; may reach
       // nothing — the absent-row contract is then the whole assertion)
       val source = edges.flatMap(e => Seq(e._1, e._2)).min
-      val got = Algos.sssp(edges.toDF("src", "dst", "w"), source)
-        .as[(Long, Long)].collect().toMap
+      val rows = Algos.sssp(edges.toDF("src", "dst", "w"), source)
+        .as[(Long, Long)].collect()
+      val got = rows.toMap
       val want = dijkstraRef(edges, source)
-      if (got != want) {
+      val ok = rows.length == got.size && got == want
+      if (!ok) {
         System.err.println(
           s"MISMATCH source=$source edges=$edges\n got=$got\n want=$want")
       }
-      got == want
+      ok
     }
     val r = SCTest.check(
       SCTest.Parameters.default

@@ -40,14 +40,16 @@ class TemporalReachPropertySpec extends SparkSpec {
     } yield edges
     val prop = Prop.forAll(gen) { edges =>
       val source = edges.flatMap(e => Seq(e._1, e._2)).min
-      val got = Algos.temporalReach(edges.toDF("src", "dst", "t"), source, rounds = 6)
-        .as[(Long, Long)].collect().toMap
+      val rows = Algos.temporalReach(edges.toDF("src", "dst", "t"), source, rounds = 6)
+        .as[(Long, Long)].collect()
+      val got = rows.toMap
       val want = reachRef(edges, source, rounds = 6)
-      if (got != want) {
+      val ok = rows.length == got.size && got == want
+      if (!ok) {
         System.err.println(
           s"MISMATCH source=$source edges=$edges\n got=$got\n want=$want")
       }
-      got == want
+      ok
     }
     val r = SCTest.check(
       SCTest.Parameters.default

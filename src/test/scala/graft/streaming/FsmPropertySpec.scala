@@ -25,8 +25,8 @@ import graft.streaming.EventStreams._
   * absolute semantics on top. */
 class FsmPropertySpec extends AnyFunSuite {
 
-  private def mkEvents(raw: Seq[(Int, Long, Int)]): Seq[Event] =
-    raw.zipWithIndex.map { case ((ty, ts, _), i) =>
+  private def mkEvents(raw: Seq[(Int, Long)]): Seq[Event] =
+    raw.zipWithIndex.map { case ((ty, ts), i) =>
       Event(i.toLong, new Timestamp(ts),
         user_id = 7L,
         event_type = ty match {
@@ -77,7 +77,7 @@ class FsmPropertySpec extends AnyFunSuite {
     raw <- Gen.listOfN(n, for {
       ty <- Gen.choose(0, 3)
       ts <- Gen.choose(0L, 6000000L) // 100 min span vs the 30-min gap
-    } yield (ty, ts, 0))
+    } yield (ty, ts))
     cuts <- Gen.listOfN(8, Gen.oneOf(true, false))
   } yield (mkEvents(raw), if (cuts.exists(identity)) cuts else List(true))
 
