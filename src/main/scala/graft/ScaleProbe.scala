@@ -152,6 +152,16 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // Probe-scoped liveness slack: in single-JVM local mode the
+      // executor heartbeat carries no real liveness signal (driver and
+      // executor share the process), but a stop-the-world pause longer
+      // than the 120 s default — observed once at 100×: the explicit
+      // post-query System.gc() on a 48 g heap froze the JVM ~3 min —
+      // gets the executor "removed" and the context shut down mid-run.
+      // The bench/driver sessions keep Spark defaults; only the probe,
+      // which deliberately runs 100×-scale work on one box, widens it.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_SCALE=100: second-decade mode — 100 disjoint
