@@ -25,11 +25,11 @@ object Bench {
           "SPARK_GRAFT_ALLOW_CPUS=1 to run an experiment at this width).")
       sys.exit(2)
     }
-    val spark = SparkSession.builder()
+    val spark = LocalLiveness.widen(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.session.timeZone", "UTC"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {

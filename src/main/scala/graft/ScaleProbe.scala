@@ -147,21 +147,11 @@ object ScaleProbe {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val tenx = sys.env.getOrElse("SPARK_GRAFT_10X_DIR", "/tmp/graft_scale10")
-    val spark = SparkSession.builder()
+    val spark = LocalLiveness.widen(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      // Probe-scoped liveness slack: in single-JVM local mode the
-      // executor heartbeat carries no real liveness signal (driver and
-      // executor share the process), but a stop-the-world pause longer
-      // than the 120 s default — observed once at 100×: the explicit
-      // post-query System.gc() on a 48 g heap froze the JVM ~3 min —
-      // gets the executor "removed" and the context shut down mid-run.
-      // The bench/driver sessions keep Spark defaults; only the probe,
-      // which deliberately runs 100×-scale work on one box, widens it.
-      .config("spark.network.timeout", "600s")
-      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.sql.session.timeZone", "UTC"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_SCALE=100: second-decade mode — 100 disjoint

@@ -52,9 +52,11 @@ object GraftRunner {
       .appName(s"graft-$algo")
       .config("spark.sql.shuffle.partitions",
         opts.getOrElse("parallelism", "32"))
-    // local default for dev; spark-submit's --master wins when set
+    // local default for dev; spark-submit's --master wins when set (and
+    // keeps Spark's heartbeat defaults — on a cluster it IS liveness)
     val spark = (if (sys.env.contains("SPARK_MASTER")) builder
-      else builder.master(s"local[${opts.getOrElse("parallelism", "*")}]")).getOrCreate()
+      else graft.LocalLiveness.widen(
+        builder.master(s"local[${opts.getOrElse("parallelism", "*")}]"))).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     try {
