@@ -88,9 +88,7 @@ class BetweennessPropertySpec extends SparkSpec {
       keysOk && valsOk
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(8)
-        .withInitialSeed(org.scalacheck.rng.Seed(1207L)),
+      propParams(1207L, 8),
       prop)
     assert(r.passed, s"betweenness vs in-memory Brandes: ${r.status}")
   }

@@ -112,9 +112,7 @@ class BowtiePropertySpec extends SparkSpec {
       got == want
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(6)
-        .withInitialSeed(org.scalacheck.rng.Seed(1221L)),
+      propParams(1221L, 6),
       prop)
     assert(r.passed, s"bowtie vs in-memory classification: ${r.status}")
   }

@@ -74,9 +74,7 @@ class BrachaTouegPropertySpec extends SparkSpec {
       ok
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(10)
-        .withInitialSeed(org.scalacheck.rng.Seed(1233L)),
+      propParams(1233L, 10),
       prop)
     assert(r.passed, s"brachaToueg vs in-memory fixpoint: ${r.status}")
   }

@@ -49,9 +49,7 @@ class ButterflyPropertySpec extends SparkSpec {
       ok
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(10)
-        .withInitialSeed(org.scalacheck.rng.Seed(1224L)),
+      propParams(1224L, 10),
       prop)
     assert(r.passed, s"butterflyCount vs brute force: ${r.status}")
   }

@@ -57,9 +57,7 @@ class ClusteringPropertySpec extends SparkSpec {
       }
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(10)
-        .withInitialSeed(org.scalacheck.rng.Seed(1223L)),
+      propParams(1223L, 10),
       prop)
     assert(r.passed, s"clusteringCoefficient vs brute force: ${r.status}")
   }

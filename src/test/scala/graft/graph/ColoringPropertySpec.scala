@@ -69,9 +69,7 @@ class ColoringPropertySpec extends SparkSpec {
       got == want
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(8)
-        .withInitialSeed(org.scalacheck.rng.Seed(1220L)),
+      propParams(1220L, 8),
       prop)
     assert(r.passed, s"greedyColoring vs sequential greedy: ${r.status}")
   }

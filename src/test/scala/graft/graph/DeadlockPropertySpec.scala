@@ -55,9 +55,7 @@ class DeadlockPropertySpec extends SparkSpec {
       got == want
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(8)
-        .withInitialSeed(org.scalacheck.rng.Seed(1224L)),
+      propParams(1224L, 8),
       prop)
     assert(r.passed, s"deadlock vs in-memory reach-a-cycle: ${r.status}")
   }

@@ -65,9 +65,7 @@ class EccPropertySpec extends SparkSpec {
       ok
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(10)
-        .withInitialSeed(org.scalacheck.rng.Seed(1225L)),
+      propParams(1225L, 10),
       prop)
     assert(r.passed, s"eccentricities/harmonic vs in-memory BFS: ${r.status}")
   }

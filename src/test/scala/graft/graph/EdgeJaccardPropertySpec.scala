@@ -51,9 +51,7 @@ class EdgeJaccardPropertySpec extends SparkSpec {
       }
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(10)
-        .withInitialSeed(org.scalacheck.rng.Seed(1222L)),
+      propParams(1222L, 10),
       prop)
     assert(r.passed, s"edgeJaccard vs brute force: ${r.status}")
   }

@@ -38,9 +38,7 @@ class EdgeSupportBatchedSpec extends SparkSpec {
       }
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(10)
-        .withInitialSeed(org.scalacheck.rng.Seed(1222L)),
+      propParams(1222L, 10),
       prop)
     assert(r.passed, s"batched vs single-pass edgeSupport: ${r.status}")
   }

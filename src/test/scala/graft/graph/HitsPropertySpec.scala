@@ -10,9 +10,10 @@ import graft.SparkSpec
   * h(u) = Σ_{u→v} a(v) / ‖·‖₁. The dense-replay SQL oracle covers the
   * one fixture graph; this covers random shapes — sinks and sources
   * that zero out a side, parallel edges contributing one share per ROW,
-  * disconnected stars. Per-vertex |Δ| ≤ 1e-9 (shared arithmetic,
-  * different summation order; a dropped edge or mis-normalized round
-  * shows up at ~1e-2). */
+  * disconnected stars. Per-vertex |Δ| ≤ 1e-8 (shared arithmetic,
+  * different summation order — the slack must survive legitimate
+  * reassociation such as Kahan or AQE re-aggregation, seed-validated
+  * at 1e-9; a dropped edge or mis-normalized round shows at ~1e-2). */
 class HitsPropertySpec extends SparkSpec {
   import spark.implicits._
 
@@ -47,7 +48,7 @@ class HitsPropertySpec extends SparkSpec {
       val want = hitsRef(edges, iters = 4)
       val ok = rows.length == got.size &&
         got.keySet == want.keySet && want.forall { case (v, (wa, wh)) =>
-        math.abs(got(v)._1 - wa) <= 1e-9 && math.abs(got(v)._2 - wh) <= 1e-9
+        math.abs(got(v)._1 - wa) <= 1e-8 && math.abs(got(v)._2 - wh) <= 1e-8
       }
       if (!ok) {
         System.err.println(s"MISMATCH edges=$edges\n got=$got\n want=$want")
@@ -55,9 +56,7 @@ class HitsPropertySpec extends SparkSpec {
       ok
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(10)
-        .withInitialSeed(org.scalacheck.rng.Seed(1226L)),
+      propParams(1226L, 10),
       prop)
     assert(r.passed, s"hits vs in-memory power iteration: ${r.status}")
   }

@@ -57,9 +57,7 @@ class KCorePropertySpec extends SparkSpec {
       }
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(8)
-        .withInitialSeed(org.scalacheck.rng.Seed(1216L)),
+      propParams(1216L, 8),
       prop)
     assert(r.passed, s"kCore vs in-memory peeler: ${r.status}")
   }

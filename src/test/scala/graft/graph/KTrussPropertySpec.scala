@@ -65,9 +65,7 @@ class KTrussPropertySpec extends SparkSpec {
       }
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(8)
-        .withInitialSeed(org.scalacheck.rng.Seed(1212L)),
+      propParams(1212L, 8),
       prop)
     assert(r.passed, s"kTruss vs in-memory peeler: ${r.status}")
   }

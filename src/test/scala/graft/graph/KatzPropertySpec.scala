@@ -49,9 +49,7 @@ class KatzPropertySpec extends SparkSpec {
       ok
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(10)
-        .withInitialSeed(org.scalacheck.rng.Seed(1220L)),
+      propParams(1220L, 10),
       prop)
     assert(r.passed, s"katz vs in-memory integer recurrence: ${r.status}")
   }

@@ -53,9 +53,7 @@ class LinkPredictPropertySpec extends SparkSpec {
       }
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(10)
-        .withInitialSeed(org.scalacheck.rng.Seed(1230L)),
+      propParams(1230L, 10),
       prop)
     assert(r.passed, s"linkPredict vs brute force: ${r.status}")
   }

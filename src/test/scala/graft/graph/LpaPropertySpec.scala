@@ -53,9 +53,7 @@ class LpaPropertySpec extends SparkSpec {
       ok
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(10)
-        .withInitialSeed(org.scalacheck.rng.Seed(1229L)),
+      propParams(1229L, 10),
       prop)
     assert(r.passed, s"lpa vs in-memory replay: ${r.status}")
   }

@@ -45,9 +45,7 @@ class MatchingPropertySpec extends SparkSpec {
       }
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(10)
-        .withInitialSeed(org.scalacheck.rng.Seed(1222L)),
+      propParams(1222L, 10),
       prop)
     assert(r.passed, s"maximalMatching invariants: ${r.status}")
   }

@@ -50,9 +50,7 @@ class MaxPropPropertySpec extends SparkSpec {
       ok
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(10)
-        .withInitialSeed(org.scalacheck.rng.Seed(1235L)),
+      propParams(1235L, 10),
       prop)
     assert(r.passed, s"maxProp vs union-find: ${r.status}")
   }

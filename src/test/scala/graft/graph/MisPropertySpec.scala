@@ -58,9 +58,7 @@ class MisPropertySpec extends SparkSpec {
       got == want
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(10)
-        .withInitialSeed(org.scalacheck.rng.Seed(1219L)),
+      propParams(1219L, 10),
       prop)
     assert(r.passed, s"independentSet vs lex-first MIS: ${r.status}")
   }

@@ -75,9 +75,7 @@ class ModularityPropertySpec extends SparkSpec {
       }
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(10)
-        .withInitialSeed(org.scalacheck.rng.Seed(1232L)),
+      propParams(1232L, 10),
       prop)
     assert(r.passed, s"modularity/assortativity vs brute force: ${r.status}")
   }

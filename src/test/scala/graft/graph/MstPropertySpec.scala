@@ -60,9 +60,7 @@ class MstPropertySpec extends SparkSpec {
       }
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(8)
-        .withInitialSeed(org.scalacheck.rng.Seed(1220L)),
+      propParams(1220L, 8),
       prop)
     assert(r.passed, s"mst vs in-memory Kruskal: ${r.status}")
   }

@@ -57,9 +57,7 @@ class NeighborhoodFnPropertySpec extends SparkSpec {
       ok
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(10)
-        .withInitialSeed(org.scalacheck.rng.Seed(1228L)),
+      propParams(1228L, 10),
       prop)
     assert(r.passed, s"neighborhoodFunction vs in-memory BFS balls: ${r.status}")
   }

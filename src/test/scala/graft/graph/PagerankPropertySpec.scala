@@ -10,11 +10,14 @@ import graft.SparkSpec
   * share each, exactly like the engine's row-level contribution join)
   * against an in-memory power-iteration replay of the same recurrence
   * pr' = reset/n + d·(Σ pr(u)/outdeg(u) + dang/n). Comparison is
-  * per-vertex |Δ| ≤ 1e-10 — the two sides share the arithmetic but not
-  * the summation ORDER, so exact equality is not the contract; 1e-10 on
-  * values of magnitude ~1/n is ~5 ulp-class slack while any dropped
-  * dangling share or missed parallel edge shows up at ~1e-2. Also
-  * asserts Σ pr = 1 (mass conservation) on every shape. */
+  * per-vertex |Δ| ≤ 1e-8: the two sides share the arithmetic but not
+  * the summation ORDER, so exact equality is not the contract, and the
+  * tolerance must survive legitimate reassociation on EITHER side (a
+  * future Kahan/AQE re-aggregation is still correct) — 1e-8 on values
+  * of magnitude ~1/n leaves ~6 orders of slack above float-reassoc
+  * noise (~1e-14 here, seed-validated at 1e-10 through round 12) and
+  * ~6 below a real defect (a dropped dangling share or missed parallel
+  * edge shows at ~1e-2). Also asserts Σ pr = 1 (mass conservation). */
 class PagerankPropertySpec extends SparkSpec {
   import spark.implicits._
 
@@ -47,7 +50,7 @@ class PagerankPropertySpec extends SparkSpec {
       val got = rows.toMap
       val want = pagerankRef(edges, iters = 5, damping = 0.85, reset = 0.15)
       val sameKeys = rows.length == got.size && got.keySet == want.keySet
-      val close = sameKeys && want.forall { case (v, p) => math.abs(got(v) - p) <= 1e-10 }
+      val close = sameKeys && want.forall { case (v, p) => math.abs(got(v) - p) <= 1e-8 }
       val mass = math.abs(got.values.sum - 1.0) <= 1e-9
       if (!(close && mass)) {
         System.err.println(
@@ -56,9 +59,7 @@ class PagerankPropertySpec extends SparkSpec {
       close && mass
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(10)
-        .withInitialSeed(org.scalacheck.rng.Seed(1221L)),
+      propParams(1221L, 10),
       prop)
     assert(r.passed, s"pagerank vs in-memory power iteration: ${r.status}")
   }

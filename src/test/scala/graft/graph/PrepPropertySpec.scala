@@ -24,9 +24,7 @@ class PrepPropertySpec extends SparkSpec {
 
   private def run(name: String, seed: Long)(p: Seq[(Long, Long)] => Boolean): Unit = {
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(10)
-        .withInitialSeed(org.scalacheck.rng.Seed(seed)),
+      propParams(seed, 10),
       Prop.forAll(gen) { edges =>
         val ok = p(edges)
         if (!ok) System.err.println(s"MISMATCH [$name] edges=$edges")

@@ -10,7 +10,8 @@ import graft.SparkSpec
   * a(v)/indeg(v) then L1-normalize. The degree division BEFORE
   * propagation is what separates SALSA from HITS (TKC robustness); a
   * swapped or missing division collapses to HITS-like mass and misses
-  * by ~1e-1 where the tolerance is 1e-9. Parallel edges contribute one
+  * by ~1e-1 where the tolerance is 1e-8 (reassociation-proof slack,
+  * seed-validated at 1e-9). Parallel edges contribute one
   * share per ROW and inflate the divisor degrees the same way in both
   * engines. */
 class SalsaPropertySpec extends SparkSpec {
@@ -49,7 +50,7 @@ class SalsaPropertySpec extends SparkSpec {
       val want = salsaRef(edges, iters = 4)
       val ok = rows.length == got.size &&
         got.keySet == want.keySet && want.forall { case (v, (wa, wh)) =>
-        math.abs(got(v)._1 - wa) <= 1e-9 && math.abs(got(v)._2 - wh) <= 1e-9
+        math.abs(got(v)._1 - wa) <= 1e-8 && math.abs(got(v)._2 - wh) <= 1e-8
       }
       if (!ok) {
         System.err.println(s"MISMATCH edges=$edges\n got=$got\n want=$want")
@@ -57,9 +58,7 @@ class SalsaPropertySpec extends SparkSpec {
       ok
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(10)
-        .withInitialSeed(org.scalacheck.rng.Seed(1231L)),
+      propParams(1231L, 10),
       prop)
     assert(r.passed, s"salsa vs in-memory recursion: ${r.status}")
   }

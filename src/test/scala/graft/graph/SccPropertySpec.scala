@@ -81,9 +81,7 @@ class SccPropertySpec extends SparkSpec {
       got == want
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(8)
-        .withInitialSeed(org.scalacheck.rng.Seed(1214L)),
+      propParams(1214L, 8),
       prop)
     assert(r.passed, s"scc vs in-memory Kosaraju: ${r.status}")
   }

@@ -71,9 +71,7 @@ class SsspPropertySpec extends SparkSpec {
       ok
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(10)
-        .withInitialSeed(org.scalacheck.rng.Seed(1219L)),
+      propParams(1219L, 10),
       prop)
     assert(r.passed, s"sssp vs in-memory Dijkstra: ${r.status}")
   }

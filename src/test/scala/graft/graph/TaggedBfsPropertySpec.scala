@@ -49,9 +49,7 @@ class TaggedBfsPropertySpec extends SparkSpec {
       ours == gx
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(8)
-        .withInitialSeed(org.scalacheck.rng.Seed(42L)),
+      propParams(42L, 8),
       prop)
     assert(r.passed, s"two-frontier vs GraphX: ${r.status}")
   }

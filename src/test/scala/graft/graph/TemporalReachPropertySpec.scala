@@ -52,9 +52,7 @@ class TemporalReachPropertySpec extends SparkSpec {
       ok
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(10)
-        .withInitialSeed(org.scalacheck.rng.Seed(1227L)),
+      propParams(1227L, 10),
       prop)
     assert(r.passed, s"temporalReach vs in-memory replay: ${r.status}")
   }

@@ -52,9 +52,7 @@ class TrianglePropertySpec extends SparkSpec {
       }
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(10)
-        .withInitialSeed(org.scalacheck.rng.Seed(1226L)),
+      propParams(1226L, 10),
       prop)
     assert(r.passed, s"triangleCount vs brute force: ${r.status}")
   }

@@ -51,9 +51,7 @@ class WccPropertySpec extends SparkSpec {
       got == want
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(10)
-        .withInitialSeed(org.scalacheck.rng.Seed(1218L)),
+      propParams(1218L, 10),
       prop)
     assert(r.passed, s"wcc vs in-memory union-find: ${r.status}")
   }

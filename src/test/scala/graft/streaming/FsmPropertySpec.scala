@@ -104,9 +104,7 @@ class FsmPropertySpec extends AnyFunSuite {
       ok
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(200)
-        .withInitialSeed(org.scalacheck.rng.Seed(1240L)),
+      graft.SparkSpec.propParams(1240L, 200, getClass.getName),
       prop)
     assert(r.passed, s"funnel FSM: ${r.status}")
   }
@@ -128,9 +126,7 @@ class FsmPropertySpec extends AnyFunSuite {
       ok
     }
     val r = SCTest.check(
-      SCTest.Parameters.default
-        .withMinSuccessfulTests(200)
-        .withInitialSeed(org.scalacheck.rng.Seed(1241L)),
+      graft.SparkSpec.propParams(1241L, 200, getClass.getName),
       prop)
     assert(r.passed, s"sessionization FSM: ${r.status}")
   }
