@@ -25,7 +25,7 @@ object Bench {
           "SPARK_GRAFT_ALLOW_CPUS=1 to run an experiment at this width).")
       sys.exit(2)
     }
-    val spark = LocalLiveness.widen(SparkSession.builder()
+    val spark = LocalScratch.fast(LocalLiveness.widen(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

@@ -7,7 +7,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = LocalLiveness.widen(SparkSession.builder()
+    // RAM-backed scratch (LocalScratch): the driver's correctness drive
+    // is sf0.01 — tiny spills. Probe-scale corpora pushed through
+    // Verify (e.g. the 50x CDC pair dump) must export
+    // SPARK_GRAFT_LOCAL_DIR=disk: their spill exceeds RAM.
+    val spark = LocalScratch.fast(LocalLiveness.widen(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
