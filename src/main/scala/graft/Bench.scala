@@ -70,13 +70,22 @@ object Bench {
         .first()
     }
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // cumulative stop-the-world GC milliseconds across all collectors —
+    // sampled before/after each timed window so every per-query wall
+    // number carries its own GC bill. Second adjudication signal next to
+    // job counts: a wall spike with frozen jobs AND a matching gc_ms
+    // spike is JVM noise (heap position effects), not a plan change.
+    import scala.jdk.CollectionConverters._
+    def gcMs(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     // name-sorted: a stable, documented order makes per-query times
     // comparable across rounds (Map hash order reshuffles whenever the
     // query set changes, moving JIT/GC position effects between queries)
-    def runPass(): Seq[(String, Double, Int)] = SparkEntry.queries.toSeq.sortBy(_._1)
+    def runPass(): Seq[(String, Double, Int, Long)] = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         jobCounter.set(0)
+        val g0 = gcMs()
         val t0 = System.nanoTime()
         // A failed query must be UN-MASKABLE: record a NEGATIVE elapsed
         // time and log it. (Round 5 silently recorded 20 analysis-time
@@ -87,6 +96,7 @@ object Bench {
             false
         }
         val dt0 = (System.nanoTime() - t0) / 1e9
+        val gc = gcMs() - g0
         val dt = if (ok) dt0 else -dt0
         // job count read AFTER the bus drain (async delivery) and OUTSIDE
         // the timed window — the drain is bookkeeping, not query cost
@@ -103,29 +113,31 @@ object Bench {
         // (GC-triggered) never reclaims dead broadcasts/accumulators and
         // they accumulate across the run — nudge it between queries
         System.gc()
-        (name, dt, jobs)
+        (name, dt, jobs, gc)
       }
     // Round to ms: full double reprs pushed the round-4 line past what the
     // harness captured whole (BENCH_r04 `total` arrived truncated
     // mid-number). Headline fields lead the object so a tail truncation
     // can only ever cost per-query detail, never the total.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def emit(results: Seq[(String, Double, Int)], passTotals: Seq[Double],
+    def emit(results: Seq[(String, Double, Int, Long)], passTotals: Seq[Double],
              nPasses: Int): Unit = {
-      val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f(v) }
+      val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
       // deterministic per-query job counts (the adjudication metric for
       // wall-time deltas — see scaladoc on jobCounter); reported as the
-      // (time, jobs) PAIR of the pass that won on wall time
-      val js = results.map { case (k, _, j) => s"\"" + k + "\":" + j }
+      // (time, jobs, gc_ms) TRIPLE of the pass that won on wall time
+      val js = results.map { case (k, _, j, _) => s"\"" + k + "\":" + j }
+        .mkString("{", ",", "}")
+      val gs = results.map { case (k, _, _, g) => s"\"" + k + "\":" + g }
         .mkString("{", ",", "}")
       // total sums SUCCESSFUL queries only; failures (negative entries)
       // are surfaced in an explicit errors list so they never read fast.
       val total = results.map(_._2).filter(_ >= 0).sum
-      val errs = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+      val errs = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
       val passes = passTotals.map(f).mkString("[", ",", "]")
       val line =
-        s"""{"metric":"total","value":${f(total)},"unit":"sec","n_passes":$nPasses,"pass_totals":$passes,"n_err":${errs.size},"errors":${errs.mkString("[", ",", "]")},"sf":"$sfDir","queries":$qs,"jobs":$js}"""
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","n_passes":$nPasses,"pass_totals":$passes,"n_err":${errs.size},"errors":${errs.mkString("[", ",", "]")},"sf":"$sfDir","queries":$qs,"jobs":$js,"gc_ms":$gs}"""
       println(line)
       // Belt-and-braces: also persist the full line to a file the judge
       // can read even if the stdout capture clips.
@@ -147,7 +159,7 @@ object Bench {
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
     val p1 = runPass()
     emit(p1, Seq(p1.map(_._2).filter(_ >= 0).sum), 1)
-    var best = p1.map { case (k, v, j) => k -> ((v, j)) }.toMap
+    var best = p1.map { case (k, v, j, g) => k -> ((v, j, g)) }.toMap
     var totals = Seq(p1.map(_._2).filter(_ >= 0).sum)
     (2 to nPasses).foreach { _ =>
       val p = runPass()
@@ -159,14 +171,14 @@ object Bench {
       // pass's time — round-11 advice). An error in any pass keeps the
       // query flagged (sticky negative) — a flaky failure must stay
       // visible.
-      best = p.map { case (k, v, j) =>
-        val (pv, pj) = best.getOrElse(k, (v, j))
-        k -> (if (pv < 0) (pv, pj)
-              else if (v < 0 || v < pv) (v, j)
-              else (pv, pj))
+      best = p.map { case (k, v, j, g) =>
+        val (pv, pj, pg) = best.getOrElse(k, (v, j, g))
+        k -> (if (pv < 0) (pv, pj, pg)
+              else if (v < 0 || v < pv) (v, j, g)
+              else (pv, pj, pg))
       }.toMap
-      emit(p1.map { case (k, _, _) =>
-        val (v, j) = best(k); (k, v, j)
+      emit(p1.map { case (k, _, _, _) =>
+        val (v, j, g) = best(k); (k, v, j, g)
       }, totals, totals.size)
     }
     spark.stop()
