@@ -1564,7 +1564,17 @@ object Algos {
         sum(col("du") * col("dv")).as("suv"), sum(col("du") * col("du")).as("suu"),
         sum(col("dv") * col("dv")).as("svv"))
       .select(col("m"), col("suv"),
-        ((col("m") * col("suv") - col("su") * col("sv")).cast("double")
+        // degree-regular graphs zero BOTH variance factors — and on a
+        // symmetric edge list su=sv/suu=svv, so a zero denominator
+        // forces a zero numerator: r is the indeterminate 0/0, which
+        // ANSI division rejects instead of producing IEEE NaN (found by
+        // the randomized oracle in exploration mode, round 13). Guard
+        // the zero-variance regime explicitly; CaseWhen's lazy branch
+        // evaluation keeps the division unexecuted when it fires.
+        when(sqrt((col("m") * col("suu") - col("su") * col("su")).cast("double")
+            * (col("m") * col("svv") - col("sv") * col("sv")).cast("double")) === 0.0,
+          lit(Double.NaN))
+        .otherwise((col("m") * col("suv") - col("su") * col("sv")).cast("double")
           / sqrt((col("m") * col("suu") - col("su") * col("su")).cast("double")
             * (col("m") * col("svv") - col("sv") * col("sv")).cast("double"))).as("r"))
   }
