@@ -115,6 +115,7 @@ object Bench {
         System.gc()
         (name, dt, jobs, gc)
       }
+    var lastCompact = ""
     // Round to ms: full double reprs pushed the round-4 line past what the
     // harness captured whole (BENCH_r04 `total` arrived truncated
     // mid-number). Headline fields lead the object so a tail truncation
@@ -136,8 +137,12 @@ object Bench {
       val total = results.map(_._2).filter(_ >= 0).sum
       val errs = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
       val passes = passTotals.map(f).mkString("[", ",", "]")
+      // local_dir: the scratch resolution this run actually used — a
+      // silent tmpfs→disk flip is a ×1.69-class wall swing (round-12
+      // adjudication) and must be readable off the artifact itself
+      // (round-13 advice), not reconstructed from session logs.
       val line =
-        s"""{"metric":"total","value":${f(total)},"unit":"sec","n_passes":$nPasses,"pass_totals":$passes,"n_err":${errs.size},"errors":${errs.mkString("[", ",", "]")},"sf":"$sfDir","queries":$qs,"jobs":$js,"gc_ms":$gs}"""
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","n_passes":$nPasses,"pass_totals":$passes,"n_err":${errs.size},"errors":${errs.mkString("[", ",", "]")},"sf":"$sfDir","local_dir":"${LocalScratch.resolved}","queries":$qs,"jobs":$js,"gc_ms":$gs}"""
       println(line)
       // Belt-and-braces: also persist the full line to a file the judge
       // can read even if the stdout capture clips.
@@ -147,7 +152,15 @@ object Bench {
       // only the last ~2000 chars of sbt output and the full line above
       // never fits — this headline-only line does, so BENCH_r*.json is
       // self-contained (bench_out.json stays the artifact of record).
-      println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"n_passes":$nPasses,"n_err":${errs.size},"sf":"$sfDir","compact":true}""")
+      // Also persisted to a fixed side-channel file and re-printed as
+      // the process's last stdout line after spark.stop() (round-13
+      // verdict task 7): the driver's snapshot window must never find
+      // shutdown logging where the headline should be.
+      lastCompact =
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"n_passes":$nPasses,"n_err":${errs.size},"sf":"$sfDir","local_dir":"${LocalScratch.resolved}","compact":true}"""
+      println(lastCompact)
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_compact.json"),
+        (lastCompact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     // Noise robustness (round-6 ask): the one-JVM 263-query suite shows
     // 2-3× suite-position noise on sub-second queries (twice adjudicated
@@ -182,5 +195,8 @@ object Bench {
       }, totals, totals.size)
     }
     spark.stop()
+    // the very last stdout line of the run is the compact headline —
+    // whatever the driver's tail window captures, it ends with JSON
+    println(lastCompact)
   }
 }

@@ -2449,7 +2449,15 @@ object Queries {
     * high-degree suppliers. Exact integer sums; one double formula. */
   private def qAssortativity(s: SparkSession, dir: String): DataFrame =
     Algos.assortativity(custSuppSymE(s, dir).select("src", "dst"))
-      .select(col("m"), col("suv"), e6(col("r")).as("r_e6"))
+      // assortativity returns NaN in the zero-degree-variance regime
+      // (round-13 exploration find); the e6 floor+CAST would itself
+      // throw on NaN under ANSI, so define the oracled column there:
+      // r_e6 is NULL exactly when r is NaN, mirrored by the NULLIF
+      // guard in the SQL twin (round-13 advice — engine and oracle
+      // must agree end-to-end even on a degree-regular corpus graph)
+      .select(col("m"), col("suv"),
+        when(isnan(col("r")), lit(null).cast("long"))
+          .otherwise(e6(col("r"))).as("r_e6"))
 
   private val qAssortativitySql =
     s"""WITH ${TestGraphs.custSuppSymSql},
@@ -2460,7 +2468,7 @@ object Queries {
        |CAST(SUM(dv) AS BIGINT) AS sv, CAST(SUM(du * dv) AS BIGINT) AS suv,
        |CAST(SUM(du * du) AS BIGINT) AS suu, CAST(SUM(dv * dv) AS BIGINT) AS svv FROM j)
        |SELECT m, suv, CAST(FLOOR((CAST(m * suv - su * sv AS DOUBLE)
-       |/ sqrt(CAST(m * suu - su * su AS DOUBLE) * CAST(m * svv - sv * sv AS DOUBLE)))
+       |/ NULLIF(sqrt(CAST(m * suu - su * su AS DOUBLE) * CAST(m * svv - sv * sv AS DOUBLE)), 0.0))
        |* 1000000) AS BIGINT) AS r_e6 FROM st""".stripMargin.replace('\n', ' ')
 
   /** Link prediction on the part co-purchase graph built from a

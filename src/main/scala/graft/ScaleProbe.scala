@@ -70,8 +70,8 @@ object ScaleProbe {
     (0 until 26).map(i => ('a' + (a * i + b) % 26).toChar).mkString
   }
 
-  private def buildTenX(spark: SparkSession, src: String, out: String,
-                        nCopies: Int = 10, withDocs: Boolean = true): Unit = {
+  private[graft] def buildTenX(spark: SparkSession, src: String, out: String,
+                               nCopies: Int = 10, withDocs: Boolean = true): Unit = {
     val fs = new java.io.File(out)
     // v3: affine doc cipher (312 copies) replaces the 26-rotation; v1/v2
     // dirs are rebuilt so probes never mix generations
@@ -190,14 +190,33 @@ object ScaleProbe {
         "targets in SPARK_GRAFT_PROBE will fail; probe key-offset graph " +
         "kernels here.")
     }
-    def time(name: String, dir: String): (Double, Long) = {
+    // jobs + gc_ms next to the wall ratio (round-13 verdict task 6): the
+    // bench artifact already self-adjudicates wall noise through its
+    // deterministic job counts and the GC channel — decade tables get
+    // the same treatment so a noisy probe row is readable as noise
+    // (flat jobs, flat gc) without a re-run.
+    val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCounter.incrementAndGet(); ()
+      }
+    })
+    import scala.jdk.CollectionConverters._
+    def gcNow(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    def time(name: String, dir: String): (Double, Long, Int, Long) = {
+      jobCounter.set(0)
+      val g0 = gcNow()
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
+      val gc = gcNow() - g0
+      org.apache.spark.sql.graft.CheckpointBridge.drainListeners(spark)
+      val jobs = jobCounter.get()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc()
-      (dt, n)
+      (dt, n, jobs, gc)
     }
     Targets.foreach { q =>
       // a target that fails (e.g. the neighborhoodFunction size gate
@@ -205,9 +224,9 @@ object ScaleProbe {
       // the rest of the batch — record the failure message as the
       // result, which for the gate IS the graceful path being probed
       try {
-        val (t1, n1) = time(q, src)
-        val (t10, n10) = time(q, outDir)
-        println(f"SCALE $q%-18s 1x: $t1%7.2fs ($n1 rows)  ${scale}x: $t10%7.2fs ($n10 rows)  ratio=${t10 / t1}%5.2f")
+        val (t1, n1, j1, g1) = time(q, src)
+        val (t10, n10, j10, g10) = time(q, outDir)
+        println(f"SCALE $q%-18s 1x: $t1%7.2fs ($n1 rows, $j1 jobs, $g1 gcms)  ${scale}x: $t10%7.2fs ($n10 rows, $j10 jobs, $g10 gcms)  ratio=${t10 / t1}%5.2f")
       } catch {
         case e: Exception =>
           println(s"SCALE $q FAILED: ${e.getMessage}")

@@ -50,7 +50,7 @@ class PagerankPropertySpec extends SparkSpec {
       val got = rows.toMap
       val want = pagerankRef(edges, iters = 5, damping = 0.85, reset = 0.15)
       val sameKeys = rows.length == got.size && got.keySet == want.keySet
-      val close = sameKeys && want.forall { case (v, p) => math.abs(got(v) - p) <= 1e-8 }
+      val close = sameKeys && want.forall { case (v, p) => math.abs(got(v) - p) <= graft.SparkSpec.doubleTol(1e-8, 1e-10) }
       val mass = math.abs(got.values.sum - 1.0) <= 1e-9
       if (!(close && mass)) {
         System.err.println(

@@ -47,7 +47,7 @@ class RwrPropertySpec extends SparkSpec {
       val got = rows.toMap
       val want = rwrRef(edges, source, iters = 5, damping = 0.85, reset = 0.15)
       val ok = rows.length == got.size && got.keySet == want.keySet &&
-        want.forall { case (v, p) => math.abs(got(v) - p) <= 1e-8 }
+        want.forall { case (v, p) => math.abs(got(v) - p) <= graft.SparkSpec.doubleTol(1e-8, 1e-10) }
       if (!ok) {
         System.err.println(
           s"MISMATCH source=$source edges=$edges\n got=$got\n want=$want")
@@ -55,7 +55,7 @@ class RwrPropertySpec extends SparkSpec {
       ok
     }
     val r = SCTest.check(
-      propParams(1234L, 10),
+      propParams(1234L, 10, tag = "rwr"),
       prop)
     assert(r.passed, s"rwr vs in-memory replay: ${r.status}")
   }
@@ -72,7 +72,7 @@ class RwrPropertySpec extends SparkSpec {
       val ok = rows.length == got.size &&
         got.keySet == wants.toSeq.flatMap { case (s, m) => m.keys.map(s -> _) }.toSet &&
         wants.forall { case (s, m) =>
-          m.forall { case (v, p) => math.abs(got((s, v)) - p) <= 1e-8 }
+          m.forall { case (v, p) => math.abs(got((s, v)) - p) <= graft.SparkSpec.doubleTol(1e-8, 1e-10) }
         }
       if (!ok) {
         System.err.println(s"MISMATCH srcs=$srcs edges=$edges\n got=$got\n wants=$wants")
@@ -80,7 +80,7 @@ class RwrPropertySpec extends SparkSpec {
       ok
     }
     val r = SCTest.check(
-      propParams(1236L, 10),
+      propParams(1236L, 10, tag = "rwrMulti"),
       prop)
     assert(r.passed, s"rwrMulti vs per-source single runs: ${r.status}")
   }

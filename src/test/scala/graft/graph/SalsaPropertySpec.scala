@@ -50,7 +50,7 @@ class SalsaPropertySpec extends SparkSpec {
       val want = salsaRef(edges, iters = 4)
       val ok = rows.length == got.size &&
         got.keySet == want.keySet && want.forall { case (v, (wa, wh)) =>
-        math.abs(got(v)._1 - wa) <= 1e-8 && math.abs(got(v)._2 - wh) <= 1e-8
+        math.abs(got(v)._1 - wa) <= graft.SparkSpec.doubleTol(1e-8, 1e-9) && math.abs(got(v)._2 - wh) <= graft.SparkSpec.doubleTol(1e-8, 1e-9)
       }
       if (!ok) {
         System.err.println(s"MISMATCH edges=$edges\n got=$got\n want=$want")

@@ -104,7 +104,7 @@ class FsmPropertySpec extends AnyFunSuite {
       ok
     }
     val r = SCTest.check(
-      graft.SparkSpec.propParams(1240L, 200, getClass.getName),
+      graft.SparkSpec.propParams(1240L, 200, getClass.getName + "#funnel"),
       prop)
     assert(r.passed, s"funnel FSM: ${r.status}")
   }
@@ -126,7 +126,7 @@ class FsmPropertySpec extends AnyFunSuite {
       ok
     }
     val r = SCTest.check(
-      graft.SparkSpec.propParams(1241L, 200, getClass.getName),
+      graft.SparkSpec.propParams(1241L, 200, getClass.getName + "#sessionize"),
       prop)
     assert(r.passed, s"sessionization FSM: ${r.status}")
   }
