@@ -92,28 +92,35 @@ object SkewProbe {
       }
     })
     ScaleProbe.buildTenX(spark, src, corpus, nCopies = scale)
-    buildEdges(spark, corpus, work, pct)
+    buildEdges(spark, src, corpus, work, pct)
 
     import scala.jdk.CollectionConverters._
     def gcNow(): Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(b => math.max(0L, b.getCollectionTime)).sum
-    def measure(label: String, variant: String)(body: => Long): Unit = {
-      jobCnt.set(0); taskCnt.set(0); taskSum.set(0); taskMax.set(0)
-      val g0 = gcNow()
-      val t0 = System.nanoTime()
-      val rows = body
-      val wall = (System.nanoTime() - t0) / 1e9
-      val gc = gcNow() - g0
-      org.apache.spark.sql.graft.CheckpointBridge.drainListeners(spark)
-      val (n, sum, mx) = (taskCnt.get(), taskSum.get(), taskMax.get())
-      val mean = if (n == 0) 0.0 else sum.toDouble / n
-      val ratio = if (mean == 0) 0.0 else mx / mean
-      val share = if (wall == 0) 0.0 else mx / (wall * 1000)
-      println(f"SKEW $label%-14s $variant%-5s wall=$wall%8.2fs jobs=${jobCnt.get()}%4d gc=${gc}%6dms tasks=$n%7d maxTask=${mx}%7dms meanTask=$mean%9.1fms max/mean=$ratio%7.1f maxShare=$share%5.3f rows=$rows")
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      System.gc()
-    }
+    // min-of-N passes per (kernel, variant), one printed line per pass:
+    // this box swings individual runs ±3× at identical job counts
+    // (hypervisor steal; both probe runs showed a 60-85 s straggler land
+    // on a DIFFERENT variant), and the per-pass lines let the table take
+    // the min while keeping the raw evidence
+    val passes = sys.env.getOrElse("SPARK_GRAFT_SKEW_PASSES", "2").toInt
+    def measure(label: String, variant: String)(body: => Long): Unit =
+      (1 to passes).foreach { p =>
+        jobCnt.set(0); taskCnt.set(0); taskSum.set(0); taskMax.set(0)
+        val g0 = gcNow()
+        val t0 = System.nanoTime()
+        val rows = body
+        val wall = (System.nanoTime() - t0) / 1e9
+        val gc = gcNow() - g0
+        org.apache.spark.sql.graft.CheckpointBridge.drainListeners(spark)
+        val (n, sum, mx) = (taskCnt.get(), taskSum.get(), taskMax.get())
+        val mean = if (n == 0) 0.0 else sum.toDouble / n
+        val ratio = if (mean == 0) 0.0 else mx / mean
+        val share = if (wall == 0) 0.0 else mx / (wall * 1000)
+        println(f"SKEW $label%-14s $variant%-7s p$p wall=$wall%8.2fs jobs=${jobCnt.get()}%4d gc=${gc}%6dms tasks=$n%7d maxTask=${mx}%7dms meanTask=$mean%9.1fms max/mean=$ratio%7.1f maxShare=$share%5.3f rows=$rows")
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        System.gc()
+      }
 
     val kernels: Seq[(String, DataFrame => Long)] = Seq(
       "pagerank" -> (e => Algos.pagerank(e.select("src", "dst"), iterations = 5).count()),
@@ -126,6 +133,15 @@ object SkewProbe {
       "bowtie" -> (e => Algos.bowtie(e.select("src", "dst")).count()))
     val only = sys.env.get("SPARK_GRAFT_SKEW_KERNELS").map(_.split(",").toSet)
     kernels.filter { case (k, _) => only.forall(_.contains(k)) }.foreach { case (k, fn) =>
+      // untimed per-kernel warmup on the 1× graph: base always runs
+      // before hub, so without this the FIRST timed run of each kernel
+      // absorbs its codepaths' JIT (measured: pagerank base read 165.8 s
+      // cold vs 23.0 s warm at identical job counts) and every base-vs-
+      // hub wall comparison reads backwards
+      try { fn(spark.read.parquet(s"$work/warm_edges.parquet")); () }
+      catch { case _: Exception => () }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       Seq("base" -> s"$work/base_edges.parquet",
           "hub" -> s"$work/hub_edges.parquet").foreach { case (variant, path) =>
         try measure(k, variant)(fn(spark.read.parquet(path)))
@@ -140,27 +156,54 @@ object SkewProbe {
 
     if (sys.env.getOrElse("SPARK_GRAFT_SKEW_DOCS", "1") == "1"
         && new java.io.File(s"$corpus/documents.parquet").exists()) {
-      val base = spark.read.parquet(s"$corpus/documents.parquet")
-        .select(col("doc_id"), col("text"))
-      val nDocs = base.count()
-      val hot = nDocs / pct
-      val maxId = base.agg(max(col("doc_id"))).first().getLong(0)
-      // one degenerate near-dup group: the lexicographically-first text
-      // replicated `hot` times under fresh ids — every band hashes the
-      // whole group into one bucket
-      val seedTxt = base.orderBy(col("doc_id")).select(col("text")).first().getString(0)
-      val planted = spark.range(hot)
-        .select((col("id") + maxId + 1).as("doc_id"), lit(seedTxt).as("text"))
-      val docs = base.unionByName(planted).localCheckpoint()
-      println(s"SKEWDOCS corpus=$nDocs planted=$hot (hot bucket = ${100 / pct}% of docs)")
+      // planted corpus goes to parquet, not a checkpoint: measure()'s
+      // between-run hygiene unpersists every persistent RDD, which
+      // DESTROYS a lineage-truncated localCheckpoint shared across
+      // variants (first probe run died on exactly this). SCATTERED
+      // (repartition 64): the first construction wrote the 15 MB corpus
+      // as few files, the scan coalesced it into ~1 partition, and ONE
+      // task computed all 55k signatures (~57 s straggler in BOTH
+      // variants) — a small-corpus artifact (100 TB scans carry
+      // thousands of row groups), and real boilerplate dups are
+      // scattered through a corpus anyway.
+      val docsPath = s"$work/skew_docs_v2.parquet"
+      val sigsPath = s"$work/skew_sigs_v2.parquet"
+      if (!new java.io.File(s"$sigsPath/_SUCCESS").exists()) {
+        val base = spark.read.parquet(s"$corpus/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val hot = base.count() / pct
+        val maxId = base.agg(max(col("doc_id"))).first().getLong(0)
+        // one degenerate near-dup group: the lexicographically-first text
+        // replicated `hot` times under fresh ids — every band hashes the
+        // whole group into one bucket
+        val seedTxt = base.orderBy(col("doc_id")).select(col("text")).first().getString(0)
+        val planted = spark.range(hot)
+          .select((col("id") + maxId + 1).as("doc_id"), lit(seedTxt).as("text"))
+        base.unionByName(planted).repartition(64, col("doc_id"))
+          .write.mode("overwrite").parquet(docsPath)
+        // pre-sign UNTIMED so lsh_band measures the banded self-join
+        // alone (the skewed-join question), not the per-doc kernel
+        graft.dedup.Dedup.withMinhash(spark.read.parquet(docsPath),
+            shingleLen = 8, numHashes = 16)
+          .write.mode("overwrite").parquet(sigsPath)
+      }
+      val docs = spark.read.parquet(docsPath)
+      println(s"SKEWDOCS corpus=${docs.count()} (planted hot bucket = ${100 / pct}% of docs)")
+      // the per-doc signature kernel on the scattered corpus, for the
+      // record (CPU-dense map work — partitions, no shuffle, no skew)
+      try measure("lsh_sign", "scatter") {
+        // sum of a signature element's length, not count(1): count lets
+        // column pruning drop the signature kernel entirely (the Bench
+        // warmup idiom; sig elements are md5 strings)
+        graft.dedup.Dedup.withMinhash(docs, shingleLen = 8, numHashes = 16)
+          .agg(sum(length(element_at(col("sig"), 1)))).first().getLong(0)
+      } catch {
+        case e: Exception => println(s"SKEW lsh_sign FAILED: ${e.getMessage}")
+      }
       Seq("allpair" -> Int.MaxValue, "star" -> 1000).foreach { case (variant, cap) =>
         try measure("lsh_band", variant) {
-          val sigs = graft.dedup.Dedup.withMinhash(docs, shingleLen = 8, numHashes = 16)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val n = graft.dedup.Dedup.lshCandidates(sigs, bands = 4, rowsPerBand = 4,
-            maxBucket = cap).count()
-          sigs.unpersist()
-          n
+          graft.dedup.Dedup.lshCandidates(spark.read.parquet(sigsPath),
+            bands = 4, rowsPerBand = 4, maxBucket = cap).count()
         } catch {
           case e: Exception =>
             println(s"SKEW lsh_band $variant FAILED: ${e.getMessage}")
@@ -172,14 +215,19 @@ object SkewProbe {
 
   /** Write base (plain 10× custSuppSym) and hub (base ∪ hub star) edge
     * frames to parquet once; a marker keyed by pct skips rebuilds. */
-  private def buildEdges(spark: SparkSession, corpus: String, work: String,
-                         pct: Int): Unit = {
-    val marker = new java.io.File(s"$work/_DONE_pct$pct")
+  private def buildEdges(spark: SparkSession, src: String, corpus: String,
+                         work: String, pct: Int): Unit = {
+    // v2: adds the 1× warmup edge frame
+    val marker = new java.io.File(s"$work/_DONE_v2_pct$pct")
     if (marker.exists()) return
     new java.io.File(work).mkdirs()
     val base = TestGraphs.custSuppSym(Tables(spark, corpus))
       .select(col("src"), col("dst"), col("w"))
     base.write.mode("overwrite").parquet(s"$work/base_edges.parquet")
+    // small 1× graph for the per-kernel untimed JIT warmup
+    TestGraphs.custSuppSym(Tables(spark, src))
+      .select(col("src"), col("dst"), col("w"))
+      .write.mode("overwrite").parquet(s"$work/warm_edges.parquet")
     val b = spark.read.parquet(s"$work/base_edges.parquet")
     val nE = b.count()
     val verts = b.select(col("src").as("v")).distinct().localCheckpoint()

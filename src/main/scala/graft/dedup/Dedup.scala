@@ -23,13 +23,23 @@ object Dedup {
   private lazy val logger = org.slf4j.LoggerFactory.getLogger("graft.dedup.Dedup")
 
   /** Default per-bucket member cap for the banding candidate self-joins
-    * ([[bucketPairs]]). Generous at test scale — measured max bucket at
-    * sf0.1 is 6 (minhash, 19k buckets) and 3 (simhash, 9.8k buckets;
-    * tools_dev.GuardProbe SPARK_GRAFT_BUCKET_STATS) — binding at 100 TB
-    * where one degenerate boilerplate bucket would otherwise
+    * ([[bucketPairs]]). Still generous at test scale — measured max
+    * bucket at sf0.1 is 6 (minhash, 19k buckets) and 3 (simhash, 9.8k
+    * buckets; tools_dev.GuardProbe SPARK_GRAFT_BUCKET_STATS) — binding
+    * at 100 TB where one degenerate boilerplate bucket would otherwise
     * quadratically dominate (GuardProbe demo: 200k identical docs →
-    * 199,999 star candidates in 10.6 s instead of ~2·10¹⁰ pairs). */
-  val DefaultMaxBucket: Int = 10000
+    * 199,999 star candidates in 10.6 s instead of ~2·10¹⁰ pairs).
+    *
+    * Lowered 10000 → 2000 after the round-14 SkewProbe measured the
+    * regime the old cap still admitted: a 5000-member bucket (allowed
+    * unguarded) put its 12.5M-pair expansion into ONE task holding
+    * 82-87% of the whole query wall — a bucket self-join's hot key is
+    * a single shuffle partition, so everything under the cap is a
+    * straggler bound, not just a volume bound. Worst single-task pair
+    * volume is now 2M (measured seconds) instead of 50M (measured
+    * minutes-class); real buckets keep two orders of magnitude of
+    * headroom, so non-degenerate corpora never see the guard fire. */
+  val DefaultMaxBucket: Int = 2000
 
   /** Candidate pairs from a banded frame — the one self-join every LSH
     * family (MinHash, n-gram, SimHash, embedding) funnels through — with
