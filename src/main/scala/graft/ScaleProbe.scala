@@ -247,7 +247,7 @@ object ScaleProbe {
         new java.io.File(s"$outDir/documents.parquet").exists())
       Seq("1x" -> src, s"${scale}x" -> outDir).foreach { case (lbl, dir) =>
         val d = Tables(spark, dir).documents
-        val (sorted, cand, out) = graft.dedup.Dedup.jaccardJoinStaged(
+        val (sorted, cand, _, out) = graft.dedup.Dedup.jaccardJoinStaged(
           d.select(col("doc_id"),
             graft.text.TextFunctions.shingleSet(col("text"), 8).as("items")), 80)
         def tt[A](f: => A): (Double, A) = {

@@ -578,7 +578,7 @@ object Dedup {
     * replays the symmetric candidate set and verifies exactly) is
     * bit-identical because verification is exact either way. */
   def jaccardJoin(sets: DataFrame, thresholdPct: Int = 80): DataFrame = {
-    val (sorted, _, out) = jaccardJoinStaged(sets, thresholdPct)
+    val (sorted, _, scored, _) = jaccardJoinStaged(sets, thresholdPct)
     // Materialize the shared sorted-token frame FIRST, as its own 32-way
     // job: the output plan references `sorted` from three subtrees (the
     // prefix exchange and both verify sides), and letting the first
@@ -586,20 +586,54 @@ object Dedup {
     // behind AQE's stage-by-stage materialization (measured 3.5× on the
     // whole query at sf0.1: 55.7 s lazy vs ~16 s staged, same plans).
     sorted.count()
-    // Checkpoint the UNSORTED verified pairs, then order the
-    // materialized (output-sized) frame: a sort above the live pipeline
-    // would range-sample it, running the candidate+verify joins twice.
-    val m = out.localCheckpoint()
+    // Round-14: checkpoint the NARROW scored frame (a, b, na, nb, inter —
+    // five BIGINTs per candidate) BEFORE the threshold filter. Applied
+    // lazily, Catalyst pushes the threshold predicate through the
+    // projection into the verify join's condition, where the joined row
+    // evaluates array_intersect once per size() reference in the
+    // condition and once more in the surviving projection — ~3
+    // evaluations of the dominant kernel per candidate (measured 39.7 s
+    // of a 43.5 s query at sf0.1; single-eval verify is 13.5 s). The
+    // barrier pins exactly one array_intersect per candidate pair; its
+    // cost is candidate-count × 40 bytes — the narrowest frame in the
+    // whole query, safe to materialize at any scale.
+    val sm = scored.localCheckpoint()
+    // Threshold + e6 over the materialized narrow frame, then order the
+    // (output-sized) survivors.
+    val m = finishJaccard(sm, thresholdPct).localCheckpoint()
     sorted.unpersist()
+    org.apache.spark.sql.graft.CheckpointBridge.free(sm)
     m.orderBy(col("a"), col("b"))
   }
 
-  /** [[jaccardJoin]] with its three stages exposed for cost attribution
+  /** Threshold + exact-e6 projection over a scored candidate frame
+    * ((a, b, na, nb, inter) — [[jaccardJoinStaged]]'s third element):
+    * the one place the verification inequality and the floor-scaled
+    * Jaccard live, shared by the checkpointed query path and the staged
+    * probe path so the two can never diverge. */
+  private def finishJaccard(scored: DataFrame, thresholdPct: Int): DataFrame = {
+    val t = thresholdPct.toLong
+    scored
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * 100L >= col("uni") * t)
+      .select(col("a"), col("b"), col("inter"), col("uni"),
+        ((col("inter") * 1000000L - pmod(col("inter") * 1000000L, col("uni")))
+          / col("uni")).cast("long").as("jaccard_e6"))
+  }
+
+  /** [[jaccardJoin]] with its stages exposed for cost attribution
     * (ScaleProbe's breakdown mode): (sorted-token frame, candidate-pair
-    * frame, verified output). Callers other than the probe use the
-    * single-frame wrapper above. */
+    * frame, scored candidates (a, b, na, nb, inter) unfiltered, verified
+    * output). `out` is the LIVE pipeline (no barrier): built lazily, the
+    * threshold filter folds into the verify join and re-evaluates
+    * array_intersect per condition reference — the probes keep it so
+    * historical stage attributions stay comparable; the query path
+    * ([[jaccardJoin]]) checkpoints `scored` instead and applies
+    * [[finishJaccard]] above the barrier for a single evaluation per
+    * candidate. Callers other than the probes use the single-frame
+    * wrapper above. */
   def jaccardJoinStaged(sets: DataFrame, thresholdPct: Int = 80)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val t = thresholdPct.toLong
     val toks = sets.select(col("doc_id"),
         explode(array_distinct(col("items"))).as("tok"))
@@ -678,12 +712,7 @@ object Dedup {
     val scored = cand.join(left, Seq("a")).join(right, Seq("b"))
       .select(col("a"), col("b"), col("na"), col("nb"),
         size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"))
-    val out = scored
-      .withColumn("uni", col("na") + col("nb") - col("inter"))
-      .filter(col("inter") * 100L >= col("uni") * t)
-      .select(col("a"), col("b"), col("inter"), col("uni"),
-        ((col("inter") * 1000000L - pmod(col("inter") * 1000000L, col("uni")))
-          / col("uni")).cast("long").as("jaccard_e6"))
-    (sorted, cand, out)
+    val out = finishJaccard(scored, thresholdPct)
+    (sorted, cand, scored, out)
   }
 }

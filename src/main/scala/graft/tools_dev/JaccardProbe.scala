@@ -23,7 +23,7 @@ object JaccardProbe {
     val half = sys.env.contains("SPARK_GRAFT_JACCARD_HALF")
     val d0 = graft.Tables(spark, src).documents
     val d = if (half) d0.filter(col("doc_id") % 2 === 0) else d0
-    val (sorted, cand, out) = graft.dedup.Dedup.jaccardJoinStaged(
+    val (sorted, cand, scored, out) = graft.dedup.Dedup.jaccardJoinStaged(
       d.select(col("doc_id"),
         graft.text.TextFunctions.shingleSet(col("text"), 8).as("items")), thr)
     def tt[A](f: => A): (Double, A) = {
@@ -47,6 +47,8 @@ object JaccardProbe {
       println(cand.queryExecution.executedPlan.toString.take(8000))
       println("==== out plan ====")
       println(out.queryExecution.executedPlan.toString.take(8000))
+      println("==== scored plan (the query path's single-eval verify) ====")
+      println(scored.queryExecution.executedPlan.toString.take(8000))
     }
     sorted.unpersist()
     spark.stop()

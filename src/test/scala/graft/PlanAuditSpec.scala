@@ -377,7 +377,7 @@ class PlanAuditSpec extends SparkSpec {
     val sets = graft.Tables(spark, sf).documents
       .select(col("doc_id"),
         graft.text.TextFunctions.shingleSet(col("text"), 8).as("items"))
-    val (sorted, cand, _) = graft.dedup.Dedup.jaccardJoinStaged(sets, 80)
+    val (sorted, cand, _, _) = graft.dedup.Dedup.jaccardJoinStaged(sets, 80)
     // anchor the asserts on the JOIN NODES themselves (ADVICE r9: the
     // old string-split at the first "InMemoryTableScan" ran vacuously
     // whenever the cached frame's scan printed before the candidate
