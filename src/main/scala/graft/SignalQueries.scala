@@ -887,17 +887,33 @@ object SignalQueries {
     * batched ≡ unbatched. */
   private[graft] def k4Census(s: SparkSession, dir: String,
                               batches: Int): DataFrame = {
-    val cp = TestGraphs.partCoPairs(Tables(s, dir)).localCheckpoint()
+    // Round-14: the edge list is checkpointed with DECLARED hash(u)
+    // partitioning, so the wedge self-join (both sides keyed u) runs
+    // with ZERO exchanges, and every join against cp is pinned to a
+    // SHUFFLED HASH JOIN building on the cp side — the quadratic-ish
+    // frames (wedges, triangle extensions) stream unsorted instead of
+    // paying a SortMergeJoin sort each (the before plan carried 18
+    // Exchanges and sorted the wedge frame twice; measured 35.8 s →
+    // see OPTIMIZATION_r14.md). Build-side size is one cp partition —
+    // |E|/np rows — the same bound the jaccard prefix join pins SHJ on.
+    val np = s.sessionState.conf.numShufflePartitions
+    val cp = org.apache.spark.sql.graft.CheckpointBridge.localCheckpointHash(
+      TestGraphs.partCoPairs(Tables(s, dir)), "u", np)
     def census(cpA: DataFrame): (DataFrame, DataFrame) = {
       val t = cpA.as("a")
-        .join(cp.as("b"), col("b.u") === col("a.u") && col("b.v") > col("a.v"))
-        .join(cp.as("c"), col("c.u") === col("a.v") && col("c.v") === col("b.v"))
+        .join(cp.as("b").hint("shuffle_hash"),
+          col("b.u") === col("a.u") && col("b.v") > col("a.v"))
+        .join(cp.as("c").hint("shuffle_hash"),
+          col("c.u") === col("a.v") && col("c.v") === col("b.v"))
         .select(col("a.u").as("x"), col("a.v").as("y"), col("b.v").as("z"))
         .localCheckpoint()
       val ext = t
-        .join(cp.select(col("u").as("z"), col("v").as("d")), Seq("z"))
-        .join(cp.select(col("u").as("x"), col("v").as("d")), Seq("x", "d"), "left_semi")
-        .join(cp.select(col("u").as("y"), col("v").as("d")), Seq("y", "d"), "left_semi")
+        .join(cp.select(col("u").as("z"), col("v").as("d")).hint("shuffle_hash"),
+          Seq("z"))
+        .join(cp.select(col("u").as("x"), col("v").as("d")).hint("shuffle_hash"),
+          Seq("x", "d"), "left_semi")
+        .join(cp.select(col("u").as("y"), col("v").as("d")).hint("shuffle_hash"),
+          Seq("y", "d"), "left_semi")
       (t, ext)
     }
     if (batches <= 1) {

@@ -1197,6 +1197,9 @@ object Algos {
     * the color count ≤ Δ+1, not the degree), state one row per vertex.
     * Returns (id, color). */
   def greedyColoring(symEdges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    // dev-only round tracing (SPARK_GRAFT_TRACE_ROUNDS=1): wall +
+    // uncolored per JP round, for per-round cost attribution
+    val trace = sys.env.contains("SPARK_GRAFT_TRACE_ROUNDS")
     val e = ckptHash(symEdges.select("src", "dst"), "src")
     var verts = ckptHash(verticesOf(e).select(col("id"),
       conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long").as("p"),
@@ -1204,6 +1207,7 @@ object Algos {
     var round = 0
     var uncolored = verts.filter(col("color").isNull).count()
     while (uncolored > 0 && round < maxRounds) {
+      val tRound = System.nanoTime()
       val st = verts.select(col("id").as("dst"), col("p").as("np"), col("color").as("nc"))
       // strongest uncolored neighbor per vertex ((p, id) order)
       val nbrMax = e.join(st, Seq("dst"))
@@ -1234,6 +1238,8 @@ object Algos {
       verts = next
       uncolored = stillUncolored
       round += 1
+      if (trace) println(f"COLORING round=$round%2d uncolored=$uncolored%8d " +
+        f"wall=${(System.nanoTime() - tRound) / 1e9}%6.2fs")
     }
     val out = verts.select(col("id"), col("color")).orderBy(col("id")).localCheckpoint()
     freeCkpt(verts); freeCkpt(e)
