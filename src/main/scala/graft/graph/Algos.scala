@@ -696,15 +696,19 @@ object Algos {
     // ckptStats, not plain localCheckpoint: edgeSupport references e
     // three times per round, so estimated stats would compound 3^rounds
     // through the checkpoints (see ckptStats)
+    val trace = sys.env.contains("SPARK_GRAFT_TRACE_ROUNDS")
     var e = pairs.select(col("u"), col("v")).transform(ckptStats)
     var cnt = e.count()
     var step = 0
     while (step < opts.maxSupersteps) {
+      val tRound = System.nanoTime()
       // fixpoint ⟺ a support pass over the CURRENT edge set drops
       // nothing (filtering on stale supports would exit one round early
       // with under-supported edges still in); the kept-count rides the
       // support checkpoint's own job
       val (sup, keptCnt) = edgeSupportCount(e, col("support") >= k - 2)
+      if (trace) println(f"KTRUSS round=$step%2d edges=$cnt%8d kept=$keptCnt%8d " +
+        f"wall=${(System.nanoTime() - tRound) / 1e9}%6.2fs")
       if (keptCnt == cnt) {
         freeCkpt(e)
         return sup.orderBy(col("u"), col("v"))
