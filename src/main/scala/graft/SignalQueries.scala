@@ -1165,18 +1165,27 @@ object SignalQueries {
                             batches: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = Tables(s, dir)
-    val ui0 = t.orders.join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("u"), col("l_partkey").as("i")).distinct()
-      .localCheckpoint()
+    // Round-14: both checkpoints declare hash(u) partitioning (the k4
+    // treatment), so the u-keyed chain — the ni<=200 degree aggregation,
+    // its semi-join, and the quadratic co-occurrence self-join below —
+    // runs with zero exchanges of the user-item frame; the self-join is
+    // pinned to a shuffled-hash build (one ui partition per task)
+    // instead of sorting both sides.
+    val np = s.sessionState.conf.numShufflePartitions
+    val ui0 = org.apache.spark.sql.graft.CheckpointBridge.localCheckpointHash(
+      t.orders.join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("i")).distinct(),
+      "u", np)
     val keep = ui0.groupBy(col("u")).agg(count(lit(1)).as("ni"))
       .filter(col("ni") <= 200).select(col("u"))
-    val ui = ui0.join(keep, Seq("u"), "left_semi").localCheckpoint()
+    val ui = org.apache.spark.sql.graft.CheckpointBridge.localCheckpointHash(
+      ui0.join(keep, Seq("u"), "left_semi"), "u", np)
     val pop0 = ui.groupBy(col("i")).agg(count(lit(1)).as("p"))
     // checkpoint the global popularity only when it is reused across
     // batches — the batches = 1 plan stays byte-identical to history
     val pop = if (batches <= 1) pop0 else pop0.localCheckpoint()
     def topPerBatch(uiA: DataFrame): DataFrame = {
-      val co = uiA.as("a").join(ui.as("b"),
+      val co = uiA.as("a").join(ui.as("b").hint("shuffle_hash"),
           col("a.u") === col("b.u") && col("a.i") =!= col("b.i"))
         .groupBy(col("a.i").as("i1"), col("b.i").as("i2"))
         .agg(count(lit(1)).as("c"))
