@@ -640,7 +640,14 @@ object Dedup {
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // rarest-first order WITHOUT a global rank window: lexicographic
     // (df, token) ordering IS the rank ordering
-    val sorted = toks.join(dfreq, Seq("tok"))
+    // shuffle_hash pin (round-14): Catalyst's size estimate elects a
+    // BROADCAST of the left side here — the exploded (doc_id, tok)
+    // frame, corpus-token-sized (1.9M rows at sf0.1, TB-scale on a real
+    // corpus) — because the documents scan underestimates the explode.
+    // The dictionary side (dfreq: distinct token + count, the narrow
+    // scalar frame) is the only side that can ever be a build side at
+    // scale; pinning it keeps the token frame streaming.
+    val sorted = toks.join(dfreq.hint("shuffle_hash"), Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(transform(array_sort(collect_list(struct(col("df"), col("tok")))),
         x => x.getField("tok")).as("stoks"))
