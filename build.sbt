@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Route the forked run's stdout straight through instead of via sbt's
+// logger: the logger prefixes every line with "[info] ", which is why no
+// driver BENCH artifact ever parsed (parsed:null in 14/14 rounds — a
+// tail-window JSON scan never sees a line starting with '{'). With
+// StdoutOutput the bench's final compact JSON line reaches the driver
+// bare. Timed region unaffected: this only changes log plumbing.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

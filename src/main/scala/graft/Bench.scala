@@ -12,19 +12,13 @@ object Bench {
   private val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // The driver's contract: honor SPARK_GRAFT_CPUS verbatim (it runs the
+    // bench at a LOWER width too, to measure per-query scaling — a fatal
+    // gate here killed the r14 scaling run, VERDICT r14 task 2a). The
+    // mislabeled-artifact risk the old gate addressed is covered by
+    // stamping "cpus" into every emitted JSON line: the artifact
+    // self-describes its width instead of refusing to exist.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Guard: the reportable configuration is 32 cpus. A mis-invoked
-    // 4-cpu run reads ~1.6× slower suite-wide (a 1009 s artifact was
-    // discarded for exactly this in round 5) — fail LOUDLY instead of
-    // producing a plausible-looking wrong number. Local experiments at
-    // other widths must opt in explicitly.
-    if (cpus != "32" && !sys.env.contains("SPARK_GRAFT_ALLOW_CPUS")) {
-      System.err.println(
-        s"[bench] FATAL: SPARK_GRAFT_CPUS=$cpus but the reportable bench " +
-          "configuration is 32. Set SPARK_GRAFT_CPUS=32 (or " +
-          "SPARK_GRAFT_ALLOW_CPUS=1 to run an experiment at this width).")
-      sys.exit(2)
-    }
     val spark = LocalScratch.fast(LocalLiveness.widen(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -142,7 +136,7 @@ object Bench {
       // adjudication) and must be readable off the artifact itself
       // (round-13 advice), not reconstructed from session logs.
       val line =
-        s"""{"metric":"total","value":${f(total)},"unit":"sec","n_passes":$nPasses,"pass_totals":$passes,"n_err":${errs.size},"errors":${errs.mkString("[", ",", "]")},"sf":"$sfDir","local_dir":"${LocalScratch.resolved}","queries":$qs,"jobs":$js,"gc_ms":$gs}"""
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","cpus":$cpus,"n_passes":$nPasses,"pass_totals":$passes,"n_err":${errs.size},"errors":${errs.mkString("[", ",", "]")},"sf":"$sfDir","local_dir":"${LocalScratch.resolved}","queries":$qs,"jobs":$js,"gc_ms":$gs}"""
       println(line)
       // Belt-and-braces: also persist the full line to a file the judge
       // can read even if the stdout capture clips.
@@ -157,7 +151,7 @@ object Bench {
       // verdict task 7): the driver's snapshot window must never find
       // shutdown logging where the headline should be.
       lastCompact =
-        s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"n_passes":$nPasses,"n_err":${errs.size},"sf":"$sfDir","local_dir":"${LocalScratch.resolved}","compact":true}"""
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","cpus":$cpus,"n":${results.size},"n_passes":$nPasses,"n_err":${errs.size},"sf":"$sfDir","local_dir":"${LocalScratch.resolved}","compact":true}"""
       println(lastCompact)
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_compact.json"),
         (lastCompact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -578,14 +578,13 @@ object Dedup {
     * replays the symmetric candidate set and verifies exactly) is
     * bit-identical because verification is exact either way. */
   def jaccardJoin(sets: DataFrame, thresholdPct: Int = 80): DataFrame = {
-    val (sorted, _, scored, _) = jaccardJoinStaged(sets, thresholdPct)
-    // Materialize the shared sorted-token frame FIRST, as its own 32-way
-    // job: the output plan references `sorted` from three subtrees (the
-    // prefix exchange and both verify sides), and letting the first
-    // consumer stage fault the cache in lazily serializes the build
-    // behind AQE's stage-by-stage materialization (measured 3.5× on the
-    // whole query at sf0.1: 55.7 s lazy vs ~16 s staged, same plans).
-    sorted.count()
+    // staged5 is EAGER: the token frame and the sorted-token frame are
+    // both checkpoints, materialized during construction (the staging
+    // that the old persist+count() pair approximated — measured 3.5× on
+    // the whole query at sf0.1 when left lazy: 55.7 s vs ~16 s).
+    val (toks, sorted, _, scored, _) = jaccardJoinStaged5(sets, thresholdPct)
+    // the token checkpoint feeds only `sorted` — dead once it exists
+    org.apache.spark.sql.graft.CheckpointBridge.free(toks)
     // Round-14: checkpoint the NARROW scored frame (a, b, na, nb, inter —
     // five BIGINTs per candidate) BEFORE the threshold filter. Applied
     // lazily, Catalyst pushes the threshold predicate through the
@@ -601,7 +600,7 @@ object Dedup {
     // Threshold + e6 over the materialized narrow frame, then order the
     // (output-sized) survivors.
     val m = finishJaccard(sm, thresholdPct).localCheckpoint()
-    sorted.unpersist()
+    org.apache.spark.sql.graft.CheckpointBridge.free(sorted)
     org.apache.spark.sql.graft.CheckpointBridge.free(sm)
     m.orderBy(col("a"), col("b"))
   }
@@ -634,19 +633,44 @@ object Dedup {
     * wrapper above. */
   def jaccardJoinStaged(sets: DataFrame, thresholdPct: Int = 80)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (_, sorted, cand, scored, out) = jaccardJoinStaged5(sets, thresholdPct)
+    (sorted, cand, scored, out)
+  }
+
+  /** [[jaccardJoinStaged]] plus the checkpointed token frame as the
+    * first element, so [[jaccardJoin]] can free its blocks the moment
+    * the sorted frame is materialized. */
+  private[graft] def jaccardJoinStaged5(sets: DataFrame, thresholdPct: Int = 80)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val t = thresholdPct.toLong
-    val toks = sets.select(col("doc_id"),
-        explode(array_distinct(col("items"))).as("tok"))
+    val np = sets.sparkSession.sessionState.conf.numShufflePartitions
+    // Single-scan token build (r15): lazily, this frame — the corpus
+    // scan + shingle kernel + explode — is evaluated TWICE, once under
+    // the df aggregation's exchange and once under the dictionary join's
+    // exchange (the partial-agg below the first exchange makes the two
+    // subtrees non-identical, so ReuseExchange cannot merge them;
+    // measured 2 `Generate explode` × 2 full scans in the before plan).
+    // Checkpointing it with DECLARED hash(tok) runs the scan+kernel once
+    // AND serves both consumers exchange-free: the df aggregation reads
+    // its co-partitioned input, and the dictionary join's probe side is
+    // already tok-placed. At 100 TB this trades one corpus-token-frame
+    // materialization (spills to local disk) for a full corpus re-scan +
+    // re-shingle; recomputing is never cheaper than one sequential
+    // read-back of the narrower (doc_id, tok) frame.
+    val toks = org.apache.spark.sql.graft.CheckpointBridge.localCheckpointHash(
+      sets.select(col("doc_id"),
+        explode(array_distinct(col("items"))).as("tok")), "tok", np)
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // rarest-first order WITHOUT a global rank window: lexicographic
     // (df, token) ordering IS the rank ordering
     // shuffle_hash pin (round-14): Catalyst's size estimate elects a
-    // BROADCAST of the left side here — the exploded (doc_id, tok)
-    // frame, corpus-token-sized (1.9M rows at sf0.1, TB-scale on a real
-    // corpus) — because the documents scan underestimates the explode.
-    // The dictionary side (dfreq: distinct token + count, the narrow
-    // scalar frame) is the only side that can ever be a build side at
-    // scale; pinning it keeps the token frame streaming.
+    // BROADCAST here without it — pre-r15 the exploded left side (scan
+    // underestimates the explode), post-r15 potentially the measured-
+    // stats dictionary — and the dictionary (distinct token + count) is
+    // vocabulary-sized, a driver-killing broadcast on a real corpus.
+    // The pin keeps both sides on their declared hash(tok) layout: a
+    // shuffled-hash join with ZERO exchanges, building on the narrow
+    // dictionary partition.
     val sorted = toks.join(dfreq.hint("shuffle_hash"), Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(transform(array_sort(collect_list(struct(col("df"), col("tok")))),
@@ -660,7 +684,17 @@ object Dedup {
       .withColumn("ilen",
         (col("n") - expr(s"(n * 2 * $t + ${100 + t} - 1) div ${100 + t}") + 1L)
           .cast("int"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // CHECKPOINT, not persist (r15): the output plan references this
+      // frame from three subtrees (prefix exchange + both verify sides),
+      // and with the token checkpoint below it the cache lookup was
+      // OBSERVED to miss (the verify join's executed plan recomputed the
+      // toks⋈dfreq zip — the whole sorted build ran twice, 8.2 → 16.8 s
+      // at sf0.1). A stats-declared localCheckpoint is materialized once
+      // by construction: every consumer reads blocks, no CacheManager
+      // plan-matching in the loop. Also the reason the old eager
+      // `sorted.count()` staging job is gone — the checkpoint IS the
+      // staging job.
+      .transform(org.apache.spark.sql.graft.CheckpointBridge.localCheckpointStats)
     // positional prefix frame: (doc, set size, 1-based prefix position,
     // token). The PPJoin filters prune candidate ROWS before the
     // distinct: (a) length filter — J ≥ t forces t·max(n) ≤ 100·min(n);
@@ -690,10 +724,6 @@ object Dedup {
     // parallelize); with it every stage is np-way and neither side is
     // ever collected to one node, which is the only shape that
     // survives a corpus where both prefix frames are TB-scale.
-    // resolved through SQLConf (not a raw string parse): platforms that
-    // set the conf to a non-numeric alias (e.g. "auto") resolve to the
-    // effective partition count instead of a NumberFormatException
-    val np = sets.sparkSession.sessionState.conf.numShufflePartitions
     val shuffled = prefix.repartition(np, col("tok"))
     val p1 = shuffled.select(col("doc_id").as("da"), col("n").as("pna"),
       col("pos").as("pa"), col("tok"))
@@ -720,6 +750,6 @@ object Dedup {
       .select(col("a"), col("b"), col("na"), col("nb"),
         size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"))
     val out = finishJaccard(scored, thresholdPct)
-    (sorted, cand, scored, out)
+    (toks, sorted, cand, scored, out)
   }
 }

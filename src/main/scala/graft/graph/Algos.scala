@@ -730,16 +730,31 @@ object Algos {
     * picks its lightest incident cross-component edge (total order
     * (w, u, v) — the deterministic tie-break that makes the MSF unique
     * and equal to Kruskal's under the same order, which the spec
-    * asserts), the chosen edges contract via [[wcc]] on the component
-    * graph, and components at least halve — O(log n) rounds. Reference
-    * analog: the classic Pregel MST formulation (min-edge gather +
-    * supervertex contraction).
+    * asserts), the chosen edges contract by INLINE pointer doubling
+    * (r15; previously a nested [[wcc]] run per round), and components at
+    * least halve — O(log n) rounds. Reference analog: the classic Pregel
+    * MST formulation (min-edge gather + supervertex contraction).
+    *
+    * Contraction: each live component's chosen edge yields a parent
+    * pointer par(c) = the other endpoint's component. That pointer graph
+    * is a pseudo-forest in which every tree carries exactly one 2-cycle
+    * (the pair that chose the same minimal edge — the tree's lightest).
+    * Rooting each 2-cycle at its smaller id and then doubling
+    * (f := f∘f, fixpoint) collapses every tree to its root — the EXACT
+    * recurrence [[graft.sql.OracleGen.boruvkaSql]] unrolls (its q_r_j
+    * CTE chain), so engine labels now match the oracle's c_r labels
+    * round-for-round, where the old nested WCC produced a different (but
+    * partition-equal) labeling. The output — the union of per-round
+    * chosen edges — depends only on the component PARTITION, never on
+    * label values, so it is unchanged by construction.
     *
     * Scale: per round one edge⋈label join pair + a struct-min agg (all
-    * map-side combinable) + a WCC on the CONTRACTED component graph
-    * (≤ #components nodes, shrinking geometrically). Driver sees one
-    * scalar per round. Input canonical pairs (u < v, integral w);
-    * output the chosen edges (u, v, w). */
+    * map-side combinable) + O(log depth) self-joins of the parent table
+    * (≤ #components rows, shrinking geometrically) — no per-round
+    * re-checkpoint of a symmetric component edge frame and no nested
+    * fixpoint init. Driver sees one scalar per round plus one per jump.
+    * Input canonical pairs (u < v, integral w); output the chosen edges
+    * (u, v, w). */
   def mst(pairs: DataFrame, opts: PregelOptions = PregelOptions(maxSupersteps = 30)): DataFrame = {
     val s = pairs.sparkSession
     var edges = pairs.select(col("u"), col("v"), col("w")).distinct().localCheckpoint()
@@ -753,36 +768,62 @@ object Algos {
         .join(comp.select(col("id").as("u"), col("c").as("cu")), Seq("u"))
         .join(comp.select(col("id").as("v"), col("c").as("cv")), Seq("v"))
         .filter(col("cu") =!= col("cv"))
-      val e = struct(col("w"), col("u"), col("v")).as("e")
-      val cand = lab.select(col("cu").as("comp"), e)
-        .union(lab.select(col("cv").as("comp"), e))
+      // per-component lightest cross edge WITH its parent pointer: the
+      // 4th struct field rides along without affecting which edge wins
+      // ((w, u, v) is unique per row — edges are distinct), exactly the
+      // oracle's rn=1 over ORDER BY w, u, v (its mp_r CTE). One fused
+      // checkpoint serves the chosen-edge rows AND the pointer table.
+      val m0 = lab.select(col("cu").as("comp"),
+          struct(col("w"), col("u"), col("v"), col("cv").as("p")).as("e"))
+        .union(lab.select(col("cv").as("comp"),
+          struct(col("w"), col("u"), col("v"), col("cu").as("p")).as("e")))
         .groupBy(col("comp")).agg(min(col("e")).as("m"))
-        .select(col("m.u").as("u"), col("m.v").as("v"), col("m.w").as("w"))
-        .distinct()
-        .transform(d => {
-          val (ck, n) = org.apache.spark.sql.graft.CheckpointBridge
-            .localCheckpointStatsCountWhere(d, lit(true))
-          merges = n; ck
-        })
+        .select(col("comp"), col("m.u").as("u"), col("m.v").as("v"),
+          col("m.w").as("w"), col("m.p").as("par"))
+      val mm = {
+        val (ck, n) = org.apache.spark.sql.graft.CheckpointBridge
+          .localCheckpointStatsCountWhere(m0, lit(true))
+        merges = n; ck
+      }
       if (merges > 0) {
-        val acc = if (chosen == null) cand
+        val cand = mm.select(col("u"), col("v"), col("w")).distinct()
+        val acc = if (chosen == null) cand.localCheckpoint()
           else chosen.union(cand).localCheckpoint()
-        // contract the chosen edges' component graph and relabel
-        val cg = cand
-          .join(comp.select(col("id").as("u"), col("c").as("cu")), Seq("u"))
-          .join(comp.select(col("id").as("v"), col("c").as("cv")), Seq("v"))
-          .select(col("cu").as("src"), col("cv").as("dst"))
-        val sym = cg.union(cg.select(col("dst").as("src"), col("src").as("dst")))
-        val relab = wcc(sym, opts).withColumnRenamed("id", "c")
-        val nextComp = comp.join(relab, Seq("c"), "left")
-          .select(col("id"), coalesce(col("component"), col("c")).as("c"))
+        // root the 2-cycles: par(par(c)) == c ⟹ root := min(c, par(c));
+        // every par value is itself a live component with a chosen edge,
+        // so the self-join is total (inner is exact — oracle q_r_0)
+        val mp = mm.select(col("comp"), col("par"))
+        var f = mp.as("a").join(mp.as("b"), col("b.comp") === col("a.par"))
+          .select(col("a.comp").as("comp"),
+            when(col("b.par") === col("a.comp"),
+              least(col("a.comp"), col("a.par")))
+              .otherwise(col("a.par")).as("par"))
+          .transform(ckptStats)
+        // pointer doubling to fixpoint (roots map to themselves, so the
+        // composition is total and monotone toward the root; the changed
+        // count rides each checkpoint job)
+        var moved = 1L
+        while (moved > 0) {
+          val (next, nMoved) = org.apache.spark.sql.graft.CheckpointBridge
+            .localCheckpointStatsCountWhere(
+              f.as("a").join(f.as("b"), col("b.comp") === col("a.par"))
+                .select(col("a.comp").as("comp"), col("a.par").as("p_old"),
+                  col("b.par").as("par")),
+              col("par") =!= col("p_old"))
+          moved = nMoved
+          freeCkpt(f)
+          f = next.drop("p_old")
+        }
+        val nextComp = comp.join(f.select(col("comp").as("c"), col("par")),
+            Seq("c"), "left")
+          .select(col("id"), coalesce(col("par"), col("c")).as("c"))
           .localCheckpoint()
-        freeCkpt(comp); freeCkpt(relab) // relab = wcc's final label frame
-        if (chosen != null) { freeCkpt(chosen); freeCkpt(cand) }
+        freeCkpt(comp); freeCkpt(f); freeCkpt(mm)
+        if (chosen != null) freeCkpt(chosen)
         comp = nextComp
-        chosen = if (chosen == null) cand else acc
+        chosen = acc
       } else {
-        freeCkpt(cand)
+        freeCkpt(mm)
       }
       round += 1
     }
@@ -1375,6 +1416,14 @@ object Algos {
     * with declared hash(id) layout. Returns (id, auth, hub) doubles. */
   def hits(edges: DataFrame, iterations: Int): DataFrame = {
     val e = ckptHash(edges.select("src", "dst"), "src")
+    // (r15: a hash(dst)-declared edge twin for the hub pull was tried
+    // and REVERTED — jobs 71 → 89: at bench scale the measured-stats
+    // edge frame broadcasts into that join anyway, so the declared
+    // placement bought nothing and its checkpoint + the SMJ-vs-broadcast
+    // replans cost 18 extra AQE stage jobs. The per-iteration dst
+    // exchange this would remove only exists past the broadcast
+    // threshold, where the salsa-style eo/ei twins are the shape to
+    // copy if hits iterations ever grow.)
     val v = ckptHash(verticesOf(e), "id")
     var h = ckptHash(v.select(col("id"), lit(1.0).as("h")), "id")
     var a: DataFrame = null
@@ -1385,6 +1434,13 @@ object Algos {
             .groupBy(col("dst").as("id")).agg(sum(col("h")).as("x")),
           Seq("id"), "left")
         .select(col("id"), coalesce(col("x"), lit(0.0)).as("a"))
+      // (r15: a lazy-aN half-iteration fusion was tried here and
+      // REVERTED — jobs 71 → 118 with wall up: under the adaptive
+      // ckptHash the chained plan re-materializes each internal exchange
+      // as its own AQE stage job and rebuilds the normalization
+      // broadcasts per reference, costing more driver jobs than the
+      // checkpoint it saved. Per-half-iteration materialization stands,
+      // consistent with the r13 WaveBatch and r14 textrank findings.)
       val aN = ckptHash(
         araw.crossJoin(broadcast(araw.agg(sum(col("a")).as("s"))))
           .select(col("id"), (col("a") / col("s")).as("a")), "id")
@@ -2180,6 +2236,11 @@ object Algos {
       // part of the result union until the caller materializes it
       freeCkpt(remVerts); freeCkpt(remEdges)
       colors.unpersist()
+      // the color fixpoint's final checkpoint backs `colors`; once the
+      // persisted copy is dropped nothing reads it again — without this
+      // each outer round stranded one vertex-frame of blocks (r15 leak
+      // fix; the inner loop only frees SUPERSEDED f's)
+      freeCkpt(f)
       remVerts = newVerts
       remEdges = newEdges
       round += 1
@@ -2369,6 +2430,8 @@ object Algos {
             .groupBy(col("dst").as("id")).agg(sum(col("h") / col("od")).as("x")),
           Seq("id"), "left")
         .select(col("id"), coalesce(col("x"), lit(0.0)).as("a"))
+      // (r15: lazy-aN fusion tried and REVERTED here too — jobs 97 → 126;
+      // see [[hits]] for the mechanism)
       val aN = ckptHash(
         araw.crossJoin(broadcast(araw.agg(sum(col("a")).as("s"))))
           .select(col("id"), (col("a") / col("s")).as("a")), "id")

@@ -43,6 +43,25 @@ object JaccardProbe {
     println(f"JACCARD 1x docs=$nDocs%d tok=$tTok%6.2fs cand=$nCand%d " +
       f"candJoin=$tCand%6.2fs full=$tFull%6.2fs verify~=${tFull - tCand}%6.2fs out=$nOut%d")
     if (sys.env.contains("SPARK_GRAFT_JACCARD_EXPLAIN")) {
+      println("==== sorted-token build plan ====")
+      println(sorted.queryExecution.executedPlan.toString.take(8000))
+      // r15: `sorted` is now a checkpoint (its own plan is just a Scan
+      // ExistingRDD), so ALSO print the plan of the build that produced
+      // it — the df-agg + dictionary join over the hash(tok)-declared
+      // token checkpoint. Reconstructed here ONLY to print the shape
+      // (mirrors jaccardJoinStaged5's build; plan capture, not a timed
+      // path).
+      locally {
+        val (toks, _, _, _, _) = graft.dedup.Dedup.jaccardJoinStaged5(
+          d.select(col("doc_id"),
+            graft.text.TextFunctions.shingleSet(col("text"), 8).as("items")), thr)
+        val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val build = toks.join(dfreq.hint("shuffle_hash"), Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(collect_list(struct(col("df"), col("tok"))).as("raw"))
+        println("==== checkpointed-sorted internal build plan (toks ckpt -> df agg -> dictionary join) ====")
+        println(build.queryExecution.executedPlan.toString.take(8000))
+      }
       println("==== cand plan ====")
       println(cand.queryExecution.executedPlan.toString.take(8000))
       println("==== out plan ====")
