@@ -1194,22 +1194,52 @@ object PipelineQueries {
     val sigs = Dedup.withMinhash(docs, shingleLen = 8, numHashes = 16)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = sigs.select(col("doc_id"), col("sh"))
-    val out = Seq((2, 8), (4, 4), (8, 2)).map { case (b, r) =>
-      val cands = Dedup.lshCandidates(sigs, b, r)
-      cands
-        .join(sh.select(col("doc_id").as("ida"), col("sh").as("sha")), Seq("ida"))
-        .join(sh.select(col("doc_id").as("idb"), col("sh").as("shb")), Seq("idb"))
-        .select(graft.text.TextFunctions.jaccard(col("sha"), col("shb"))
-          .geq(0.3).cast("long").as("dup"))
-        .agg(count(lit(1)).as("n_candidates"),
-          coalesce(sum(col("dup")), lit(0L)).cast("long").as("n_dups"))
+    val configs = Seq((2, 8), (4, 4), (8, 2))
+    // r15 (guide §1.2 "don't compute things you throw away"): the three
+    // banding configs' candidate sets overlap heavily (a pair colliding
+    // under strict banding usually collides under permissive banding
+    // too), and the old per-config verify joined the WIDE shingle frame
+    // 6× and evaluated the exact-Jaccard kernel once per (config, pair).
+    // Tag the per-config candidates, verify each DISTINCT pair once
+    // (2 sh joins + 1 kernel pass total), then join the verdict back —
+    // per-config (n_candidates, n_dups) are over the identical pair
+    // sets, and `dup` is a deterministic function of the pair, so the
+    // aggregates are unchanged by construction.
+    val tagged = configs.map { case (b, r) =>
+      Dedup.lshCandidates(sigs, b, r)
         .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
-          col("n_candidates"), col("n_dups"),
-          when(col("n_candidates") > 0,
-            expr("(n_dups * 1000000) div n_candidates")).otherwise(lit(0L))
-            .as("precision_e6"))
-    }.reduce(_ unionByName _).orderBy(col("bands")).localCheckpoint()
+          col("ida"), col("idb"))
+    }.reduce(_ unionByName _).localCheckpoint()
+    val verdict = tagged.select(col("ida"), col("idb")).distinct()
+      .join(sh.select(col("doc_id").as("ida"), col("sh").as("sha")), Seq("ida"))
+      .join(sh.select(col("doc_id").as("idb"), col("sh").as("shb")), Seq("idb"))
+      .select(col("ida"), col("idb"),
+        graft.text.TextFunctions.jaccard(col("sha"), col("shb"))
+          .geq(0.3).cast("long").as("dup"))
+    val counts = tagged.join(verdict, Seq("ida", "idb"))
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("n_candidates"),
+        coalesce(sum(col("dup")), lit(0L)).cast("long").as("n_dups"))
+    // seed frame keeps one output row per config even when a banding
+    // yields ZERO candidates (the old per-config global agg always
+    // produced its row; a bare groupBy would drop it)
+    val seed = {
+      import s.implicits._
+      configs.map { case (b, r) => (b.toLong, r.toLong) }
+        .toDF("bands", "rows_per_band")
+    }
+    val out = seed.join(counts, Seq("bands", "rows_per_band"), "left")
+      .select(col("bands"), col("rows_per_band"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+      .select(col("bands"), col("rows_per_band"), col("n_candidates"),
+        col("n_dups"),
+        when(col("n_candidates") > 0,
+          expr("(n_dups * 1000000) div n_candidates")).otherwise(lit(0L))
+          .as("precision_e6"))
+      .orderBy(col("bands")).localCheckpoint()
     sigs.unpersist()
+    org.apache.spark.sql.graft.CheckpointBridge.free(tagged)
     out
   }
 

@@ -582,7 +582,8 @@ object Dedup {
     // both checkpoints, materialized during construction (the staging
     // that the old persist+count() pair approximated — measured 3.5× on
     // the whole query at sf0.1 when left lazy: 55.7 s vs ~16 s).
-    val (toks, sorted, _, scored, _) = jaccardJoinStaged5(sets, thresholdPct)
+    val (toks, sorted, _, scored, _, shuffled) =
+      jaccardJoinStaged5(sets, thresholdPct)
     // the token checkpoint feeds only `sorted` — dead once it exists
     org.apache.spark.sql.graft.CheckpointBridge.free(toks)
     // Round-14: checkpoint the NARROW scored frame (a, b, na, nb, inter —
@@ -601,6 +602,7 @@ object Dedup {
     // (output-sized) survivors.
     val m = finishJaccard(sm, thresholdPct).localCheckpoint()
     org.apache.spark.sql.graft.CheckpointBridge.free(sorted)
+    org.apache.spark.sql.graft.CheckpointBridge.free(shuffled)
     org.apache.spark.sql.graft.CheckpointBridge.free(sm)
     m.orderBy(col("a"), col("b"))
   }
@@ -633,15 +635,15 @@ object Dedup {
     * wrapper above. */
   def jaccardJoinStaged(sets: DataFrame, thresholdPct: Int = 80)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val (_, sorted, cand, scored, out) = jaccardJoinStaged5(sets, thresholdPct)
+    val (_, sorted, cand, scored, out, _) = jaccardJoinStaged5(sets, thresholdPct)
     (sorted, cand, scored, out)
   }
 
-  /** [[jaccardJoinStaged]] plus the checkpointed token frame as the
-    * first element, so [[jaccardJoin]] can free its blocks the moment
-    * the sorted frame is materialized. */
+  /** [[jaccardJoinStaged]] plus the internal checkpoints — the token
+    * frame (first element) and the shuffled prefix frame (last) — so
+    * [[jaccardJoin]] can free their blocks as soon as each is dead. */
   private[graft] def jaccardJoinStaged5(sets: DataFrame, thresholdPct: Int = 80)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val t = thresholdPct.toLong
     val np = sets.sparkSession.sessionState.conf.numShufflePartitions
     // Single-scan token build (r15): lazily, this frame — the corpus
@@ -713,18 +715,25 @@ object Dedup {
     // order breaks size ties). The output pair is re-canonicalized to
     // (a, b) = (min id, max id), same key space as before.
     //
-    // Plan shape (round-9 repair of the round-8 regression): both join
-    // inputs derive from ONE explicit hash-exchange of the prefix frame
-    // on `tok` — the index side is a filter ABOVE that exchange, so
-    // ReuseExchange computes the explode+shuffle once — and the join is
-    // pinned to a SHUFFLED HASH JOIN building on the index (smaller)
-    // side. Without the pin, Catalyst's estimates broadcast the PROBE
-    // side and that broadcast build runs as a single task (measured
-    // 33 s of a 71 s query at sf0.1 — a serial stage no cluster can
-    // parallelize); with it every stage is np-way and neither side is
-    // ever collected to one node, which is the only shape that
-    // survives a corpus where both prefix frames are TB-scale.
-    val shuffled = prefix.repartition(np, col("tok"))
+    // Plan shape (round-9 repair of the round-8 regression, tightened in
+    // r15): both join inputs read ONE hash(tok)-declared CHECKPOINT of
+    // the prefix frame — the index side is a filter above it — so the
+    // explode+shuffle of the prefix runs exactly once and the candidate
+    // join plans with ZERO exchanges below it. (The r9 form was a bare
+    // repartition whose exchange both sides REUSED; with `sorted` now a
+    // checkpoint leaf, Catalyst pushes the idx filter below the
+    // repartition, splitting that shared exchange into two — the
+    // materialized declared layout restores single-computation by
+    // construction instead of by ReuseExchange.) The join stays pinned
+    // to a SHUFFLED HASH JOIN building on the index (smaller) side:
+    // without the pin, Catalyst's estimates broadcast the PROBE side and
+    // that broadcast build runs as a single task (measured 33 s of a
+    // 71 s query at sf0.1 — a serial stage no cluster can parallelize);
+    // with it every stage is np-way and neither side is ever collected
+    // to one node, which is the only shape that survives a corpus where
+    // both prefix frames are TB-scale.
+    val shuffled = org.apache.spark.sql.graft.CheckpointBridge
+      .localCheckpointHash(prefix, "tok", np)
     val p1 = shuffled.select(col("doc_id").as("da"), col("n").as("pna"),
       col("pos").as("pa"), col("tok"))
     val p2 = shuffled.filter(col("idx")).select(col("doc_id").as("db"),
@@ -750,6 +759,6 @@ object Dedup {
       .select(col("a"), col("b"), col("na"), col("nb"),
         size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"))
     val out = finishJaccard(scored, thresholdPct)
-    (toks, sorted, cand, scored, out)
+    (toks, sorted, cand, scored, out, shuffled)
   }
 }

@@ -52,7 +52,7 @@ object JaccardProbe {
       // (mirrors jaccardJoinStaged5's build; plan capture, not a timed
       // path).
       locally {
-        val (toks, _, _, _, _) = graft.dedup.Dedup.jaccardJoinStaged5(
+        val (toks, _, _, _, _, _) = graft.dedup.Dedup.jaccardJoinStaged5(
           d.select(col("doc_id"),
             graft.text.TextFunctions.shingleSet(col("text"), 8).as("items")), thr)
         val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))

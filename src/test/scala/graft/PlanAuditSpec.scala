@@ -399,15 +399,31 @@ class PlanAuditSpec extends SparkSpec {
         "index side:\n" + pre.toString.take(2000))
     assert(pre.collect { case b: BroadcastHashJoinExec => b }.isEmpty,
       "candidate join degraded back to a broadcast on tok:\n" + pre.toString.take(2000))
-    cand.count() // materialize so AQE resolves stage reuse
+    cand.count() // materialize so AQE resolves the final plan
     val post = top(cand.queryExecution.executedPlan)
     // no broadcast slipped in at RUNTIME either (AQE re-plan)
     assert(post.collect { case b: BroadcastHashJoinExec => b }.isEmpty,
       "AQE runtime-converted the candidate join to a broadcast:\n" + post.toString.take(2000))
-    val stageIds = "ShuffleQueryStage (\\d+)".r
-      .findAllMatchIn(post.toString).map(_.group(1)).toSeq
-    assert(stageIds.distinct.size < stageIds.size,
-      "prefix exchange no longer reused (each side pays its own shuffle):\n"
+    // r15: the prefix frame is a hash(tok)-DECLARED checkpoint, so both
+    // join inputs read the one materialized layout and the join plans
+    // with ZERO shuffles below it — strictly stronger than the r9 shape
+    // this spec used to pin (one repartition exchange reused by both
+    // sides via ReuseExchange, which broke once `sorted` became a
+    // checkpoint leaf and the idx filter pushed below the repartition).
+    // The explode+shuffle of the prefix runs exactly once either way;
+    // assert no join input pays its own exchange.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec
+    val below = post.collect { case j: ShuffledHashJoinExec => j }
+      .flatMap(j => j.collect {
+        case e: ShuffleExchangeLike => e: SparkPlan
+        case q: ShuffleQueryStageExec => q: SparkPlan
+      })
+    assert(below.isEmpty,
+      "candidate-join input pays its own prefix shuffle (declared " +
+        "checkpoint layout not picked up):\n" + post.toString.take(2500))
+    assert(post.toString.contains("Scan ExistingRDD"),
+      "candidate join no longer reads the checkpointed prefix frame:\n"
         + post.toString.take(2500))
     sorted.unpersist()
   }
