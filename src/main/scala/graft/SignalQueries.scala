@@ -896,6 +896,11 @@ object SignalQueries {
     // Exchanges and sorted the wedge frame twice; measured 35.8 s →
     // see OPTIMIZATION_r14.md). Build-side size is one cp partition —
     // |E|/np rows — the same bound the jaccard prefix join pins SHJ on.
+    // That bound assumes roughly uniform hash(u) mass (ADVICE r14): a
+    // shuffled-hash build does NOT spill, so a degree-skewed graph that
+    // concentrates |E| under few u values can OOM a build task where
+    // the old sort-merge would have spilled. PLANS.md r15 records the
+    // sizing rule; np (shuffle.partitions) is the at-scale safety valve.
     val np = s.sessionState.conf.numShufflePartitions
     val cp = org.apache.spark.sql.graft.CheckpointBridge.localCheckpointHash(
       TestGraphs.partCoPairs(Tables(s, dir)), "u", np)

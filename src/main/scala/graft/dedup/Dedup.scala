@@ -750,11 +750,15 @@ object Dedup {
       .distinct()
     val left = sorted.select(col("doc_id").as("a"), col("stoks").as("ta"), col("n").as("na"))
     val right = sorted.select(col("doc_id").as("b"), col("stoks").as("tb"), col("n").as("nb"))
-    // Per-pair exact verification: one array_intersect per candidate
-    // pair inside the join (the threshold predicate pushes into the join
-    // condition, so non-pairs never materialize); survivors re-evaluate
-    // it once more for the output column, and survivors are
-    // output-count-sized.
+    // Per-pair exact verification. NOTE (ADVICE r14): the behavior
+    // below differs by consumer. In the probe-only `out` pipeline
+    // (built lazily on `scored`), Catalyst pushes the threshold
+    // predicate into this join's condition, so non-pairs never
+    // materialize but array_intersect evaluates ~3× per candidate. The
+    // QUERY path ([[jaccardJoin]]) deliberately does the opposite:
+    // it checkpoints `scored` (the narrow 5-BIGINT frame) as a barrier
+    // and applies [[finishJaccard]] ABOVE it — exactly one
+    // array_intersect per candidate (the r14 single-eval fix).
     val scored = cand.join(left, Seq("a")).join(right, Seq("b"))
       .select(col("a"), col("b"), col("na"), col("nb"),
         size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"))

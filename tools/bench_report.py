@@ -44,6 +44,11 @@ def main():
             print(f"{k:34s} {v:8.2f} {js.get(k,0):5d} {gs.get(k,0):6d}")
         tot = sum(v for v in qs.values() if v > 0)
         top = sum(v for _, v in rows if v > 0)
-        print(f"\ntop-{n} share: {top:.1f}s of {tot:.1f}s = {100*top/tot:.0f}%")
+        if tot > 0:
+            print(f"\ntop-{n} share: {top:.1f}s of {tot:.1f}s = {100*top/tot:.0f}%")
+        else:
+            # an all-error/all-zero artifact is exactly when the report
+            # gets pulled up — print raw sums instead of dividing by zero
+            print(f"\ntop-{n} share: {top:.1f}s of {tot:.1f}s (no positive times)")
 
 main()
